@@ -1,0 +1,18 @@
+"""etl_spark — a PySpark-native CDC / incremental-ingest engine.
+
+A from-scratch re-imagining of the M-Lab ETL pipeline (reference:
+/root/reference, sshyran/etl fork) as a change-log tailer: ordered
+WAL/binlog-style change events (insert/update/delete/schema-change)
+over a source-code-repository corpus are applied to a snapshot-table
+target keyed by (repo, path) with last-writer-wins dedup, MERGE-style
+upserts, a schema-evolution ledger, and exactly-once idempotent epoch
+commits carrying per-partition lineage.
+
+Architecture is Spark-first: DataFrame/SQL plans optimized by Catalyst,
+vectorized pandas/Arrow UDFs (mapInPandas) for content parsing /
+validation / sha256 fingerprinting, Structured Streaming foreachBatch
+for the streaming tail, and an Iceberg-style atomic-snapshot parquet
+table format (no Iceberg jars in this image) for the sink.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,229 @@
+"""Deterministic change-event generation.
+
+Two generators:
+
+1. ``derived_events_sql(dialect)`` — derives the ordered CDC change
+   stream ``(seq, op, repo, path, commit, lang, content, schema_version,
+   event_time)`` from the driver-provided ``lineitem`` parquet with a
+   SQL template valid in BOTH Spark SQL and DuckDB. This is how the
+   driver's DuckDB oracle sees byte-identical events: the template is
+   the single source of truth, only the sha256 function name differs by
+   dialect. Every value is a pure function of lineitem's primary key
+   (reference test-fixture pattern: deterministic checked-in inputs with
+   exactly known counts — parser/tcpinfo_test.go:107-215).
+
+2. ``synthetic_events(spark, ...)`` — a Spark-native generator
+   (spark.range + JVM-side hash/string builtins, no Python in the loop)
+   for bench-scale corpora with zipf-hot repos, optional corrupt rows,
+   and a v1→v2 schema-evolution switch. Pure function of (seed, seq)
+   per FIXTURES.md determinism rule.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# 1. Shared Spark/DuckDB derivation from lineitem (driver correctness gate)
+# ---------------------------------------------------------------------------
+
+# Key-space sizing: ~100 repos x 59 paths ≈ 5.9k keys. At sf0.01
+# (~60k lineitem rows) that is ~10 events per key — dense update
+# chains, including insert→update→delete→insert on one key. Repos with
+# l_partkey % 20 < 5 collapse onto 'org0/hot' (~25% of events) — the
+# hot-repo skew fixture the salted LWW path must handle.
+#
+# seq must be globally unique (LWW tie-breaks would otherwise differ
+# between engines): row_number() over a total order of ALL columns.
+# Rows that are full duplicates receive adjacent seqs in arbitrary
+# order, but since every derived value is a pure function of
+# (row values, seq), the produced event SET is identical either way.
+_EVENTS_TEMPLATE = """
+SELECT
+  seq,
+  CASE
+    WHEN (l_partkey * 7 + l_linenumber * 13 + l_orderkey) % 100 < 55 THEN 'insert'
+    WHEN (l_partkey * 7 + l_linenumber * 13 + l_orderkey) % 100 < 85 THEN 'update'
+    WHEN (l_partkey * 7 + l_linenumber * 13 + l_orderkey) % 100 < 95 THEN 'delete'
+    ELSE 'insert'
+  END AS op,
+  CASE
+    WHEN l_partkey % 20 < 5 THEN 'org0/hot'
+    ELSE 'org' || CAST(l_suppkey % 5 AS STRING) || '/repo' || CAST(l_partkey % 20 AS STRING)
+  END AS repo,
+  'src/d' || CAST(l_partkey % 7 AS STRING) || '/f' || CAST(l_orderkey % 59 AS STRING) || '.txt' AS path,
+  md5('c' || CAST(seq AS STRING)) AS commit,
+  CASE (l_partkey + l_suppkey) % 8
+    WHEN 0 THEN 'python' WHEN 1 THEN 'go' WHEN 2 THEN 'java' WHEN 3 THEN 'c'
+    WHEN 4 THEN 'js' WHEN 5 THEN 'rust' WHEN 6 THEN 'md' ELSE 'yaml'
+  END AS lang,
+  CASE
+    WHEN (l_partkey * 7 + l_linenumber * 13 + l_orderkey) % 100 >= 85
+         AND (l_partkey * 7 + l_linenumber * 13 + l_orderkey) % 100 < 95
+      THEN CAST(NULL AS STRING)
+    ELSE '// src ' || CAST(seq AS STRING) || ' '
+         || repeat(md5('b' || CAST(seq AS STRING)) || ' ', 1 + l_partkey % 32)
+  END AS content,
+  1 AS schema_version,
+  l_shipdate AS event_time
+FROM (
+  SELECT *,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                            l_quantity, l_extendedprice, l_discount, l_tax,
+                            l_returnflag, l_linestatus, l_shipdate) AS seq
+  FROM {lineitem}
+) src
+"""
+
+
+def sha256_expr(dialect: str, col: str) -> str:
+    """sha256-hex expression — the only dialect divergence."""
+    if dialect == "spark":
+        return f"sha2({col}, 256)"
+    if dialect == "duckdb":
+        return f"sha256({col})"
+    raise ValueError(f"unknown dialect: {dialect}")
+
+
+def derived_events_sql(dialect: str, lineitem: str = "lineitem") -> str:
+    """The change-event stream as a SQL text valid in `dialect`."""
+    if dialect not in ("spark", "duckdb"):
+        raise ValueError(f"unknown dialect: {dialect}")
+    return _EVENTS_TEMPLATE.format(lineitem=lineitem)
+
+
+def final_state_sql(dialect: str, lineitem: str = "lineitem") -> str:
+    """LWW replay of the derived stream → expected final table state.
+
+    Per (repo, path): the max-seq event wins; a winning delete removes
+    the key. This is the oracle for the full engine (dedup + MERGE):
+    SURVEY.md §7.3.2 delete-LWW semantics.
+    """
+    ev = derived_events_sql(dialect, lineitem)
+    sha = sha256_expr(dialect, "content")
+    return f"""
+WITH events AS ({ev}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM events
+)
+SELECT repo, path, commit, lang, {sha} AS content_sha256
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
+    """Register driver parquet tables as temp views."""
+    for name in names:
+        spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
+
+
+def derived_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-side derived change stream (matches the DuckDB oracle)."""
+    load_tables(spark, sf_dir, ("lineitem",))
+    return spark.sql(derived_events_sql("spark"))
+
+
+# ---------------------------------------------------------------------------
+# 2. Synthetic scale generator (bench + stress tests)
+# ---------------------------------------------------------------------------
+
+_LANGS = ["python", "go", "java", "c", "js", "rust", "md", "yaml"]
+
+
+def synthetic_events(
+    spark: SparkSession,
+    n_events: int,
+    n_repos: int = 1000,
+    paths_per_repo: int = 200,
+    seed: int = 42,
+    skew: float = 3.0,
+    corrupt_frac: float = 0.0,
+    v2_from_seq: int | None = None,
+    start_seq: int = 0,
+    num_partitions: int | None = None,
+    content_repeat_max: int = 32,
+) -> DataFrame:
+    """Deterministic ordered change stream, generated JVM-side.
+
+    - seq = start_seq + range id (dense, strictly increasing).
+    - repo popularity ~ power-law: u^skew concentrates mass on repo 0
+      (skew fixture per FIXTURES.md §1 zipf note).
+    - op mix ≈ 55/30/10/5 insert/update/delete/insert.
+    - corrupt_frac of rows get an invalid op ('bogus') — must land in
+      `rejected` lineage, never abort the epoch (<10% reference gate,
+      parser/tcpinfo.go:77-85).
+    - v2_from_seq: events at/after this seq carry schema_version=2 plus
+      content_encoding + size_bytes columns (add-column evolution per
+      FIXTURES.md §3); earlier events have them NULL.
+
+    Everything is a pure function of (seed, seq): xxhash64 on
+    seed-tagged strings. No Python in the generation path.
+    """
+    df = spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
+    seq = F.col("id") + F.lit(start_seq)
+    tag = F.concat(F.lit(f"s{seed}:"), seq.cast("string"))
+
+    def h(salt: str):
+        return F.abs(F.xxhash64(F.concat(F.lit(salt), tag)))
+
+    u = (h("repo") % 1000000) / 1000000.0
+    repo_idx = F.least(
+        F.floor(F.pow(u, F.lit(skew)) * n_repos).cast("long"), F.lit(n_repos - 1)
+    )
+    path_idx = h("path") % paths_per_repo
+    opn = h("op") % 100
+    op = (
+        F.when(opn < 55, "insert")
+        .when(opn < 85, "update")
+        .when(opn < 95, "delete")
+        .otherwise("insert")
+    )
+    if corrupt_frac > 0:
+        op = F.when((h("corrupt") % 10000) < int(corrupt_frac * 10000), F.lit("bogus")).otherwise(op)
+
+    lang = F.element_at(F.array(*[F.lit(x) for x in _LANGS]), (h("lang") % 8 + 1).cast("int"))
+    commit = F.md5(F.concat(F.lit("c"), tag))
+    body = F.repeat(
+        F.concat(F.md5(F.concat(F.lit("b"), tag)), F.lit(" ")),
+        (h("len") % content_repeat_max + 1).cast("int"),
+    )
+    content = F.when(op == "delete", F.lit(None).cast("string")).otherwise(
+        F.concat(F.lit("// src "), seq.cast("string"), F.lit(" "), body)
+    )
+    event_time = F.timestamp_seconds(F.lit(1704067200) + seq)  # 2024-01-01 + seq sec
+
+    out = df.select(
+        seq.alias("seq"),
+        op.alias("op"),
+        F.concat(
+            F.lit("org"), (repo_idx % 17).cast("string"), F.lit("/repo"), repo_idx.cast("string")
+        ).alias("repo"),
+        F.concat(F.lit("src/d"), (path_idx % 7).cast("string"), F.lit("/f"),
+                 path_idx.cast("string"), F.lit(".txt")).alias("path"),
+        commit.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+        event_time.alias("event_time"),
+    )
+    if v2_from_seq is None:
+        out = out.withColumn("schema_version", F.lit(1))
+        return out
+    is_v2 = F.col("seq") >= v2_from_seq
+    return (
+        out.withColumn("schema_version", F.when(is_v2, 2).otherwise(1))
+        .withColumn(
+            "content_encoding",
+            F.when(is_v2 & F.col("content").isNotNull(), F.lit("utf-8")).otherwise(
+                F.lit(None).cast("string")
+            ),
+        )
+        .withColumn(
+            "size_bytes",
+            F.when(is_v2, F.coalesce(F.length("content").cast("long"), F.lit(0))).otherwise(
+                F.lit(None).cast("long")
+            ),
+        )
+    )

@@ -1,0 +1,109 @@
+"""Canonical StructTypes for the CDC engine.
+
+Explicit schemas everywhere — never runtime inference in the hot path
+(the reference infers Go-struct schemas once at deploy time, not per
+row: schema/tcpinfo.go:90-101, cmd/update-schema/update.go:70-104).
+Schema versions map through the ledger (ledger.py); v1/v2 below are the
+shipped fixture versions from FIXTURES.md §2-3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import types as T
+
+VALID_OPS = ("insert", "update", "delete", "schema_change")
+UPSERT_OPS = ("insert", "update")
+
+# -- change events ----------------------------------------------------------
+
+EVENTS_V1 = T.StructType(
+    [
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+        T.StructField("repo", T.StringType(), True),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("schema_version", T.IntegerType(), False),
+        T.StructField("event_time", T.TimestampType(), True),
+    ]
+)
+
+# v2 = v1 + add-column evolution (content_encoding, size_bytes)
+EVENTS_V2 = T.StructType(
+    EVENTS_V1.fields
+    + [
+        T.StructField("content_encoding", T.StringType(), True),
+        T.StructField("size_bytes", T.LongType(), True),
+    ]
+)
+
+# -- target table (final state keyed by (repo, path)) -----------------------
+
+TARGET_V1 = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("content_sha256", T.StringType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+        T.StructField("schema_version", T.IntegerType(), True),
+        T.StructField("event_time", T.TimestampType(), True),
+    ]
+)
+
+TARGET_V2 = T.StructType(
+    TARGET_V1.fields
+    + [
+        T.StructField("content_encoding", T.StringType(), True),
+        T.StructField("size_bytes", T.LongType(), True),
+    ]
+)
+
+KEY_COLS = ("repo", "path")
+SEQ_COL = "seq"
+
+# -- per-epoch lineage manifest (FIXTURES.md §5) ----------------------------
+# RowStats invariant (etl/etl.go:22-35 analog):
+#   events_in == applied + deduped + rejected
+
+LINEAGE = T.StructType(
+    [
+        T.StructField("epoch_id", T.StringType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("event_count", T.LongType(), False),
+        T.StructField("min_seq", T.LongType(), True),
+        T.StructField("max_seq", T.LongType(), True),
+        T.StructField("bytes", T.LongType(), True),
+    ]
+)
+
+# -- schema-evolution ledger (FIXTURES.md §4) --------------------------------
+
+LEDGER = T.StructType(
+    [
+        T.StructField("schema_version", T.IntegerType(), False),
+        T.StructField("effective_seq", T.LongType(), False),
+        T.StructField("columns_json", T.StringType(), False),
+        T.StructField("migration", T.StringType(), True),
+    ]
+)
+
+
+def events_schema(version: int) -> T.StructType:
+    if version == 1:
+        return EVENTS_V1
+    if version == 2:
+        return EVENTS_V2
+    raise KeyError(f"unknown events schema version {version}")
+
+
+def target_schema(version: int) -> T.StructType:
+    if version == 1:
+        return TARGET_V1
+    if version == 2:
+        return TARGET_V2
+    raise KeyError(f"unknown target schema version {version}")

@@ -1,0 +1,56 @@
+"""SparkSession construction with scale-aware defaults.
+
+Local mode is a single JVM; on a real cluster the same configs apply
+per-executor. Shuffle partitions track core count (the reference tunes
+batch sizes per datatype for the same reason — etl/globals.go:268-281).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def cpu_count() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+
+
+def get_spark(
+    app_name: str = "etl_spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for the CDC workload.
+
+    - AQE on: runtime coalescing + skew-join splitting (the reference's
+      recursive batch-split on oversize payloads, bq/insert.go:483-509,
+      is AQE's job here).
+    - Arrow on: all mapInPandas/applyInPandas traffic is columnar.
+    - UTC session TZ: deterministic vs the DuckDB oracle.
+    - shuffle.partitions ~ cores locally; at 10^10-event scale this is
+      set explicitly per job (north rule) — see bench.py.
+    """
+    n = cores if cores is not None else cpu_count()
+    sp = shuffle_partitions if shuffle_partitions is not None else max(n, 4)
+    builder = (
+        SparkSession.builder.master(f"local[{n}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(sp))
+        .config("spark.default.parallelism", str(n))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
