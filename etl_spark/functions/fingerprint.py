@@ -1,0 +1,76 @@
+"""Vectorized parse + validate + sha256 fingerprint (mapInPandas).
+
+North-rule contract: ALL per-row compute runs in Arrow-batched pandas
+UDFs — never per-row Python UDFs. This mirrors the reference's
+"parse the whole buffer at once" orientation (parser/base.go:31-62)
+and its vectorized binary decode precedent (web100/web100.go:218-277,
+SURVEY.md §2.8 C6).
+
+Validation taxonomy (reference analog: per-row failure accounting with
+the >10% TaskError gate, parser/tcpinfo.go:77-85):
+  - bad_op:   op not in {insert, update, delete, schema_change}
+  - null_key: repo or path missing
+Rejected rows are *kept* with a reject_reason so lineage can count them
+(`events_in == applied + deduped + rejected`, etl/etl.go:22-35 analog);
+the apply pipeline filters them out after accounting.
+
+For the engine's own sha256 we use the JVM builtin ``F.sha2`` when the
+frame never leaves the JVM (cheapest plan), and this pandas path when
+fingerprinting is fused with validation anyway — one Arrow round-trip
+instead of two passes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+VALID_OPS = frozenset({"insert", "update", "delete", "schema_change"})
+
+
+def _sha256_series(s: pd.Series) -> pd.Series:
+    """Hex sha256 per element; NULL-preserving. hashlib releases the GIL
+    for large inputs; the loop is over an Arrow batch, not driver rows."""
+    return s.map(
+        lambda v: hashlib.sha256(v.encode("utf-8")).hexdigest() if isinstance(v, str) else None
+    )
+
+
+def fingerprint_batch(pdf: pd.DataFrame, key_cols: Sequence[str]) -> pd.DataFrame:
+    """Pure-pandas kernel (unit-testable without Spark)."""
+    out = pdf.copy()
+    out["content_sha256"] = _sha256_series(out["content"])
+    reason = pd.Series([None] * len(out), index=out.index, dtype="object")
+    bad_op = ~out["op"].isin(list(VALID_OPS))
+    reason[bad_op] = "bad_op"
+    null_key = pd.Series(False, index=out.index)
+    for k in key_cols:
+        null_key |= out[k].isna()
+    reason[null_key & reason.isna()] = "null_key"
+    out["reject_reason"] = reason
+    return out
+
+
+def parse_validate_fingerprint(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path"),
+) -> DataFrame:
+    """events → events + (content_sha256, reject_reason) via mapInPandas."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("content_sha256", T.StringType(), True),
+            T.StructField("reject_reason", T.StringType(), True),
+        ]
+    )
+    keys = tuple(key_cols)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield fingerprint_batch(pdf, keys)
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,10 @@
+"""icelite — minimal Iceberg-style snapshot/merge table format (pure PySpark)."""
+
+from etl_spark.icelite.table import (  # noqa: F401
+    CommitConflict,
+    DataFile,
+    IceliteTable,
+    NoSuchTable,
+    Snapshot,
+    bucket_expr,
+)

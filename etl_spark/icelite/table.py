@@ -1,0 +1,533 @@
+"""icelite — a minimal Iceberg-style table format in pure PySpark.
+
+The sandbox ships no Iceberg/Delta runtime jars, so the engine's lake
+target is implemented from scratch with the same *transactional
+contract* Iceberg gives a CDC sink (the reference's BigQuery sink plays
+this role — bq/insert.go:62-81, with InsertID idempotency at
+schema/tcpinfo.go:84-87):
+
+- **Atomic snapshot commits.** A table is a directory of immutable
+  parquet data files plus ``meta/v{N}.json`` snapshot manifests. A
+  commit is the O_EXCL creation of the next version file — readers see
+  either the old or the new snapshot, never a partial write. This is
+  the HadoopCatalog commit protocol (rename/create-exclusive as the
+  atomic primitive).
+- **Bucket partitioning on the merge key.** Every data file belongs to
+  one of ``n_buckets`` hash buckets of the key columns. A MERGE only
+  reads and rewrites the buckets its updates touch (file-level
+  partition pruning from manifest metadata) — at 100 TB the merge cost
+  is proportional to touched data, not table size, and both sides of
+  the merge join are pre-partitioned on the same key hash so the
+  target side needs no wide shuffle.
+- **Copy-on-write MERGE with LWW semantics.** ``merge_lww`` implements
+  ``WHEN MATCHED AND op='delete' THEN DELETE / WHEN MATCHED THEN
+  UPDATE / WHEN NOT MATCHED AND op<>'delete' THEN INSERT`` plus a
+  per-row seq guard (an update only lands if its seq is newer than the
+  stored row's) so replay of any epoch converges to identical state.
+- **Schema evolution.** Snapshots pin a schema; add-column and
+  int→long/float→double widening create a new snapshot schema. Old
+  files are NOT rewritten — reads group files by their written schema,
+  cast each group to the current schema, and union by name
+  (cmd/update-schema/update.go:70-104 is the reference's
+  UpdateTable-else-Create analog).
+- **Epoch idempotency.** Each commit may carry an ``epoch_id``; the
+  snapshot chain records the set of committed epochs, and
+  ``has_epoch`` lets ``foreachBatch`` skip redelivered micro-batches
+  (the batch-level replacement for per-row InsertID).
+- **Snapshot properties + lineage.** Arbitrary JSON properties ride on
+  each snapshot (high-watermark seq, per-partition lineage counts), so
+  state and audit trail commit atomically with the data.
+
+File stats (rows/bytes) are read from parquet footers on the driver —
+on a real object store this becomes executor-side manifest writing,
+but the manifest *shape* (per-file bucket + stats) is what enables
+pruning either way.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass, field
+from typing import Any, Iterable, Sequence
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_DIR = "meta"
+DATA_DIR = "data"
+
+
+class CommitConflict(Exception):
+    """Another writer committed the version we tried to write."""
+
+
+class NoSuchTable(Exception):
+    pass
+
+
+def _atomic_write_json(path: str, payload: dict) -> None:
+    """Write JSON then O_EXCL-link into place — the atomic commit op."""
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, path)  # fails with EEXIST if a concurrent commit won
+    except FileExistsError as e:
+        raise CommitConflict(path) from e
+    finally:
+        os.unlink(tmp)
+
+
+@dataclass
+class DataFile:
+    path: str
+    bucket: int
+    rows: int
+    bytes: int
+    schema_id: int  # index into snapshot["schemas"]
+
+    def to_json(self) -> dict:
+        return {
+            "path": self.path,
+            "bucket": self.bucket,
+            "rows": self.rows,
+            "bytes": self.bytes,
+            "schema_id": self.schema_id,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "DataFile":
+        return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_id"])
+
+
+@dataclass
+class Snapshot:
+    version: int
+    schemas: list[str]  # StructType.json() per schema id; last = current
+    n_buckets: int
+    key_cols: list[str]
+    files: list[DataFile]
+    properties: dict[str, Any] = field(default_factory=dict)
+    epochs: list[str] = field(default_factory=list)
+
+    @property
+    def current_schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schemas[-1]))
+
+    def schema_at(self, schema_id: int) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.schemas[schema_id]))
+
+    def to_json(self) -> dict:
+        return {
+            "version": self.version,
+            "schemas": self.schemas,
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "files": [f.to_json() for f in self.files],
+            "properties": self.properties,
+            "epochs": self.epochs,
+        }
+
+    @staticmethod
+    def from_json(d: dict) -> "Snapshot":
+        return Snapshot(
+            version=d["version"],
+            schemas=d["schemas"],
+            n_buckets=d["n_buckets"],
+            key_cols=d["key_cols"],
+            files=[DataFile.from_json(f) for f in d["files"]],
+            properties=d.get("properties", {}),
+            epochs=d.get("epochs", []),
+        )
+
+
+def bucket_expr(key_cols: Sequence[str], n_buckets: int):
+    """Deterministic key→bucket hash, stable across sessions/JVMs.
+
+    xxhash64 with Spark's fixed default seed (42); pmod keeps it
+    non-negative. Both merge sides compute the same expression, so the
+    merge join co-partitions by construction.
+    """
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
+
+
+def _collect_datafiles(data_root: str, rel_dir: str, schema_id: int) -> list[DataFile]:
+    """Scan a freshly written ``bucket=K/part-*.parquet`` tree into manifest entries."""
+    out: list[DataFile] = []
+    abs_dir = os.path.join(data_root, rel_dir)
+    for entry in sorted(os.listdir(abs_dir)):
+        sub = os.path.join(abs_dir, entry)
+        if entry.startswith("bucket=") and os.path.isdir(sub):
+            bucket = int(entry.split("=", 1)[1])
+            for fn in sorted(os.listdir(sub)):
+                if fn.endswith(".parquet"):
+                    fp = os.path.join(sub, fn)
+                    meta = pq.read_metadata(fp)
+                    out.append(
+                        DataFile(
+                            path=os.path.join(rel_dir, entry, fn),
+                            bucket=bucket,
+                            rows=meta.num_rows,
+                            bytes=os.path.getsize(fp),
+                            schema_id=schema_id,
+                        )
+                    )
+        elif entry.endswith(".parquet"):
+            fp = os.path.join(abs_dir, entry)
+            meta = pq.read_metadata(fp)
+            out.append(
+                DataFile(
+                    path=os.path.join(rel_dir, entry),
+                    bucket=0,
+                    rows=meta.num_rows,
+                    bytes=os.path.getsize(fp),
+                    schema_id=schema_id,
+                )
+            )
+    return out
+
+
+def _cast_to(df: DataFrame, schema: T.StructType) -> DataFrame:
+    """Project/cast a frame onto ``schema`` (missing cols → NULL).
+
+    This is the read-side of schema evolution: old files keep their
+    written schema; the cast handles add-column and widening.
+    """
+    cols = []
+    have = {f.name for f in df.schema.fields}
+    for f_ in schema.fields:
+        if f_.name in have:
+            cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+        else:
+            cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+    return df.select(*cols)
+
+
+class IceliteTable:
+    """Handle on an icelite table rooted at a local/posix path."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+        self.meta_path = os.path.join(path, META_DIR)
+        self.data_path = os.path.join(path, DATA_DIR)
+
+    # -- catalog ------------------------------------------------------------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        key_cols: Sequence[str] = (),
+        n_buckets: int = 32,
+        properties: dict | None = None,
+    ) -> "IceliteTable":
+        t = IceliteTable(spark, path)
+        os.makedirs(t.meta_path, exist_ok=True)
+        os.makedirs(t.data_path, exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            schemas=[schema.json()],
+            n_buckets=n_buckets,
+            key_cols=list(key_cols),
+            files=[],
+            properties=properties or {},
+        )
+        _atomic_write_json(t._version_file(0), snap.to_json())
+        return t
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "IceliteTable":
+        t = IceliteTable(spark, path)
+        if t.current_version() is None:
+            raise NoSuchTable(path)
+        return t
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        meta = os.path.join(path, META_DIR)
+        return os.path.isdir(meta) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(meta)
+        )
+
+    @staticmethod
+    def drop(path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def _version_file(self, v: int) -> str:
+        return os.path.join(self.meta_path, f"v{v}.json")
+
+    def current_version(self) -> int | None:
+        if not os.path.isdir(self.meta_path):
+            return None
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(self.meta_path)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        return max(versions) if versions else None
+
+    def snapshot(self, version: int | None = None) -> Snapshot:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise NoSuchTable(self.path)
+        with open(self._version_file(v)) as f:
+            return Snapshot.from_json(json.load(f))
+
+    # -- reads --------------------------------------------------------------
+
+    def read(
+        self,
+        version: int | None = None,
+        buckets: Iterable[int] | None = None,
+    ) -> DataFrame:
+        """Read a snapshot, optionally pruned to a bucket subset.
+
+        Files written under older schemas are read with their pinned
+        schema and cast up — never schema inference in the hot path
+        (SURVEY.md §1.6).
+        """
+        snap = self.snapshot(version)
+        schema = snap.current_schema
+        files = snap.files
+        if buckets is not None:
+            bset = set(buckets)
+            files = [f_ for f_ in files if f_.bucket in bset]
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        by_schema: dict[int, list[str]] = {}
+        for f_ in files:
+            by_schema.setdefault(f_.schema_id, []).append(
+                os.path.join(self.data_path, f_.path)
+            )
+        parts: list[DataFrame] = []
+        for sid, paths in by_schema.items():
+            df = self.spark.read.schema(snap.schema_at(sid)).parquet(*paths)
+            parts.append(_cast_to(df, schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def incremental_files(self, from_version: int, to_version: int | None = None) -> list[str]:
+        """Data files added between two snapshots (incremental read)."""
+        old = {f_.path for f_ in self.snapshot(from_version).files}
+        new = self.snapshot(to_version).files
+        return [os.path.join(self.data_path, f_.path) for f_ in new if f_.path not in old]
+
+    def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        snap = self.snapshot(to_version)
+        paths = self.incremental_files(from_version, to_version)
+        if not paths:
+            return self.spark.createDataFrame([], snap.current_schema)
+        return self.spark.read.schema(snap.current_schema).parquet(*paths)
+
+    # -- epoch bookkeeping ---------------------------------------------------
+
+    def has_epoch(self, epoch_id: str) -> bool:
+        return epoch_id in self.snapshot().epochs
+
+    def committed_epochs(self) -> list[str]:
+        return list(self.snapshot().epochs)
+
+    # -- commits ------------------------------------------------------------
+
+    def _commit(
+        self,
+        base: Snapshot,
+        files: list[DataFile],
+        schemas: list[str],
+        epoch_id: str | None,
+        properties: dict | None,
+    ) -> Snapshot:
+        new = Snapshot(
+            version=base.version + 1,
+            schemas=schemas,
+            n_buckets=base.n_buckets,
+            key_cols=base.key_cols,
+            files=files,
+            properties={**base.properties, **(properties or {})},
+            epochs=base.epochs + ([epoch_id] if epoch_id else []),
+        )
+        _atomic_write_json(self._version_file(new.version), new.to_json())
+        return new
+
+    def _write_datafiles(
+        self,
+        df: DataFrame,
+        schema: T.StructType,
+        schema_id: int,
+        bucketed: bool,
+        buckets_hint: int | None = None,
+    ) -> list[DataFile]:
+        rel = f"s{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.data_path, rel)
+        snap_buckets = self.snapshot().n_buckets
+        if bucketed:
+            # one shuffle, co-partitioned by bucket → one file per
+            # touched bucket (small-file control at scale: target file
+            # size governs how many buckets land per write task)
+            withb = df.withColumn("__bucket", bucket_expr(self.snapshot().key_cols, snap_buckets))
+            n = buckets_hint or snap_buckets
+            (
+                withb.repartition(n, "__bucket")
+                .withColumnRenamed("__bucket", "bucket")
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+        else:
+            df.write.mode("overwrite").parquet(out_dir)
+        # drop _SUCCESS etc.
+        for junk in ("_SUCCESS",):
+            p = os.path.join(out_dir, junk)
+            if os.path.exists(p):
+                os.unlink(p)
+        return _collect_datafiles(self.data_path, rel, schema_id)
+
+    def append(
+        self,
+        df: DataFrame,
+        epoch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Append-only commit (lineage/manifest tables)."""
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in snap.epochs:
+            return snap
+        schema = snap.current_schema
+        new_files = self._write_datafiles(_cast_to(df, schema), schema, len(snap.schemas) - 1,
+                                          bucketed=bool(snap.key_cols))
+        return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
+
+    def overwrite(
+        self,
+        df: DataFrame,
+        epoch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in snap.epochs:
+            return snap
+        schema = snap.current_schema
+        new_files = self._write_datafiles(_cast_to(df, schema), schema, len(snap.schemas) - 1,
+                                          bucketed=bool(snap.key_cols))
+        return self._commit(snap, new_files, snap.schemas, epoch_id, properties)
+
+    def evolve_schema(self, new_schema: T.StructType) -> Snapshot:
+        """Add-column / widening evolution. Existing files are untouched.
+
+        Incompatible changes (drop/rename/narrow) raise — the reference
+        errors out the same way (cmd/update-schema/update.go:85-91).
+        """
+        snap = self.snapshot()
+        cur = snap.current_schema
+        new_names = {f_.name: f_.dataType for f_ in new_schema.fields}
+        widen_ok = {
+            ("integer", "long"), ("integer", "double"), ("float", "double"),
+            ("long", "double"), ("integer", "float"),
+        }
+        for f_ in cur.fields:
+            if f_.name not in new_names:
+                raise ValueError(f"schema evolution cannot drop column {f_.name}")
+            old_t, new_t = f_.dataType, new_names[f_.name]
+            if old_t != new_t and (old_t.typeName(), new_t.typeName()) not in widen_ok:
+                raise ValueError(
+                    f"incompatible type change for {f_.name}: {old_t} -> {new_t}"
+                )
+        if new_schema.json() == cur.json():
+            return snap
+        return self._commit(
+            snap, snap.files, snap.schemas + [new_schema.json()], None,
+            {"schema_evolved_at_version": snap.version + 1},
+        )
+
+    # -- MERGE --------------------------------------------------------------
+
+    def merge_lww(
+        self,
+        updates: DataFrame,
+        op_col: str = "op",
+        seq_col: str = "last_seq",
+        epoch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Copy-on-write MERGE with last-writer-wins semantics.
+
+        ``updates`` must carry exactly one row per key (pre-deduped by
+        the LWW operator), the key columns, ``seq_col`` and ``op_col``
+        (values in insert/update/delete), plus any subset of data
+        columns. Semantics (SURVEY.md §7.3.2):
+
+          WHEN MATCHED AND u.op='delete' AND u.seq>t.seq  THEN DELETE
+          WHEN MATCHED AND u.seq>t.seq                    THEN UPDATE
+          WHEN NOT MATCHED AND u.op<>'delete'             THEN INSERT
+
+        The seq guard makes row-level application monotone, so replaying
+        an old epoch is a no-op even without the epoch ledger.
+
+        Scale path: only buckets containing updated keys are read and
+        rewritten; the bucket set is collected from a tiny distinct agg
+        over the (already deduped) updates frame.
+        """
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in snap.epochs:
+            return snap
+        if not snap.key_cols:
+            raise ValueError("merge_lww requires a keyed table")
+        schema = snap.current_schema
+        key_cols = snap.key_cols
+        data_cols = [f_.name for f_ in schema.fields]
+
+        upd = updates.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
+        # touched-bucket pruning: ≤ n_buckets ints on the driver
+        touched = sorted(
+            r["__bucket"] for r in upd.select("__bucket").distinct().collect()
+        )
+        if not touched:
+            return self._commit(snap, snap.files, snap.schemas, epoch_id, properties)
+
+        base = self.read(buckets=touched).withColumn(
+            "__bucket", bucket_expr(key_cols, snap.n_buckets)
+        )
+        # Build update side: cast data cols onto target schema, keep op.
+        upd_named = upd.select(
+            *[
+                (F.col(c) if c in upd.columns else F.lit(None)).cast(f_.dataType).alias(f"__u_{c}")
+                for c, f_ in ((f_.name, f_) for f_ in schema.fields)
+            ],
+            F.col(op_col).alias("__u_op"),
+            F.col("__bucket").alias("__u_bucket"),
+        )
+        joined = base.alias("t").join(
+            upd_named,
+            on=[F.col(f"t.{k}") == F.col(f"__u_{k}") for k in key_cols],
+            how="full_outer",
+        )
+        u_present = F.col("__u_op").isNotNull()
+        t_present = F.col(f"t.{seq_col}").isNotNull()
+        u_newer = (~t_present) | (F.col(f"__u_{seq_col}") > F.col(f"t.{seq_col}"))
+        take_update = u_present & u_newer
+        is_delete = F.col("__u_op") == "delete"
+        keep = ~(take_update & is_delete)  # delete wins → row dropped
+        merged = joined.where(keep).select(
+            *[
+                F.when(take_update, F.col(f"__u_{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+                for c in data_cols
+            ]
+        )
+        new_files = self._write_datafiles(
+            merged, schema, len(snap.schemas) - 1, bucketed=True, buckets_hint=len(touched)
+        )
+        tset = set(touched)
+        kept = [f_ for f_ in snap.files if f_.bucket not in tset]
+        # new_files may include empty buckets only if data landed there; fine
+        return self._commit(snap, kept + new_files, snap.schemas, epoch_id, properties)

@@ -1,0 +1,102 @@
+"""Schema-evolution ledger: event schema version → StructType mapping.
+
+The reference precedent is twofold (SURVEY.md §1.5): the tcp-kis
+canonical-name mapping table that translates legacy field names to the
+canonical schema (web100/parse.go:16-43), and the UpdateTable-else-
+Create evolution command that only ever adds/widens columns
+(cmd/update-schema/update.go:70-104). Our ledger is the same idea made
+explicit: an ordered list of (version, effective_seq, columns,
+migration) entries; batches are *normalized* through it (cast onto the
+latest schema, missing columns NULL) before dedup/merge, and the target
+table's schema is evolved ahead of the first merge that carries a new
+version.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark import schemas
+from etl_spark.icelite.table import _cast_to
+
+
+@dataclass(frozen=True)
+class LedgerEntry:
+    schema_version: int
+    effective_seq: int
+    schema: T.StructType
+    migration: str  # e.g. "add:content_encoding,string;add:size_bytes,long"
+
+    def columns_json(self) -> str:
+        return json.dumps([[f.name, f.dataType.simpleString()] for f in self.schema.fields])
+
+
+class SchemaLedger:
+    """Ordered, append-only version ledger (add/widen only)."""
+
+    def __init__(self, entries: list[LedgerEntry]):
+        if not entries:
+            raise ValueError("ledger needs at least one version")
+        self.entries = sorted(entries, key=lambda e: e.schema_version)
+        self.by_version = {e.schema_version: e for e in self.entries}
+
+    @staticmethod
+    def default(v2_effective_seq: int | None = None) -> "SchemaLedger":
+        """The shipped fixture ledger: v1, plus v2 when an effective seq
+        is known (FIXTURES.md §3-4)."""
+        entries = [LedgerEntry(1, 0, schemas.EVENTS_V1, "base")]
+        if v2_effective_seq is not None:
+            entries.append(
+                LedgerEntry(
+                    2,
+                    v2_effective_seq,
+                    schemas.EVENTS_V2,
+                    "add:content_encoding,string;add:size_bytes,long",
+                )
+            )
+        return SchemaLedger(entries)
+
+    @property
+    def latest(self) -> LedgerEntry:
+        return self.entries[-1]
+
+    def schema_for(self, version: int) -> T.StructType:
+        return self.by_version[version].schema
+
+    def target_schema(self) -> T.StructType:
+        return schemas.target_schema(self.latest.schema_version)
+
+    def normalize(self, df: DataFrame) -> DataFrame:
+        """Cast a (possibly mixed-version) event frame onto the latest
+        event schema; columns a physical batch lacks become NULL.
+
+        Extra columns not known to any ledger version are an error —
+        an unregistered schema change must not silently pass through
+        (the reference errors on incompatible schema updates,
+        cmd/update-schema/update.go:85-91).
+        """
+        known = {f.name for f in self.latest.schema.fields}
+        extra = [c for c in df.columns if c not in known and not c.startswith("__")]
+        if extra:
+            raise ValueError(f"columns not in ledger v{self.latest.schema_version}: {extra}")
+        return _cast_to(df, self.latest.schema)
+
+    def version_for_seq(self, seq: int) -> int:
+        v = self.entries[0].schema_version
+        for e in self.entries:
+            if seq >= e.effective_seq:
+                v = e.schema_version
+        return v
+
+    def to_df(self, spark: SparkSession) -> DataFrame:
+        """Golden-fixture shape (FIXTURES.md §4) for ledger-drift tests."""
+        rows = [
+            (e.schema_version, e.effective_seq, e.columns_json(), e.migration)
+            for e in self.entries
+        ]
+        return spark.createDataFrame(rows, schemas.LEDGER)

@@ -1,0 +1,251 @@
+"""Epoch apply: one ordered slice of the change stream → the target table.
+
+The per-epoch dataflow (SURVEY.md §3.4), shared by batch replay and the
+Structured Streaming ``foreachBatch`` sink:
+
+    events ──mapInPandas──► validate + sha256 fingerprint
+           ──accounting──► per-partition lineage (RowStats invariant)
+           ──quality gate► abort epoch if reject fraction > 10%
+           ──ledger──────► normalize mixed schema versions, evolve target
+           ──LWW dedup──► one winner row per (repo, path)
+           ──merge_lww──► icelite copy-on-write MERGE (atomic snapshot)
+           ──lineage────► append lineage rows (idempotent by epoch_id)
+
+Exactly-once protocol (SURVEY.md §7.3.1): the target commit carries
+``epoch_id`` + high-watermark + counts as atomic snapshot properties;
+``has_epoch`` short-circuits redelivery. The lineage append is a second
+commit keyed by the same epoch_id — if the process dies between the two,
+replay skips the merge and completes only the missing lineage append,
+so the pair is mutually idempotent (the reference's InsertID-per-row
+idempotency, schema/tcpinfo.go:84-87, lifted to batch granularity).
+
+The RowStats invariant (etl/etl.go:22-35):
+    events_in == applied + deduped + rejected
+where ``applied`` = winner rows handed to MERGE, ``deduped`` = valid
+rows shadowed by a newer seq for their key (plus schema_change control
+events, which carry no data), ``rejected`` = validation failures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark import schemas
+from etl_spark.functions.fingerprint import parse_validate_fingerprint
+from etl_spark.icelite.table import IceliteTable
+from etl_spark.ledger import SchemaLedger
+from etl_spark.operators.dedup import lww_latest
+
+
+class EpochQualityError(Exception):
+    """Reject fraction exceeded the gate — epoch aborted, nothing committed.
+
+    Reference analog: TaskError when >10% of rows fail
+    (parser/tcpinfo.go:77-85, task/task.go:158-162)."""
+
+
+@dataclass
+class ApplyStats:
+    epoch_id: str
+    events_in: int
+    applied: int
+    deduped: int
+    rejected: int
+    high_watermark: int | None
+    skipped: bool = False
+
+    def invariant_ok(self) -> bool:
+        return self.events_in == self.applied + self.deduped + self.rejected
+
+
+def create_target(
+    spark: SparkSession,
+    path: str,
+    schema_version: int = 1,
+    n_buckets: int = 32,
+) -> IceliteTable:
+    return IceliteTable.create(
+        spark,
+        path,
+        schemas.target_schema(schema_version),
+        key_cols=list(schemas.KEY_COLS),
+        n_buckets=n_buckets,
+    )
+
+
+def create_lineage(spark: SparkSession, path: str) -> IceliteTable:
+    return IceliteTable.create(spark, path, schemas.LINEAGE, key_cols=())
+
+
+def _updates_frame(valid: DataFrame, target_schema: T.StructType) -> DataFrame:
+    """LWW winners shaped for merge: target columns + op + last_seq."""
+    winners = lww_latest(valid, schemas.KEY_COLS, schemas.SEQ_COL)
+    cols = [f.name for f in target_schema.fields]
+    sel = []
+    for c in cols:
+        if c == "last_seq":
+            sel.append(F.col(schemas.SEQ_COL).alias("last_seq"))
+        elif c in winners.columns:
+            sel.append(F.col(c))
+        else:
+            sel.append(F.lit(None).alias(c))
+    return winners.select(*sel, F.col("op"))
+
+
+def apply_epoch(
+    spark: SparkSession,
+    events: DataFrame,
+    target: IceliteTable,
+    lineage: IceliteTable | None,
+    epoch_id: str,
+    ledger: SchemaLedger | None = None,
+    max_reject_frac: float = 0.10,
+) -> ApplyStats:
+    """Apply one epoch of change events. Idempotent per epoch_id."""
+    if target.has_epoch(epoch_id):
+        # redelivered epoch: complete a possibly-missing lineage append,
+        # then no-op (crash-between-commits recovery).
+        if lineage is not None and not lineage.has_epoch(epoch_id):
+            props = target.snapshot().properties.get(f"epoch:{epoch_id}", {})
+            rows = props.get("lineage_rows", [])
+            ldf = spark.createDataFrame(
+                [tuple(r) for r in rows] if rows else [], schemas.LINEAGE
+            )
+            lineage.append(ldf, epoch_id=epoch_id)
+        return ApplyStats(epoch_id, 0, 0, 0, 0, None, skipped=True)
+
+    ledger = ledger or SchemaLedger.default()
+
+    # 1. vectorized validate + fingerprint (single Arrow pass)
+    enriched = parse_validate_fingerprint(events, schemas.KEY_COLS)
+    enriched = enriched.withColumn("__pid", F.spark_partition_id())
+    enriched.persist()
+    try:
+        # 2. one aggregation pass → per-partition lineage + epoch totals
+        part_stats = (
+            enriched.groupBy("__pid")
+            .agg(
+                F.count(F.lit(1)).alias("event_count"),
+                F.min(schemas.SEQ_COL).alias("min_seq"),
+                F.max(schemas.SEQ_COL).alias("max_seq"),
+                F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes"),
+                F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("rejected"),
+            )
+            .collect()
+        )
+        events_in = sum(r["event_count"] for r in part_stats)
+        rejected = sum(r["rejected"] for r in part_stats)
+        high_watermark = max((r["max_seq"] for r in part_stats), default=None)
+
+        # 3. quality gate before any commit
+        if events_in > 0 and rejected / events_in > max_reject_frac:
+            raise EpochQualityError(
+                f"epoch {epoch_id}: {rejected}/{events_in} rejected "
+                f"(> {max_reject_frac:.0%} gate)"
+            )
+
+        # 4. ledger normalization + target schema evolution
+        valid = enriched.where(F.col("reject_reason").isNull()).drop(
+            "reject_reason", "__pid"
+        )
+        data_events = valid.where(F.col("op") != "schema_change")
+        # normalize onto the latest ledger schema, threading the
+        # engine-added fingerprint column through unchanged
+        norm_cols = []
+        for f_ in ledger.latest.schema.fields:
+            if f_.name in data_events.columns:
+                norm_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                norm_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        normalized = data_events.select(*norm_cols, F.col("content_sha256"))
+        tgt_schema = ledger.target_schema()
+        if len(tgt_schema.fields) > len(target.snapshot().current_schema.fields):
+            target.evolve_schema(tgt_schema)
+
+        # 5. LWW winners → MERGE
+        updates = _updates_frame(normalized, target.snapshot().current_schema)
+        updates.persist()
+        try:
+            applied = updates.count()
+            deduped = events_in - rejected - applied
+
+            lineage_rows = [
+                (
+                    epoch_id,
+                    int(r["__pid"]),
+                    int(r["event_count"]),
+                    r["min_seq"],
+                    r["max_seq"],
+                    int(r["bytes"]),
+                    int(r["rejected"]),
+                )
+                for r in part_stats
+            ]
+            props = {
+                f"epoch:{epoch_id}": {
+                    "events_in": events_in,
+                    "applied": applied,
+                    "deduped": deduped,
+                    "rejected": rejected,
+                    "high_watermark": high_watermark,
+                    "lineage_rows": lineage_rows,
+                },
+                "high_watermark": high_watermark,
+            }
+            target.merge_lww(
+                updates, op_col="op", seq_col="last_seq", epoch_id=epoch_id, properties=props
+            )
+            if lineage is not None:
+                ldf = spark.createDataFrame(lineage_rows, schemas.LINEAGE)
+                lineage.append(ldf, epoch_id=epoch_id)
+        finally:
+            updates.unpersist()
+        stats = ApplyStats(
+            epoch_id, events_in, applied, deduped, rejected, high_watermark
+        )
+        assert stats.invariant_ok(), f"RowStats invariant violated: {stats}"
+        return stats
+    finally:
+        enriched.unpersist()
+
+
+def replay(
+    spark: SparkSession,
+    events: DataFrame,
+    target: IceliteTable,
+    lineage: IceliteTable | None,
+    epoch_size: int,
+    ledger: SchemaLedger | None = None,
+    epoch_prefix: str = "replay",
+) -> list[ApplyStats]:
+    """Batch replay of a bounded stream in seq-ordered epochs.
+
+    Epoch boundaries are seq ranges (deterministic — replaying yields
+    byte-identical epochs, the precondition for idempotent commits).
+    """
+    bounds = events.agg(
+        F.min(schemas.SEQ_COL).alias("lo"), F.max(schemas.SEQ_COL).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return []
+    stats = []
+    lo = bounds["lo"]
+    while lo <= bounds["hi"]:
+        hi = lo + epoch_size
+        chunk = events.where(
+            (F.col(schemas.SEQ_COL) >= lo) & (F.col(schemas.SEQ_COL) < hi)
+        )
+        stats.append(
+            apply_epoch(
+                spark, chunk, target, lineage,
+                epoch_id=f"{epoch_prefix}:{lo}", ledger=ledger,
+            )
+        )
+        lo = hi
+    return stats

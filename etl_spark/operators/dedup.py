@@ -1,0 +1,85 @@
+"""Last-writer-wins dedup: one surviving row per key = the max-seq event.
+
+This is the engine's central operator (the CDC analog of the
+reference's per-buffer set-dedup, row/row.go:160-184, and of its
+snapshot-delta windowing, web100/web100.go:570-588). Three
+implementations with different scale profiles:
+
+1. ``lww_latest`` (default): ``groupBy(key).agg(max_by(struct, seq))``.
+   Spark executes this as partial hash-agg before the shuffle +, final
+   hash-agg after — i.e. hot keys are pre-combined map-side, so skew in
+   the *key distribution* mostly melts away before the exchange. This
+   is the plan we want at 10^10 events: one shuffle, combiner-reduced.
+
+2. ``lww_latest_salted``: explicit two-phase salted aggregation
+   (key+salt partial max → key final max). Strictly more shuffles than
+   (1) when the combiner already runs, but demonstrates the salting
+   pattern needed when per-key *state* is heavy (e.g. large content
+   payloads where a single hot key's rows exceed one task) and AQE
+   skew-split cannot help an aggregation.
+
+3. ``lww_latest_window``: row_number() over (key ORDER BY seq DESC).
+   Kept for oracle parity tests only — a window sorts every partition
+   and keeps all rows until filtered, which loses to hash-agg at scale.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def lww_latest(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path"),
+    seq_col: str = "seq",
+) -> DataFrame:
+    """Max-seq row per key via map-side-combined hash aggregation."""
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    return (
+        df.groupBy(*key_cols)
+        .agg(F.max_by(payload, F.col(seq_col)).alias("__r"))
+        .select("__r.*")
+    )
+
+
+def lww_latest_salted(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path"),
+    seq_col: str = "seq",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted LWW: partial max per (key, salt), final per key.
+
+    Salt is derived from seq (uniform, deterministic — no rand(), which
+    would break replay determinism). Phase 1 bounds any single task's
+    share of a hot key to ~1/salt_buckets of its rows.
+    """
+    salt = F.pmod(F.col(seq_col), F.lit(salt_buckets))
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    partial = (
+        df.withColumn("__salt", salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.max_by(payload, F.col(seq_col)).alias("__r"))
+    )
+    return (
+        partial.groupBy(*key_cols)
+        .agg(F.max_by("__r", F.col(f"__r.{seq_col}")).alias("__r"))
+        .select("__r.*")
+    )
+
+
+def lww_latest_window(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path"),
+    seq_col: str = "seq",
+) -> DataFrame:
+    """row_number==1 formulation (tests/oracle parity only)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(seq_col).desc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

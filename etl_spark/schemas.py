@@ -78,6 +78,7 @@ LINEAGE = T.StructType(
         T.StructField("min_seq", T.LongType(), True),
         T.StructField("max_seq", T.LongType(), True),
         T.StructField("bytes", T.LongType(), True),
+        T.StructField("rejected", T.LongType(), False),
     ]
 )
 
