@@ -1,0 +1,146 @@
+"""Relational operators over the star schema: joins, aggregations, top-k.
+
+The reference has no relational executor (SURVEY.md §2.3) — these
+queries exercise the join/agg machinery our CDC engine relies on
+(broadcast enrichment = J1 annotation join; anti-join = J3 pollution
+check) expressed Catalyst-first so predicate pushdown, column pruning
+and join selection are free.
+
+Scale notes baked into each plan:
+- dimension joins are explicitly ``broadcast()`` (region/nation/
+  supplier are tiny at any SF; never shuffle the fact table for them)
+- aggregations pre-project only needed columns → parquet scan reads a
+  narrow schema (check ReadSchema in .explain)
+- top-k = ``orderBy().limit(k)``: Spark plans TakeOrderedAndProject,
+  a per-partition heap + driver merge, not a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: wide aggregation with derived measures.
+
+    Single shuffle on a low-cardinality key; everything else is
+    map-side arithmetic inside whole-stage codegen."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+
+    customer is filtered before the join (pushdown), orders/lineitem
+    join on keys; tie-break by orderkey so top-k is replay-stable."""
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analog (annotation enrichment join, row/row.go:154-287):
+    enrich the fact stream with broadcast dimension lookups, then
+    aggregate. supplier→nation→region are all broadcast — the fact
+    table is never shuffled for the join, only for the final agg."""
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 analog (PT pollution anti-join, parser/pt.go:622-658): keys
+    in one stream with no witness in another — left_anti join, which
+    Spark executes as a broadcast/shuffled hash anti join."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= F.lit("1997-01-01"))
+        .select("o_custkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_customers_no_orders"))
+        .orderBy("c_nationkey")
+    )
+
+
+def order_cogroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 analog (NDT test-group co-join, parser/ndt.go:222-321): group
+    related records that arrive interleaved (order lines per order) and
+    derive group-level facts in one pass — groupBy + agg over the
+    collected group, never a collect_list materialization when scalar
+    aggregates suffice."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("l_quantity").alias("total_qty"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+    return (
+        grouped.join(orders, grouped.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderstatus", "n_lines")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("total_qty"), 6).alias("avg_total_qty"),
+        )
+        .orderBy("o_orderstatus", "n_lines")
+    )

@@ -1,0 +1,222 @@
+"""Near-duplicate detection: MinHash+LSH, SimHash, n-gram Jaccard.
+
+Training-corpus dedup at 100 TB cannot compare all pairs; every
+operator here is the standard sketch→band→bucket-join shape:
+
+- ``minhash_signatures``: char-5-gram shingles → 16 MinHash values.
+  The hash family is ``min(md5(perm || ':' || shingle))`` compared as
+  hex strings — engine-portable (md5 is bit-identical everywhere),
+  deterministic, no RNG state.
+- ``lsh_candidate_pairs``: 4 bands × 4 rows; docs sharing any band
+  hash become candidates (the only shuffle is on band hash — uniform
+  by construction). Estimated Jaccard = fraction of equal signature
+  slots; a threshold then filters false positives.
+- ``simhash``: 32-bit sign-of-sum sketch over distinct tokens; near
+  dups = small Hamming distance. Byte-banded for candidate pruning.
+- ``ngram_jaccard_pairs``: exact Jaccard on shingle sets for a
+  candidate pair list — the verify step after LSH (never run on all
+  pairs at scale).
+
+Everything is JVM expressions (explode/transform/md5) — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_PERMS = 16
+BAND_SIZE = 4  # → 4 bands
+
+
+def shingles(docs: DataFrame, n: int = 5,
+             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct character n-gram shingles per document."""
+    idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
+    sh = F.explode(F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(n))))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 5, n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, perm, minhash-hex) — one row per signature slot."""
+    sh = shingles(docs, n)
+    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm")
+    return (
+        sh.select("doc_id", "shingle", perms)
+        .groupBy("doc_id", "perm")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle")))
+            ).alias("mh")
+        )
+    )
+
+
+def lsh_bands(signatures: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
+    """Band hashes: md5 over the band's signature slots in perm order."""
+    return (
+        signatures.withColumn("band", F.expr(f"perm div {band_size}").cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("perm", "mh"))),
+                        lambda s: s["mh"],
+                    ),
+                    "|",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    n: int = 5,
+    n_perms: int = N_PERMS,
+    band_size: int = BAND_SIZE,
+    min_est_jaccard: float = 0.0,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard) for bucket-colliding pairs, a < b."""
+    sig = minhash_signatures(docs, n, n_perms)
+    sig.persist()
+    try:
+        bands = lsh_bands(sig, band_size)
+        a = bands.select(
+            F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_a")
+        )
+        b = bands.select(
+            F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_b")
+        )
+        pairs = (
+            a.join(b, ["band", "band_hash"])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("mh").alias("mh_a"))
+        sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("mh").alias("mh_b"))
+        est = (
+            pairs.join(sa, "doc_a")
+            .join(sb, ["doc_b", "perm"])
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.round(
+                    F.avg(F.when(F.col("mh_a") == F.col("mh_b"), 1.0).otherwise(0.0)), 6
+                ).alias("est_jaccard")
+            )
+        )
+        out = est.where(F.col("est_jaccard") >= min_est_jaccard)
+        out = out.select("doc_a", "doc_b", "est_jaccard")
+        out.persist().count()  # materialize before unpersisting sig
+        return out
+    finally:
+        sig.unpersist()
+
+
+_HEX = "0123456789abcdef"
+
+
+def simhash(docs: DataFrame, bits: int = 32,
+            id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct whitespace tokens.
+
+    bit b of md5(token)'s first 8 hex digits votes +1/-1; the sign of
+    the per-bit sum sets the sketch bit. Pure integer arithmetic so
+    any SQL engine reproduces it bit-for-bit."""
+    toks = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
+        )
+        .where(F.col("tok") != "")
+        .distinct()
+        .withColumn("h", F.md5(F.col("tok")))
+    )
+    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    exploded = toks.select("doc_id", "h", b)
+    # integer-exact bit extraction: hex digit (b div 4) of md5, bit (b % 4)
+    bit = F.expr(
+        f"CAST(floor((instr('{_HEX}', substring(h, (b div 4) + 1, 1)) - 1)"
+        " / power(2, b % 4)) AS BIGINT) % 2"
+    )
+    votes = exploded.select(
+        "doc_id", "b", F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias("vote")
+    )
+    return (
+        votes.groupBy("doc_id", "b")
+        .agg(F.sum("vote").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") > 0,
+                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
+                ).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pruning by byte bands over the 32-bit sketch, then an
+    exact Hamming filter — ≤3 differing bits means at least one of the
+    4 bytes is identical (pigeonhole), so banding loses nothing."""
+    sh = simhash(docs)
+    byte = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx")
+    banded = sh.select(
+        "doc_id", "simhash", byte
+    ).withColumn(
+        "byte_val",
+        F.expr("shiftright(simhash, CAST(byte_idx * 8 AS INT)) & 255"),
+    )
+    a = banded.select("byte_idx", "byte_val",
+                      F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
+    b = banded.select("byte_idx", "byte_val",
+                      F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
+    pairs = (
+        a.join(b, ["byte_idx", "byte_val"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    hamming = F.expr("bit_count(sh_a ^ sh_b)")
+    return (
+        pairs.withColumn("hamming", hamming)
+        .where(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate pairs (the verify
+    stage after LSH)."""
+    sh = shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        pairs.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_inter": 0})
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -1,0 +1,197 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, as a 100 TB corpus demands:
+
+- ``cosine_topk_bruteforce``: exact top-k for a (small, broadcast)
+  query set against the full corpus — the correctness baseline. The
+  dot product runs JVM-side via ``zip_with``/``aggregate`` in whole-
+  stage codegen; per-partition heaps (TakeOrderedAndProject via window
+  row_number ≤ k per query) keep the shuffle tiny: only k rows per
+  query per partition move.
+- ``cosine_topk_lsh``: random-hyperplane LSH bucketing — hyperplanes
+  are hash-derived (deterministic, no RNG state), vectors land in a
+  sign-pattern bucket, search touches only the query's bucket ± probes.
+  This is the scale path: bucket-join instead of cross product. Recall
+  is tested against the brute-force baseline (tests/), not an oracle.
+
+Scores are rounded to 6 dp and ordering tie-breaks on vec_id so
+results are bit-stable across engines and replays.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine_similarity_col(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_bruteforce(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query (self excluded).
+
+    ``queries`` must be small — it is broadcast; the corpus is scanned
+    once, never shuffled until the per-query top-k reduction."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _hyperplane(dim: int, table: int, h: int):
+    """Deterministic pseudo-random hyperplane: component i of plane h in
+    hash table ``table`` is ±1 from a hash bit — no RNG state, identical
+    on every executor."""
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.transform(
+        idx,
+        lambda i: F.when(
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(f"hp{table}:{h}:"), i.cast("string"))),
+                F.lit(2),
+            )
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+
+
+def lsh_bucket_expr(vec_col, dim: int, n_planes: int = 8, table: int = 0):
+    """Sign-pattern bucket id in [0, 2^n_planes) for one hash table."""
+    bucket = F.lit(0).cast("long")
+    for h in range(n_planes):
+        sign = _dot(F.col(vec_col) if isinstance(vec_col, str) else vec_col,
+                    _hyperplane(dim, table, h)) >= 0
+        bucket = bucket + F.when(sign, F.shiftleft(F.lit(1).cast("long"), h)).otherwise(0)
+    return bucket
+
+
+def _with_buckets(df: DataFrame, id_col: str, vec_col: str, dim: int,
+                  n_planes: int, n_tables: int,
+                  id_alias: str, vec_alias: str) -> DataFrame:
+    """One row per (vector, hash table) with that table's bucket id.
+
+    Multi-table OR-combination is the standard recall lever for
+    random-hyperplane LSH: per-table collision prob p^b becomes
+    1-(1-p^b)^L. At corpus scale each table costs 8 bytes per row and
+    the candidate join stays an equi join on (table, bucket)."""
+    buckets = F.array(
+        *[lsh_bucket_expr(F.col(vec_col), dim, n_planes, t) for t in range(n_tables)]
+    )
+    return df.select(
+        F.col(id_col).alias(id_alias),
+        F.col(vec_col).alias(vec_alias),
+        F.posexplode(buckets).alias("table", "bucket"),
+    )
+
+
+def cosine_topk_lsh(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's bucket in ANY of
+    ``n_tables`` hash tables (multi-table OR-combined LSH).
+
+    At scale the corpus is written bucket-partitioned once (the IVF
+    analog), so a query probes n_tables partitions instead of the
+    corpus; candidate dedup happens before scoring so each pair's dot
+    product is computed once."""
+    c = _with_buckets(embeddings, id_col, vec_col, dim, n_planes, n_tables,
+                      "neighbor_id", "c_vec")
+    q = _with_buckets(queries, id_col, vec_col, dim, n_planes, n_tables,
+                      "query_id", "q_vec")
+    cand = (
+        c.join(F.broadcast(q.select("table", "bucket", "query_id")),
+               ["table", "bucket"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "c_vec")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = cand.join(F.broadcast(qv), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    min_cosine: float = 0.95,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table LSH
+    self-join: pairs must collide in at least one table; each surviving
+    pair is scored exactly once (dedup before the dot product)."""
+    e = _with_buckets(embeddings, id_col, vec_col, dim, n_planes, n_tables, "id", "vec")
+    a = e.select("table", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = e.select("table", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return (
+        a.join(b, ["table", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_similarity_col(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .where(F.col("cosine") >= min_cosine)
+    )

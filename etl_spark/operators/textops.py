@@ -1,0 +1,138 @@
+"""Text-analysis operators for training-data pipelines over ``documents``.
+
+Everything here is JVM-side ``pyspark.sql.functions`` — no Python in
+the plan (the north rule allows pandas UDFs, but a builtin expression
+beats an Arrow round-trip; the pandas path is reserved for compute
+Spark cannot express, see fingerprint.py / simdedup.py).
+
+Operators: token counting, quality scoring, language-ID heuristic,
+document fingerprinting, exact dedup. Each is a narrow projection +
+(at most) one hash aggregation — linear scans that scale to 100 TB by
+partition count alone, no shuffle except the dedup groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# language marker words for the n-gram/stopword heuristic language ID.
+# Real corpora would use fasttext/cld3; the *operator shape* — per-doc
+# vectorized scoring + argmax, no shuffle — is what matters at scale.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "das"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "que", "y"),
+}
+
+
+def _count_word(col, word: str):
+    """Occurrences of a whole word — identical arithmetic in any SQL
+    engine: pad, count via length difference."""
+    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    needle = f" {word} "
+    return (
+        (F.length(padded) - F.length(F.regexp_replace(padded, F.lit(needle), F.lit(""))))
+        / len(needle)
+    ).cast("long")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + distinct-token count + char stats."""
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars2"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Quality heuristics: length, mean token length, lexical diversity,
+    stopword ratio — the usual pretraining-corpus filters."""
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop = _count_word(F.col("text"), "the") + _count_word(F.col("text"), "a")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars2"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / n_tokens, 6).alias("mean_token_len"),
+        F.round(n_distinct / n_tokens, 6).alias("lexical_diversity"),
+        F.round(stop / n_tokens, 6).alias("stopword_ratio"),
+        (
+            (F.length("text") >= 100)
+            & (n_tokens >= 20)
+            & ((n_distinct / n_tokens) >= 0.2)
+        ).alias("keep"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language ID: score per language, argmax with a
+    deterministic preference order (en > de > fr > es on ties) so the
+    result is replay-stable and oracle-replicable in plain SQL."""
+    langs = sorted(LANG_MARKERS)  # de, en, es, fr
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        *[
+            sum(_count_word(F.col("text"), w) for w in LANG_MARKERS[lg]).alias(f"s_{lg}")
+            for lg in langs
+        ],
+    )
+    pref = ["en", "de", "fr", "es"]
+    detected = None
+    for lg in reversed(pref):
+        cond = None
+        for other in pref:
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        detected = F.when(cond, F.lit(lg)).otherwise(
+            detected if detected is not None else F.lit(pref[-1])
+        )
+    best_score = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    return scored.select(
+        "doc_id",
+        "lang",
+        detected.alias("detected_lang"),
+        best_score.alias("marker_hits"),
+    )
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Content-defined fingerprints: sha256 of raw and of
+    whitespace-normalized text (the rolling-hash analog: two docs with
+    identical normalized bytes collide)."""
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("sha_raw"),
+        F.sha2(norm, 256).alias("sha_norm"),
+        F.md5(norm).alias("md5_norm"),
+    )
+
+
+def dedup_exact(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: one canonical doc per hash (min
+    doc_id) plus the duplicate count. Single shuffle on the 256-bit
+    hash — uniform keys, no skew by construction."""
+    h = F.sha2(F.col("text"), 256)
+    return (
+        docs.select(F.col("doc_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def dedup_exact_survivors(docs: DataFrame) -> DataFrame:
+    """The kept rows after exact dedup (canonical ids only)."""
+    canon = dedup_exact(docs).select(F.col("canonical_doc_id").alias("doc_id"))
+    return docs.join(canon, "doc_id", "left_semi").select("doc_id", "lang", "source", "n_chars")

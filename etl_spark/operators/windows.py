@@ -1,0 +1,116 @@
+"""Ordered-stream window operators (SURVEY.md §2.5 W1-W6 analogs).
+
+The reference's "window functions" are all ordered-per-key
+computations over snapshot streams; here they are expressed over the
+generic ``events`` stream table ``(event_id, ts, user_id, event_type,
+value, props)`` with ``Window.partitionBy(key).orderBy(seq)`` — the
+exact Spark primitives SURVEY.md maps them to. All are shuffle-once
+plans: one hash exchange on the partition key, sort within partitions,
+no global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _w(order_desc: bool = False):
+    o = [F.col("ts").desc(), F.col("event_id").desc()] if order_desc else [
+        F.col("ts"), F.col("event_id")
+    ]
+    return Window.partitionBy("user_id").orderBy(*o)
+
+
+def lag_delta(events: DataFrame) -> DataFrame:
+    """W1 analog (snapshot deltas via lag, web100/web100.go:570-588):
+    per-user value delta vs previous event; first event delta NULL."""
+    w = _w()
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("value"),
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("value_delta"),
+        (F.row_number().over(_w(order_desc=True)) == 1).alias("is_last"),
+    )
+
+
+def change_points(events: DataFrame) -> DataFrame:
+    """W3 analog (ChangeIndices, web100/web100.go:592-616): per user,
+    how many times event_type changed along the stream, and the ids
+    where it changed."""
+    w = _w()
+    marked = events.select(
+        "user_id",
+        "event_id",
+        (F.col("event_type") != F.lag("event_type").over(w)).alias("changed"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum(F.when(F.col("changed"), 1).otherwise(0)).cast("long").alias("n_changes"),
+        F.sort_array(
+            F.collect_list(F.when(F.col("changed"), F.col("event_id")))
+        ).alias("change_event_ids"),
+    )
+
+
+def thin_events(events: DataFrame, every: int = 10) -> DataFrame:
+    """W2 analog (snapshot thinning, parser/tcpinfo.go:100-110): keep
+    every Nth event per user plus the last one."""
+    rn = F.row_number().over(_w())
+    last = F.row_number().over(_w(order_desc=True))
+    return (
+        events.withColumn("__rn", rn)
+        .withColumn("__last", last)
+        .where((F.pmod(F.col("__rn") - 1, F.lit(every)) == 0) | (F.col("__last") == 1))
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+
+def session_summary(events: DataFrame) -> DataFrame:
+    """A2 analog (ndt7 last-element summary, parser/ndt7_result.go:119-173):
+    per-user scalar aggregates incl. the *final* event's type/value via
+    max_by — a single hash aggregation, no window, no sort."""
+    return events.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.max_by("event_type", F.struct(F.col("ts"), F.col("event_id"))).alias("last_event_type"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+        F.round(F.max("value"), 6).alias("max_value"),
+    )
+
+
+def json_props(events: DataFrame) -> DataFrame:
+    """C3 analog (JSON decode, parser/ndt7_result.go:85): extract the
+    ``k`` field from the props JSON column, aggregate per event_type.
+    JVM-side get_json_object — no Python in the plan."""
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        events.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def monotonic_violations(events: DataFrame, seq_col: str = "seq",
+                         key_cols: tuple[str, ...] = ()) -> DataFrame:
+    """W5 analog (timestamp-order enforcement, parser/ndt.go:238-250):
+    rows whose seq regresses vs the previous row in partition order —
+    the CDC stream-integrity check (violations land in lineage, never
+    panic the job)."""
+    if key_cols:
+        w = Window.partitionBy(*key_cols).orderBy(seq_col)
+    else:
+        w = Window.partitionBy(F.spark_partition_id()).orderBy(seq_col)
+    prev = F.lag(seq_col).over(w)
+    return (
+        events.withColumn("__prev", prev)
+        .where(F.col("__prev").isNotNull() & (F.col(seq_col) <= F.col("__prev")))
+        .drop("__prev")
+    )

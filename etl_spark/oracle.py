@@ -1,0 +1,55 @@
+"""Single-threaded pandas reference replay (tests only).
+
+The trivially-correct oracle the reference pattern demands
+(SURVEY.md §5.2): sequential application of the change log, no Spark,
+no parallelism. The engine must converge to exactly this state after
+any combination of epoch splits, kills/resumes, and redeliveries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+
+VALID_OPS = {"insert", "update", "delete", "schema_change"}
+
+
+def replay_pandas(events: pd.DataFrame) -> pd.DataFrame:
+    """Sequentially apply events ordered by seq; return the final state
+    as (repo, path, commit, lang, content_sha256, last_seq)."""
+    state: dict[tuple[str, str], dict] = {}
+    for row in events.sort_values("seq").itertuples(index=False):
+        d = row._asdict()
+        op = d.get("op")
+        if op not in VALID_OPS or op == "schema_change":
+            continue
+        repo, path = d.get("repo"), d.get("path")
+        if repo is None or path is None:
+            continue
+        key = (repo, path)
+        if op == "delete":
+            state.pop(key, None)
+            continue
+        content = d.get("content")
+        state[key] = {
+            "repo": repo,
+            "path": path,
+            "commit": d.get("commit"),
+            "lang": d.get("lang"),
+            "content_sha256": (
+                hashlib.sha256(content.encode()).hexdigest()
+                if isinstance(content, str)
+                else None
+            ),
+            "last_seq": d["seq"],
+        }
+    if not state:
+        return pd.DataFrame(
+            columns=["repo", "path", "commit", "lang", "content_sha256", "last_seq"]
+        )
+    return (
+        pd.DataFrame(list(state.values()))
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )

@@ -1,0 +1,95 @@
+"""Driver-style Spark-vs-DuckDB comparison harness (shared by tests).
+
+Mimics the driver's correctness gate: run the Spark query and the
+DuckDB oracle on the same parquet tables, compare row count + column
+names + order-insensitive values (columns sorted by name, rows sorted,
+floats canonicalized to 9 dp, timestamps to ISO strings).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _canon(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.9g}"
+    if isinstance(v, (dt.datetime, dt.date)):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    return v
+
+
+def canon_rows(rows) -> list[tuple]:
+    return sorted(
+        (tuple(_canon(v) for v in row) for row in rows),
+        key=lambda r: tuple((x is None, str(x)) for x in r),
+    )
+
+
+def compare_query(spark, sf_dir: str, spark_df, oracle: str) -> dict:
+    con = duckdb_con(sf_dir)
+    sdf = spark_df
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    ores = con.sql(oracle)
+    ocols = [c.lower() for c in ores.columns]
+    orows = ores.fetchall()
+    out = {
+        "spark_rows": len(srows),
+        "oracle_rows": len(orows),
+        "cols_match": sorted(c.lower() for c in scols) == sorted(ocols),
+        "spark_cols": scols,
+        "oracle_cols": ocols,
+    }
+    # align columns by (lower) name like the driver does
+    sidx = {c.lower(): i for i, c in enumerate(scols)}
+    order = sorted(sidx)
+    if out["cols_match"]:
+        oidx = {c: i for i, c in enumerate(ocols)}
+        s_sorted = canon_rows(
+            tuple(row[sidx[c]] for c in order) for row in srows
+        )
+        o_sorted = canon_rows(
+            tuple(row[oidx[c]] for c in order) for row in orows
+        )
+        out["values_match"] = s_sorted == o_sorted
+        if not out["values_match"]:
+            diffs = [
+                (a, b) for a, b in zip(s_sorted, o_sorted) if a != b
+            ][:3]
+            only_s = [r for r in s_sorted[:2000] if r not in set(o_sorted[:2000])][:2]
+            out["sample_diff"] = diffs or [(s, None) for s in only_s]
+    else:
+        out["values_match"] = False
+    out["ok"] = (
+        out["spark_rows"] == out["oracle_rows"]
+        and out["cols_match"]
+        and out["values_match"]
+    )
+    return out

@@ -1,0 +1,173 @@
+"""Epoch apply pipeline: oracle parity, invariants, idempotency,
+quality gate, kill/resume, schema evolution, pandas-oracle agreement."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark import gen
+from etl_spark.ledger import SchemaLedger
+from etl_spark.operators.apply import (
+    EpochQualityError,
+    apply_epoch,
+    create_lineage,
+    create_target,
+    replay,
+)
+from etl_spark.oracle import replay_pandas
+
+from .conftest import SF_TINY
+
+
+def fresh(spark, tbl_dir, n_buckets=8):
+    tgt = create_target(spark, os.path.join(tbl_dir, "target"), n_buckets=n_buckets)
+    lin = create_lineage(spark, os.path.join(tbl_dir, "lineage"))
+    return tgt, lin
+
+
+def final_state(tgt):
+    return sorted(
+        tuple(r)
+        for r in tgt.read()
+        .select("repo", "path", "commit", "lang", "content_sha256", "last_seq")
+        .collect()
+    )
+
+
+def test_replay_matches_pandas_oracle(spark, tbl_dir):
+    ev = gen.synthetic_events(spark, 3000, n_repos=40, paths_per_repo=30, seed=5)
+    tgt, lin = fresh(spark, tbl_dir)
+    stats = replay(spark, ev, tgt, lin, epoch_size=1000)
+    assert all(s.invariant_ok() for s in stats)
+    expected = replay_pandas(ev.toPandas())
+    got = final_state(tgt)
+    exp = sorted(
+        (r.repo, r.path, r.commit, r.lang, r.content_sha256, r.last_seq)
+        for r in expected.itertuples(index=False)
+    )
+    assert got == exp
+
+
+def test_epoch_split_invariance(spark, tbl_dir):
+    """Same stream, different epoch boundaries → identical final state."""
+    ev = gen.synthetic_events(spark, 2000, n_repos=30, seed=11)
+    t1, _ = fresh(spark, os.path.join(tbl_dir, "a"))
+    t2, _ = fresh(spark, os.path.join(tbl_dir, "b"))
+    replay(spark, ev, t1, None, epoch_size=2000, epoch_prefix="one")
+    replay(spark, ev, t2, None, epoch_size=137, epoch_prefix="many")
+    assert final_state(t1) == final_state(t2)
+
+
+def test_kill_resume_converges(spark, tbl_dir):
+    """Apply epochs 1-2, 'crash', re-run the full replay (epochs 1-2
+    redelivered + 3-4 fresh) → identical to a single uninterrupted run."""
+    ev = gen.synthetic_events(spark, 2000, n_repos=30, seed=13)
+    t1, l1 = fresh(spark, os.path.join(tbl_dir, "resumed"))
+    half = ev.where(F.col("seq") < 1000)
+    replay(spark, half, t1, l1, epoch_size=500, epoch_prefix="r")
+    # crash here; full replay re-runs all epochs with the same ids
+    stats = replay(spark, ev, t1, l1, epoch_size=500, epoch_prefix="r")
+    assert [s.skipped for s in stats] == [True, True, False, False]
+
+    t2, _ = fresh(spark, os.path.join(tbl_dir, "oneshot"))
+    replay(spark, ev, t2, None, epoch_size=500, epoch_prefix="r")
+    assert final_state(t1) == final_state(t2)
+    # lineage has exactly one set of rows per epoch despite redelivery
+    lrows = l1.read().select("epoch_id").distinct().count()
+    assert lrows == 4
+
+
+def test_duplicate_epoch_redelivery_noop(spark, tbl_dir):
+    ev = gen.synthetic_events(spark, 500, n_repos=10, seed=17)
+    tgt, lin = fresh(spark, tbl_dir)
+    s1 = apply_epoch(spark, ev, tgt, lin, epoch_id="dup")
+    v = tgt.current_version()
+    state = final_state(tgt)
+    s2 = apply_epoch(spark, ev, tgt, lin, epoch_id="dup")
+    assert not s1.skipped and s2.skipped
+    assert tgt.current_version() == v
+    assert final_state(tgt) == state
+
+
+def test_quality_gate_aborts(spark, tbl_dir):
+    ev = gen.synthetic_events(spark, 500, n_repos=10, seed=19, corrupt_frac=0.3)
+    tgt, lin = fresh(spark, tbl_dir)
+    with pytest.raises(EpochQualityError):
+        apply_epoch(spark, ev, tgt, lin, epoch_id="bad")
+    assert tgt.current_version() == 0
+    assert not tgt.has_epoch("bad")
+
+
+def test_rejects_counted_not_applied(spark, tbl_dir):
+    ev = gen.synthetic_events(spark, 1000, n_repos=20, seed=23, corrupt_frac=0.05)
+    tgt, lin = fresh(spark, tbl_dir)
+    s = apply_epoch(spark, ev, tgt, lin, epoch_id="some-bad")
+    assert s.rejected > 0
+    assert s.invariant_ok()
+    # lineage partition rows sum to epoch totals
+    agg = lin.read().agg(
+        F.sum("event_count").alias("n"), F.sum("rejected").alias("rej")
+    ).collect()[0]
+    assert agg["n"] == s.events_in and agg["rej"] == s.rejected
+
+
+def test_schema_evolution_mid_stream(spark, tbl_dir):
+    tgt, lin = fresh(spark, tbl_dir)
+    v1 = gen.synthetic_events(spark, 600, n_repos=15, seed=29)
+    apply_epoch(spark, v1, tgt, lin, epoch_id="v1")
+    ledger = SchemaLedger.default(v2_effective_seq=600)
+    v2 = gen.synthetic_events(
+        spark, 600, n_repos=15, seed=29, start_seq=600, v2_from_seq=600
+    )
+    s = apply_epoch(spark, v2, tgt, lin, epoch_id="v2", ledger=ledger)
+    assert s.invariant_ok()
+    cols = [f.name for f in tgt.snapshot().current_schema.fields]
+    assert "content_encoding" in cols and "size_bytes" in cols
+    out = tgt.read()
+    v2rows = out.where(F.col("schema_version") == 2)
+    assert v2rows.where(F.col("content_encoding") == "utf-8").count() == v2rows.count()
+    # v2 size_bytes must equal actual content length
+    bad = v2rows.where(
+        F.col("size_bytes") != F.length("content").cast("long")
+    ).count()
+    assert bad == 0
+    v1rows = out.where(F.col("schema_version") == 1)
+    assert v1rows.where(F.col("content_encoding").isNotNull()).count() == 0
+
+
+def test_delete_insert_chain_within_epoch(spark, tbl_dir):
+    """insert→update→delete→insert on one key inside one epoch: the
+    max-seq insert wins and the row exists."""
+    rows = [
+        (1, "insert", "r", "p", "c1", "py", "v1", 1),
+        (2, "update", "r", "p", "c2", "py", "v2", 1),
+        (3, "delete", "r", "p", None, None, None, 1),
+        (4, "insert", "r", "p", "c4", "py", "v4", 1),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_version int",
+    ).withColumn("event_time", F.timestamp_seconds(F.col("seq")))
+    tgt, _ = fresh(spark, tbl_dir)
+    apply_epoch(spark, ev, tgt, None, epoch_id="chain")
+    got = tgt.read().collect()
+    assert len(got) == 1 and got[0]["commit"] == "c4" and got[0]["last_seq"] == 4
+
+    # a later epoch where delete is the final op removes the key
+    ev2 = spark.createDataFrame(
+        [(5, "delete", "r", "p", None, None, None, 1)],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_version int",
+    ).withColumn("event_time", F.timestamp_seconds(F.col("seq")))
+    apply_epoch(spark, ev2, tgt, None, epoch_id="chain2")
+    assert tgt.read().count() == 0
+
+
+def test_derived_events_deterministic(spark):
+    a = gen.derived_events(spark, SF_TINY).orderBy("seq").collect()
+    b = gen.derived_events(spark, SF_TINY).orderBy("seq").collect()
+    assert a == b

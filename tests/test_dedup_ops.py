@@ -1,0 +1,86 @@
+"""Near-dup sketch operators: planted duplicates must be found."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark.operators import simdedup, textops
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+
+
+def planted_docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different text about spark query engines and shuffles"),
+        (4, "another unrelated document mentioning parquet files and columnar io"),
+        (5, BASE.replace("garden", "meadow").replace("cat", "kitten")),  # near dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    docs = planted_docs(spark)
+    out = textops.dedup_exact(docs).collect()
+    by_hash = {r["content_hash"]: r for r in out}
+    assert len(out) == 5  # 6 docs, one exact dup pair
+    dup = [r for r in out if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["canonical_doc_id"] == 0
+    surv = textops.dedup_exact_survivors(
+        docs.withColumn("lang", F.lit("en"))
+        .withColumn("source", F.lit("s"))
+        .withColumn("n_chars", F.length("text"))
+    )
+    assert sorted(r.doc_id for r in surv.collect()) == [0, 2, 3, 4, 5]
+
+
+def test_minhash_lsh_finds_planted_pairs(spark):
+    docs = planted_docs(spark)
+    pairs = simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert (0, 1) in got  # exact dup → est_jaccard 1.0
+    assert (0, 2) in got or (1, 2) in got  # near dup shares bands
+    # unrelated docs never pair with the BASE cluster at 0.5
+    assert not any(3 in p or 4 in p for p in got)
+
+
+def test_minhash_estimates_exact_dup_as_one(spark):
+    docs = planted_docs(spark)
+    pairs = simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.0)
+    est = {(r.doc_a, r.doc_b): r.est_jaccard for r in pairs.collect()}
+    assert est[(0, 1)] == 1.0
+
+
+def test_ngram_jaccard_verify_stage(spark):
+    docs = planted_docs(spark)
+    pairs = simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.3).select(
+        "doc_a", "doc_b"
+    )
+    j = simdedup.ngram_jaccard_pairs(docs, pairs)
+    vals = {(r.doc_a, r.doc_b): r.jaccard for r in j.collect()}
+    assert vals[(0, 1)] == 1.0
+    if (0, 2) in vals:
+        assert 0.5 < vals[(0, 2)] < 1.0
+
+
+def test_simhash_near_pairs(spark):
+    docs = planted_docs(spark)
+    pairs = simdedup.simhash_near_pairs(docs, max_hamming=6)
+    got = {(r.doc_a, r.doc_b): r.hamming for r in pairs.collect()}
+    assert got.get((0, 1)) == 0  # identical text → identical sketch
+    near = [(a, b) for (a, b), h in got.items() if {a, b} <= {0, 1, 2, 5} and h > 0]
+    assert near  # at least one near-dup pair within the planted cluster
+    assert not any({a, b} == {3, 4} for (a, b) in got)
+
+
+def test_simhash_deterministic(spark):
+    docs = planted_docs(spark)
+    a = {r.doc_id: r.simhash for r in simdedup.simhash(docs).collect()}
+    b = {r.doc_id: r.simhash for r in simdedup.simhash(docs).collect()}
+    assert a == b
+    assert a[0] == a[1]

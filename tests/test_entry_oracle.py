@@ -1,0 +1,37 @@
+"""Driver-contract gate: every queries() entry with an oracle must
+match DuckDB exactly at sf0.001 (count + columns + values)."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entry  # noqa: E402
+
+from .compare import compare_query  # noqa: E402
+from .conftest import SF_TINY  # noqa: E402
+
+QUERIES = sorted(entry.queries())
+ORACLES = entry.oracle_sql()
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_query_matches_oracle(spark, name):
+    fn = entry.queries()[name]
+    df = fn(spark, SF_TINY)
+    if name not in ORACLES:
+        assert df.count() >= 0  # rows-only contract
+        return
+    res = compare_query(spark, SF_TINY, df, ORACLES[name])
+    assert res["ok"], {k: v for k, v in res.items() if k != "sample_diff"} | {
+        "sample_diff": res.get("sample_diff", [])
+    }
+
+
+def test_entry_smoke(spark):
+    df = entry.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"repo", "path", "commit", "lang", "content_sha256"}

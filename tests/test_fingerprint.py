@@ -1,0 +1,69 @@
+"""Pure-pandas kernel tests (no Spark) + property tests for the
+vectorized fingerprint/validate path."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from etl_spark.functions.fingerprint import fingerprint_batch
+
+
+def mk(rows):
+    return pd.DataFrame(rows, columns=["seq", "op", "repo", "path", "content"])
+
+
+def test_sha_and_rejects():
+    pdf = mk(
+        [
+            (1, "insert", "r", "p", "hello"),
+            (2, "bogus", "r", "p", "x"),
+            (3, "update", None, "p", "y"),
+            (4, "delete", "r", "p", None),
+        ]
+    )
+    out = fingerprint_batch(pdf, ("repo", "path"))
+    assert out.loc[0, "content_sha256"] == hashlib.sha256(b"hello").hexdigest()
+    assert out.loc[0, "reject_reason"] is None
+    assert out.loc[1, "reject_reason"] == "bad_op"
+    assert out.loc[2, "reject_reason"] == "null_key"
+    assert out.loc[3, "reject_reason"] is None
+    assert out.loc[3, "content_sha256"] is None
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1 << 40),
+            st.sampled_from(["insert", "update", "delete", "junk", "schema_change"]),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.one_of(st.none(), st.text(max_size=20)),
+            st.one_of(st.none(), st.text(max_size=200)),
+        ),
+        max_size=50,
+    )
+)
+def test_property_partition(rows):
+    """Every row is either rejected or fingerprinted; sha matches
+    hashlib; row count preserved (the mapInPandas contract)."""
+    pdf = mk(rows)
+    out = fingerprint_batch(pdf, ("repo", "path"))
+    assert len(out) == len(pdf)
+    for _, r in out.iterrows():
+        if r["op"] not in ("insert", "update", "delete", "schema_change"):
+            assert r["reject_reason"] == "bad_op"
+        elif r["repo"] is None or r["path"] is None:
+            assert r["reject_reason"] == "null_key"
+        else:
+            assert r["reject_reason"] is None
+        if isinstance(r["content"], str):
+            assert (
+                r["content_sha256"]
+                == hashlib.sha256(r["content"].encode()).hexdigest()
+            )
+        else:
+            assert r["content_sha256"] is None

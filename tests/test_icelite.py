@@ -1,0 +1,174 @@
+"""Unit tests for the icelite table format: atomic commits, schema
+evolution rules, bucket pruning, time travel, merge seq-guard."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.icelite.table import (
+    CommitConflict,
+    IceliteTable,
+    NoSuchTable,
+    _atomic_write_json,
+    bucket_expr,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ]
+)
+
+
+def make(spark, tbl_dir, n_buckets=4):
+    return IceliteTable.create(
+        spark, os.path.join(tbl_dir, "t"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=n_buckets,
+    )
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def test_create_read_empty(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    assert t.read().count() == 0
+    assert t.current_version() == 0
+
+
+def test_load_missing_raises(spark, tbl_dir):
+    with pytest.raises(NoSuchTable):
+        IceliteTable.load(spark, os.path.join(tbl_dir, "nope"))
+
+
+def test_append_and_read(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", 1, 1), ("r2", "b", 2, 2)]))
+    assert t.read().count() == 2
+    t.append(df(spark, [("r3", "c", 3, 3)]))
+    assert t.read().count() == 3
+    assert t.current_version() == 2
+
+
+def test_atomic_commit_conflict(tbl_dir):
+    p = os.path.join(tbl_dir, "v1.json")
+    _atomic_write_json(p, {"a": 1})
+    with pytest.raises(CommitConflict):
+        _atomic_write_json(p, {"a": 2})
+    with open(p) as f:
+        assert json.load(f) == {"a": 1}
+
+
+def test_merge_insert_update_delete(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    up_schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType(), False)])
+
+    def updf(rows):
+        return spark.createDataFrame(rows, up_schema)
+
+    t.merge_lww(updf([("r1", "a", 1, 1, "insert"), ("r2", "b", 2, 2, "insert")]))
+    assert sorted((r.repo, r.v) for r in t.read().collect()) == [("r1", 1), ("r2", 2)]
+
+    t.merge_lww(updf([("r1", "a", 10, 3, "update"), ("r2", "b", None, 4, "delete")]))
+    assert [(r.repo, r.v) for r in t.read().collect()] == [("r1", 10)]
+
+    # stale update (seq 2 < stored 3) must be ignored — LWW seq guard
+    t.merge_lww(updf([("r1", "a", 99, 2, "update")]))
+    assert [(r.repo, r.v) for r in t.read().collect()] == [("r1", 10)]
+
+    # delete then re-insert at later seq
+    t.merge_lww(updf([("r2", "b", 7, 9, "insert")]))
+    assert sorted((r.repo, r.v) for r in t.read().collect()) == [("r1", 10), ("r2", 7)]
+
+
+def test_merge_epoch_idempotent(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    up_schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType(), False)])
+    u = spark.createDataFrame([("r1", "a", 1, 1, "insert")], up_schema)
+    t.merge_lww(u, epoch_id="e1")
+    v = t.current_version()
+    t.merge_lww(u, epoch_id="e1")  # redelivery → no-op
+    assert t.current_version() == v
+    assert t.has_epoch("e1")
+    assert not t.has_epoch("e2")
+
+
+def test_bucket_pruning_reads_subset(spark, tbl_dir):
+    t = make(spark, tbl_dir, n_buckets=8)
+    rows = [(f"r{i}", f"p{i}", i, i) for i in range(100)]
+    t.overwrite(df(spark, rows))
+    snap = t.snapshot()
+    buckets_present = {f.bucket for f in snap.files}
+    assert len(buckets_present) > 1
+    one = sorted(buckets_present)[0]
+    sub = t.read(buckets=[one])
+    # pruned read returns exactly the rows hashing to that bucket
+    expected = (
+        df(spark, rows)
+        .withColumn("b", bucket_expr(("repo", "path"), 8))
+        .where(F.col("b") == one)
+        .count()
+    )
+    assert sub.count() == expected
+    assert 0 < sub.count() < 100
+
+
+def test_merge_rewrites_only_touched_buckets(spark, tbl_dir):
+    t = make(spark, tbl_dir, n_buckets=8)
+    rows = [(f"r{i}", f"p{i}", i, i) for i in range(100)]
+    t.overwrite(df(spark, rows))
+    before = {f.path: f.bucket for f in t.snapshot().files}
+    up_schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType(), False)])
+    u = spark.createDataFrame([("r1", "p1", 999, 1000, "update")], up_schema)
+    t.merge_lww(u)
+    after = t.snapshot().files
+    touched_bucket = spark.createDataFrame([("r1", "p1")], "repo string, path string") \
+        .select(bucket_expr(("repo", "path"), 8).alias("b")).collect()[0]["b"]
+    untouched_before = {p for p, b in before.items() if b != touched_bucket}
+    untouched_after = {f.path for f in after if f.bucket != touched_bucket}
+    assert untouched_before == untouched_after  # untouched files reused as-is
+    assert t.read().where("repo='r1'").collect()[0]["v"] == 999
+
+
+def test_schema_evolution_add_and_widen(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", 1, 1)]))
+    new = T.StructType(SCHEMA.fields + [T.StructField("extra", T.StringType(), True)])
+    t.evolve_schema(new)
+    out = t.read()
+    assert "extra" in out.columns
+    assert out.collect()[0]["extra"] is None  # old file null-filled
+
+
+def test_schema_evolution_rejects_drop_and_narrow(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    dropped = T.StructType([f for f in SCHEMA.fields if f.name != "v"])
+    with pytest.raises(ValueError, match="drop"):
+        t.evolve_schema(dropped)
+    narrowed = T.StructType(
+        [
+            f if f.name != "v" else T.StructField("v", T.IntegerType(), True)
+            for f in SCHEMA.fields
+        ]
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        t.evolve_schema(narrowed)
+
+
+def test_time_travel_and_incremental(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", 1, 1)]))
+    t.append(df(spark, [("r2", "b", 2, 2)]))
+    assert t.read(version=1).count() == 1
+    assert t.read(version=2).count() == 2
+    inc = t.read_incremental(from_version=1)
+    assert [r.repo for r in inc.collect()] == ["r2"]

@@ -1,0 +1,43 @@
+"""Schema-ledger: golden shape, normalization, unregistered-column rejection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark import schemas
+from etl_spark.ledger import SchemaLedger
+
+
+def test_golden_ledger_shape(spark):
+    led = SchemaLedger.default(v2_effective_seq=1000)
+    rows = led.to_df(spark).collect()
+    assert [(r.schema_version, r.effective_seq) for r in rows] == [(1, 0), (2, 1000)]
+    assert "add:content_encoding,string;add:size_bytes,long" == rows[1].migration
+
+
+def test_version_for_seq():
+    led = SchemaLedger.default(v2_effective_seq=1000)
+    assert led.version_for_seq(0) == 1
+    assert led.version_for_seq(999) == 1
+    assert led.version_for_seq(1000) == 2
+
+
+def test_normalize_fills_missing_columns(spark):
+    led = SchemaLedger.default(v2_effective_seq=0)
+    v1_df = spark.createDataFrame(
+        [(1, "insert", "r", "p", "c", "py", "x", 1)],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_version int",
+    ).withColumn("event_time", F.timestamp_seconds(F.col("seq")))
+    out = led.normalize(v1_df)
+    assert set(out.columns) == {f.name for f in schemas.EVENTS_V2.fields}
+    row = out.collect()[0]
+    assert row.content_encoding is None and row.size_bytes is None
+
+
+def test_normalize_rejects_unknown_columns(spark):
+    led = SchemaLedger.default()
+    df = spark.createDataFrame([(1, "zzz")], "seq long, mystery string")
+    with pytest.raises(ValueError, match="mystery"):
+        led.normalize(df)

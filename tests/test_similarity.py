@@ -1,0 +1,58 @@
+"""Similarity search: brute-force exactness + LSH recall."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark.operators import similarity
+
+from .conftest import SF_TINY
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF_TINY}/embeddings.parquet")
+
+
+def test_bruteforce_topk_self_consistency(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 3)
+    out = similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r.rank)
+        sims = [r.cosine for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r.neighbor_id != r.query_id for r in rows)
+
+
+def test_lsh_recall_vs_bruteforce(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = similarity.cosine_topk_lsh(
+        emb, q, dim=64, k=5, n_planes=4, n_tables=8
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 8 tables × 4 planes: per-table collision p^4 OR-combined across
+    # tables. Loose bound — this is the approximate path.
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+    # everything LSH returns must be correctly scored (subset property)
+    exact_scores = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk_bruteforce(emb, q, k=500).collect()
+    }
+    for r in approx:
+        assert abs(exact_scores[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+
+
+def test_embedding_near_dup_pairs_symmetric_determinism(spark):
+    emb = _emb(spark)
+    a = similarity.embedding_near_dup_pairs(emb, dim=64, min_cosine=0.5).collect()
+    b = similarity.embedding_near_dup_pairs(emb, dim=64, min_cosine=0.5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r.id_a < r.id_b for r in a)

@@ -1,0 +1,57 @@
+"""Run the driver-style correctness gate locally over __spark_entry__.
+
+Usage: python tools/check_entry.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry  # noqa: E402
+from etl_spark.session import get_spark  # noqa: E402
+from tests.compare import compare_query  # noqa: E402
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark(cores=8)
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failed = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            if name not in oracles:
+                n = df.count()
+                print(f"  {name:28s} rows-only: {n} rows  [{time.time()-t0:.1f}s]")
+                continue
+            res = compare_query(spark, sf_dir, df, oracles[name])
+            tag = "OK " if res["ok"] else "FAIL"
+            print(
+                f"  {name:28s} {tag} spark={res['spark_rows']} oracle={res['oracle_rows']} "
+                f"cols={res['cols_match']} vals={res['values_match']} [{time.time()-t0:.1f}s]"
+            )
+            if not res["ok"]:
+                failed.append(name)
+                if not res["cols_match"]:
+                    print("    spark cols:", res["spark_cols"])
+                    print("    oracle cols:", res["oracle_cols"])
+                for d in res.get("sample_diff", []):
+                    print("    diff:", d)
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"  {name:28s} ERROR {type(e).__name__}: {str(e)[:300]}")
+    print("FAILED:", failed if failed else "none")
+    spark.stop()
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
