@@ -27,8 +27,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark import gen
+from etl_spark.functions import parsing
 from etl_spark.functions.fingerprint import parse_validate_fingerprint
-from etl_spark.operators import relational, similarity, simdedup, textops, windows
+from etl_spark.operators import (
+    arrays,
+    multimodal,
+    relational,
+    similarity,
+    simdedup,
+    textops,
+    windows,
+)
 from etl_spark.operators.apply import create_target, create_lineage, replay
 from etl_spark.operators.dedup import lww_latest
 
@@ -185,6 +194,210 @@ SELECT event_type,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# scalar parsing / routing / data-quality queries
+# ---------------------------------------------------------------------------
+
+def f_route_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 analog: synthesize archive URIs from lineitem (some malformed),
+    regex-route, aggregate per experiment/validity."""
+    li = _read(spark, sf_dir, "lineitem")
+    uri = F.when(
+        F.col("l_partkey") % 7 == 0,
+        # malformed: date segment missing
+        F.concat(F.lit("gs://archive/exp"), (F.col("l_suppkey") % 3).cast("string"),
+                 F.lit("/badfile.tgz")),
+    ).otherwise(
+        F.concat(
+            F.lit("gs://archive/exp"), (F.col("l_suppkey") % 3).cast("string"),
+            F.lit("/2024/"),
+            F.lpad((F.col("l_partkey") % 12 + 1).cast("string"), 2, "0"),
+            F.lit("/"),
+            F.lpad((F.col("l_orderkey") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("/host"), (F.col("l_linenumber") % 5).cast("string"),
+            F.lit(".tgz"),
+        )
+    )
+    routed = parsing.route_paths(li.select(uri.alias("uri")))
+    return routed.groupBy("experiment", "suffix", "valid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("mm").alias("min_mm"),
+        F.max("dd").alias("max_dd"),
+    )
+
+
+def f_jsonl_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 analog: pack each user's props into one JSONL blob, decode it
+    back via split+explode+from_json, aggregate — round-trip equality
+    against direct aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "props"))),
+                lambda s: s["props"],
+            ),
+        ).alias("jsonl")
+    )
+    decoded = parsing.decode_jsonl(packed, "jsonl", ["user_id"])
+    return decoded.groupBy("user_id").agg(
+        F.count("k").alias("n_records"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+def f_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 analog: deterministically corrupt a third of the props blobs,
+    regexp-repair, strict-parse, aggregate."""
+    ev = _read(spark, sf_dir, "events")
+    corrupted = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.col("props"), F.lit(";;corrupt<<<garbage")),
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    parsed = corrupted.select(
+        "event_type", parsing.repair_json(F.col("props")).alias("j")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("j.k").alias("n_parsed"),
+        F.sum("j.k").alias("sum_k"),
+    )
+
+
+def f_ip_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/C9 analog: synthesize IPs (some malformed), validate/convert/
+    classify, aggregate per first octet."""
+    li = _read(spark, sf_dir, "lineitem")
+    ip = F.when(
+        F.col("l_orderkey") % 11 == 0, F.lit("999.1.2")  # malformed
+    ).otherwise(
+        F.concat_ws(
+            ".",
+            (F.col("l_orderkey") % 256).cast("string"),
+            (F.col("l_partkey") % 256).cast("string"),
+            (F.col("l_suppkey") % 256).cast("string"),
+            (F.col("l_linenumber") * 7 % 256).cast("string"),
+        )
+    )
+    fields = parsing.ipv4_fields(li.select(ip.alias("ip")))
+    return fields.groupBy("valid", "is_private").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ip_int").alias("sum_ip_int"),
+        F.min("oct1").alias("min_oct1"),
+        F.max("oct1").alias("max_oct1"),
+    )
+
+
+def f_size_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 analog: oversize flag + size-bucket histogram on the derived
+    event contents, nothing dropped."""
+    ev = gen.derived_events(spark, sf_dir).where(F.col("content").isNotNull())
+    guarded = parsing.size_guard(
+        ev.select("seq", F.length("content").alias("content_len")),
+        F.col("content_len"),
+        limit=600,
+    )
+    return guarded.groupBy("oversize", "size_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("content_len").alias("min_len"),
+        F.max("content_len").alias("max_len"),
+    )
+
+
+_ROUTE_ORACLE = """
+WITH uris AS (
+  SELECT CASE WHEN l_partkey % 7 = 0
+    THEN 'gs://archive/exp' || CAST(l_suppkey % 3 AS VARCHAR) || '/badfile.tgz'
+    ELSE 'gs://archive/exp' || CAST(l_suppkey % 3 AS VARCHAR) || '/2024/'
+         || lpad(CAST(l_partkey % 12 + 1 AS VARCHAR), 2, '0') || '/'
+         || lpad(CAST(l_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+         || '/host' || CAST(l_linenumber % 5 AS VARCHAR) || '.tgz'
+  END AS uri FROM lineitem
+),
+routed AS (
+  SELECT uri,
+    CASE WHEN regexp_matches(uri, '{re}')
+         THEN regexp_extract(uri, '{re}', 2) END AS experiment,
+    CASE WHEN regexp_matches(uri, '{re}')
+         THEN regexp_extract(uri, '{re}', 4) END AS mm,
+    CASE WHEN regexp_matches(uri, '{re}')
+         THEN regexp_extract(uri, '{re}', 5) END AS dd,
+    CASE WHEN regexp_matches(uri, '{re}')
+         THEN regexp_extract(uri, '{re}', 7) END AS suffix,
+    regexp_matches(uri, '{re}') AS valid
+  FROM uris
+)
+SELECT experiment, suffix, valid, count(*) AS n,
+       min(mm) AS min_mm, max(dd) AS max_dd
+FROM routed GROUP BY experiment, suffix, valid
+"""
+
+_JSONL_ORACLE = """
+SELECT user_id,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_records,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY user_id
+"""
+
+_JSON_REPAIR_ORACLE = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+_IP_ORACLE = """
+WITH ips AS (
+  SELECT CASE WHEN l_orderkey % 11 = 0 THEN '999.1.2'
+    ELSE CAST(l_orderkey % 256 AS VARCHAR) || '.' || CAST(l_partkey % 256 AS VARCHAR)
+         || '.' || CAST(l_suppkey % 256 AS VARCHAR) || '.'
+         || CAST(l_linenumber * 7 % 256 AS VARCHAR)
+  END AS ip FROM lineitem
+),
+fields AS (
+  SELECT ip,
+    len(string_split(ip, '.')) = 4 AS valid,
+    CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+    CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+    CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+    CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+  FROM ips
+),
+classified AS (
+  SELECT
+    CASE WHEN valid THEN o1 END AS oct1,
+    CASE WHEN valid THEN o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 END AS ip_int,
+    valid,
+    CASE WHEN valid THEN
+      (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR (o1 = 192 AND o2 = 168))
+    ELSE FALSE END AS is_private
+  FROM fields
+)
+SELECT valid, is_private, count(*) AS n, sum(ip_int) AS sum_ip_int,
+       min(oct1) AS min_oct1, max(oct1) AS max_oct1
+FROM classified GROUP BY valid, is_private
+"""
+
+_SIZE_GUARD_ORACLE = """
+WITH events AS ({events}),
+sized AS (
+  SELECT seq, length(content) AS content_len FROM events WHERE content IS NOT NULL
+),
+guarded AS (
+  SELECT *, content_len > 600 AS oversize,
+         CASE WHEN content_len <= 0 THEN 0
+              ELSE CAST(floor(log2(CAST(content_len AS DOUBLE))) AS INTEGER) END AS size_bucket
+  FROM sized
+)
+SELECT oversize, size_bucket, count(*) AS n,
+       min(content_len) AS min_len, max(content_len) AS max_len
+FROM guarded GROUP BY oversize, size_bucket
 """
 
 
@@ -442,6 +655,64 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def arr_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return arrays.thin_array(_read(spark, sf_dir, "embeddings"))
+
+
+def arr_overlap_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return arrays.overlap_trim(_read(spark, sf_dir, "embeddings"))
+
+
+def arr_last_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return arrays.last_element_summary(_read(spark, sf_dir, "embeddings"))
+
+
+_ARR_THIN_ORACLE = """
+WITH kept AS (
+  SELECT vec_id,
+         list_filter(embedding, (x, i) -> (i - 1) % 10 = 0 OR i = len(embedding)) AS k
+  FROM embeddings
+)
+SELECT vec_id, len(k) AS n_kept,
+       round(list_sum(list_transform(k, x -> CAST(x AS DOUBLE))), 5) AS kept_sum
+FROM kept
+"""
+
+_ARR_TRIM_ORACLE = """
+WITH t AS (
+  SELECT vec_id, embedding[1:len(embedding) - 1] AS k FROM embeddings
+)
+SELECT vec_id, len(k) AS n_after_trim,
+       round(list_sum(list_transform(k, x -> CAST(x AS DOUBLE))), 5) AS trim_sum
+FROM t
+"""
+
+_ARR_SUMMARY_ORACLE = """
+SELECT vec_id,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             / len(embedding), 6) AS mean_val
+FROM embeddings
+"""
+
+
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary decode (rows-only: binary parse is not
+    SQL-expressible; exactness vs a pure-Python reference is asserted
+    in tests/test_multimodal.py)."""
+    media = multimodal.synth_media(spark, 300)
+    return multimodal.decode_media(media)
+
+
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, N→M UDTF shape (rows-only)."""
+    media = multimodal.synth_media(spark, 300)
+    return multimodal.sample_frames(media, every=2)
+
+
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate variant — no SQL oracle (LSH bucketing is engine
     logic, not SQL-expressible); recall vs brute force is tested in
@@ -505,6 +776,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": relational.nation_revenue,
         "customers_without_orders": relational.customers_without_orders,
         "order_cogroup_stats": relational.order_cogroup_stats,
+        # scalar parsing / routing / data quality
+        "f_route_paths": f_route_paths,
+        "f_jsonl_decode": f_jsonl_decode,
+        "f_json_repair": f_json_repair,
+        "f_ip_tools": f_ip_tools,
+        "f_size_guard": f_size_guard,
         # documents / text
         "doc_token_stats": doc_token_stats,
         "doc_quality": doc_quality,
@@ -514,9 +791,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # near-dup sketches
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_simhash": dedup_simhash,
+        # array-column ops
+        "arr_thin": arr_thin,
+        "arr_overlap_trim": arr_overlap_trim,
+        "arr_last_summary": arr_last_summary,
         # embeddings
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_lsh": ann_cosine_lsh,
+        # multimodal (rows-only: binary decode not SQL-expressible)
+        "mm_decode": mm_decode,
+        "mm_frames": mm_frames,
     }
 
 
@@ -538,6 +822,11 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": _NATION_REVENUE_ORACLE,
         "customers_without_orders": _ANTI_JOIN_ORACLE,
         "order_cogroup_stats": _COGROUP_ORACLE,
+        "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
+        "f_jsonl_decode": _JSONL_ORACLE,
+        "f_json_repair": _JSON_REPAIR_ORACLE,
+        "f_ip_tools": _IP_ORACLE,
+        "f_size_guard": _SIZE_GUARD_ORACLE.format(events=ev),
         "doc_token_stats": _DOC_TOKEN_STATS_ORACLE,
         "doc_quality": _DOC_QUALITY_ORACLE,
         "doc_langid": _langid_oracle(),
@@ -545,6 +834,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
+        "arr_thin": _ARR_THIN_ORACLE,
+        "arr_overlap_trim": _ARR_TRIM_ORACLE,
+        "arr_last_summary": _ARR_SUMMARY_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         # ann_cosine_lsh: intentionally no oracle (approximate operator)
     }

@@ -1,0 +1,259 @@
+"""Benchmark harness.
+
+Default mode: time the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "events_per_sec": ...}
+
+--scaling mode: run the full CDC apply pipeline on identical input at
+two parallelism levels (local[N] vs local[4N], fresh JVM each via
+subprocess), report events/sec at both + scaling efficiency
+(T_N/T_4N)/4, and write BENCH/BASELINE.md. This is the sandbox
+evidence for the north rule's N→4N ≥0.8 criterion (BASELINE.md).
+
+--apply-worker is the internal subprocess entry for one scaling run.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "cdc_lww",
+    "cdc_fingerprint",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "nation_revenue",
+    "w_lag_delta",
+    "w_session_summary",
+    "doc_quality",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "mm_decode",
+]
+
+
+def bench_queries() -> dict:
+    import __spark_entry__ as entry
+    from etl_spark import gen
+    from etl_spark.operators.apply import create_lineage, create_target, replay
+    from etl_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", cores=CPUS, shuffle_partitions=CPUS * 2)
+    timings: dict[str, float] = {}
+    qs = entry.queries()
+
+    # headline: full CDC apply of the derived change stream. The
+    # derivation itself needs a global row_number (test-fixture only,
+    # never an engine path) — materialize it first so the apply timing
+    # measures the engine, and report the derivation separately.
+    tmp = tempfile.mkdtemp(prefix="bench_icelite_")
+    t0 = time.time()
+    gen.derived_events(spark, SF_DIR).write.mode("overwrite").parquet(f"{tmp}/events")
+    timings["events_derivation"] = round(time.time() - t0, 3)
+    ev = spark.read.parquet(f"{tmp}/events")
+    n_events = ev.count()
+    tgt = create_target(spark, f"{tmp}/target", n_buckets=64)
+    lin = create_lineage(spark, f"{tmp}/lineage")
+    t0 = time.time()
+    replay(spark, ev, tgt, lin, epoch_size=1 << 60, epoch_prefix="bench")
+    timings["cdc_apply_full"] = round(time.time() - t0, 3)
+    events_per_sec = round(n_events / timings["cdc_apply_full"], 1)
+
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    spark.stop()
+    return {
+        "metric": "headline query suite + full CDC apply, wall seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "cdc_events": n_events,
+        "events_per_sec": events_per_sec,
+    }
+
+
+# ---------------------------------------------------------------------------
+# scaling experiment (N vs 4N cores, fresh JVM per run)
+# ---------------------------------------------------------------------------
+
+def apply_worker(cores: int, n_events: int, epochs: int) -> None:
+    """One scaling run: synthesize the identical input (pure function of
+    seq — independent of parallelism), run the full apply pipeline for
+    `epochs` epochs, print per-epoch timings as JSON."""
+    from etl_spark import gen
+    from etl_spark.operators.apply import create_lineage, create_target, apply_epoch
+    from etl_spark.session import get_spark
+
+    spark = get_spark(
+        app_name=f"scale{cores}", cores=cores, shuffle_partitions=cores * 2
+    )
+    # table storage on tmpfs: a single VM's virtio disk has fixed
+    # bandwidth that does NOT scale with cores (on a real cluster,
+    # aggregate storage bandwidth scales with executor count); leaving
+    # it on disk would measure the sandbox disk, not the engine
+    store = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp = tempfile.mkdtemp(prefix=f"scale_{cores}_", dir=store)
+    tgt = create_target(spark, f"{tmp}/target", n_buckets=64)
+    lin = create_lineage(spark, f"{tmp}/lineage")
+    per_epoch = n_events // epochs
+    epoch_times = []
+    for e in range(epochs):
+        ev = gen.synthetic_events(
+            spark,
+            per_epoch,
+            n_repos=2000,
+            paths_per_repo=500,
+            seed=42,
+            skew=3.0,
+            start_seq=e * per_epoch,
+            num_partitions=128,  # fixed: input partitioning independent of cores
+        )
+        t0 = time.time()
+        apply_epoch(spark, ev, tgt, lin, epoch_id=f"scale:{e}")
+        epoch_times.append(time.time() - t0)
+    spark.stop()
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    print(json.dumps({"cores": cores, "epoch_times": epoch_times,
+                      "n_events": n_events, "epochs": epochs}))
+
+
+def run_scaling(n_small: int, n_events: int, epochs: int) -> dict:
+    results = {}
+    import shutil as _sh
+    have_taskset = _sh.which("taskset") is not None
+    for cores in (n_small, n_small * 4):
+        # CPU-pin each run: local[N] alone would still let Python
+        # workers/GC threads spill onto all physical cores, silently
+        # flattering the small-N run and understating scaling.
+        pin = ["taskset", "-c", f"0-{cores - 1}"] if have_taskset else []
+        out = subprocess.run(
+            pin + [sys.executable, os.path.abspath(__file__), "--apply-worker",
+                   str(cores), str(n_events), str(epochs)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+        results[cores] = json.loads(line)
+    small, big = results[n_small], results[n_small * 4]
+    # steady state: skip warmup epochs (JIT is slower to warm at low
+    # core counts; measuring them would flatter the small-N run)
+    warm = 2 if epochs >= 4 else 1
+    t_small = sum(small["epoch_times"][warm:])
+    t_big = sum(big["epoch_times"][warm:])
+    ev_measured = n_events * (epochs - warm) / epochs
+    eff = (t_small / t_big) / 4
+    return {
+        "warmup_epochs": warm,
+        "n_cores": n_small,
+        "4n_cores": n_small * 4,
+        "events_total": n_events,
+        "epochs": epochs,
+        "t_n_sec": round(t_small, 2),
+        "t_4n_sec": round(t_big, 2),
+        "events_per_sec_n": round(ev_measured / t_small, 1),
+        "events_per_sec_4n": round(ev_measured / t_big, 1),
+        "scaling_efficiency": round(eff, 3),
+        "epoch_times_n": [round(t, 2) for t in small["epoch_times"]],
+        "epoch_times_4n": [round(t, 2) for t in big["epoch_times"]],
+    }
+
+
+def write_baseline_md(s: dict) -> None:
+    os.makedirs("BENCH", exist_ok=True)
+    warm = s.get("warmup_epochs", 1)
+    md = f"""# BENCH/BASELINE — measured engine performance
+
+## Scaling evidence (north rule: efficiency ≥ 0.8 from N to 4N)
+
+Same job (full CDC apply: single bucket-shuffle applyInPandas stage
+fusing validate + LWW dedup + sha256 fingerprint, streaming winners
+into bucket-partitioned merge-on-read delta files; JVM-side lineage
+stats pass; epoch-ledger commit) on the SAME input
+({s['events_total']:,} synthetic change events, zipf-skewed repos,
+128 fixed input partitions), fresh CPU-pinned JVM per run
+(taskset 0-{{N-1}}), steady-state epochs only (first {warm} epochs
+excluded as JIT/code-cache warmup).
+
+| config | cores | wall (s, epochs {warm}-{s['epochs'] - 1}) | events/sec |
+|---|---|---|---|
+| local[N]  | {s['n_cores']} | {s['t_n_sec']} | {s['events_per_sec_n']:,} |
+| local[4N] | {s['4n_cores']} | {s['t_4n_sec']} | {s['events_per_sec_4n']:,} |
+
+**Scaling efficiency (T_N / T_4N) / 4 = {s['scaling_efficiency']}**
+
+Per-epoch wall times (s):
+- N:  {s['epoch_times_n']}
+- 4N: {s['epoch_times_4n']}
+
+Methodology notes (SURVEY.md §7.3.6):
+- `local[N]` under `taskset` emulates an N-core machine honestly —
+  without pinning, the small-N run's Python workers and GC threads
+  spill onto all physical cores and silently flatter the baseline.
+- Table storage + shuffle scratch live on tmpfs: one VM's virtio disk
+  has fixed bandwidth that does not grow with cores, whereas a real
+  4N-executor cluster brings 4× storage and network bandwidth. The
+  residual ceiling here is single-box MEMORY bandwidth, which also
+  quadruples on a real cluster — so this number is a lower bound on
+  multi-node scaling efficiency.
+- Input generation is a pure function of seq, identical across runs;
+  shuffle partitions = 2×cores in both runs; fresh JVM per run.
+
+## Reference comparison
+
+The reference's recorded single-table ingest ceiling is ~200-1,200
+rows/s (BigQuery streaming-insert quota bound, appengine/queue.yaml:20-27)
+and 10-15 rows/s/instance parse rate for its heaviest datatype
+(appengine/queue.yaml:33-34). This engine applies
+{s['events_per_sec_4n']:,} change events/s end-to-end on one machine at
+local[{s['4n_cores']}] — including per-event sha256 fingerprinting,
+LWW dedup, and transactional commit.
+"""
+    with open("BENCH/BASELINE.md", "w") as f:
+        f.write(md)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--apply-worker", nargs=3, metavar=("CORES", "EVENTS", "EPOCHS"))
+    ap.add_argument("--events", type=int, default=2_000_000)
+    ap.add_argument("--epochs", type=int, default=5)
+    ap.add_argument("--n-small", type=int, default=8)
+    args = ap.parse_args()
+
+    if args.apply_worker:
+        cores, n_events, epochs = map(int, args.apply_worker)
+        apply_worker(cores, n_events, epochs)
+        return
+    if args.scaling:
+        s = run_scaling(args.n_small, args.events, args.epochs)
+        write_baseline_md(s)
+        print(json.dumps(s))
+        return
+    print(json.dumps(bench_queries()))
+
+
+if __name__ == "__main__":
+    main()

@@ -55,11 +55,56 @@ def fingerprint_batch(pdf: pd.DataFrame, key_cols: Sequence[str]) -> pd.DataFram
     return out
 
 
+APPLY_OPS = ("insert", "update", "delete")
+
+
+def dedup_fingerprint_kernel(key_cols: Sequence[str], out_cols: Sequence[str]):
+    """Fused applyInPandas kernel for the delta-apply hot path:
+    validate → per-key LWW (groupby idxmax on seq) → sha256 winners.
+
+    Runs once per bucket group, so the ONLY shuffle in the apply
+    pipeline is the bucket exchange the delta write needs anyway —
+    winners leave the kernel already co-partitioned with the table
+    (bucket = hash(key), so bucket partitioning IS key partitioning).
+    Everything is vectorized pandas; invalid rows (bad op / null key)
+    and schema_change control events are dropped here — the JVM-side
+    mirror predicate in apply.py counts them for lineage without an
+    Arrow round trip (parity pinned by test_fingerprint_jvm_parity)."""
+    keys = list(key_cols)
+    cols = list(out_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        ok = pdf["op"].isin(APPLY_OPS)
+        for k in keys:
+            ok &= pdf[k].notna()
+        pdf = pdf[ok]
+        out_names = ["bucket"] + cols + ["__op"]
+        if pdf.empty:
+            return pd.DataFrame({c: pd.Series(dtype="object") for c in out_names})
+        idx = pdf.groupby(keys, sort=False)["seq"].idxmax()
+        win = pdf.loc[idx].copy()
+        win["content_sha256"] = _sha256_series(win["content"])
+        win["last_seq"] = win["seq"]
+        win["__op"] = win["op"]
+        for c in cols:
+            if c not in win.columns:
+                win[c] = None
+        return win[out_names]
+
+    return fn
+
+
 def parse_validate_fingerprint(
     df: DataFrame,
     key_cols: Sequence[str] = ("repo", "path"),
 ) -> DataFrame:
-    """events → events + (content_sha256, reject_reason) via mapInPandas."""
+    """events → events + (content_sha256, reject_reason) via mapInPandas.
+
+    The input is spread to full parallelism first: hashing is CPU-bound
+    and must never inherit a coalesced upstream partitioning."""
+    from etl_spark.util import spread
+
+    df = spread(df)
     out_schema = T.StructType(
         df.schema.fields
         + [

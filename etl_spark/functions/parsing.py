@@ -1,0 +1,107 @@
+"""Scalar parsing/routing functions (SURVEY.md §2.2 F1-F6, §2.8 C1-C12).
+
+All JVM-side expressions (regexp_extract, from_json, conv, split) —
+these run inside whole-stage codegen; no Python. Each mirrors a
+reference operator:
+
+- ``route_paths``      — F1 path validation/routing (etl/globals.go:99-138):
+  regex-decompose an archive URI into typed fields; invalid rows are
+  kept with ``valid=false`` for lineage accounting, not dropped.
+- ``decode_jsonl``     — C4 JSON-lines multi-record decode
+  (parser/disco.go:66-127): one blob → N typed rows via
+  split + explode + from_json.
+- ``repair_json``      — C5 malformed-JSON repair (parser/pt.go:233-249):
+  regexp strip of a known corruption, then strict parse; rows that
+  still fail parse surface as NULL structs (PERMISSIVE-style).
+- ``ipv4_fields``      — F3/C9 IP validation (web100/parse.go:75-142):
+  dotted-quad → int, validity, private-range classification.
+- ``size_guard``       — S3 oversize-file guard (task/task.go:27-31):
+  boolean flag + bucketing, rows never silently dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# gs://bucket/experiment/yyyy/mm/dd/host-site-experiment.suffix
+PATH_RE = r"^gs://([^/]+)/([^/]+)/(\d{4})/(\d{2})/(\d{2})/([a-z0-9.-]+)\.(tgz|tar|tar\.gz)$"
+
+
+def route_paths(df: DataFrame, uri_col: str = "uri") -> DataFrame:
+    """Decompose archive URIs into routing fields; invalid → valid=false."""
+    u = F.col(uri_col)
+    bucket = F.regexp_extract(u, PATH_RE, 1)
+    valid = bucket != ""
+    def g(i: int):  # invalid rows → NULL fields (engine-portable)
+        return F.when(valid, F.regexp_extract(u, PATH_RE, i))
+    return df.select(
+        u.alias("uri"),
+        g(1).alias("bucket"),
+        g(2).alias("experiment"),
+        g(3).alias("yyyy"),
+        g(4).alias("mm"),
+        g(5).alias("dd"),
+        g(6).alias("host"),
+        g(7).alias("suffix"),
+        valid.alias("valid"),
+    )
+
+
+JSONL_ITEM_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.LongType(), True),
+    ]
+)
+
+
+def decode_jsonl(df: DataFrame, jsonl_col: str, id_cols: list[str]) -> DataFrame:
+    """JSON-lines blob → one row per record with parsed fields."""
+    rec = F.explode(F.split(F.col(jsonl_col), "\n")).alias("record")
+    parsed = df.select(*id_cols, rec).select(
+        *id_cols, F.from_json("record", JSONL_ITEM_SCHEMA).alias("j")
+    )
+    return parsed.select(*id_cols, F.col("j.k").alias("k"))
+
+
+def repair_json(col: Column) -> Column:
+    """Strip a trailing-garbage corruption (';;corrupt' suffix and
+    unescaped control chars) then parse strictly."""
+    cleaned = F.regexp_replace(col, r";;corrupt.*$", "")
+    return F.from_json(cleaned, JSONL_ITEM_SCHEMA)
+
+
+def ipv4_fields(df: DataFrame, ip_col: str = "ip") -> DataFrame:
+    """Dotted-quad decompose: octets, 32-bit int form, validity,
+    RFC1918 private classification — pure integer arithmetic."""
+    parts = F.split(F.col(ip_col), r"\.")
+    octs = [F.try_element_at(parts, F.lit(i + 1)).cast("long") for i in range(4)]
+    valid = (F.size(parts) == 4)
+    for o in octs:
+        valid = valid & o.isNotNull() & (o >= 0) & (o <= 255)
+    as_int = octs[0] * 16777216 + octs[1] * 65536 + octs[2] * 256 + octs[3]
+    private = (
+        (octs[0] == 10)
+        | ((octs[0] == 172) & (octs[1] >= 16) & (octs[1] <= 31))
+        | ((octs[0] == 192) & (octs[1] == 168))
+    )
+    return df.select(
+        F.col(ip_col).alias("ip"),
+        F.when(valid, octs[0]).alias("oct1"),
+        F.when(valid, as_int).alias("ip_int"),
+        valid.alias("valid"),
+        F.when(valid, private).otherwise(F.lit(False)).alias("is_private"),
+    )
+
+
+def size_guard(
+    df: DataFrame, size_col: Column, limit: int
+) -> DataFrame:
+    """Oversize guard: flag + power-of-two size bucket, nothing dropped."""
+    return df.withColumn("oversize", size_col > limit).withColumn(
+        "size_bucket",
+        F.when(size_col <= 0, F.lit(0)).otherwise(
+            F.floor(F.log2(size_col.cast("double"))).cast("int")
+        ),
+    )

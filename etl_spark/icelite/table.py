@@ -92,6 +92,7 @@ class DataFile:
     rows: int
     bytes: int
     schema_id: int  # index into snapshot["schemas"]
+    kind: str = "base"  # "base" | "delta" (merge-on-read row file)
 
     def to_json(self) -> dict:
         return {
@@ -100,11 +101,13 @@ class DataFile:
             "rows": self.rows,
             "bytes": self.bytes,
             "schema_id": self.schema_id,
+            "kind": self.kind,
         }
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"], d["schema_id"])
+        return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"],
+                        d["schema_id"], d.get("kind", "base"))
 
 
 @dataclass
@@ -158,7 +161,9 @@ def bucket_expr(key_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
-def _collect_datafiles(data_root: str, rel_dir: str, schema_id: int) -> list[DataFile]:
+def _collect_datafiles(
+    data_root: str, rel_dir: str, schema_id: int, kind: str = "base"
+) -> list[DataFile]:
     """Scan a freshly written ``bucket=K/part-*.parquet`` tree into manifest entries."""
     out: list[DataFile] = []
     abs_dir = os.path.join(data_root, rel_dir)
@@ -177,6 +182,7 @@ def _collect_datafiles(data_root: str, rel_dir: str, schema_id: int) -> list[Dat
                             rows=meta.num_rows,
                             bytes=os.path.getsize(fp),
                             schema_id=schema_id,
+                            kind=kind,
                         )
                     )
         elif entry.endswith(".parquet"):
@@ -189,6 +195,7 @@ def _collect_datafiles(data_root: str, rel_dir: str, schema_id: int) -> list[Dat
                     rows=meta.num_rows,
                     bytes=os.path.getsize(fp),
                     schema_id=schema_id,
+                    kind=kind,
                 )
             )
     return out
@@ -284,17 +291,56 @@ class IceliteTable:
 
     # -- reads --------------------------------------------------------------
 
+    def _read_file_group(
+        self, snap: Snapshot, files: list[DataFile], schema: T.StructType,
+        with_op: bool,
+    ) -> DataFrame | None:
+        """Read a list of files, cast to ``schema`` (+ __op for deltas)."""
+        if not files:
+            return None
+        by_schema: dict[tuple[int, str], list[str]] = {}
+        for f_ in files:
+            by_schema.setdefault((f_.schema_id, f_.kind), []).append(
+                os.path.join(self.data_path, f_.path)
+            )
+        parts: list[DataFrame] = []
+        for (sid, kind), paths in by_schema.items():
+            file_schema = snap.schema_at(sid)
+            if kind == "delta":
+                file_schema = T.StructType(
+                    file_schema.fields + [T.StructField("__op", T.StringType(), True)]
+                )
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            op = (F.col("__op") if kind == "delta" else F.lit("base")) if with_op else None
+            cols = []
+            have = {f2.name for f2 in df.schema.fields}
+            for f2 in schema.fields:
+                if f2.name in have:
+                    cols.append(F.col(f2.name).cast(f2.dataType).alias(f2.name))
+                else:
+                    cols.append(F.lit(None).cast(f2.dataType).alias(f2.name))
+            if op is not None:
+                cols.append(op.alias("__op"))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def read(
         self,
         version: int | None = None,
         buckets: Iterable[int] | None = None,
+        resolve: bool = True,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a bucket subset.
 
         Files written under older schemas are read with their pinned
         schema and cast up — never schema inference in the hot path
-        (SURVEY.md §1.6).
-        """
+        (SURVEY.md §1.6). If merge-on-read delta files are present and
+        ``resolve``, per-key LWW resolution runs at read time: max
+        last_seq wins (base wins seq ties, matching the CoW seq guard),
+        a winning delete removes the key."""
         snap = self.snapshot(version)
         schema = snap.current_schema
         files = snap.files
@@ -303,19 +349,29 @@ class IceliteTable:
             files = [f_ for f_ in files if f_.bucket in bset]
         if not files:
             return self.spark.createDataFrame([], schema)
-        by_schema: dict[int, list[str]] = {}
-        for f_ in files:
-            by_schema.setdefault(f_.schema_id, []).append(
-                os.path.join(self.data_path, f_.path)
+        has_delta = any(f_.kind == "delta" for f_ in files)
+        if not has_delta or not resolve:
+            out = self._read_file_group(
+                snap, [f_ for f_ in files if not has_delta or f_.kind == "base"],
+                schema, with_op=False,
             )
-        parts: list[DataFrame] = []
-        for sid, paths in by_schema.items():
-            df = self.spark.read.schema(snap.schema_at(sid)).parquet(*paths)
-            parts.append(_cast_to(df, schema))
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+            return out if out is not None else self.spark.createDataFrame([], schema)
+        all_rows = self._read_file_group(snap, files, schema, with_op=True)
+        seq_col = "last_seq" if "last_seq" in [f_.name for f_ in schema.fields] else None
+        if seq_col is None:
+            raise ValueError("merge-on-read requires a last_seq column")
+        rank = F.struct(
+            F.col(seq_col),
+            F.when(F.col("__op") == "base", F.lit(1)).otherwise(F.lit(0)),
+        )
+        data_cols = [f_.name for f_ in schema.fields]
+        payload = F.struct(*[F.col(c) for c in data_cols], F.col("__op"))
+        winners = (
+            all_rows.groupBy(*snap.key_cols)
+            .agg(F.max_by(payload, rank).alias("__r"))
+            .select("__r.*")
+        )
+        return winners.where(F.col("__op") != "delete").select(*data_cols)
 
     def incremental_files(self, from_version: int, to_version: int | None = None) -> list[str]:
         """Data files added between two snapshots (incremental read)."""
@@ -367,6 +423,7 @@ class IceliteTable:
         schema_id: int,
         bucketed: bool,
         buckets_hint: int | None = None,
+        kind: str = "base",
     ) -> list[DataFile]:
         rel = f"s{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.data_path, rel)
@@ -391,7 +448,7 @@ class IceliteTable:
             p = os.path.join(out_dir, junk)
             if os.path.exists(p):
                 os.unlink(p)
-        return _collect_datafiles(self.data_path, rel, schema_id)
+        return _collect_datafiles(self.data_path, rel, schema_id, kind)
 
     def append(
         self,
@@ -406,6 +463,48 @@ class IceliteTable:
         schema = snap.current_schema
         new_files = self._write_datafiles(_cast_to(df, schema), schema, len(snap.schemas) - 1,
                                           bucketed=bool(snap.key_cols))
+        return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
+
+    def append_rows_local(
+        self,
+        rows: list[tuple],
+        epoch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Driver-side append of a SMALL row batch (lineage/manifest
+        rows) via pyarrow — no Spark job, no scheduler round-trip. The
+        reference's stats counters are in-process for the same reason
+        (row/row.go:42-100); at cluster scale this is the metadata
+        write path, not a data path."""
+        import pyarrow as pa
+
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in snap.epochs:
+            return snap
+        schema = snap.current_schema
+        _PA = {
+            "string": pa.string(), "long": pa.int64(), "integer": pa.int32(),
+            "double": pa.float64(), "boolean": pa.bool_(),
+            "timestamp": pa.timestamp("us", tz="UTC"),
+        }
+        fields = []
+        for f_ in schema.fields:
+            tn = f_.dataType.typeName()
+            if tn not in _PA:
+                raise ValueError(f"append_rows_local: unsupported type {tn}")
+            fields.append(pa.field(f_.name, _PA[tn]))
+        arrow_schema = pa.schema(fields)
+        cols = list(zip(*rows)) if rows else [[] for _ in fields]
+        table = pa.table(
+            {f.name: pa.array(list(c), type=f.type) for f, c in zip(fields, cols)},
+            schema=arrow_schema,
+        )
+        rel = f"s{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.data_path, rel)
+        os.makedirs(out_dir, exist_ok=True)
+        fp = os.path.join(out_dir, "part-00000.parquet")
+        pq.write_table(table, fp, compression="snappy")
+        new_files = _collect_datafiles(self.data_path, rel, len(snap.schemas) - 1)
         return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
 
     def overwrite(
@@ -531,3 +630,100 @@ class IceliteTable:
         kept = [f_ for f_ in snap.files if f_.bucket not in tset]
         # new_files may include empty buckets only if data landed there; fine
         return self._commit(snap, kept + new_files, snap.schemas, epoch_id, properties)
+
+    # -- merge-on-read (delta) path -----------------------------------------
+
+    def append_delta(
+        self,
+        updates: DataFrame,
+        op_col: str = "op",
+        epoch_id: str | None = None,
+        properties: dict | None = None,
+        assume_bucketed: bool = False,
+    ) -> Snapshot:
+        """Merge-on-read apply: write the (pre-deduped) LWW winners as
+        bucketed delta files — NO base read, NO rewrite. Per-epoch cost
+        is proportional to the batch, not the table; this is what keeps
+        ingest throughput flat at 10^10 events (the CoW ``merge_lww``
+        rewrites every touched bucket and amplifies writes by
+        table_size/batch_size). Readers resolve per-key LWW lazily;
+        ``compact`` folds deltas into the base when read amplification
+        grows past the policy threshold."""
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in snap.epochs:
+            return snap
+        if not snap.key_cols:
+            raise ValueError("append_delta requires a keyed table")
+        schema = snap.current_schema
+        delta_schema = T.StructType(
+            schema.fields + [T.StructField("__op", T.StringType(), True)]
+        )
+        if assume_bucketed:
+            # caller already computed `bucket` and is partitioned by it
+            # (the fused applyInPandas path) — write with zero extra
+            # shuffles: each task streams its bucket straight to files
+            rel = f"s{uuid.uuid4().hex[:12]}"
+            out_dir = os.path.join(self.data_path, rel)
+            cols = [F.col("bucket")] + [
+                F.col(f_.name).cast(f_.dataType).alias(f_.name) for f_ in delta_schema.fields
+            ]
+            (
+                updates.select(*cols)
+                .write.partitionBy("bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            p = os.path.join(out_dir, "_SUCCESS")
+            if os.path.exists(p):
+                os.unlink(p)
+            new_files = _collect_datafiles(self.data_path, rel, len(snap.schemas) - 1, "delta")
+        else:
+            cols = []
+            for f_ in schema.fields:
+                if f_.name in updates.columns:
+                    cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                else:
+                    cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+            cols.append(F.col(op_col).cast("string").alias("__op"))
+            delta_df = updates.select(*cols)
+            new_files = self._write_datafiles(
+                delta_df, delta_schema, len(snap.schemas) - 1, bucketed=True, kind="delta"
+            )
+        return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
+
+    def delta_stats(self) -> dict:
+        """Read-amplification stats for the compaction policy."""
+        snap = self.snapshot()
+        base_rows = sum(f_.rows for f_ in snap.files if f_.kind == "base")
+        delta_rows = sum(f_.rows for f_ in snap.files if f_.kind == "delta")
+        per_bucket: dict[int, int] = {}
+        for f_ in snap.files:
+            if f_.kind == "delta":
+                per_bucket[f_.bucket] = per_bucket.get(f_.bucket, 0) + 1
+        return {
+            "base_rows": base_rows,
+            "delta_rows": delta_rows,
+            "delta_files": sum(per_bucket.values()),
+            "max_delta_files_per_bucket": max(per_bucket.values(), default=0),
+        }
+
+    def compact(self, properties: dict | None = None) -> Snapshot:
+        """Fold all delta files into fresh base files (resolved LWW
+        state), dropping tombstoned keys. Logical state is unchanged —
+        compaction commutes with replay, so it can run at any point
+        without affecting convergence."""
+        snap = self.snapshot()
+        if not any(f_.kind == "delta" for f_ in snap.files):
+            return snap
+        touched = sorted({f_.bucket for f_ in snap.files if f_.kind == "delta"})
+        resolved = self.read(buckets=touched, resolve=True)
+        new_files = self._write_datafiles(
+            resolved, snap.current_schema, len(snap.schemas) - 1,
+            bucketed=True, buckets_hint=len(touched),
+        )
+        tset = set(touched)
+        kept = [f_ for f_ in snap.files if f_.bucket not in tset]
+        return self._commit(
+            snap, kept + new_files, snap.schemas, None,
+            {**(properties or {}), "compacted_at_version": snap.version + 1},
+        )

@@ -35,8 +35,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_spark import schemas
-from etl_spark.functions.fingerprint import parse_validate_fingerprint
-from etl_spark.icelite.table import IceliteTable
+from etl_spark.functions.fingerprint import (
+    dedup_fingerprint_kernel,
+    parse_validate_fingerprint,
+)
+from etl_spark.icelite.table import IceliteTable, bucket_expr
 from etl_spark.ledger import SchemaLedger
 from etl_spark.operators.dedup import lww_latest
 
@@ -104,59 +107,93 @@ def apply_epoch(
     epoch_id: str,
     ledger: SchemaLedger | None = None,
     max_reject_frac: float = 0.10,
+    merge_mode: str = "delta",
+    compact_max_delta_files: int = 16,
+    dedup_mode: str = "fused",
 ) -> ApplyStats:
-    """Apply one epoch of change events. Idempotent per epoch_id."""
+    """Apply one epoch of change events. Idempotent per epoch_id.
+
+    merge_mode:
+    - "delta" (default): merge-on-read — winners land as bucketed delta
+      files (epoch cost ∝ batch size); compaction folds them into the
+      base when any bucket accumulates ``compact_max_delta_files``
+      delta files. The scalable path at 10^10 events.
+    - "cow": copy-on-write MERGE — touched buckets rewritten in place;
+      reads stay cheapest, writes amplify with table/batch ratio.
+
+    dedup_mode (delta mode only):
+    - "fused" (default): ONE shuffle total — events exchange on bucket
+      (= hash of key), then a single applyInPandas stage validates,
+      LWW-dedups and sha256-fingerprints per bucket and streams
+      winners straight into bucket-partitioned delta files.
+    - "maxby": two-stage — mapInPandas fingerprint, groupBy max_by
+      dedup (shuffle on key), then the delta write re-shuffles on
+      bucket. Kept as the general-purpose composable path.
+    Both modes produce the identical logical state (asserted in tests);
+    compaction commutes with replay."""
     if target.has_epoch(epoch_id):
         # redelivered epoch: complete a possibly-missing lineage append,
         # then no-op (crash-between-commits recovery).
         if lineage is not None and not lineage.has_epoch(epoch_id):
             props = target.snapshot().properties.get(f"epoch:{epoch_id}", {})
-            rows = props.get("lineage_rows", [])
-            ldf = spark.createDataFrame(
-                [tuple(r) for r in rows] if rows else [], schemas.LINEAGE
-            )
-            lineage.append(ldf, epoch_id=epoch_id)
+            rows = [tuple(r) for r in props.get("lineage_rows", [])]
+            lineage.append_rows_local(rows, epoch_id=epoch_id)
         return ApplyStats(epoch_id, 0, 0, 0, 0, None, skipped=True)
 
     ledger = ledger or SchemaLedger.default()
 
-    # 1. vectorized validate + fingerprint (single Arrow pass)
-    enriched = parse_validate_fingerprint(events, schemas.KEY_COLS)
-    enriched = enriched.withColumn("__pid", F.spark_partition_id())
-    enriched.persist()
-    try:
-        # 2. one aggregation pass → per-partition lineage + epoch totals
-        part_stats = (
-            enriched.groupBy("__pid")
-            .agg(
-                F.count(F.lit(1)).alias("event_count"),
-                F.min(schemas.SEQ_COL).alias("min_seq"),
-                F.max(schemas.SEQ_COL).alias("max_seq"),
-                F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes"),
-                F.sum(F.when(F.col("reject_reason").isNotNull(), 1).otherwise(0))
-                .cast("long")
-                .alias("rejected"),
-            )
-            .collect()
+    # 1. lineage/stats pass — JVM-only (no Python, no persist): the
+    # reject predicate is mirrored from the pandas kernel so counting
+    # never pays an Arrow round trip; the authoritative row *filtering*
+    # still happens inside the pandas UDF below (north rule), and
+    # test_fingerprint_jvm_parity pins the two predicates together.
+    invalid = ~F.col("op").isin(*schemas.VALID_OPS)
+    for k in schemas.KEY_COLS:
+        invalid = invalid | F.col(k).isNull()
+    part_stats = (
+        events.withColumn("__pid", F.spark_partition_id())
+        .groupBy("__pid")
+        .agg(
+            F.count(F.lit(1)).alias("event_count"),
+            F.min(schemas.SEQ_COL).alias("min_seq"),
+            F.max(schemas.SEQ_COL).alias("max_seq"),
+            F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes"),
+            F.sum(F.when(invalid, 1).otherwise(0)).cast("long").alias("rejected"),
         )
-        events_in = sum(r["event_count"] for r in part_stats)
-        rejected = sum(r["rejected"] for r in part_stats)
-        high_watermark = max((r["max_seq"] for r in part_stats), default=None)
+        .collect()
+    )
+    events_in = sum(r["event_count"] for r in part_stats)
+    rejected = sum(r["rejected"] for r in part_stats)
+    high_watermark = max(
+        (r["max_seq"] for r in part_stats if r["max_seq"] is not None), default=None
+    )
 
-        # 3. quality gate before any commit
-        if events_in > 0 and rejected / events_in > max_reject_frac:
-            raise EpochQualityError(
-                f"epoch {epoch_id}: {rejected}/{events_in} rejected "
-                f"(> {max_reject_frac:.0%} gate)"
-            )
-
-        # 4. ledger normalization + target schema evolution
-        valid = enriched.where(F.col("reject_reason").isNull()).drop(
-            "reject_reason", "__pid"
+    # 2. quality gate before any commit
+    if events_in > 0 and rejected / events_in > max_reject_frac:
+        raise EpochQualityError(
+            f"epoch {epoch_id}: {rejected}/{events_in} rejected "
+            f"(> {max_reject_frac:.0%} gate)"
         )
+
+    # 3. ledger check + target schema evolution (before the write plan
+    # is built — the output schema must be final)
+    unknown = [
+        c for c in events.columns
+        if c not in {f_.name for f_ in ledger.latest.schema.fields}
+    ]
+    if unknown:
+        raise ValueError(f"columns not in ledger: {unknown}")
+    tgt_schema = ledger.target_schema()
+    if len(tgt_schema.fields) > len(target.snapshot().current_schema.fields):
+        target.evolve_schema(tgt_schema)
+
+    # 4. winners (validate + LWW dedup + sha256, vectorized pandas)
+    if merge_mode == "delta" and dedup_mode == "fused":
+        updates = None  # built inside the delta branch below
+    else:
+        enriched = parse_validate_fingerprint(events, schemas.KEY_COLS)
+        valid = enriched.where(F.col("reject_reason").isNull()).drop("reject_reason")
         data_events = valid.where(F.col("op") != "schema_change")
-        # normalize onto the latest ledger schema, threading the
-        # engine-added fingerprint column through unchanged
         norm_cols = []
         for f_ in ledger.latest.schema.fields:
             if f_.name in data_events.columns:
@@ -164,55 +201,84 @@ def apply_epoch(
             else:
                 norm_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         normalized = data_events.select(*norm_cols, F.col("content_sha256"))
-        tgt_schema = ledger.target_schema()
-        if len(tgt_schema.fields) > len(target.snapshot().current_schema.fields):
-            target.evolve_schema(tgt_schema)
-
-        # 5. LWW winners → MERGE
         updates = _updates_frame(normalized, target.snapshot().current_schema)
+
+    lineage_rows = [
+        (
+            epoch_id,
+            int(r["__pid"]),
+            int(r["event_count"]),
+            r["min_seq"],
+            r["max_seq"],
+            int(r["bytes"]),
+            int(r["rejected"]),
+        )
+        for r in part_stats
+    ]
+    props = {
+        f"epoch:{epoch_id}": {
+            "events_in": events_in,
+            "rejected": rejected,
+            "high_watermark": high_watermark,
+            "lineage_rows": lineage_rows,
+        },
+        "high_watermark": high_watermark,
+    }
+    if merge_mode == "delta":
+        # `applied` comes free from the new files' parquet footers
+        # (no persist, no extra count job)
+        prev_paths = {f.path for f in target.snapshot().files}
+        if dedup_mode == "fused":
+            snap0 = target.snapshot()
+            out_schema = T.StructType(
+                [T.StructField("bucket", T.IntegerType(), False)]
+                + snap0.current_schema.fields
+                + [T.StructField("__op", T.StringType(), True)]
+            )
+            kernel = dedup_fingerprint_kernel(
+                schemas.KEY_COLS, [f_.name for f_ in snap0.current_schema.fields]
+            )
+            if "bucket" in events.columns:
+                raise ValueError("events must not carry a 'bucket' column")
+            bucketed = events.withColumn(
+                "bucket", bucket_expr(snap0.key_cols, snap0.n_buckets)
+            )
+            updates = bucketed.groupBy("bucket").applyInPandas(kernel, out_schema)
+            snap2 = target.append_delta(
+                updates, epoch_id=epoch_id, properties=props, assume_bucketed=True
+            )
+        else:
+            snap2 = target.append_delta(
+                updates, op_col="op", epoch_id=epoch_id, properties=props
+            )
+        applied = sum(
+            f.rows for f in snap2.files if f.path not in prev_paths
+        )
+        if (
+            target.delta_stats()["max_delta_files_per_bucket"]
+            >= compact_max_delta_files
+        ):
+            target.compact()
+    elif merge_mode == "cow":
         updates.persist()
         try:
             applied = updates.count()
-            deduped = events_in - rejected - applied
-
-            lineage_rows = [
-                (
-                    epoch_id,
-                    int(r["__pid"]),
-                    int(r["event_count"]),
-                    r["min_seq"],
-                    r["max_seq"],
-                    int(r["bytes"]),
-                    int(r["rejected"]),
-                )
-                for r in part_stats
-            ]
-            props = {
-                f"epoch:{epoch_id}": {
-                    "events_in": events_in,
-                    "applied": applied,
-                    "deduped": deduped,
-                    "rejected": rejected,
-                    "high_watermark": high_watermark,
-                    "lineage_rows": lineage_rows,
-                },
-                "high_watermark": high_watermark,
-            }
             target.merge_lww(
-                updates, op_col="op", seq_col="last_seq", epoch_id=epoch_id, properties=props
+                updates, op_col="op", seq_col="last_seq",
+                epoch_id=epoch_id, properties=props,
             )
-            if lineage is not None:
-                ldf = spark.createDataFrame(lineage_rows, schemas.LINEAGE)
-                lineage.append(ldf, epoch_id=epoch_id)
         finally:
             updates.unpersist()
-        stats = ApplyStats(
-            epoch_id, events_in, applied, deduped, rejected, high_watermark
-        )
-        assert stats.invariant_ok(), f"RowStats invariant violated: {stats}"
-        return stats
-    finally:
-        enriched.unpersist()
+    else:
+        raise ValueError(f"unknown merge_mode {merge_mode!r}")
+    deduped = events_in - rejected - applied
+    if lineage is not None:
+        lineage.append_rows_local(lineage_rows, epoch_id=epoch_id)
+    stats = ApplyStats(
+        epoch_id, events_in, applied, deduped, rejected, high_watermark
+    )
+    assert stats.invariant_ok(), f"RowStats invariant violated: {stats}"
+    return stats
 
 
 def replay(
@@ -223,6 +289,7 @@ def replay(
     epoch_size: int,
     ledger: SchemaLedger | None = None,
     epoch_prefix: str = "replay",
+    merge_mode: str = "delta",
 ) -> list[ApplyStats]:
     """Batch replay of a bounded stream in seq-ordered epochs.
 
@@ -245,6 +312,7 @@ def replay(
             apply_epoch(
                 spark, chunk, target, lineage,
                 epoch_id=f"{epoch_prefix}:{lo}", ledger=ledger,
+                merge_mode=merge_mode,
             )
         )
         lo = hi

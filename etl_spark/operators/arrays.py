@@ -1,0 +1,59 @@
+"""Array-column operators (SURVEY.md §2.5 W2/W4/W6, §2.4 A2 analogs).
+
+The reference's snapshot arrays (TCPRow.Snapshots thinned 10:1,
+parser/tcpinfo.go:100-110; DISCO overlap-trim, parser/disco.go:88-95;
+ndt7 last-element summary, parser/ndt7_result.go:119-173) map to
+higher-order array functions — JVM-side lambda expressions inside
+codegen, zero shuffles, zero Python."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def thin_array(docs: DataFrame, col: str = "embedding", every: int = 10,
+               id_col: str = "vec_id") -> DataFrame:
+    """W2 analog: keep every Nth element plus the last one; report
+    scalar digests (count + rounded sum) of the kept values."""
+    arr = F.col(col)
+    kept = F.filter(
+        arr,
+        lambda x, i: (F.pmod(i, F.lit(every)) == 0) | (i == F.size(arr) - 1),
+    )
+    total = F.aggregate(kept, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return docs.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.round(total, 5).alias("kept_sum"),
+    )
+
+
+def overlap_trim(docs: DataFrame, col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """W6 analog (drop-overlap sample): drop the last element, digest
+    the remainder."""
+    arr = F.col(col)
+    trimmed = F.slice(arr, 1, F.size(arr) - 1)
+    total = F.aggregate(trimmed, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return docs.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(trimmed).cast("long").alias("n_after_trim"),
+        F.round(total, 5).alias("trim_sum"),
+    )
+
+
+def last_element_summary(docs: DataFrame, col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """A2 analog (ndt7 summary): scalar aggregates of an array column —
+    first/last elements, extremes, mean — all inside one projection."""
+    arr = F.col(col)
+    total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    return docs.select(
+        F.col(id_col).alias("vec_id"),
+        F.round(F.element_at(arr, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at(arr, -1).cast("double"), 6).alias("last_val"),
+        F.round(F.array_min(arr).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(arr).cast("double"), 6).alias("max_val"),
+        F.round(total / F.size(arr), 6).alias("mean_val"),
+    )

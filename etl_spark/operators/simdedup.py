@@ -29,48 +29,63 @@ N_PERMS = 16
 BAND_SIZE = 4  # → 4 bands
 
 
+from etl_spark.util import spread as _spread
+
+
 def shingles(docs: DataFrame, n: int = 5,
              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct character n-gram shingles per document."""
     idx = F.sequence(F.lit(1), F.greatest(F.length(text_col) - (n - 1), F.lit(1)))
     sh = F.explode(F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(n))))
     return (
-        docs.select(F.col(id_col).alias("doc_id"), sh.alias("shingle"))
+        _spread(docs).select(F.col(id_col).alias("doc_id"), sh.alias("shingle"))
         .distinct()
     )
 
 
 def minhash_signatures(docs: DataFrame, n: int = 5, n_perms: int = N_PERMS) -> DataFrame:
-    """(doc_id, perm, minhash-hex) — one row per signature slot."""
+    """(doc_id, sig: array<string>[n_perms]) — the MinHash signature.
+
+    Scale shape: ONE row per shingle (not n_perms rows) carrying an
+    n_perms-wide hash array; the elementwise min collapses in a single
+    hash aggregation with map-side partial combine. At 10^10 shingles
+    this is n_perms× less shuffle than exploding the permutation index."""
     sh = shingles(docs, n)
-    perms = F.explode(F.sequence(F.lit(0), F.lit(n_perms - 1))).alias("perm")
-    return (
-        sh.select("doc_id", "shingle", perms)
-        .groupBy("doc_id", "perm")
-        .agg(
-            F.min(
-                F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle")))
-            ).alias("mh")
-        )
+    mhs = F.array(
+        *[
+            F.md5(F.concat(F.lit(f"{j}:"), F.col("shingle")))
+            for j in range(n_perms)
+        ]
+    )
+    wide = sh.select("doc_id", mhs.alias("mhs"))
+    agg = wide.groupBy("doc_id").agg(
+        *[F.min(F.element_at("mhs", j + 1)).alias(f"m{j}") for j in range(n_perms)]
+    )
+    return agg.select(
+        "doc_id", F.array(*[F.col(f"m{j}") for j in range(n_perms)]).alias("sig")
     )
 
 
-def lsh_bands(signatures: DataFrame, band_size: int = BAND_SIZE) -> DataFrame:
-    """Band hashes: md5 over the band's signature slots in perm order."""
-    return (
-        signatures.withColumn("band", F.expr(f"perm div {band_size}").cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
+def lsh_bands(signatures: DataFrame, band_size: int = BAND_SIZE,
+              n_perms: int = N_PERMS) -> DataFrame:
+    """(doc_id, band, band_hash): md5 over each band's signature slots."""
+    n_bands = n_perms // band_size
+    bands = F.array(
+        *[
             F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("perm", "mh"))),
-                        lambda s: s["mh"],
-                    ),
+                F.concat_ws(
                     "|",
+                    *[
+                        F.element_at("sig", b * band_size + j + 1)
+                        for j in range(band_size)
+                    ],
                 )
-            ).alias("band_hash")
-        )
+            )
+            for b in range(n_bands)
+        ]
+    )
+    return signatures.select(
+        "doc_id", F.posexplode(bands).alias("band", "band_hash")
     )
 
 
@@ -81,11 +96,14 @@ def lsh_candidate_pairs(
     band_size: int = BAND_SIZE,
     min_est_jaccard: float = 0.0,
 ) -> DataFrame:
-    """(doc_a, doc_b, est_jaccard) for bucket-colliding pairs, a < b."""
+    """(doc_a, doc_b, est_jaccard) for bucket-colliding pairs, a < b.
+
+    est_jaccard = fraction of equal signature slots, computed JVM-side
+    with zip_with over the two signature arrays — no per-slot join."""
     sig = minhash_signatures(docs, n, n_perms)
     sig.persist()
     try:
-        bands = lsh_bands(sig, band_size)
+        bands = lsh_bands(sig, band_size, n_perms)
         a = bands.select(
             F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_a")
         )
@@ -98,20 +116,23 @@ def lsh_candidate_pairs(
             .select("doc_a", "doc_b")
             .distinct()
         )
-        sa = sig.select(F.col("doc_id").alias("doc_a"), "perm", F.col("mh").alias("mh_a"))
-        sb = sig.select(F.col("doc_id").alias("doc_b"), "perm", F.col("mh").alias("mh_b"))
+        sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
+        sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
+        matches = F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
+            )
+        )
         est = (
             pairs.join(sa, "doc_a")
-            .join(sb, ["doc_b", "perm"])
-            .groupBy("doc_a", "doc_b")
-            .agg(
-                F.round(
-                    F.avg(F.when(F.col("mh_a") == F.col("mh_b"), 1.0).otherwise(0.0)), 6
-                ).alias("est_jaccard")
+            .join(sb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                F.round(matches / F.lit(float(n_perms)), 6).alias("est_jaccard"),
             )
         )
         out = est.where(F.col("est_jaccard") >= min_est_jaccard)
-        out = out.select("doc_a", "doc_b", "est_jaccard")
         out.persist().count()  # materialize before unpersisting sig
         return out
     finally:
@@ -129,7 +150,7 @@ def simhash(docs: DataFrame, bits: int = 32,
     the per-bit sum sets the sketch bit. Pure integer arithmetic so
     any SQL engine reproduces it bit-for-bit."""
     toks = (
-        docs.select(
+        _spread(docs).select(
             F.col(id_col).alias("doc_id"),
             F.explode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("tok"),
         )
@@ -137,29 +158,27 @@ def simhash(docs: DataFrame, bits: int = 32,
         .distinct()
         .withColumn("h", F.md5(F.col("tok")))
     )
-    b = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    exploded = toks.select("doc_id", "h", b)
+    # one row per token carrying all `bits` votes; elementwise sum in a
+    # single map-side-combined aggregation (no bits× row explosion).
     # integer-exact bit extraction: hex digit (b div 4) of md5, bit (b % 4)
-    bit = F.expr(
-        f"CAST(floor((instr('{_HEX}', substring(h, (b div 4) + 1, 1)) - 1)"
-        " / power(2, b % 4)) AS BIGINT) % 2"
+    votes = F.array(
+        *[
+            F.expr(
+                f"CASE WHEN CAST(floor((instr('{_HEX}', substring(h, {b // 4 + 1}, 1)) - 1)"
+                f" / {1 << (b % 4)}) AS BIGINT) % 2 = 1 THEN 1 ELSE -1 END"
+            )
+            for b in range(bits)
+        ]
     )
-    votes = exploded.select(
-        "doc_id", "b", F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)).alias("vote")
+    per_tok = toks.select("doc_id", votes.alias("votes"))
+    agg = per_tok.groupBy("doc_id").agg(
+        *[F.sum(F.element_at("votes", b + 1)).alias(f"s{b}") for b in range(bits)]
     )
-    return (
-        votes.groupBy("doc_id", "b")
-        .agg(F.sum("vote").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") > 0,
-                    F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"),
-                ).otherwise(F.lit(0))
-            ).alias("simhash")
-        )
-    )
+    sketch = None
+    for b in range(bits):
+        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+        sketch = term if sketch is None else sketch + term
+    return agg.select("doc_id", sketch.alias("simhash"))
 
 
 def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:

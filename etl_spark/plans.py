@@ -1,0 +1,75 @@
+"""Physical-plan inspection helpers.
+
+The optimizer work in this engine is *declarative* (SURVEY.md §4): we
+rely on Catalyst for pushdown/pruning/join selection and AQE for
+runtime re-planning — but we VERIFY the plans we rely on. These
+helpers turn ``explain`` output into assertions so a regression that
+silently drops a broadcast hint, breaks filter pushdown through an
+operator, or introduces an extra shuffle fails tests instead of
+surfacing as a 10× slowdown at 100 TB.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def count_exchanges(df: DataFrame, include_range: bool = False) -> int:
+    """Hash-shuffle exchanges in the physical plan (excludes broadcast;
+    range exchanges — presentation sorts over tiny post-agg output —
+    only when ``include_range``)."""
+    plan = explain_str(df, mode="simple")
+    needles = ["Exchange hashpartitioning"]
+    if include_range:
+        needles.append("Exchange rangepartitioning")
+    return sum(
+        1 for line in plan.splitlines() if any(n in line for n in needles)
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in explain_str(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in explain_str(df)
+
+
+def has_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in explain_str(df)
+
+
+def pushed_filters(df: DataFrame) -> str:
+    plan = explain_str(df)
+    return "\n".join(line for line in plan.splitlines() if "PushedFilters" in line)
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    plan = explain_str(df)
+    return [
+        line.split("ReadSchema:", 1)[1].strip()
+        for line in plan.splitlines()
+        if "ReadSchema:" in line
+    ]
+
+
+def has_partial_aggregate(df: DataFrame) -> bool:
+    """Map-side combine present (partial_* functions in HashAggregate)."""
+    plan = explain_str(df)
+    return "partial_" in plan
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    # AQE hides codegen markers in formatted mode pre-execution;
+    # codegen mode prints the generated subtrees directly
+    return "WholeStageCodegen" in explain_str(df, mode="codegen")

@@ -1,0 +1,141 @@
+"""Structured Streaming change-log tailer with exactly-once apply.
+
+The streaming face of the engine (SURVEY.md §3.4): a file-source
+stream tails ordered change-event chunks (the sandbox stand-in for a
+WAL/binlog/Iceberg incremental source — the reference's analog is the
+Gardener job feed + GCS archive stream, active/poller.go:191-209),
+and ``foreachBatch`` funnels every micro-batch through the same
+``apply_epoch`` used by batch replay:
+
+- **Offset tracking** (T1): Spark's checkpoint WAL records which files
+  belong to each batch_id; our manifest additionally records the high
+  watermark per epoch, so progress is observable without reading the
+  checkpoint.
+- **Idempotent redelivery** (T2): epoch_id = f"{prefix}:{batch_id}".
+  After a crash, Structured Streaming re-runs the last uncommitted
+  batch with the SAME batch_id and file set; ``apply_epoch`` skips it
+  if the target already committed that epoch — the batch-level
+  InsertID (schema/tcpinfo.go:84-87 analog).
+- **Backpressure** (T4): ``maxFilesPerTrigger`` caps batch size (the
+  reference's in-flight semaphore, active/throttle.go:10-81).
+
+Replay-converges-to-identical-state holds because (a) the file source
+is deterministic given the checkpoint, (b) apply_epoch is idempotent
+per epoch, and (c) merge_lww is monotone per row (seq guard).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark import schemas
+from etl_spark.icelite.table import IceliteTable
+from etl_spark.ledger import SchemaLedger
+from etl_spark.operators.apply import apply_epoch
+
+
+@dataclass
+class TailerConfig:
+    events_dir: str
+    target_path: str
+    lineage_path: str
+    checkpoint_dir: str
+    max_files_per_trigger: int = 1
+    epoch_prefix: str = "stream"
+    max_reject_frac: float = 0.10
+    schema_version: int = 1
+    ledger: SchemaLedger | None = field(default=None)
+
+    def event_schema(self):
+        return schemas.events_schema(self.schema_version)
+
+
+def write_event_chunks(
+    events: DataFrame, out_dir: str, chunk_size: int, seq_col: str = "seq"
+) -> int:
+    """Write a bounded event stream as ordered parquet chunk files —
+    the sandbox's WAL segments. One file per seq range, zero-padded
+    names so listing order == log order. Returns the chunk count."""
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = events.agg(
+        F.min(seq_col).alias("lo"), F.max(seq_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return 0
+    n = 0
+    lo = bounds["lo"]
+    while lo <= bounds["hi"]:
+        hi = lo + chunk_size
+        chunk = events.where((F.col(seq_col) >= lo) & (F.col(seq_col) < hi))
+        tmp = os.path.join(out_dir, f"_tmp_{lo}")
+        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, part),
+            os.path.join(out_dir, f"chunk_{lo:015d}.parquet"),
+        )
+        for junk in os.listdir(tmp):
+            os.unlink(os.path.join(tmp, junk))
+        os.rmdir(tmp)
+        lo = hi
+        n += 1
+    return n
+
+
+def _foreach_batch(cfg: TailerConfig):
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        target = IceliteTable.load(spark, cfg.target_path)
+        lineage = (
+            IceliteTable.load(spark, cfg.lineage_path) if cfg.lineage_path else None
+        )
+        apply_epoch(
+            spark,
+            batch_df,
+            target,
+            lineage,
+            epoch_id=f"{cfg.epoch_prefix}:{batch_id}",
+            ledger=cfg.ledger,
+            max_reject_frac=cfg.max_reject_frac,
+        )
+
+    return handle
+
+
+def start_tailer(
+    spark: SparkSession,
+    cfg: TailerConfig,
+    available_now: bool = True,
+    processing_interval: str | None = None,
+):
+    """Start the change-log tailer. ``available_now=True`` drains all
+    currently-visible chunks then stops (resumable batch); a
+    processing_interval gives a long-running tail."""
+    reader = (
+        spark.readStream.schema(cfg.event_schema())
+        .option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
+        .parquet(cfg.events_dir)
+    )
+    writer = (
+        reader.writeStream.foreachBatch(_foreach_batch(cfg))
+        .option("checkpointLocation", cfg.checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_interval:
+        writer = writer.trigger(processingTime=processing_interval)
+    return writer.start()
+
+
+def run_to_completion(spark: SparkSession, cfg: TailerConfig, timeout_s: int = 600) -> None:
+    """Drain all available chunks and wait for the commit barrier."""
+    q = start_tailer(spark, cfg, available_now=True)
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"tailer did not drain within {timeout_s}s")

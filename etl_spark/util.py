@@ -1,0 +1,19 @@
+"""Small shared helpers."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:
+    """Ensure at least default-parallelism partitions before a
+    CPU-heavy narrow stage (mapInPandas, explode+hash).
+
+    A frame arriving from a coalescing stage (global window, single
+    parquet file, collect-adjacent plans) would otherwise serialize the
+    heavy work into a few tasks. When the input is already
+    well-partitioned this is a no-op — no shuffle is added."""
+    target = df.sparkSession.sparkContext.defaultParallelism * min_factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

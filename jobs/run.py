@@ -1,0 +1,197 @@
+"""spark-submit entry point for the CDC engine.
+
+Ships as: spark-submit --py-files etl_spark.zip jobs/run.py <cmd> ...
+(the reference's cmd/etl_worker analog — one binary, subcommands).
+
+Commands:
+  init     --target T --lineage L [--buckets 64]      create tables
+  apply    --events E --target T --lineage L          batch replay
+           [--epoch-size N] [--merge-mode delta|cow]
+  stream   --wal DIR --target T --lineage L           tail WAL segments
+           --checkpoint C [--max-files N] [--follow]
+  compact  --target T                                 fold MoR deltas
+  status   --target T [--lineage L]                   snapshot/epoch info
+  verify   --events E --target T                      replay-equality check
+
+On a cluster, drop --local-cores and submit with your master/executor
+configs; everything here is driver-side orchestration of the same
+etl_spark package the tests exercise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _spark(args):
+    from etl_spark.session import get_spark
+
+    if args.local_cores:
+        return get_spark(app_name=f"cdc-{args.cmd}", cores=args.local_cores)
+    from pyspark.sql import SparkSession
+
+    return SparkSession.builder.appName(f"cdc-{args.cmd}").getOrCreate()
+
+
+def cmd_init(args) -> int:
+    from etl_spark.operators.apply import create_lineage, create_target
+
+    spark = _spark(args)
+    create_target(spark, args.target, n_buckets=args.buckets)
+    if args.lineage:
+        create_lineage(spark, args.lineage)
+    print(json.dumps({"created": [args.target, args.lineage]}))
+    return 0
+
+
+def cmd_apply(args) -> int:
+    from etl_spark.icelite.table import IceliteTable
+    from etl_spark.operators.apply import replay
+
+    spark = _spark(args)
+    events = spark.read.parquet(args.events)
+    target = IceliteTable.load(spark, args.target)
+    lineage = IceliteTable.load(spark, args.lineage) if args.lineage else None
+    stats = replay(
+        spark, events, target, lineage,
+        epoch_size=args.epoch_size, merge_mode=args.merge_mode,
+    )
+    for s in stats:
+        print(json.dumps(s.__dict__))
+    return 0
+
+
+def cmd_stream(args) -> int:
+    from etl_spark.operators.apply import create_lineage, create_target
+    from etl_spark.icelite.table import IceliteTable
+    from etl_spark.streaming.stream import TailerConfig, run_to_completion, start_tailer
+
+    spark = _spark(args)
+    if not IceliteTable.exists(args.target):
+        create_target(spark, args.target)
+    if args.lineage and not IceliteTable.exists(args.lineage):
+        create_lineage(spark, args.lineage)
+    cfg = TailerConfig(
+        events_dir=args.wal,
+        target_path=args.target,
+        lineage_path=args.lineage,
+        checkpoint_dir=args.checkpoint,
+        max_files_per_trigger=args.max_files,
+    )
+    if args.follow:
+        q = start_tailer(spark, cfg, available_now=False,
+                         processing_interval=args.interval)
+        q.awaitTermination()
+    else:
+        run_to_completion(spark, cfg)
+    return 0
+
+
+def cmd_compact(args) -> int:
+    from etl_spark.icelite.table import IceliteTable
+
+    spark = _spark(args)
+    t = IceliteTable.load(spark, args.target)
+    before = t.delta_stats()
+    t.compact()
+    print(json.dumps({"before": before, "after": t.delta_stats()}))
+    return 0
+
+
+def cmd_status(args) -> int:
+    from etl_spark.icelite.table import IceliteTable
+
+    spark = _spark(args)
+    t = IceliteTable.load(spark, args.target)
+    snap = t.snapshot()
+    out = {
+        "version": snap.version,
+        "files": len(snap.files),
+        "rows": sum(f.rows for f in snap.files),
+        "bytes": sum(f.bytes for f in snap.files),
+        "epochs": len(snap.epochs),
+        "high_watermark": snap.properties.get("high_watermark"),
+        "delta": t.delta_stats(),
+        "schema_fields": [f.name for f in snap.current_schema.fields],
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Replay-equality audit: recompute LWW final state from the full
+    event log and diff it against the live table (the reference's
+    row-accounting invariant as an end-state check)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.icelite.table import IceliteTable
+    from etl_spark.operators.dedup import lww_latest
+
+    spark = _spark(args)
+    events = spark.read.parquet(args.events)
+    expect = (
+        lww_latest(events)
+        .where(F.col("op") != "delete")
+        .select("repo", "path", F.sha2("content", 256).alias("content_sha256"))
+    )
+    got = IceliteTable.load(spark, args.target).read().select(
+        "repo", "path", "content_sha256"
+    )
+    missing = expect.exceptAll(got).count()
+    extra = got.exceptAll(expect).count()
+    print(json.dumps({"missing": missing, "extra": extra, "ok": missing == extra == 0}))
+    return 0 if missing == extra == 0 else 1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(prog="cdc")
+    ap.add_argument("--local-cores", type=int, default=None,
+                    help="run on local[N] (omit under spark-submit on a cluster)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("init")
+    p.add_argument("--target", required=True)
+    p.add_argument("--lineage", default=None)
+    p.add_argument("--buckets", type=int, default=64)
+
+    p = sub.add_parser("apply")
+    p.add_argument("--events", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--lineage", default=None)
+    p.add_argument("--epoch-size", type=int, default=1 << 60)
+    p.add_argument("--merge-mode", default="delta", choices=["delta", "cow"])
+
+    p = sub.add_parser("stream")
+    p.add_argument("--wal", required=True)
+    p.add_argument("--target", required=True)
+    p.add_argument("--lineage", default=None)
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-files", type=int, default=1)
+    p.add_argument("--follow", action="store_true")
+    p.add_argument("--interval", default="10 seconds")
+
+    p = sub.add_parser("compact")
+    p.add_argument("--target", required=True)
+
+    p = sub.add_parser("status")
+    p.add_argument("--target", required=True)
+    p.add_argument("--lineage", default=None)
+
+    p = sub.add_parser("verify")
+    p.add_argument("--events", required=True)
+    p.add_argument("--target", required=True)
+
+    args = ap.parse_args()
+    return {
+        "init": cmd_init, "apply": cmd_apply, "stream": cmd_stream,
+        "compact": cmd_compact, "status": cmd_status, "verify": cmd_verify,
+    }[args.cmd](args)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -167,6 +167,47 @@ def test_delete_insert_chain_within_epoch(spark, tbl_dir):
     assert tgt.read().count() == 0
 
 
+def test_fused_equals_maxby_dedup(spark, tbl_dir):
+    """The single-shuffle fused kernel and the two-stage max_by path
+    must produce identical table state (including corrupt rows and
+    delete chains)."""
+    ev = gen.synthetic_events(spark, 3000, n_repos=40, seed=53, corrupt_frac=0.04)
+    t1, _ = fresh(spark, os.path.join(tbl_dir, "fused"))
+    t2, _ = fresh(spark, os.path.join(tbl_dir, "maxby"))
+    s1 = apply_epoch(spark, ev, t1, None, epoch_id="x", dedup_mode="fused")
+    s2 = apply_epoch(spark, ev, t2, None, epoch_id="x", dedup_mode="maxby")
+    assert final_state(t1) == final_state(t2)
+    assert (s1.applied, s1.rejected, s1.events_in) == (
+        s2.applied, s2.rejected, s2.events_in
+    )
+
+
+def test_fingerprint_jvm_parity(spark):
+    """The JVM-side reject predicate used for lineage counting must
+    agree exactly with the pandas kernel that filters rows (they are
+    intentionally duplicated — one counts without an Arrow round trip,
+    one filters under the vectorized-UDF rule)."""
+    from pyspark.sql import functions as F
+    from etl_spark import schemas
+    from etl_spark.functions.fingerprint import parse_validate_fingerprint
+
+    ev = gen.synthetic_events(spark, 2000, n_repos=25, seed=47, corrupt_frac=0.07)
+    # add some null-key rows
+    ev = ev.withColumn(
+        "repo", F.when(F.col("seq") % 97 == 0, F.lit(None)).otherwise(F.col("repo"))
+    )
+    jvm_invalid = ~F.col("op").isin(*schemas.VALID_OPS)
+    for k in schemas.KEY_COLS:
+        jvm_invalid = jvm_invalid | F.col(k).isNull()
+    n_jvm = ev.where(jvm_invalid).count()
+    n_pandas = (
+        parse_validate_fingerprint(ev)
+        .where(F.col("reject_reason").isNotNull())
+        .count()
+    )
+    assert n_jvm == n_pandas > 0
+
+
 def test_derived_events_deterministic(spark):
     a = gen.derived_events(spark, SF_TINY).orderBy("seq").collect()
     b = gen.derived_events(spark, SF_TINY).orderBy("seq").collect()

@@ -164,6 +164,54 @@ def test_schema_evolution_rejects_drop_and_narrow(spark, tbl_dir):
         t.evolve_schema(narrowed)
 
 
+def _updf(spark, rows):
+    up_schema = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType(), False)])
+    return spark.createDataFrame(rows, up_schema)
+
+
+def test_delta_append_and_resolve(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert"), ("r2", "b", 2, 2, "insert")]))
+    assert sorted((r.repo, r.v) for r in t.read().collect()) == [("r1", 1), ("r2", 2)]
+    t.append_delta(_updf(spark, [("r1", "a", 10, 3, "update"), ("r2", "b", None, 4, "delete")]))
+    assert [(r.repo, r.v) for r in t.read().collect()] == [("r1", 10)]
+    # stale delta (seq 2 < winner 3) loses at resolution
+    t.append_delta(_updf(spark, [("r1", "a", 99, 2, "update")]))
+    assert [(r.repo, r.v) for r in t.read().collect()] == [("r1", 10)]
+    # delete then re-insert later
+    t.append_delta(_updf(spark, [("r2", "b", 7, 9, "insert")]))
+    assert sorted((r.repo, r.v) for r in t.read().collect()) == [("r1", 10), ("r2", 7)]
+    assert t.delta_stats()["delta_files"] > 0
+
+
+def test_delta_equals_cow_and_compaction_preserves_state(spark, tbl_dir):
+    import os
+    t_delta = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "d"), SCHEMA, key_cols=("repo", "path"), n_buckets=4
+    )
+    t_cow = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "c"), SCHEMA, key_cols=("repo", "path"), n_buckets=4
+    )
+    batches = [
+        [(f"r{i % 7}", f"p{i % 5}", i, i, "insert" if i % 3 else "update") for i in range(1, 30)],
+        [(f"r{i % 7}", f"p{i % 5}", i * 10, 30 + i, "delete" if i % 4 == 0 else "update")
+         for i in range(1, 20)],
+    ]
+    for b in batches:
+        t_delta.append_delta(_updf(spark, b))
+        t_cow.merge_lww(_updf(spark, b))
+    state = lambda t: sorted(tuple(r) for r in t.read().collect())  # noqa: E731
+    assert state(t_delta) == state(t_cow)
+    before = state(t_delta)
+    t_delta.compact()
+    assert t_delta.delta_stats()["delta_files"] == 0
+    assert state(t_delta) == before
+    # post-compaction deltas still resolve
+    t_delta.append_delta(_updf(spark, [("r1", "p1", 777, 10_000, "update")]))
+    t_cow.merge_lww(_updf(spark, [("r1", "p1", 777, 10_000, "update")]))
+    assert state(t_delta) == state(t_cow)
+
+
 def test_time_travel_and_incremental(spark, tbl_dir):
     t = make(spark, tbl_dir)
     t.append(df(spark, [("r1", "a", 1, 1)]))

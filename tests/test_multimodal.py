@@ -1,0 +1,88 @@
+"""Multimodal plumbing: synthetic media decode, frame sampling,
+feature extraction — exact agreement with a pure-Python reference."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators import multimodal as mm
+
+
+def test_synth_media_deterministic_and_typed(spark):
+    a = mm.synth_media(spark, 50).orderBy("media_id").collect()
+    b = mm.synth_media(spark, 50).orderBy("media_id").collect()
+    assert [(r.media_id, bytes(r.payload)) for r in a] == [
+        (r.media_id, bytes(r.payload)) for r in b
+    ]
+    kinds = {r.kind for r in a}
+    assert kinds <= {"image", "audio", "video"} and len(kinds) == 3
+    r0 = a[0]
+    assert bytes(r0.payload)[:4] == mm.MAGIC
+    assert r0.meta.declared_bytes == len(bytes(r0.payload))
+
+
+def test_decode_matches_python_reference(spark):
+    media = mm.synth_media(spark, 80)
+    out = {r.media_id: r for r in mm.decode_media(media).collect()}
+    assert len(out) == 80
+    for i in range(80):
+        kind, payload, (w, h, nf, nb) = mm._payload_bytes(i)
+        r = out[i]
+        assert r.valid and r.kind == kind and r.width == w and r.height == h
+        assert r.n_frames == nf and r.body_bytes == w * h * nf
+        body = np.frombuffer(payload, dtype=np.uint8, offset=15)
+        assert r.mean_value == pytest.approx(float(body.mean()))
+        assert r.payload_sha256 == hashlib.sha256(payload).hexdigest()
+
+
+def test_decode_rejects_garbage(spark):
+    rows = [(1, "image", b"NOTMAGIC" + b"\x00" * 20, None),
+            (2, "image", None, None),
+            (3, "image", b"SM", None)]
+    df = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r.media_id: r for r in mm.decode_media(df).collect()}
+    assert not any(out[i].valid for i in (1, 2, 3))
+    # truncated body (declared dims > actual bytes) also invalid
+    bad = mm.MAGIC + struct.pack("<BIIH", 0, 100, 100, 1) + b"\x01" * 10
+    df2 = spark.createDataFrame([(4, "image", bad, None)], mm.MEDIA_SCHEMA)
+    assert not mm.decode_media(df2).collect()[0].valid
+
+
+def test_frame_sampling_udtf_shape(spark):
+    media = mm.synth_media(spark, 120)
+    frames = mm.sample_frames(media, every=1)
+    got = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    decoded = {r.media_id: r for r in mm.decode_media(media).collect()}
+    for r in got:
+        assert decoded[r.media_id].kind == "video"
+        assert r.n == decoded[r.media_id].n_frames
+    # every=2 halves the frames (rounded up)
+    half = {
+        r.media_id: r.n
+        for r in mm.sample_frames(media, every=2)
+        .groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    for mid, n in half.items():
+        nf = decoded[mid].n_frames
+        assert n == (nf + 1) // 2
+
+
+def test_feature_extraction_normalized(spark):
+    media = mm.synth_media(spark, 40)
+    feats = mm.extract_features(media, dim=16).collect()
+    assert len(feats) == 40
+    for r in feats:
+        v = np.array(r.feature, dtype=np.float64)
+        assert len(v) == 16
+        assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_decode_real_is_marked_stub(spark):
+    media = mm.synth_media(spark, 1)
+    with pytest.raises(NotImplementedError, match="decode"):
+        mm.decode_real(media)

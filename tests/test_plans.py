@@ -1,0 +1,91 @@
+"""Physical-plan regression gates: the shapes we rely on at 100 TB.
+
+Each assertion encodes a scale property: a dropped broadcast, a lost
+pushdown, a disappearing map-side combine, or a surprise extra shuffle
+fails HERE, not in production."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark import plans
+from etl_spark.operators import relational, windows
+from etl_spark.operators.dedup import lww_latest
+
+from .conftest import SF_TINY
+
+
+def test_dimension_joins_are_broadcast(spark):
+    df = relational.nation_revenue(spark, SF_TINY)
+    assert plans.has_broadcast_join(df)
+    # the fact table must not be shuffled for any dim join — the only
+    # hash exchange allowed is the final groupBy aggregation
+    assert plans.count_exchanges(df) == 1
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = relational.q1_pricing_summary(spark, SF_TINY)
+    pushed = plans.pushed_filters(df)
+    assert "l_shipdate" in pushed  # date filter reaches the parquet scan
+    schemas = plans.read_schemas(df)
+    assert schemas, "no ReadSchema in plan"
+    # column pruning: the 16-column lineitem scan must read only the 7
+    # columns the query touches
+    assert "l_comment" not in schemas[0]
+    assert "l_orderkey" not in schemas[0]
+
+
+def test_q1_partial_aggregation(spark):
+    df = relational.q1_pricing_summary(spark, SF_TINY)
+    assert plans.has_partial_aggregate(df)
+    assert plans.has_whole_stage_codegen(df)
+
+
+def test_q3_topk_is_take_ordered(spark):
+    df = relational.q3_shipping_priority(spark, SF_TINY)
+    # limit+orderBy must plan as a per-partition heap + driver merge,
+    # never a global sort
+    assert plans.has_take_ordered(df)
+
+
+def test_lww_dedup_is_single_shuffle_hash_agg(spark):
+    ev = spark.read.parquet(f"{SF_TINY}/lineitem.parquet").selectExpr(
+        "l_orderkey as seq", "'r' || l_partkey % 10 as repo",
+        "'p' || l_suppkey % 10 as path", "cast(l_shipdate as string) as content"
+    )
+    df = lww_latest(ev)
+    assert plans.has_partial_aggregate(df)  # hot keys pre-combined map-side
+    assert plans.count_exchanges(df) == 1  # exactly one shuffle on the key
+
+
+def test_window_ops_single_exchange_per_key(spark):
+    ev = spark.read.parquet(f"{SF_TINY}/events.parquet")
+    df = windows.lag_delta(ev)
+    # both window specs share partitioning on user_id → one exchange
+    assert plans.count_exchanges(df) == 1
+
+
+def test_anti_join_no_cartesian(spark):
+    df = relational.customers_without_orders(spark, SF_TINY)
+    plan = plans.explain_str(df)
+    assert "Cartesian" not in plan
+    assert "Anti" in plan  # planned as a real anti join
+
+
+def test_filter_ordered_before_pandas_udf(spark):
+    """Catalyst cannot push filters through opaque Python UDFs — the
+    engine must order cheap JVM filters before mapInPandas by
+    construction (SURVEY.md §4 first row). Guard: a filter applied
+    before the UDF stays below it in the plan."""
+    from etl_spark import gen
+    from etl_spark.functions.fingerprint import parse_validate_fingerprint
+
+    ev = gen.synthetic_events(spark, 1000, n_repos=10, seed=1)
+    filtered_first = parse_validate_fingerprint(ev.where(F.col("op") != "delete"))
+    plan = plans.explain_str(filtered_first, mode="simple")
+    udf_pos = plan.find("MapInPandas")
+    assert udf_pos != -1
+    scan_section = plan[udf_pos:]
+    # the op filter must appear downstream of (below) the UDF node in
+    # the printed tree, i.e. it executes before it
+    assert "delete" in scan_section

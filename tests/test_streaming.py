@@ -1,0 +1,101 @@
+"""Streaming tailer: exactly-once, kill/resume, checkpoint replay."""
+
+from __future__ import annotations
+
+import os
+
+from etl_spark import gen
+from etl_spark.operators.apply import create_lineage, create_target, replay
+from etl_spark.streaming.stream import (
+    TailerConfig,
+    run_to_completion,
+    write_event_chunks,
+)
+
+
+def final_state(tgt):
+    return sorted(
+        tuple(r)
+        for r in tgt.read()
+        .select("repo", "path", "commit", "lang", "content_sha256", "last_seq")
+        .collect()
+    )
+
+
+def mk_cfg(base: str, events_dir: str) -> TailerConfig:
+    return TailerConfig(
+        events_dir=events_dir,
+        target_path=os.path.join(base, "target"),
+        lineage_path=os.path.join(base, "lineage"),
+        checkpoint_dir=os.path.join(base, "ckpt"),
+    )
+
+
+def test_stream_matches_batch_replay(spark, tbl_dir):
+    ev = gen.synthetic_events(spark, 2000, n_repos=30, seed=31)
+    events_dir = os.path.join(tbl_dir, "wal")
+    n = write_event_chunks(ev, events_dir, chunk_size=500)
+    assert n == 4
+
+    cfg = mk_cfg(tbl_dir, events_dir)
+    tgt = create_target(spark, cfg.target_path, n_buckets=8)
+    lin = create_lineage(spark, cfg.lineage_path)
+    run_to_completion(spark, cfg)
+
+    # reference: plain batch replay of the same stream
+    t2 = create_target(spark, os.path.join(tbl_dir, "batch_target"), n_buckets=8)
+    replay(spark, ev, t2, None, epoch_size=500)
+    assert final_state(tgt) == final_state(t2)
+    # one lineage epoch per micro-batch (maxFilesPerTrigger=1 → 4)
+    assert lin.read().select("epoch_id").distinct().count() == 4
+
+
+def test_stream_kill_resume_converges(spark, tbl_dir):
+    """Tail half the WAL, stop (the 'kill'), append more segments,
+    resume from the same checkpoint → identical to one-shot."""
+    ev = gen.synthetic_events(spark, 2000, n_repos=30, seed=37)
+    first = ev.where("seq < 1000")
+    rest = ev.where("seq >= 1000")
+
+    events_dir = os.path.join(tbl_dir, "wal")
+    write_event_chunks(first, events_dir, chunk_size=500)
+    cfg = mk_cfg(tbl_dir, events_dir)
+    tgt = create_target(spark, cfg.target_path, n_buckets=8)
+    create_lineage(spark, cfg.lineage_path)
+    run_to_completion(spark, cfg)
+    mid_epochs = tgt.committed_epochs()
+    assert len(mid_epochs) == 2
+
+    write_event_chunks(rest, events_dir, chunk_size=500)
+    run_to_completion(spark, cfg)  # same checkpoint → resumes after batch 1
+    assert len(tgt.committed_epochs()) == 4
+
+    t2 = create_target(spark, os.path.join(tbl_dir, "oneshot"), n_buckets=8)
+    replay(spark, ev, t2, None, epoch_size=500)
+    assert final_state(tgt) == final_state(t2)
+
+
+def test_stream_fresh_checkpoint_redelivery_is_noop(spark, tbl_dir):
+    """Blow away the checkpoint and re-tail the whole WAL: every batch
+    is redelivered with the same epoch ids → all skipped, state and
+    table version unchanged (exactly-once survives checkpoint loss
+    because the manifest is the source of truth)."""
+    ev = gen.synthetic_events(spark, 1500, n_repos=20, seed=41)
+    events_dir = os.path.join(tbl_dir, "wal")
+    write_event_chunks(ev, events_dir, chunk_size=500)
+    cfg = mk_cfg(tbl_dir, events_dir)
+    tgt = create_target(spark, cfg.target_path, n_buckets=8)
+    create_lineage(spark, cfg.lineage_path)
+    run_to_completion(spark, cfg)
+    state = final_state(tgt)
+    version = tgt.current_version()
+
+    cfg2 = TailerConfig(
+        events_dir=events_dir,
+        target_path=cfg.target_path,
+        lineage_path=cfg.lineage_path,
+        checkpoint_dir=os.path.join(tbl_dir, "ckpt2"),  # fresh checkpoint
+    )
+    run_to_completion(spark, cfg2)
+    assert final_state(tgt) == state
+    assert tgt.current_version() == version  # every epoch skipped
