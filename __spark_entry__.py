@@ -197,6 +197,75 @@ FROM events GROUP BY event_type
 """
 
 
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: INTERSECT/EXCEPT between early/late active users."""
+    ev = _read(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08")
+    early = ev.where(F.col("ts") < cut).select("user_id").distinct()
+    late = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+    both = early.intersect(late).count()
+    only_early = early.exceptAll(early.intersect(late)).count()
+    only_late = late.exceptAll(late.intersect(early)).count()
+    return spark.createDataFrame(
+        [(both, only_early, only_late)],
+        "n_both long, n_only_early long, n_only_late long",
+    )
+
+
+_SET_OPS_ORACLE = """
+WITH early AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+late AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-08')
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM early INTERSECT SELECT * FROM late)) AS n_both,
+  (SELECT count(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)) AS n_only_early,
+  (SELECT count(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)) AS n_only_late
+"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog: exact interpolated percentiles per event_type (the
+    lineage-histogram shape; at 100 TB swap in approx_percentile)."""
+    ev = _read(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+    )
+
+
+_PERCENTILES_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 analog (base64 filename decode, etl/globals.go:327-342)."""
+    docs = _read(spark, sf_dir, "documents")
+    # Spark's base64 is MIME (76-char lines, \r\n); strip to canonical
+    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\\r\\n]", "")
+    return docs.select(
+        "doc_id",
+        F.length(b64).cast("long").alias("b64_len"),
+        F.substring(b64, 1, 24).alias("b64_prefix"),
+        (F.unbase64(b64).cast("string") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+_BASE64_ORACLE = """
+SELECT doc_id,
+       length(to_base64(encode(text))) AS b64_len,
+       substr(to_base64(encode(text)), 1, 24) AS b64_prefix,
+       (decode(from_base64(to_base64(encode(text)))) = text) AS roundtrip_ok
+FROM documents
+"""
+
+
 # ---------------------------------------------------------------------------
 # scalar parsing / routing / data-quality queries
 # ---------------------------------------------------------------------------
@@ -776,6 +845,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_revenue": relational.nation_revenue,
         "customers_without_orders": relational.customers_without_orders,
         "order_cogroup_stats": relational.order_cogroup_stats,
+        # set ops / percentiles / base64
+        "set_ops": set_ops,
+        "value_percentiles": value_percentiles,
+        "base64_roundtrip": base64_roundtrip,
         # scalar parsing / routing / data quality
         "f_route_paths": f_route_paths,
         "f_jsonl_decode": f_jsonl_decode,
@@ -822,6 +895,9 @@ def oracle_sql() -> dict[str, str]:
         "nation_revenue": _NATION_REVENUE_ORACLE,
         "customers_without_orders": _ANTI_JOIN_ORACLE,
         "order_cogroup_stats": _COGROUP_ORACLE,
+        "set_ops": _SET_OPS_ORACLE,
+        "value_percentiles": _PERCENTILES_ORACLE,
+        "base64_roundtrip": _BASE64_ORACLE,
         "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
         "f_jsonl_decode": _JSONL_ORACLE,
         "f_json_repair": _JSON_REPAIR_ORACLE,

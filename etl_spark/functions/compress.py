@@ -1,0 +1,128 @@
+"""Blob (de)compression — S2 analog (SURVEY.md §2.1).
+
+The reference transparently gunzips archive members
+(storage/storage.go:77-118) and zstd-decodes tcpinfo rows
+(parser/tcpinfo.go:119-126). Our columnar analog: content blobs may
+arrive compressed; codecs run vectorized in ``mapInPandas`` (zlib/gzip
+from the stdlib; zstd behind an import guard since the lib may be
+absent). No SQL oracle exists for binary codecs — correctness is
+round-trip tested in tests/test_compress.py.
+"""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+try:  # optional, not in this container
+    import zstandard  # type: ignore
+
+    _ZSTD = zstandard
+except ImportError:
+    _ZSTD = None
+
+CODECS = ("gzip", "zlib", "zstd", "none")
+
+
+def _compress_one(data: bytes, codec: str) -> bytes:
+    if codec == "gzip":
+        return gzip.compress(data, mtime=0)  # mtime=0 → deterministic
+    if codec == "zlib":
+        return zlib.compress(data)
+    if codec == "zstd":
+        if _ZSTD is None:
+            raise NotImplementedError("zstandard not installed in this environment")
+        return _ZSTD.ZstdCompressor().compress(data)
+    if codec == "none":
+        return data
+    raise ValueError(f"unknown codec {codec}")
+
+
+def _decompress_one(data: bytes, codec: str) -> bytes | None:
+    try:
+        if codec == "gzip":
+            return gzip.decompress(data)
+        if codec == "zlib":
+            return zlib.decompress(data)
+        if codec == "zstd":
+            if _ZSTD is None:
+                raise NotImplementedError("zstandard not installed")
+            return _ZSTD.ZstdDecompressor().decompress(data)
+        if codec == "none":
+            return data
+        return None
+    except (OSError, zlib.error):
+        return None  # corrupt blob → NULL, counted upstream, never fatal
+
+
+def compress_content(
+    df: DataFrame, content_col: str = "content", codec_col: str = "codec"
+) -> DataFrame:
+    """text content + codec → binary blob column (mapInPandas)."""
+    out_schema = T.StructType(
+        df.schema.fields + [T.StructField("blob", T.BinaryType(), True)]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["blob"] = [
+                _compress_one(c.encode(), k) if isinstance(c, str) else None
+                for c, k in zip(pdf[content_col], pdf[codec_col])
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def decompress_content(
+    df: DataFrame, blob_col: str = "blob", codec_col: str = "codec"
+) -> DataFrame:
+    """binary blob + codec → decoded text (+ decode_error flag)."""
+    out_schema = T.StructType(
+        df.schema.fields
+        + [
+            T.StructField("decoded", T.StringType(), True),
+            T.StructField("decode_error", T.BooleanType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            raw = [
+                _decompress_one(bytes(b), k) if b is not None else None
+                for b, k in zip(pdf[blob_col], pdf[codec_col])
+            ]
+            pdf["decoded"] = [r.decode() if r is not None else None for r in raw]
+            pdf["decode_error"] = [
+                b is not None and r is None for b, r in zip(pdf[blob_col], raw)
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)
+
+
+def compression_stats(df: DataFrame, blob_col: str = "blob",
+                      content_col: str = "content", codec_col: str = "codec") -> DataFrame:
+    """Per-codec size accounting (JVM aggregation over UDF output)."""
+    return (
+        df.select(
+            F.col(codec_col).alias("codec"),
+            F.length(content_col).cast("long").alias("raw_len"),
+            F.length(blob_col).cast("long").alias("blob_len"),
+        )
+        .groupBy("codec")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("raw_len").alias("raw_bytes"),
+            F.sum("blob_len").alias("compressed_bytes"),
+            F.round(F.sum("blob_len") / F.sum("raw_len"), 4).alias("ratio"),
+        )
+    )

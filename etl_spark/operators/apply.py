@@ -240,10 +240,20 @@ def apply_epoch(
             )
             if "bucket" in events.columns:
                 raise ValueError("events must not carry a 'bucket' column")
-            bucketed = events.withColumn(
-                "bucket", bucket_expr(snap0.key_cols, snap0.n_buckets)
+            # sub-bucket grouping: grouping on bucket alone caps
+            # parallelism at n_buckets and balls-into-bins packing makes
+            # stragglers; grouping on hash % (fanout·n_buckets) gives
+            # ~fanout groups per task while bucket = group % n_buckets
+            # stays consistent with bucket_expr (same hash, nested mod)
+            fanout = 4
+            n_groups = snap0.n_buckets * fanout
+            h = F.pmod(
+                F.xxhash64(*[F.col(c) for c in snap0.key_cols]), F.lit(n_groups)
             )
-            updates = bucketed.groupBy("bucket").applyInPandas(kernel, out_schema)
+            bucketed = events.withColumn("__g", h).withColumn(
+                "bucket", F.pmod(F.col("__g"), F.lit(snap0.n_buckets)).cast("int")
+            )
+            updates = bucketed.groupBy("__g").applyInPandas(kernel, out_schema)
             snap2 = target.append_delta(
                 updates, epoch_id=epoch_id, properties=props, assume_bucketed=True
             )

@@ -1,0 +1,141 @@
+"""Custom stateful streaming operator: gap-based sessionization.
+
+T7 analog (SURVEY.md §2.9): the reference's NDT parser holds
+per-timestamp group state across the stream and flushes when the group
+changes (parser/ndt.go:136-148, 238-253). The Spark primitive for
+"logical unit spans micro-batches" is ``applyInPandasWithState``:
+per-key state (open session) survives across batches; a session closes
+when the event-time gap exceeds the timeout or the watermark passes.
+
+Batch variant (``sessionize_batch``) expresses identical semantics with
+window functions — the streaming/batch pair is oracle-tested against
+each other in tests/test_sessions.py.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), True),
+        T.StructField("session_end", T.TimestampType(), True),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("end_us", T.LongType(), True),
+        T.StructField("n", T.LongType(), True),
+        T.StructField("total", T.DoubleType(), True),
+    ]
+)
+
+
+def _us(ts: dt.datetime) -> int:
+    return int(ts.timestamp() * 1_000_000)
+
+
+def _from_us(us: int) -> dt.datetime:
+    return dt.datetime.fromtimestamp(us / 1_000_000, tz=dt.timezone.utc).replace(tzinfo=None)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming sessionization over (user_id, ts, value).
+
+    Emits one row per CLOSED session. State per user = the open
+    session; closes on gap violation within a batch, or on processing-
+    time timeout when the stream goes quiet for that key."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fn(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            if state.exists:
+                s_start, s_end, n, total = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    [(user_id, _from_us(s_start), _from_us(s_end), n, total)],
+                    columns=[f.name for f in SESSION_SCHEMA.fields],
+                )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        closed = []
+        if state.exists:
+            s_start, s_end, n, total = state.get
+        else:
+            s_start = s_end = None
+            n, total = 0, 0.0
+        for ts, value in zip(rows["ts"], rows["value"]):
+            t = _us(ts)
+            if s_start is None:
+                s_start, s_end, n, total = t, t, 1, float(value)
+            elif t - s_end > gap_us:
+                closed.append((user_id, _from_us(s_start), _from_us(s_end), n, total))
+                s_start, s_end, n, total = t, t, 1, float(value)
+            else:
+                s_end = max(s_end, t)
+                n += 1
+                total += float(value)
+        state.update((s_start, s_end, n, total))
+        state.setTimeoutDuration(gap_seconds * 1000)
+        if closed:
+            yield pd.DataFrame(
+                closed, columns=[f.name for f in SESSION_SCHEMA.fields]
+            )
+
+    return (
+        # watermarks require TIMESTAMP (ltz); parquet often carries NTZ.
+        # Session TZ is pinned to UTC so the cast is value-stable.
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Batch reference of the same semantics: session id = running sum
+    of gap-violation flags per user (window functions, one shuffle)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("double")  # NTZ-safe under UTC
+    gap = (secs - F.lag(secs).over(w)) > gap_seconds
+    marked = events.withColumn(
+        "__new_session", F.when(gap, 1).otherwise(0)
+    ).withColumn("__session_id", F.sum("__new_session").over(w))
+    return (
+        marked.groupBy("user_id", "__session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .drop("__session_id")
+    )

@@ -1,0 +1,67 @@
+"""Blob codec round trips + corrupt-blob tolerance."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from etl_spark.functions import compress
+
+
+def corpus(spark):
+    rows = [
+        (1, "hello world " * 50, "gzip"),
+        (2, "short", "zlib"),
+        (3, "x" * 10000, "gzip"),
+        (4, "plain text stays", "none"),
+        (5, None, "gzip"),
+    ]
+    return spark.createDataFrame(rows, "id long, content string, codec string")
+
+
+def test_round_trip(spark):
+    df = corpus(spark)
+    blobs = compress.compress_content(df)
+    back = compress.decompress_content(blobs)
+    got = {r.id: (r.decoded, r.decode_error) for r in back.collect()}
+    for r in df.collect():
+        assert got[r.id] == (r.content, False)
+
+
+def test_gzip_blob_is_standard_format(spark):
+    """Blobs must be plain gzip — decodable by any consumer."""
+    df = corpus(spark).where("id = 1")
+    blob = bytes(compress.compress_content(df).collect()[0].blob)
+    assert gzip.decompress(blob).decode() == "hello world " * 50
+    # deterministic (mtime=0): same input → same bytes
+    blob2 = bytes(compress.compress_content(df).collect()[0].blob)
+    assert blob == blob2
+
+
+def test_corrupt_blob_flagged_not_fatal(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\x1f\x8bgarbage-not-gzip"), "gzip"),
+         (2, bytearray(b"also garbage"), "zlib")],
+        "id long, blob binary, codec string",
+    )
+    out = compress.decompress_content(df).collect()
+    assert all(r.decoded is None and r.decode_error for r in out)
+
+
+def test_compression_stats(spark):
+    df = compress.compress_content(corpus(spark).where("content is not null"))
+    stats = {r.codec: r for r in compress.compression_stats(df).collect()}
+    assert stats["gzip"].ratio < 0.2  # repetitive text compresses hard
+    assert stats["none"].ratio == 1.0
+    assert stats["gzip"].n == 2
+
+
+def test_zstd_is_guarded(spark):
+    import pytest
+
+    if compress._ZSTD is not None:
+        pytest.skip("zstandard present; guard not exercised")
+    df = spark.createDataFrame([(1, "x", "zstd")], "id long, content string, codec string")
+    with pytest.raises(Exception, match="zstandard"):
+        compress.compress_content(df).collect()
