@@ -266,6 +266,213 @@ FROM documents
 """
 
 
+def w_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 analog: gap-based sessionization (batch window form of the
+    applyInPandasWithState streaming operator in streaming/sessions.py;
+    the two are equivalence-tested in tests/test_sessions.py)."""
+    from etl_spark.streaming.sessions import sessionize_batch
+
+    s = sessionize_batch(_read(spark, sf_dir, "events"), gap_seconds=1800)
+    return s.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+), s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def w_monotone_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 analog (parser/ndt.go:238-250): per-key seq regressions in
+    event-time order — stream-integrity rows destined for lineage."""
+    ev = gen.derived_events(spark, sf_dir)
+    return windows.monotonic_violations(
+        ev, seq_col="seq", order_cols=("event_time", "seq"),
+        key_cols=("repo", "path"),
+    ).select("repo", "path", "seq", "prev_seq")
+
+
+_MONOTONE_ORACLE = """
+WITH events AS ({events}),
+w AS (
+  SELECT repo, path, seq,
+         lag(seq) OVER (PARTITION BY repo, path ORDER BY event_time, seq) AS prev_seq
+  FROM events
+)
+SELECT repo, path, seq, prev_seq
+FROM w WHERE prev_seq IS NOT NULL AND seq <= prev_seq
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 beyond-reference: ROLLUP subtotal lattice in one pass
+    (partial+final hash agg per grouping set, no re-scan)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: deterministic top-3 orders per priority class (row_number
+    window; at 100 TB Catalyst rewrites the rank filter into a partial
+    top-k before the shuffle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _read(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_TOPK_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+"""
+
+
+def f_text_table_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 analog (sidestream text-table decode, parser/ss.go:63-95):
+    split + posexplode of the leading tokens, position-indexed."""
+    toks = F.slice(F.split(F.col("text"), " "), 1, 5)
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .select(
+            "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "tok",
+            F.length("tok").cast("long").alias("tok_len"),
+        )
+    )
+
+
+_TEXT_TABLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS l FROM documents
+)
+SELECT doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
+       unnest(l) AS tok, CAST(length(unnest(l)) AS BIGINT) AS tok_len
+FROM t
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard over deterministically pruned
+    candidate pairs (same lang, |n_chars diff| <= 16) — the verify
+    stage of the dedup pipeline with a SQL-expressible pair source
+    (the LSH pair source is oracle-checked rows-only separately)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 16),
+    ).select("doc_a", "doc_b")
+    return simdedup.ngram_jaccard_pairs(docs, pairs, n=5)
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(length(text) - 4, 1)),
+      i -> substr(text, i, 5)))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 16
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+"""
+
+
+def f_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 analog (gzip/zstd member decode, storage/storage.go:77-118):
+    compress → decompress → per-codec size accounting, all vectorized
+    in mapInPandas. Binary codecs have no SQL oracle — rows-only here;
+    byte-exact round-trips are pinned in tests/test_compress.py."""
+    from etl_spark.functions import compress
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "codec",
+        F.element_at(
+            F.array(F.lit("gzip"), F.lit("zlib"), F.lit("none")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ),
+    )
+    blobs = compress.compress_content(docs, content_col="text")
+    decoded = compress.decompress_content(blobs, blob_col="blob")
+    ok = decoded.where(
+        ~F.col("decode_error") & (F.col("decoded") == F.col("text"))
+    )
+    return compress.compression_stats(ok, blob_col="blob", content_col="text")
+
+
 # ---------------------------------------------------------------------------
 # scalar parsing / routing / data-quality queries
 # ---------------------------------------------------------------------------
@@ -849,6 +1056,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": set_ops,
         "value_percentiles": value_percentiles,
         "base64_roundtrip": base64_roundtrip,
+        # sessionization / integrity / rollup / top-k / text-table
+        "w_sessionize_gap": w_sessionize_gap,
+        "w_monotone_violations": w_monotone_violations,
+        "agg_rollup": agg_rollup,
+        "w_topk_per_group": w_topk_per_group,
+        "f_text_table_decode": f_text_table_decode,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
+        "f_compress_roundtrip": f_compress_roundtrip,
         # scalar parsing / routing / data quality
         "f_route_paths": f_route_paths,
         "f_jsonl_decode": f_jsonl_decode,
@@ -898,6 +1113,13 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_OPS_ORACLE,
         "value_percentiles": _PERCENTILES_ORACLE,
         "base64_roundtrip": _BASE64_ORACLE,
+        "w_sessionize_gap": _SESSIONIZE_ORACLE,
+        "w_monotone_violations": _MONOTONE_ORACLE.format(events=ev),
+        "agg_rollup": _ROLLUP_ORACLE,
+        "w_topk_per_group": _TOPK_ORACLE,
+        "f_text_table_decode": _TEXT_TABLE_ORACLE,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
+        # f_compress_roundtrip: rows-only (binary codecs, no SQL oracle)
         "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
         "f_jsonl_decode": _JSONL_ORACLE,
         "f_json_repair": _JSON_REPAIR_ORACLE,

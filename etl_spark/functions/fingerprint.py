@@ -23,6 +23,8 @@ instead of two passes.
 from __future__ import annotations
 
 import hashlib
+import json
+import os
 from typing import Iterator, Sequence
 
 import pandas as pd
@@ -58,7 +60,12 @@ def fingerprint_batch(pdf: pd.DataFrame, key_cols: Sequence[str]) -> pd.DataFram
 APPLY_OPS = ("insert", "update", "delete")
 
 
-def dedup_fingerprint_kernel(key_cols: Sequence[str], out_cols: Sequence[str]):
+def dedup_fingerprint_kernel(
+    key_cols: Sequence[str],
+    out_cols: Sequence[str],
+    stats_acc=None,
+    group_col: str = "__g",
+):
     """Fused applyInPandas kernel for the delta-apply hot path:
     validate → per-key LWW (groupby idxmax on seq) → sha256 winners.
 
@@ -67,17 +74,36 @@ def dedup_fingerprint_kernel(key_cols: Sequence[str], out_cols: Sequence[str]):
     winners leave the kernel already co-partitioned with the table
     (bucket = hash(key), so bucket partitioning IS key partitioning).
     Everything is vectorized pandas; invalid rows (bad op / null key)
-    and schema_change control events are dropped here — the JVM-side
-    mirror predicate in apply.py counts them for lineage without an
-    Arrow round trip (parity pinned by test_fingerprint_jvm_parity)."""
+    and schema_change control events are dropped here.
+
+    ``stats_acc`` (a list-accumulator) receives one lineage tuple per
+    group — ``(group_id, events_in, rejected, min_seq, max_seq,
+    bytes)`` — computed over the PRE-filter rows this kernel already
+    holds in memory, so the whole epoch (accounting + dedup + hash +
+    write) is ONE Spark job with one shuffle. The driver dedupes
+    tuples by group_id (speculative/retried tasks re-emit identical
+    stats for a group, since the input is deterministic) and
+    cross-checks the totals against the JVM-side exactly-once
+    ``observe`` metrics (parity of the two predicates is pinned by
+    test_fingerprint_jvm_parity)."""
     keys = list(key_cols)
     cols = list(out_cols)
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        ok = pdf["op"].isin(APPLY_OPS)
+        valid = pdf["op"].isin(VALID_OPS)
+        keys_ok = pd.Series(True, index=pdf.index)
         for k in keys:
-            ok &= pdf[k].notna()
-        pdf = pdf[ok]
+            keys_ok &= pdf[k].notna()
+        if stats_acc is not None and len(pdf):
+            stats_acc.add([(
+                int(pdf[group_col].iloc[0]),
+                int(len(pdf)),
+                int((~(valid & keys_ok)).sum()),
+                int(pdf["seq"].min()),
+                int(pdf["seq"].max()),
+                int(pdf["content"].str.len().fillna(0).sum()),
+            )])
+        pdf = pdf[pdf["op"].isin(APPLY_OPS) & keys_ok]
         out_names = ["bucket"] + cols + ["__op"]
         if pdf.empty:
             return pd.DataFrame({c: pd.Series(dtype="object") for c in out_names})
@@ -92,6 +118,94 @@ def dedup_fingerprint_kernel(key_cols: Sequence[str], out_cols: Sequence[str]):
         return win[out_names]
 
     return fn
+
+
+WINNOW_STATS_DDL = (
+    "bucket int, rel_path string, rows long, bytes long, "
+    "min_seq long, max_seq long"
+)
+
+
+def winnow_write_kernel(delta_schema_json: str, out_root: str):
+    """mapInArrow kernel for the winners-only ("winnow") apply path:
+    sha256-fingerprint winner rows and stream them straight into
+    bucket-partitioned delta files via pyarrow — the JVM never sees the
+    rows again (no Arrow return trip, no JVM parquet encode, no footer
+    stat reads; the task output is ONLY per-bucket stats).
+
+    Input batches are already partitioned by ``bucket`` (every bucket
+    lives wholly in one task). File paths are deterministic per
+    (bucket, partitionId): a retried task overwrites its own files and
+    the driver receives stats exactly once per successful partition
+    (collect()-based, not accumulator-based), so commit metadata is
+    exact under retries. Speculative execution must stay off for this
+    stage (concurrent same-path writes) — the default."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import types as T
+
+    from etl_spark.icelite.table import _arrow_type
+
+    delta_schema = T.StructType.fromJson(json.loads(delta_schema_json))
+    arrow_schema = pa.schema(
+        [pa.field(f.name, _arrow_type(f.dataType)) for f in delta_schema.fields]
+    )
+    names = [f.name for f in delta_schema.fields]
+
+    def run(batches):
+        from pyspark import TaskContext
+
+        # one task slot = one core: pyarrow's default per-process pool
+        # (cpu_count threads) multiplied across concurrent workers
+        # thrashes the box — pin to 1 thread, parallelism comes from
+        # Spark tasks.
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:
+            pass
+        tbls = [pa.Table.from_batches([rb]) for rb in batches]
+        if not tbls:
+            return
+        t = pa.concat_tables(tbls)
+        pid = TaskContext.get().partitionId()
+        for bucket in pc.unique(t["bucket"]).to_pylist():
+            sub = t.filter(pc.equal(t["bucket"], bucket))
+            content = sub["content"].to_pylist()
+            sha = pa.array(
+                [
+                    hashlib.sha256(c.encode("utf-8")).hexdigest()
+                    if c is not None
+                    else None
+                    for c in content
+                ],
+                pa.string(),
+            )
+            sub = sub.append_column("content_sha256", sha)
+            out = pa.Table.from_arrays(
+                [sub[n].combine_chunks().cast(arrow_schema.field(n).type)
+                 for n in names],
+                schema=arrow_schema,
+            )
+            rel_path = os.path.join(f"bucket={bucket}", f"part-{pid:05d}.parquet")
+            fp = os.path.join(out_root, rel_path)
+            os.makedirs(os.path.dirname(fp), exist_ok=True)
+            pq.write_table(out, fp, compression="snappy")
+            mm = pc.min_max(sub["last_seq"])
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "bucket": pa.array([bucket], pa.int32()),
+                    "rel_path": pa.array([rel_path], pa.string()),
+                    "rows": pa.array([len(out)], pa.int64()),
+                    "bytes": pa.array([os.path.getsize(fp)], pa.int64()),
+                    "min_seq": pa.array([mm["min"].as_py()], pa.int64()),
+                    "max_seq": pa.array([mm["max"].as_py()], pa.int64()),
+                }
+            )
+
+    return run
 
 
 def parse_validate_fingerprint(

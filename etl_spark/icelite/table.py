@@ -164,8 +164,16 @@ def bucket_expr(key_cols: Sequence[str], n_buckets: int):
 def _collect_datafiles(
     data_root: str, rel_dir: str, schema_id: int, kind: str = "base"
 ) -> list[DataFile]:
-    """Scan a freshly written ``bucket=K/part-*.parquet`` tree into manifest entries."""
-    out: list[DataFile] = []
+    """Scan a freshly written ``bucket=K/part-*.parquet`` tree into manifest entries.
+
+    Footer reads go through a thread pool: pq.read_metadata is a small
+    random read that releases the GIL, and an epoch can add hundreds of
+    files — serial driver-side reads would be a fixed per-epoch cost
+    that Amdahl-limits N→4N scaling. (On a real object store this is
+    executor-side manifest writing anyway.)"""
+    from concurrent.futures import ThreadPoolExecutor
+
+    targets: list[tuple[str, int]] = []  # (abs path, bucket)
     abs_dir = os.path.join(data_root, rel_dir)
     for entry in sorted(os.listdir(abs_dir)):
         sub = os.path.join(abs_dir, entry)
@@ -173,32 +181,26 @@ def _collect_datafiles(
             bucket = int(entry.split("=", 1)[1])
             for fn in sorted(os.listdir(sub)):
                 if fn.endswith(".parquet"):
-                    fp = os.path.join(sub, fn)
-                    meta = pq.read_metadata(fp)
-                    out.append(
-                        DataFile(
-                            path=os.path.join(rel_dir, entry, fn),
-                            bucket=bucket,
-                            rows=meta.num_rows,
-                            bytes=os.path.getsize(fp),
-                            schema_id=schema_id,
-                            kind=kind,
-                        )
-                    )
+                    targets.append((os.path.join(sub, fn), bucket))
         elif entry.endswith(".parquet"):
-            fp = os.path.join(abs_dir, entry)
-            meta = pq.read_metadata(fp)
-            out.append(
-                DataFile(
-                    path=os.path.join(rel_dir, entry),
-                    bucket=0,
-                    rows=meta.num_rows,
-                    bytes=os.path.getsize(fp),
-                    schema_id=schema_id,
-                    kind=kind,
-                )
-            )
-    return out
+            targets.append((sub, 0))
+
+    def stat_one(t: tuple[str, int]) -> DataFile:
+        fp, bucket = t
+        meta = pq.read_metadata(fp)
+        return DataFile(
+            path=os.path.relpath(fp, data_root),
+            bucket=bucket,
+            rows=meta.num_rows,
+            bytes=os.path.getsize(fp),
+            schema_id=schema_id,
+            kind=kind,
+        )
+
+    if len(targets) <= 4:
+        return [stat_one(t) for t in targets]
+    with ThreadPoolExecutor(max_workers=16) as ex:
+        return list(ex.map(stat_one, targets))
 
 
 def _cast_to(df: DataFrame, schema: T.StructType) -> DataFrame:
@@ -215,6 +217,98 @@ def _cast_to(df: DataFrame, schema: T.StructType) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
     return df.select(*cols)
+
+
+def _arrow_type(spark_type: T.DataType):
+    """Spark type → arrow type for the compaction write path."""
+    import pyarrow as pa
+
+    tn = spark_type.typeName()
+    mapping = {
+        "string": pa.string(), "long": pa.int64(), "integer": pa.int32(),
+        "double": pa.float64(), "float": pa.float32(),
+        "boolean": pa.bool_(), "binary": pa.binary(),
+        "timestamp": pa.timestamp("us", tz="UTC"),
+        "date": pa.date32(),
+    }
+    if tn not in mapping:
+        raise ValueError(f"compaction: unsupported type {tn}")
+    return mapping[tn]
+
+
+def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
+                    key_cols: Sequence[str]):
+    """Per-bucket compaction task body (runs inside mapInPandas).
+
+    Input: spec rows {bucket, files: [[path, schema_id, kind], ...]}.
+    Each task: pyarrow-read its bucket's files, pandas-resolve per-key
+    LWW (max (last_seq, is_base) — identical rank to ``read()``), drop
+    tombstones, pyarrow-write ONE fresh base file, emit its stats. All
+    row compute is vectorized (north rule); only file paths cross the
+    driver boundary."""
+    import pandas as pd
+
+    keys = list(key_cols)
+    current = T.StructType.fromJson(json.loads(schema_jsons[-1]))
+
+    def run(batches):
+        import pyarrow as pa
+
+        # parallelism comes from Spark tasks (one per bucket) — arrow's
+        # own per-process thread pool would oversubscribe the box
+        try:
+            pa.set_cpu_count(1)
+            pa.set_io_thread_count(1)
+        except Exception:
+            pass
+        arrow_schema = pa.schema(
+            [pa.field(f_.name, _arrow_type(f_.dataType)) for f_ in current.fields]
+        )
+        for pdf in batches:
+            out_rows = []
+            for spec_json in pdf["spec"]:
+                spec = json.loads(spec_json)
+                bucket = spec["bucket"]
+                frames = []
+                for path, _sid, kind in spec["files"]:
+                    f = pq.read_table(os.path.join(data_root, path)).to_pandas()
+                    if kind != "delta":
+                        f["__op"] = "base"
+                    frames.append(f)
+                df = pd.concat(frames, ignore_index=True, sort=False)
+                # rank = (last_seq, is_base): base wins seq ties, same
+                # as the read()-side resolver and the CoW seq guard
+                df["__is_base"] = (df["__op"] == "base").astype("int8")
+                df = df.sort_values(
+                    ["last_seq", "__is_base"], kind="mergesort"
+                ).drop_duplicates(subset=keys, keep="last")
+                df = df[df["__op"] != "delete"]
+                if len(df) == 0:
+                    continue
+                arrays = []
+                for f_ in current.fields:
+                    typ = _arrow_type(f_.dataType)
+                    if f_.name not in df.columns:
+                        arrays.append(pa.nulls(len(df), type=typ))
+                        continue
+                    s = df[f_.name]
+                    if pa.types.is_timestamp(typ) and getattr(s.dtype, "tz", None) is None \
+                            and str(s.dtype).startswith("datetime64"):
+                        s = s.dt.tz_localize("UTC")
+                    arrays.append(pa.array(s, type=typ, from_pandas=True))
+                table = pa.Table.from_arrays(arrays, schema=arrow_schema)
+                rel_path = os.path.join(f"bucket={bucket}", "part-00000.parquet")
+                fp = os.path.join(out_root, rel_path)
+                os.makedirs(os.path.dirname(fp), exist_ok=True)
+                pq.write_table(table, fp, compression="snappy")
+                out_rows.append(
+                    (bucket, rel_path, len(table), os.path.getsize(fp))
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["bucket", "rel_path", "rows", "bytes"]
+            )
+
+    return run
 
 
 class IceliteTable:
@@ -652,6 +746,24 @@ class IceliteTable:
         snap = self.snapshot()
         if epoch_id is not None and epoch_id in snap.epochs:
             return snap
+        _, new_files = self.write_delta_files(
+            updates, op_col=op_col, assume_bucketed=assume_bucketed
+        )
+        return self.commit_add_files(new_files, epoch_id=epoch_id, properties=properties)
+
+    def write_delta_files(
+        self,
+        updates: DataFrame,
+        op_col: str = "op",
+        assume_bucketed: bool = False,
+    ) -> tuple[str, list[DataFile]]:
+        """Run the delta-write JOB without committing — returns the
+        staging dir (for ``abort_write``) and manifest entries (for
+        ``commit_add_files``). Splitting write from commit lets the
+        caller run post-job, pre-commit checks (the epoch quality gate)
+        in the SAME Spark job that produced the files: uncommitted files
+        are invisible to readers, so an abort is just an rmtree."""
+        snap = self.snapshot()
         if not snap.key_cols:
             raise ValueError("append_delta requires a keyed table")
         schema = snap.current_schema
@@ -689,6 +801,61 @@ class IceliteTable:
             new_files = self._write_datafiles(
                 delta_df, delta_schema, len(snap.schemas) - 1, bucketed=True, kind="delta"
             )
+            rel = new_files[0].path.split(os.sep, 1)[0] if new_files else ""
+        return rel, new_files
+
+    def commit_add_files(
+        self,
+        new_files: list[DataFile],
+        epoch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Commit previously written files (see ``write_delta_files``)."""
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in snap.epochs:
+            return snap
+        return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
+
+    def abort_write(self, rel: str) -> None:
+        """Discard a staged, uncommitted write (quality-gate abort)."""
+        if rel:
+            shutil.rmtree(os.path.join(self.data_path, rel), ignore_errors=True)
+
+    def stage_delta_dir(self) -> tuple[str, str]:
+        """Allocate a staging dir for executor-side delta writes (the
+        winnow kernel writes files directly; see winnow_write_kernel).
+        Returns (rel, abs_root); commit with ``commit_staged_delta`` or
+        discard with ``abort_write(rel)``."""
+        rel = f"s{uuid.uuid4().hex[:12]}"
+        out_root = os.path.join(self.data_path, rel)
+        os.makedirs(out_root, exist_ok=True)
+        return rel, out_root
+
+    def commit_staged_delta(
+        self,
+        rel: str,
+        stats_rows: list,
+        epoch_id: str | None = None,
+        properties: dict | None = None,
+    ) -> Snapshot:
+        """Commit kernel-written delta files from their collected stats
+        rows (bucket, rel_path, rows, bytes, ...) — no footer reads, no
+        directory scans: the write tasks already measured their own
+        output."""
+        snap = self.snapshot()
+        if epoch_id is not None and epoch_id in snap.epochs:
+            return snap
+        new_files = [
+            DataFile(
+                path=os.path.join(rel, r["rel_path"]),
+                bucket=int(r["bucket"]),
+                rows=int(r["rows"]),
+                bytes=int(r["bytes"]),
+                schema_id=len(snap.schemas) - 1,
+                kind="delta",
+            )
+            for r in stats_rows
+        ]
         return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
 
     def delta_stats(self) -> dict:
@@ -711,16 +878,53 @@ class IceliteTable:
         """Fold all delta files into fresh base files (resolved LWW
         state), dropping tombstoned keys. Logical state is unchanged —
         compaction commutes with replay, so it can run at any point
-        without affecting convergence."""
+        without affecting convergence.
+
+        ZERO-SHUFFLE: every key lives in exactly one bucket and all of
+        a bucket's base+delta files are self-contained, so per-key LWW
+        resolution never needs a cross-bucket exchange. Compaction runs
+        as ``mapInPandas`` over one spec row per bucket — each task
+        reads its bucket's files with pyarrow, resolves winners in
+        pandas, writes one fresh base file, and returns only the file
+        stats. No groupBy, no exchange, scales linearly to
+        min(cores, touched buckets). (A groupBy-based compaction would
+        re-shuffle the whole table — the largest avoidable shuffle in
+        the engine.)"""
         snap = self.snapshot()
         if not any(f_.kind == "delta" for f_ in snap.files):
             return snap
         touched = sorted({f_.bucket for f_ in snap.files if f_.kind == "delta"})
-        resolved = self.read(buckets=touched, resolve=True)
-        new_files = self._write_datafiles(
-            resolved, snap.current_schema, len(snap.schemas) - 1,
-            bucketed=True, buckets_hint=len(touched),
+        rel = f"s{uuid.uuid4().hex[:12]}"
+        out_root = os.path.join(self.data_path, rel)
+        os.makedirs(out_root, exist_ok=True)
+        specs = []
+        for b in touched:
+            files = [
+                [f_.path, f_.schema_id, f_.kind]
+                for f_ in snap.files
+                if f_.bucket == b
+            ]
+            specs.append((b, json.dumps({"bucket": b, "files": files})))
+        kernel = _compact_kernel(
+            self.data_path, out_root, snap.schemas, snap.key_cols
         )
+        stats = (
+            self.spark.createDataFrame(specs, "bucket int, spec string")
+            .repartition(len(specs))
+            .mapInPandas(kernel, "bucket int, rel_path string, rows long, bytes long")
+            .collect()
+        )
+        new_files = [
+            DataFile(
+                path=os.path.join(rel, r["rel_path"]),
+                bucket=r["bucket"],
+                rows=r["rows"],
+                bytes=r["bytes"],
+                schema_id=len(snap.schemas) - 1,
+                kind="base",
+            )
+            for r in stats
+        ]
         tset = set(touched)
         kept = [f_ for f_ in snap.files if f_.bucket not in tset]
         return self._commit(

@@ -30,18 +30,33 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.accumulators import AccumulatorParam
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from etl_spark import schemas
 from etl_spark.functions.fingerprint import (
+    APPLY_OPS,
+    WINNOW_STATS_DDL,
     dedup_fingerprint_kernel,
     parse_validate_fingerprint,
+    winnow_write_kernel,
 )
 from etl_spark.icelite.table import IceliteTable, bucket_expr
 from etl_spark.ledger import SchemaLedger
 from etl_spark.operators.dedup import lww_latest
+
+
+class _ListAccum(AccumulatorParam):
+    """Accumulates per-group lineage tuples from the fused kernel."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, v1, v2):
+        v1.extend(v2)
+        return v1
 
 
 class EpochQualityError(Exception):
@@ -109,9 +124,13 @@ def apply_epoch(
     max_reject_frac: float = 0.10,
     merge_mode: str = "delta",
     compact_max_delta_files: int = 16,
-    dedup_mode: str = "fused",
+    dedup_mode: str = "winnow",
 ) -> ApplyStats:
     """Apply one epoch of change events. Idempotent per epoch_id.
+
+    ``events`` must be a deterministic plan (re-executing it yields the
+    same rows — already a replay-convergence requirement): the winnow
+    path evaluates it twice.
 
     merge_mode:
     - "delta" (default): merge-on-read — winners land as bucketed delta
@@ -122,14 +141,29 @@ def apply_epoch(
       reads stay cheapest, writes amplify with table/batch ratio.
 
     dedup_mode (delta mode only):
-    - "fused" (default): ONE shuffle total — events exchange on bucket
-      (= hash of key), then a single applyInPandas stage validates,
-      LWW-dedups and sha256-fingerprints per bucket and streams
-      winners straight into bucket-partitioned delta files.
+    - "winnow" (default): winners-only dataflow. Stage 1 reads ONLY
+      (seq, op, key) — columnar pruning — and finds each key's max seq
+      with a JVM partial+final max-agg (hot keys collapse map-side, so
+      repo skew never reaches the wide shuffle). The winning seq set
+      (globally unique longs) broadcasts back as a semi-join filter, so
+      full-width rows of LOSERS are never shuffled, never Arrow-
+      serialized, never hashed: only ~1-winner-per-key rows (uniform by
+      construction — LWW output is one row per key regardless of skew)
+      cross the bucket exchange into a mapInArrow kernel that sha256s
+      and writes delta files directly (no Arrow return trip). Epoch
+      accounting rides on exactly-once observe() metrics + per-bucket
+      stats from the kernel — the whole epoch is one query, one wide
+      shuffle of winners, zero extra passes.
+    - "fused": ONE shuffle of the full event stream — events exchange
+      on bucket (= hash of key), then a single applyInPandas stage
+      validates, LWW-dedups and sha256-fingerprints per bucket and
+      streams winners into bucket-partitioned delta files. Wins over
+      winnow only when scanning the source twice is expensive and the
+      batch is un-cacheable.
     - "maxby": two-stage — mapInPandas fingerprint, groupBy max_by
       dedup (shuffle on key), then the delta write re-shuffles on
       bucket. Kept as the general-purpose composable path.
-    Both modes produce the identical logical state (asserted in tests);
+    All modes produce the identical logical state (asserted in tests);
     compaction commutes with replay."""
     if target.has_epoch(epoch_id):
         # redelivered epoch: complete a possibly-missing lineage append,
@@ -142,40 +176,7 @@ def apply_epoch(
 
     ledger = ledger or SchemaLedger.default()
 
-    # 1. lineage/stats pass — JVM-only (no Python, no persist): the
-    # reject predicate is mirrored from the pandas kernel so counting
-    # never pays an Arrow round trip; the authoritative row *filtering*
-    # still happens inside the pandas UDF below (north rule), and
-    # test_fingerprint_jvm_parity pins the two predicates together.
-    invalid = ~F.col("op").isin(*schemas.VALID_OPS)
-    for k in schemas.KEY_COLS:
-        invalid = invalid | F.col(k).isNull()
-    part_stats = (
-        events.withColumn("__pid", F.spark_partition_id())
-        .groupBy("__pid")
-        .agg(
-            F.count(F.lit(1)).alias("event_count"),
-            F.min(schemas.SEQ_COL).alias("min_seq"),
-            F.max(schemas.SEQ_COL).alias("max_seq"),
-            F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes"),
-            F.sum(F.when(invalid, 1).otherwise(0)).cast("long").alias("rejected"),
-        )
-        .collect()
-    )
-    events_in = sum(r["event_count"] for r in part_stats)
-    rejected = sum(r["rejected"] for r in part_stats)
-    high_watermark = max(
-        (r["max_seq"] for r in part_stats if r["max_seq"] is not None), default=None
-    )
-
-    # 2. quality gate before any commit
-    if events_in > 0 and rejected / events_in > max_reject_frac:
-        raise EpochQualityError(
-            f"epoch {epoch_id}: {rejected}/{events_in} rejected "
-            f"(> {max_reject_frac:.0%} gate)"
-        )
-
-    # 3. ledger check + target schema evolution (before the write plan
+    # 1. ledger check + target schema evolution (before the write plan
     # is built — the output schema must be final)
     unknown = [
         c for c in events.columns
@@ -187,10 +188,197 @@ def apply_epoch(
     if len(tgt_schema.fields) > len(target.snapshot().current_schema.fields):
         target.evolve_schema(tgt_schema)
 
-    # 4. winners (validate + LWW dedup + sha256, vectorized pandas)
-    if merge_mode == "delta" and dedup_mode == "fused":
-        updates = None  # built inside the delta branch below
+    # 2. ONE Spark job per epoch. Accounting rides inside the same job
+    # that produces the delta files — the fused kernel accumulates one
+    # lineage tuple per shuffle group (it already holds the pre-filter
+    # rows in memory), and the non-fused paths observe() exactly-once
+    # JVM metrics on the raw events. The quality gate then runs BETWEEN
+    # the file write and the manifest commit: staged files are
+    # invisible to readers, so an abort is an rmtree, nothing more.
+    # (The previous design ran a separate JVM stats job first — a 2nd
+    # full input scan per epoch whose job barrier was a fixed serial
+    # cost that Amdahl-capped N→4N scaling.)
+    if merge_mode == "delta" and dedup_mode == "winnow":
+        snap0 = target.snapshot()
+        if "bucket" in events.columns:
+            raise ValueError("events must not carry a 'bucket' column")
+        invalid = ~F.col("op").isin(*schemas.VALID_OPS)
+        for k in schemas.KEY_COLS:
+            invalid = invalid | F.col(k).isNull()
+        # metrics use ONLY narrow columns (op, keys, seq): adding e.g.
+        # sum(length(content)) here would drag the content column into
+        # the winseq branch and defeat its columnar pruning — the
+        # whole point of the winnow design. Winner-payload bytes are
+        # observed on the winners branch below, where content is read
+        # anyway.
+        obs = Observation()
+        ev1 = events.observe(
+            obs,
+            F.count(F.lit(1)).alias("events_in"),
+            F.sum(F.when(invalid, 1).otherwise(0)).cast("long").alias("rejected"),
+            F.min(schemas.SEQ_COL).alias("min_seq"),
+            F.max(schemas.SEQ_COL).alias("max_seq"),
+        )
+        validp = F.col("op").isin(*APPLY_OPS)
+        for k in snap0.key_cols:
+            validp = validp & F.col(k).isNotNull()
+        winseq = (
+            ev1.where(validp)
+            .groupBy(*snap0.key_cols)
+            .agg(F.max(schemas.SEQ_COL).alias(schemas.SEQ_COL))
+            .select(schemas.SEQ_COL)
+        )
+        # NOTE: `events` (not ev1) on the probe side — the observe node
+        # must appear exactly once in the plan or metrics double-count.
+        obs_w = Observation()
+        winners = events.join(
+            F.broadcast(winseq), on=schemas.SEQ_COL, how="left_semi"
+        ).observe(
+            obs_w,
+            F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes"),
+        )
+        sel = []
+        for f_ in snap0.current_schema.fields:
+            if f_.name == "content_sha256":
+                continue  # the kernel computes it over winners only
+            if f_.name == "last_seq":
+                sel.append(F.col(schemas.SEQ_COL).cast("long").alias("last_seq"))
+            elif f_.name in winners.columns:
+                sel.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            else:
+                sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+        sel.append(F.col("op").cast("string").alias("__op"))
+        sel.append(bucket_expr(snap0.key_cols, snap0.n_buckets).alias("bucket"))
+        bucketed = winners.select(*sel)
+        delta_schema_json = T.StructType(
+            snap0.current_schema.fields
+            + [T.StructField("__op", T.StringType(), True)]
+        ).json()
+        rel, out_root = target.stage_delta_dir()
+        kernel = winnow_write_kernel(delta_schema_json, out_root)
+        # AQE's partition coalescing targets ~64MB partitions, which
+        # caps the kernel stage's parallelism below the core count for
+        # sub-GB winner sets (measured 2.4x slower at 24 cores) —
+        # explicit repartition + AQE off IS the tuned plan here.
+        # one python task per bucket: python-stage tasks cost ~10ms of
+        # SERIAL dispatch each (measured), so task count is a direct
+        # Amdahl term — n_buckets tasks is the minimum that keeps one
+        # file per bucket per epoch.
+        aqe_prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
+            stats_rows = (
+                bucketed.repartition(snap0.n_buckets, "bucket")
+                .mapInArrow(kernel, WINNOW_STATS_DDL)
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
+        m = obs.get
+        events_in = int(m["events_in"])
+        rejected = int(m["rejected"] or 0)
+        high_watermark = m["max_seq"]
+        if events_in > 0 and rejected / events_in > max_reject_frac:
+            target.abort_write(rel)
+            raise EpochQualityError(
+                f"epoch {epoch_id}: {rejected}/{events_in} rejected "
+                f"(> {max_reject_frac:.0%} gate)"
+            )
+        # per-bucket lineage (storage-partition granularity: applied
+        # rows, seq range, file bytes) + one partition_id=-1 totals row
+        # (input events, rejects, content bytes, watermark).
+        lineage_rows = sorted(
+            (epoch_id, int(r["bucket"]), int(r["rows"]), int(r["min_seq"]),
+             int(r["max_seq"]), int(r["bytes"]), 0)
+            for r in stats_rows
+        ) + [
+            (epoch_id, -1, events_in, m["min_seq"], high_watermark,
+             int(obs_w.get["bytes"] or 0), rejected)
+        ]
+        props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
+                             lineage_rows)
+        target.commit_staged_delta(rel, stats_rows, epoch_id=epoch_id,
+                                   properties=props)
+        applied = sum(int(r["rows"]) for r in stats_rows)
+        if (
+            target.delta_stats()["max_delta_files_per_bucket"]
+            >= compact_max_delta_files
+        ):
+            target.compact()
+    elif merge_mode == "delta" and dedup_mode == "fused":
+        snap0 = target.snapshot()
+        out_schema = T.StructType(
+            [T.StructField("bucket", T.IntegerType(), False)]
+            + snap0.current_schema.fields
+            + [T.StructField("__op", T.StringType(), True)]
+        )
+        acc = spark.sparkContext.accumulator([], _ListAccum())
+        kernel = dedup_fingerprint_kernel(
+            schemas.KEY_COLS,
+            [f_.name for f_ in snap0.current_schema.fields],
+            stats_acc=acc,
+        )
+        if "bucket" in events.columns:
+            raise ValueError("events must not carry a 'bucket' column")
+        # sub-bucket grouping: grouping on bucket alone caps
+        # parallelism at n_buckets and balls-into-bins packing makes
+        # stragglers; grouping on hash % (fanout·n_buckets) gives
+        # ~fanout groups per task while bucket = group % n_buckets
+        # stays consistent with bucket_expr (same hash, nested mod)
+        fanout = 4
+        n_groups = snap0.n_buckets * fanout
+        h = F.pmod(
+            F.xxhash64(*[F.col(c) for c in snap0.key_cols]), F.lit(n_groups)
+        )
+        bucketed = events.withColumn("__g", h).withColumn(
+            "bucket", F.pmod(F.col("__g"), F.lit(snap0.n_buckets)).cast("int")
+        )
+        updates = bucketed.groupBy("__g").applyInPandas(kernel, out_schema)
+        rel, new_files = target.write_delta_files(updates, assume_bucketed=True)
+        # stats: dedupe by group id — a retried/speculative task re-adds
+        # an identical tuple for its group (deterministic input), so
+        # first-seen-per-group restores exactly-once accounting.
+        by_group: dict[int, tuple] = {}
+        for t in acc.value:
+            by_group.setdefault(t[0], t)
+        lineage_rows = [
+            (epoch_id, gid, n, mn, mx, byts, rej)
+            for gid, (_, n, rej, mn, mx, byts) in sorted(by_group.items())
+        ]
+        events_in = sum(t[1] for t in by_group.values())
+        rejected = sum(t[2] for t in by_group.values())
+        high_watermark = max(
+            (t[4] for t in by_group.values()), default=None
+        )
+        if events_in > 0 and rejected / events_in > max_reject_frac:
+            target.abort_write(rel)
+            raise EpochQualityError(
+                f"epoch {epoch_id}: {rejected}/{events_in} rejected "
+                f"(> {max_reject_frac:.0%} gate)"
+            )
+        props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
+                             lineage_rows)
+        target.commit_add_files(new_files, epoch_id=epoch_id, properties=props)
+        applied = sum(f.rows for f in new_files)
+        if (
+            target.delta_stats()["max_delta_files_per_bucket"]
+            >= compact_max_delta_files
+        ):
+            target.compact()
     else:
+        # maxby / cow paths: exactly-once observe() metrics on the raw
+        # events (the JVM predicate mirrors the pandas kernel —
+        # test_fingerprint_jvm_parity pins them together).
+        invalid = ~F.col("op").isin(*schemas.VALID_OPS)
+        for k in schemas.KEY_COLS:
+            invalid = invalid | F.col(k).isNull()
+        obs = Observation()
+        events = events.observe(
+            obs,
+            F.count(F.lit(1)).alias("events_in"),
+            F.sum(F.when(invalid, 1).otherwise(0)).cast("long").alias("rejected"),
+            F.max(schemas.SEQ_COL).alias("max_seq"),
+        )
         enriched = parse_validate_fingerprint(events, schemas.KEY_COLS)
         valid = enriched.where(F.col("reject_reason").isNull()).drop("reject_reason")
         data_events = valid.where(F.col("op") != "schema_change")
@@ -203,84 +391,55 @@ def apply_epoch(
         normalized = data_events.select(*norm_cols, F.col("content_sha256"))
         updates = _updates_frame(normalized, target.snapshot().current_schema)
 
-    lineage_rows = [
-        (
-            epoch_id,
-            int(r["__pid"]),
-            int(r["event_count"]),
-            r["min_seq"],
-            r["max_seq"],
-            int(r["bytes"]),
-            int(r["rejected"]),
-        )
-        for r in part_stats
-    ]
-    props = {
-        f"epoch:{epoch_id}": {
-            "events_in": events_in,
-            "rejected": rejected,
-            "high_watermark": high_watermark,
-            "lineage_rows": lineage_rows,
-        },
-        "high_watermark": high_watermark,
-    }
-    if merge_mode == "delta":
-        # `applied` comes free from the new files' parquet footers
-        # (no persist, no extra count job)
-        prev_paths = {f.path for f in target.snapshot().files}
-        if dedup_mode == "fused":
-            snap0 = target.snapshot()
-            out_schema = T.StructType(
-                [T.StructField("bucket", T.IntegerType(), False)]
-                + snap0.current_schema.fields
-                + [T.StructField("__op", T.StringType(), True)]
-            )
-            kernel = dedup_fingerprint_kernel(
-                schemas.KEY_COLS, [f_.name for f_ in snap0.current_schema.fields]
-            )
-            if "bucket" in events.columns:
-                raise ValueError("events must not carry a 'bucket' column")
-            # sub-bucket grouping: grouping on bucket alone caps
-            # parallelism at n_buckets and balls-into-bins packing makes
-            # stragglers; grouping on hash % (fanout·n_buckets) gives
-            # ~fanout groups per task while bucket = group % n_buckets
-            # stays consistent with bucket_expr (same hash, nested mod)
-            fanout = 4
-            n_groups = snap0.n_buckets * fanout
-            h = F.pmod(
-                F.xxhash64(*[F.col(c) for c in snap0.key_cols]), F.lit(n_groups)
-            )
-            bucketed = events.withColumn("__g", h).withColumn(
-                "bucket", F.pmod(F.col("__g"), F.lit(snap0.n_buckets)).cast("int")
-            )
-            updates = bucketed.groupBy("__g").applyInPandas(kernel, out_schema)
-            snap2 = target.append_delta(
-                updates, epoch_id=epoch_id, properties=props, assume_bucketed=True
-            )
+        def totals():
+            m = obs.get
+            events_in = int(m["events_in"])
+            rejected = int(m["rejected"] or 0)
+            if events_in > 0 and rejected / events_in > max_reject_frac:
+                raise EpochQualityError(
+                    f"epoch {epoch_id}: {rejected}/{events_in} rejected "
+                    f"(> {max_reject_frac:.0%} gate)"
+                )
+            return events_in, rejected, m["max_seq"]
+
+        if merge_mode == "delta":
+            rel, new_files = target.write_delta_files(updates, op_col="op")
+            try:
+                events_in, rejected, high_watermark = totals()
+            except EpochQualityError:
+                target.abort_write(rel)
+                raise
+            lineage_rows = [
+                (epoch_id, -1, events_in, None, high_watermark, None, rejected)
+            ]
+            props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
+                                 lineage_rows)
+            target.commit_add_files(new_files, epoch_id=epoch_id, properties=props)
+            applied = sum(f.rows for f in new_files)
+            if (
+                target.delta_stats()["max_delta_files_per_bucket"]
+                >= compact_max_delta_files
+            ):
+                target.compact()
+        elif merge_mode == "cow":
+            updates.persist()
+            try:
+                applied = updates.count()
+                events_in, rejected, high_watermark = totals()
+                lineage_rows = [
+                    (epoch_id, -1, events_in, None, high_watermark, None, rejected)
+                ]
+                props = _epoch_props(epoch_id, events_in, rejected,
+                                     high_watermark, lineage_rows)
+                target.merge_lww(
+                    updates, op_col="op", seq_col="last_seq",
+                    epoch_id=epoch_id, properties=props,
+                )
+            finally:
+                updates.unpersist()
         else:
-            snap2 = target.append_delta(
-                updates, op_col="op", epoch_id=epoch_id, properties=props
-            )
-        applied = sum(
-            f.rows for f in snap2.files if f.path not in prev_paths
-        )
-        if (
-            target.delta_stats()["max_delta_files_per_bucket"]
-            >= compact_max_delta_files
-        ):
-            target.compact()
-    elif merge_mode == "cow":
-        updates.persist()
-        try:
-            applied = updates.count()
-            target.merge_lww(
-                updates, op_col="op", seq_col="last_seq",
-                epoch_id=epoch_id, properties=props,
-            )
-        finally:
-            updates.unpersist()
-    else:
-        raise ValueError(f"unknown merge_mode {merge_mode!r}")
+            raise ValueError(f"unknown merge_mode {merge_mode!r}")
+
     deduped = events_in - rejected - applied
     if lineage is not None:
         lineage.append_rows_local(lineage_rows, epoch_id=epoch_id)
@@ -289,6 +448,20 @@ def apply_epoch(
     )
     assert stats.invariant_ok(), f"RowStats invariant violated: {stats}"
     return stats
+
+
+def _epoch_props(epoch_id, events_in, rejected, high_watermark, lineage_rows):
+    props = {
+        f"epoch:{epoch_id}": {
+            "events_in": events_in,
+            "rejected": rejected,
+            "high_watermark": high_watermark,
+            "lineage_rows": lineage_rows,
+        },
+    }
+    if high_watermark is not None:
+        props["high_watermark"] = high_watermark
+    return props
 
 
 def replay(

@@ -99,18 +99,24 @@ def json_props(events: DataFrame) -> DataFrame:
 
 
 def monotonic_violations(events: DataFrame, seq_col: str = "seq",
+                         order_cols: tuple[str, ...] = (),
                          key_cols: tuple[str, ...] = ()) -> DataFrame:
     """W5 analog (timestamp-order enforcement, parser/ndt.go:238-250):
-    rows whose seq regresses vs the previous row in partition order —
-    the CDC stream-integrity check (violations land in lineage, never
-    panic the job)."""
-    if key_cols:
-        w = Window.partitionBy(*key_cols).orderBy(seq_col)
+    rows whose ``seq_col`` regresses vs the previous row when ordered
+    by ``order_cols`` within each key — the CDC stream-integrity check
+    (violations land in lineage, never panic the job). With no
+    ``order_cols``, physical partition order is checked (the ingest
+    assertion that a partition's rows arrive seq-sorted)."""
+    if order_cols:
+        order = [F.col(c) for c in order_cols]
     else:
-        w = Window.partitionBy(F.spark_partition_id()).orderBy(seq_col)
+        order = [F.monotonically_increasing_id()]
+    if key_cols:
+        w = Window.partitionBy(*key_cols).orderBy(*order)
+    else:
+        w = Window.partitionBy(F.spark_partition_id()).orderBy(*order)
     prev = F.lag(seq_col).over(w)
     return (
-        events.withColumn("__prev", prev)
-        .where(F.col("__prev").isNotNull() & (F.col(seq_col) <= F.col("__prev")))
-        .drop("__prev")
+        events.withColumn("prev_seq", prev)
+        .where(F.col("prev_seq").isNotNull() & (F.col(seq_col) <= F.col("prev_seq")))
     )

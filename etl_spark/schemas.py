@@ -69,6 +69,12 @@ SEQ_COL = "seq"
 # -- per-epoch lineage manifest (FIXTURES.md §5) ----------------------------
 # RowStats invariant (etl/etl.go:22-35 analog):
 #   events_in == applied + deduped + rejected
+# Row kinds by partition_id:
+#   -1   epoch totals: event_count=events_in, min/max_seq=input seq range
+#        (max_seq = high watermark), bytes=winner payload bytes, rejected
+#   >=0  storage partition (bucket): event_count=applied winners,
+#        min/max_seq=winner seq range, bytes=delta file bytes, rejected=0
+#   (fused mode emits per-shuffle-group rows instead of bucket rows)
 
 LINEAGE = T.StructType(
     [

@@ -47,6 +47,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
+        # local mode has no data locality — waiting for it only delays
+        # task launch (a fixed per-stage cost that Amdahl-caps scaling)
+        .config("spark.locality.wait", "0")
         .config("spark.sql.parquet.compression.codec", "snappy")
         # shuffle/spill scratch on tmpfs: local[N] has no external shuffle
         # service; on a real cluster this is NVMe-backed local dirs

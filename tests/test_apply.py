@@ -107,11 +107,18 @@ def test_rejects_counted_not_applied(spark, tbl_dir):
     s = apply_epoch(spark, ev, tgt, lin, epoch_id="some-bad")
     assert s.rejected > 0
     assert s.invariant_ok()
-    # lineage partition rows sum to epoch totals
-    agg = lin.read().agg(
-        F.sum("event_count").alias("n"), F.sum("rejected").alias("rej")
+    lrows = lin.read()
+    # partition_id=-1 row carries epoch input totals
+    tot = lrows.where(F.col("partition_id") == -1).collect()
+    assert len(tot) == 1
+    assert tot[0]["event_count"] == s.events_in
+    assert tot[0]["rejected"] == s.rejected
+    assert tot[0]["max_seq"] == s.high_watermark
+    # per-bucket rows (partition_id >= 0) sum to applied winners
+    agg = lrows.where(F.col("partition_id") >= 0).agg(
+        F.sum("event_count").alias("n")
     ).collect()[0]
-    assert agg["n"] == s.events_in and agg["rej"] == s.rejected
+    assert agg["n"] == s.applied
 
 
 def test_schema_evolution_mid_stream(spark, tbl_dir):
@@ -167,19 +174,20 @@ def test_delete_insert_chain_within_epoch(spark, tbl_dir):
     assert tgt.read().count() == 0
 
 
-def test_fused_equals_maxby_dedup(spark, tbl_dir):
-    """The single-shuffle fused kernel and the two-stage max_by path
-    must produce identical table state (including corrupt rows and
-    delete chains)."""
+def test_dedup_modes_agree(spark, tbl_dir):
+    """winnow (winners-only semi-join), fused (single-shuffle pandas
+    kernel) and maxby (two-stage) must produce identical table state
+    AND identical accounting (including corrupt rows and delete
+    chains)."""
     ev = gen.synthetic_events(spark, 3000, n_repos=40, seed=53, corrupt_frac=0.04)
-    t1, _ = fresh(spark, os.path.join(tbl_dir, "fused"))
-    t2, _ = fresh(spark, os.path.join(tbl_dir, "maxby"))
-    s1 = apply_epoch(spark, ev, t1, None, epoch_id="x", dedup_mode="fused")
-    s2 = apply_epoch(spark, ev, t2, None, epoch_id="x", dedup_mode="maxby")
-    assert final_state(t1) == final_state(t2)
-    assert (s1.applied, s1.rejected, s1.events_in) == (
-        s2.applied, s2.rejected, s2.events_in
-    )
+    stats, states = {}, {}
+    for mode in ("winnow", "fused", "maxby"):
+        t, _ = fresh(spark, os.path.join(tbl_dir, mode))
+        stats[mode] = apply_epoch(spark, ev, t, None, epoch_id="x", dedup_mode=mode)
+        states[mode] = final_state(t)
+    assert states["winnow"] == states["fused"] == states["maxby"]
+    key = lambda s: (s.applied, s.rejected, s.events_in, s.high_watermark)
+    assert key(stats["winnow"]) == key(stats["fused"]) == key(stats["maxby"])
 
 
 def test_fingerprint_jvm_parity(spark):

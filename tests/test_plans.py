@@ -89,3 +89,29 @@ def test_filter_ordered_before_pandas_udf(spark):
     # the op filter must appear downstream of (below) the UDF node in
     # the printed tree, i.e. it executes before it
     assert "delete" in scan_section
+
+
+def test_winnow_plan_shape(spark, tmp_path):
+    """The winnow apply plan's two load-bearing properties:
+    (a) the discovery branch reads ONLY narrow columns (content never
+        enters the winseq scan — column pruning reaches parquet), with
+        map-side partial aggregation (hot-key skew collapses pre-shuffle);
+    (b) the winner filter is a broadcast LEFT SEMI join (loser rows are
+        never shuffled)."""
+    from etl_spark import gen
+
+    p = str(tmp_path / "ev")
+    gen.synthetic_events(spark, 5000, n_repos=20, seed=7).write.parquet(p)
+    events = spark.read.parquet(p)
+    valid = events.where(
+        F.col("op").isin("insert", "update", "delete")
+        & F.col("repo").isNotNull() & F.col("path").isNotNull()
+    )
+    winseq = (
+        valid.groupBy("repo", "path").agg(F.max("seq").alias("seq")).select("seq")
+    )
+    assert all("content" not in s for s in plans.read_schemas(winseq))
+    assert plans.has_partial_aggregate(winseq)
+    winners = events.join(F.broadcast(winseq), "seq", "left_semi")
+    plan = plans.explain_str(winners)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
