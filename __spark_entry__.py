@@ -473,6 +473,64 @@ def f_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compress.compression_stats(ok, blob_col="blob", content_col="text")
 
 
+def src_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 analog (GCS tar scan, storage/storage.go:139-199): pack docs
+    into deterministic tar blobs (10 docs/archive), scan members back
+    out as a 1→N UDTF. Oracle = the documents table itself — the
+    round-trip must be the identity."""
+    from etl_spark.sources import archive
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 10).cast("long").alias("archive_id"),
+        F.format_string("doc_%06d.txt", F.col("doc_id").cast("int")).alias("member"),
+        "doc_id", "text",
+    )
+    tars = archive.pack_tar(docs, "archive_id", "member", "text")
+    members = archive.scan_tar(tars)
+    return members.select(
+        F.regexp_extract("member_name", r"doc_(\d+)\.txt", 1)
+        .cast("long").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+
+
+_TAR_ROUNDTRIP_ORACLE = """
+SELECT doc_id, coalesce(text, '') AS text FROM documents
+"""
+
+
+def f_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 analog (fixed-offset binary decode, web100/web100.go:218-277):
+    pack events into 24-byte little-endian records, then decode the
+    whole Arrow batch with one numpy.frombuffer reinterpret. Oracle =
+    the source columns — the wire round-trip must be bit-exact."""
+    from etl_spark.sources import archive
+
+    ev = _read(spark, sf_dir, "events")
+    decoded = archive.decode_records(archive.pack_records(ev))
+    return decoded.select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+
+
+_BINARY_DECODE_ORACLE = """
+SELECT event_id, user_id, round(value, 6) AS value FROM events
+"""
+
+
+def cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted LWW (partial max per (key, salt) → final per
+    key): the hot-key path must produce byte-identical winners to the
+    direct hash-agg (same oracle as cdc_lww)."""
+    from etl_spark.operators.dedup import lww_latest_salted
+
+    ev = gen.derived_events(spark, sf_dir)
+    return lww_latest_salted(ev).select(
+        "repo", "path", F.col("seq").alias("last_seq"), "op", "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # scalar parsing / routing / data-quality queries
 # ---------------------------------------------------------------------------
@@ -1064,6 +1122,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_text_table_decode": f_text_table_decode,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "f_compress_roundtrip": f_compress_roundtrip,
+        # archive / binary sources + salted LWW
+        "src_tar_roundtrip": src_tar_roundtrip,
+        "f_binary_decode": f_binary_decode,
+        "cdc_lww_salted": cdc_lww_salted,
         # scalar parsing / routing / data quality
         "f_route_paths": f_route_paths,
         "f_jsonl_decode": f_jsonl_decode,
@@ -1120,6 +1182,9 @@ def oracle_sql() -> dict[str, str]:
         "f_text_table_decode": _TEXT_TABLE_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         # f_compress_roundtrip: rows-only (binary codecs, no SQL oracle)
+        "src_tar_roundtrip": _TAR_ROUNDTRIP_ORACLE,
+        "f_binary_decode": _BINARY_DECODE_ORACLE,
+        "cdc_lww_salted": _CDC_LWW_ORACLE.format(events=ev),
         "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
         "f_jsonl_decode": _JSONL_ORACLE,
         "f_json_repair": _JSON_REPAIR_ORACLE,

@@ -1,0 +1,1 @@
+from etl_spark.sources import archive  # noqa: F401

@@ -1,0 +1,189 @@
+"""Archive + binary-record sources — S1/C6 analogs (SURVEY.md §2.1, §2.8).
+
+The reference's core source is a tar-archive scanner: stream members
+of a (possibly gzipped) tar as ``(name, bytes)`` records
+(storage/storage.go:139-199, the ``NextTest`` iterator), and its
+heaviest parser is a fixed-offset binary record decoder
+(web100/web100.go:218-277). Columnar equivalents:
+
+- ``pack_tar`` / ``scan_tar``: archives live in a ``binary`` column;
+  packing is a grouped applyInPandas (group → one tar blob), scanning
+  is a mapInPandas UDTF (one blob → N member rows). Deterministic
+  (mtime=0, sorted members) so round-trips are byte-stable.
+- ``pack_records`` / ``decode_records``: fixed-offset little-endian
+  records (the web100 snaplog shape); decode is ``numpy.frombuffer``
+  over the concatenated payload — one vectorized reinterpret for the
+  whole Arrow batch, never a per-field Python loop (the C6 precedent
+  this engine's pandas-UDF parsing follows).
+
+At 100 TB: archives are blobs in object storage read as a binary
+column (oversize guard F.length before the UDF — S3 analog); member
+fan-out is a UDTF so Spark's partition sizing bounds memory.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+import tarfile
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TAR_SCHEMA = T.StructType(
+    [
+        T.StructField("archive_id", T.LongType(), False),
+        T.StructField("blob", T.BinaryType(), True),
+        T.StructField("n_members", T.LongType(), False),
+    ]
+)
+
+MEMBER_SCHEMA = T.StructType(
+    [
+        T.StructField("archive_id", T.LongType(), False),
+        T.StructField("member_name", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("size", T.LongType(), False),
+    ]
+)
+
+
+def pack_tar(
+    df: DataFrame,
+    group_col: str,
+    name_col: str,
+    content_col: str,
+) -> DataFrame:
+    """One deterministic tar blob per group (members sorted by name,
+    mtime=0) — the inverse of ``scan_tar``, used to build test
+    archives and to spool small files into archive objects."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        gid = int(pdf[group_col].iloc[0])
+        buf = io.BytesIO()
+        rows = sorted(
+            zip(pdf[name_col], pdf[content_col]), key=lambda r: r[0]
+        )
+        with tarfile.open(fileobj=buf, mode="w") as tf:
+            for name, content in rows:
+                data = (content or "").encode("utf-8")
+                info = tarfile.TarInfo(name=name)
+                info.size = len(data)
+                info.mtime = 0
+                tf.addfile(info, io.BytesIO(data))
+        return pd.DataFrame(
+            {"archive_id": [gid], "blob": [buf.getvalue()],
+             "n_members": [len(rows)]}
+        )
+
+    return df.groupBy(group_col).applyInPandas(build, TAR_SCHEMA)
+
+
+def scan_tar(
+    archives: DataFrame,
+    blob_col: str = "blob",
+    id_col: str = "archive_id",
+    max_member_bytes: int | None = None,
+) -> DataFrame:
+    """UDTF: one archive blob → N member rows (NextTest analog).
+
+    ``max_member_bytes`` is the oversize-file guard (S3 analog,
+    task/task.go:27-31): larger members are skipped, not fatal."""
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for gid, blob in zip(pdf[id_col], pdf[blob_col]):
+                if blob is None:
+                    continue
+                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                    for m in tf:
+                        if not m.isfile():
+                            continue
+                        if max_member_bytes is not None and m.size > max_member_bytes:
+                            continue
+                        data = tf.extractfile(m).read()
+                        out.append(
+                            (int(gid), m.name, data.decode("utf-8"), len(data))
+                        )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in MEMBER_SCHEMA.fields]
+            )
+
+    return archives.mapInPandas(scan, MEMBER_SCHEMA)
+
+
+# -- fixed-offset binary records (C6) ---------------------------------------
+
+_REC_DTYPE = np.dtype(
+    [("event_id", "<i8"), ("user_id", "<i8"), ("value", "<f8")]
+)
+REC_SIZE = _REC_DTYPE.itemsize  # 24 bytes, little-endian
+
+RECORD_SCHEMA = T.StructType(
+    [
+        T.StructField("rec", T.BinaryType(), False),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), False),
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("value", T.DoubleType(), False),
+    ]
+)
+
+
+def pack_records(df: DataFrame) -> DataFrame:
+    """(event_id, user_id, value) → 24-byte little-endian record
+    column (the wire format a binlog/snaplog producer would emit)."""
+
+    def pack(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            arr = np.empty(len(pdf), dtype=_REC_DTYPE)
+            arr["event_id"] = pdf["event_id"].to_numpy(np.int64)
+            arr["user_id"] = pdf["user_id"].to_numpy(np.int64)
+            arr["value"] = pdf["value"].to_numpy(np.float64)
+            raw = arr.tobytes()
+            yield pd.DataFrame(
+                {"rec": [raw[i * REC_SIZE:(i + 1) * REC_SIZE]
+                         for i in range(len(pdf))]}
+            )
+
+    return df.select("event_id", "user_id", "value").mapInPandas(
+        pack, RECORD_SCHEMA
+    )
+
+
+def decode_records(df: DataFrame, rec_col: str = "rec") -> DataFrame:
+    """Vectorized fixed-offset decode: ONE ``np.frombuffer`` reinterpret
+    per Arrow batch (web100/web100.go:218-277 analog — ~40ns/field in
+    the reference; here it is a zero-copy numpy view)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blob = b"".join(bytes(b) for b in pdf[rec_col])
+            arr = np.frombuffer(blob, dtype=_REC_DTYPE)
+            yield pd.DataFrame(
+                {
+                    "event_id": arr["event_id"],
+                    "user_id": arr["user_id"],
+                    "value": arr["value"],
+                }
+            )
+
+    return df.mapInPandas(decode, DECODED_SCHEMA)
+
+
+def member_stats(members: DataFrame) -> DataFrame:
+    """Per-archive accounting over scanned members (A1 shape)."""
+    return members.groupBy("archive_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.sum("size").alias("total_bytes"),
+        F.min("member_name").alias("first_member"),
+    )

@@ -1,0 +1,55 @@
+"""Tar pack/scan + fixed-offset binary record round-trips (S1/C6)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark.sources import archive
+
+
+def _docs(spark, n=40):
+    rows = [(i, f"doc_{i:06d}.txt", f"text body {i} " * (i % 5 + 1)) for i in range(n)]
+    return spark.createDataFrame(rows, "doc_id long, member string, text string")
+
+
+def test_tar_roundtrip_identity(spark):
+    docs = _docs(spark).withColumn(
+        "archive_id", (F.col("doc_id") / 8).cast("long")
+    )
+    tars = archive.pack_tar(docs, "archive_id", "member", "text")
+    assert tars.agg(F.sum("n_members")).collect()[0][0] == 40
+    back = archive.scan_tar(tars).select(
+        F.regexp_extract("member_name", r"doc_(\d+)\.txt", 1).cast("long").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    got = sorted(tuple(r) for r in back.collect())
+    exp = sorted((r["doc_id"], r["text"]) for r in docs.collect())
+    assert got == exp
+
+
+def test_tar_pack_deterministic(spark):
+    docs = _docs(spark, 16).withColumn("archive_id", F.lit(0))
+    b1 = archive.pack_tar(docs, "archive_id", "member", "text").collect()[0]["blob"]
+    b2 = archive.pack_tar(docs, "archive_id", "member", "text").collect()[0]["blob"]
+    assert bytes(b1) == bytes(b2)
+
+
+def test_tar_oversize_guard(spark):
+    docs = _docs(spark, 10).withColumn("archive_id", F.lit(0))
+    tars = archive.pack_tar(docs, "archive_id", "member", "text")
+    small = archive.scan_tar(tars, max_member_bytes=30)
+    all_ = archive.scan_tar(tars)
+    n_small, n_all = small.count(), all_.count()
+    assert n_small < n_all  # oversize members skipped, not fatal
+    assert small.where(F.col("size") > 30).count() == 0
+
+
+def test_binary_records_bit_exact(spark):
+    ev = spark.createDataFrame(
+        [(i, i * 7, i * 0.3333333333) for i in range(1000)],
+        "event_id long, user_id long, value double",
+    )
+    decoded = archive.decode_records(archive.pack_records(ev))
+    got = sorted(tuple(r) for r in decoded.collect())
+    exp = sorted(tuple(r) for r in ev.collect())
+    assert got == exp  # float64 wire round-trip is bit-exact
