@@ -518,6 +518,52 @@ SELECT event_id, user_id, round(value, 6) AS value FROM events
 """
 
 
+def j_group_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 analog (NDT test-group co-join, parser/ndt.go:222-321): the
+    members of a logical group arrive in any order; collect them per
+    group key, order within the group, and merge into one summary row
+    (collect_list + array_sort — the grouping state machine as one
+    hash aggregation)."""
+    ev = _read(spark, sf_dir, "events")
+    members = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(
+                F.transform(members, lambda s: s["event_type"]), ","
+            ).alias("type_seq"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+_GROUP_COJOIN_ORACLE = """
+SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+
+def w_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 analog batch form: event-time tumbling windows (the streaming
+    twin with watermark lives in streaming/windowed.py, equivalence-
+    tested in tests/test_windowed.py)."""
+    from etl_spark.streaming.windowed import windowed_counts_batch
+
+    return windowed_counts_batch(_read(spark, sf_dir, "events"))
+
+
+_WINDOWED_COUNTS_ORACLE = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+"""
+
+
 def cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted LWW (partial max per (key, salt) → final per
     key): the hot-key path must produce byte-identical winners to the
@@ -1126,6 +1172,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_tar_roundtrip": src_tar_roundtrip,
         "f_binary_decode": f_binary_decode,
         "cdc_lww_salted": cdc_lww_salted,
+        # group co-join + event-time windows
+        "j_group_cojoin": j_group_cojoin,
+        "w_windowed_counts": w_windowed_counts,
         # scalar parsing / routing / data quality
         "f_route_paths": f_route_paths,
         "f_jsonl_decode": f_jsonl_decode,
@@ -1185,6 +1234,8 @@ def oracle_sql() -> dict[str, str]:
         "src_tar_roundtrip": _TAR_ROUNDTRIP_ORACLE,
         "f_binary_decode": _BINARY_DECODE_ORACLE,
         "cdc_lww_salted": _CDC_LWW_ORACLE.format(events=ev),
+        "j_group_cojoin": _GROUP_COJOIN_ORACLE,
+        "w_windowed_counts": _WINDOWED_COUNTS_ORACLE,
         "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
         "f_jsonl_decode": _JSONL_ORACLE,
         "f_json_repair": _JSON_REPAIR_ORACLE,

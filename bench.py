@@ -81,7 +81,7 @@ def bench_queries() -> dict:
 
     total = round(sum(timings.values()), 3)
     spark.stop()
-    return {
+    out = {
         "metric": "headline query suite + full CDC apply, wall seconds",
         "value": total,
         "unit": "sec",
@@ -91,6 +91,14 @@ def bench_queries() -> dict:
         "cdc_events": n_events,
         "events_per_sec": events_per_sec,
     }
+    # attach the last `--scaling` result (the north-rule evidence) so a
+    # single JSON line carries both query timings and N→4N efficiency
+    sj = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                      "BENCH", "scaling.json")
+    if os.path.exists(sj):
+        with open(sj) as f:
+            out["scaling"] = json.load(f)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -334,6 +342,9 @@ def main() -> None:
     if args.scaling:
         s = run_scaling(args.n_small, args.events, args.epochs)
         write_baseline_md(s)
+        os.makedirs("BENCH", exist_ok=True)
+        with open(os.path.join("BENCH", "scaling.json"), "w") as f:
+            json.dump(s, f)
         print(json.dumps(s))
         return
     print(json.dumps(bench_queries()))

@@ -1,0 +1,53 @@
+"""Watermarked tumbling-window aggregation — T3 analog (SURVEY.md §2.9).
+
+The reference acknowledges late data (long-running connections landing
+in next-day archives, worker/worker.go:228-241) but has no watermark
+machinery. Structured Streaming's is used here: event-time tumbling
+windows with a watermark bound; events later than the watermark are
+dropped (counted by the engine, not silently lost — the
+StreamingQueryListener exposes numDroppedRows).
+
+``windowed_counts_batch`` is the same aggregation in batch form — the
+streaming/batch pair is equivalence-tested in tests/test_windowed.py,
+and the batch form carries the DuckDB oracle (time_bucket) in
+__spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _agg(df: DataFrame, window: str) -> DataFrame:
+    return (
+        df.groupBy(F.window("ts", window), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type", "n", "total_value",
+        )
+    )
+
+
+def windowed_counts_stream(
+    events: DataFrame,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming: per-window/type counts; append mode emits a window
+    only once its end passes the watermark (late events beyond the
+    bound are dropped)."""
+    ev = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+        "ts", watermark
+    )
+    return _agg(ev, window)
+
+
+def windowed_counts_batch(events: DataFrame, window: str = "10 minutes") -> DataFrame:
+    """Batch reference of the identical aggregation (no watermark —
+    batch has no lateness)."""
+    return _agg(events.withColumn("ts", F.col("ts").cast("timestamp")), window)

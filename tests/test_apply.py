@@ -220,3 +220,22 @@ def test_derived_events_deterministic(spark):
     a = gen.derived_events(spark, SF_TINY).orderBy("seq").collect()
     b = gen.derived_events(spark, SF_TINY).orderBy("seq").collect()
     assert a == b
+
+
+def test_extreme_skew_correctness(spark, tbl_dir):
+    """Hot-repo skew stress: skew=6 concentrates most events on repo 0;
+    the winnow plan must keep oracle parity (skew collapses in the
+    map-side partial max-agg, never reaching a wide shuffle)."""
+    ev = gen.synthetic_events(spark, 5000, n_repos=50, paths_per_repo=10,
+                              seed=61, skew=6.0)
+    hot = ev.groupBy("repo").count().orderBy(F.desc("count")).first()
+    assert hot["count"] > 1500  # the fixture really is skewed
+    tgt, lin = fresh(spark, tbl_dir)
+    stats = replay(spark, ev, tgt, lin, epoch_size=1700)
+    assert all(s.invariant_ok() for s in stats)
+    expected = replay_pandas(ev.toPandas())
+    exp = sorted(
+        (r.repo, r.path, r.commit, r.lang, r.content_sha256, r.last_seq)
+        for r in expected.itertuples(index=False)
+    )
+    assert final_state(tgt) == exp

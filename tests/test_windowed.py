@@ -1,0 +1,97 @@
+"""Watermarked windowed aggregation: stream/batch parity + late-data drop."""
+
+from __future__ import annotations
+
+import os
+
+import datetime as dt
+from pyspark.sql import functions as F
+
+from etl_spark.streaming.windowed import (
+    windowed_counts_batch,
+    windowed_counts_stream,
+)
+
+EV_DDL = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+
+def _events_pdf(n=600, start="2024-01-01 00:00:00"):
+    ts0 = dt.datetime.fromisoformat(start)
+    rows = [
+        (i, ts0 + dt.timedelta(seconds=37 * i), i % 7,
+         ["view", "click", "buy"][i % 3], float(i % 11))
+        for i in range(n)
+    ]
+    return rows
+
+
+def test_stream_equals_batch_complete_mode(spark, tbl_dir):
+    ev = spark.createDataFrame(_events_pdf(), EV_DDL)
+    src = os.path.join(tbl_dir, "ev")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = (
+        windowed_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.table("win_counts").collect())
+    exp = sorted(
+        tuple(r) for r in windowed_counts_batch(spark.read.parquet(src)).collect()
+    )
+    assert got == exp and len(got) > 0
+
+
+def test_late_event_dropped_in_append_mode(spark, tbl_dir):
+    """T3: an event older than (max seen ts - watermark) arriving in a
+    later micro-batch is DROPPED from append-mode output."""
+    src = os.path.join(tbl_dir, "late_ev")
+    ckpt = os.path.join(tbl_dir, "late_ckpt")
+    os.makedirs(src, exist_ok=True)
+    on_time = spark.createDataFrame(_events_pdf(600), EV_DDL)
+    # 600 events * 37s ≈ 6.2h of event time; the late row is 6h older
+    # than the max — far beyond the 30min watermark
+    late = spark.createDataFrame(
+        [(9999, dt.datetime(2024, 1, 1, 0, 5), 1, "late", 1.0)], EV_DDL
+    )
+
+    out_dir = os.path.join(tbl_dir, "late_out")
+
+    def run_pass():
+        q = (
+            windowed_counts_stream(
+                spark.readStream.schema(on_time.schema).parquet(src)
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # pass 1: only on-time data → watermark advances to max(ts)-30min
+    # and is CHECKPOINTED (durable parquet sink); pass 2 restores it,
+    # so the late arrival is provably older than the recovered
+    # watermark and must be dropped.
+    on_time.coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+    late.coalesce(1).write.mode("append").parquet(src)
+    run_pass()
+    rows = spark.read.parquet(out_dir).collect()
+    # the recovered watermark is ~6h past the late event's time → its
+    # row must be dropped
+    assert all(r["event_type"] != "late" for r in rows)
+    # and every sealed window the stream emitted matches batch truth
+    batch = windowed_counts_batch(on_time)
+    emitted = {tuple(r) for r in rows}
+    truth = {tuple(r) for r in batch.collect()}
+    assert emitted and emitted.issubset(truth)
