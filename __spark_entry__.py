@@ -564,6 +564,40 @@ FROM events GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
 """
 
 
+def w_lead_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 analog (PT pollution cross-check, parser/pt.go:622-658): a
+    row is discarded when the NEXT row for its key, in stream order,
+    repeats its type within 60s — the bounded look-ahead anti-pattern
+    filter, as a lead() window instead of a stateful buffer."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = lambda c: c.cast("timestamp").cast("double")  # NTZ-safe under UTC
+    polluted = (
+        (F.lead("event_type").over(w) == F.col("event_type"))
+        & (secs(F.lead("ts").over(w)) - secs(F.col("ts")) <= 60)
+    )
+    return (
+        ev.withColumn("__p", F.coalesce(polluted, F.lit(False)))
+        .where(~F.col("__p"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+_LEAD_DISCARD_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+         lead(event_type) OVER win AS nt,
+         lead(ts) OVER win AS nts
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, event_type, ts FROM w
+WHERE NOT coalesce(nt = event_type AND epoch(nts) - epoch(ts) <= 60, false)
+"""
+
+
 def cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted LWW (partial max per (key, salt) → final per
     key): the hot-key path must produce byte-identical winners to the
@@ -1172,9 +1206,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_tar_roundtrip": src_tar_roundtrip,
         "f_binary_decode": f_binary_decode,
         "cdc_lww_salted": cdc_lww_salted,
-        # group co-join + event-time windows
+        # group co-join + event-time windows + lead discard
         "j_group_cojoin": j_group_cojoin,
         "w_windowed_counts": w_windowed_counts,
+        "w_lead_discard": w_lead_discard,
         # scalar parsing / routing / data quality
         "f_route_paths": f_route_paths,
         "f_jsonl_decode": f_jsonl_decode,
@@ -1236,6 +1271,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_salted": _CDC_LWW_ORACLE.format(events=ev),
         "j_group_cojoin": _GROUP_COJOIN_ORACLE,
         "w_windowed_counts": _WINDOWED_COUNTS_ORACLE,
+        "w_lead_discard": _LEAD_DISCARD_ORACLE,
         "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
         "f_jsonl_decode": _JSONL_ORACLE,
         "f_json_repair": _JSON_REPAIR_ORACLE,

@@ -79,6 +79,27 @@ def bench_queries() -> dict:
         qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
 
+    # engine throughput at a size where fixed per-epoch costs amortize:
+    # one 12M-event epoch from a pre-materialized tmpfs changelog (the
+    # sf0.1 derived stream is only 600k events — too small to show the
+    # winnow plan's steady-state rate)
+    store = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    tmp12 = tempfile.mkdtemp(prefix="bench_syn_", dir=store)
+    n_syn = 12_000_000
+    gen.synthetic_events(
+        spark, n_syn, n_repos=2000, paths_per_repo=500, seed=42, skew=3.0,
+        num_partitions=128,
+    ).write.parquet(f"{tmp12}/events")
+    syn = spark.read.parquet(f"{tmp12}/events")
+    tgt12 = create_target(spark, f"{tmp12}/target", n_buckets=64)
+    lin12 = create_lineage(spark, f"{tmp12}/lineage")
+    t0 = time.time()
+    replay(spark, syn, tgt12, lin12, epoch_size=1 << 60, epoch_prefix="syn")
+    timings["cdc_apply_synthetic_12M"] = round(time.time() - t0, 3)
+    syn_events_per_sec = round(n_syn / timings["cdc_apply_synthetic_12M"], 1)
+    import shutil
+    shutil.rmtree(tmp12, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     spark.stop()
     out = {
@@ -90,6 +111,8 @@ def bench_queries() -> dict:
         "cpus": CPUS,
         "cdc_events": n_events,
         "events_per_sec": events_per_sec,
+        "synthetic_events": n_syn,
+        "synthetic_events_per_sec": syn_events_per_sec,
     }
     # attach the last `--scaling` result (the north-rule evidence) so a
     # single JSON line carries both query timings and N→4N efficiency
