@@ -7,15 +7,20 @@ Column names and types are aligned on both sides (counts → BIGINT,
 scores → rounded DOUBLE) because the driver value-hashes columns by
 name.
 
-Query groups:
+Query groups (see COVERAGE.md for the SURVEY §2 line-by-line map):
 - cdc_*   : the CDC engine itself (derived change stream from
-            lineitem → validate/fingerprint → LWW dedup → icelite
-            MERGE → final state)
-- q*/join*: relational coverage (joins, aggs, top-k, anti-join)
-- w_*     : ordered-stream window operators (SURVEY §2.5)
+            lineitem → validate/fingerprint → LWW dedup (direct and
+            salted) → icelite MERGE → final state)
+- q*/agg*/j*: relational coverage (joins, aggs, rollup, top-k,
+            anti-join, group co-join)
+- w_*     : ordered-stream window operators (SURVEY §2.5) +
+            sessionization, event-time windows, integrity checks
+- f_*/src_*: scalar/source operators (routing, JSON, IP, base64,
+            binary records, tar archives, compression)
 - doc_*   : text-analysis / training-data ops over documents
-- dedup_* : near-duplicate detection (exact, MinHash+LSH, SimHash)
-- ann_*   : embedding similarity search
+- dedup_* : near-duplicate detection (exact, MinHash+LSH, SimHash,
+            n-gram Jaccard)
+- ann_*/mm_*: embedding similarity search / multimodal columns
 """
 
 from __future__ import annotations
@@ -595,6 +600,69 @@ WITH w AS (
 )
 SELECT event_id, user_id, event_type, ts FROM w
 WHERE NOT coalesce(nt = event_type AND epoch(nts) - epoch(ts) <= 60, false)
+"""
+
+
+def j_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analog (temporal annotation lookup, row/row.go:154-287):
+    enrich every event with the user's latest 'buy' value AS OF the
+    event's timestamp — union+window as-of join (one shuffle, no
+    broadcast requirement). Oracle: DuckDB native ASOF LEFT JOIN."""
+    from etl_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    tiers = (
+        ev.where(F.col("event_type") == "buy")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("tier_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        tiers,
+        key_cols=("user_id",),
+        events_ts="ts",
+        dim_ts="ts",
+        value_cols=("tier_value",),
+    )
+    return out.select("event_id", "user_id", "event_type", "ts", "tier_value")
+
+
+_ASOF_ORACLE = """
+WITH tiers AS (
+  SELECT user_id, ts, max(value) AS tier_value
+  FROM events WHERE event_type = 'buy' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.event_type, e.ts, t.tier_value
+FROM events e
+ASOF LEFT JOIN tiers t ON e.user_id = t.user_id AND e.ts >= t.ts
+"""
+
+
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (equi key + interval containment): lineitems shipped
+    within 90 days of their order's date."""
+    from etl_spark.operators.asof import range_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_shipdate", "l_linenumber"
+    )
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderdate",
+        F.date_add("o_orderdate", 90).alias("o_hi"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    out = range_join(li, o, on=("okey",), left_ts="l_shipdate",
+                     right_lo="o_orderdate", right_hi="o_hi")
+    return out.select("okey", "l_linenumber", "l_shipdate", "o_orderdate",
+                      "o_totalprice")
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_shipdate, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
 """
 
 
@@ -1210,6 +1278,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j_group_cojoin": j_group_cojoin,
         "w_windowed_counts": w_windowed_counts,
         "w_lead_discard": w_lead_discard,
+        "j_asof_enrich": j_asof_enrich,
+        "j_range_join": j_range_join,
         # scalar parsing / routing / data quality
         "f_route_paths": f_route_paths,
         "f_jsonl_decode": f_jsonl_decode,
@@ -1272,6 +1342,8 @@ def oracle_sql() -> dict[str, str]:
         "j_group_cojoin": _GROUP_COJOIN_ORACLE,
         "w_windowed_counts": _WINDOWED_COUNTS_ORACLE,
         "w_lead_discard": _LEAD_DISCARD_ORACLE,
+        "j_asof_enrich": _ASOF_ORACLE,
+        "j_range_join": _RANGE_JOIN_ORACLE,
         "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
         "f_jsonl_decode": _JSONL_ORACLE,
         "f_json_repair": _JSON_REPAIR_ORACLE,

@@ -354,6 +354,7 @@ def main() -> None:
     ap.add_argument("--events", type=int, default=96_000_000)
     ap.add_argument("--epochs", type=int, default=4)
     ap.add_argument("--n-small", type=int, default=2)
+    ap.add_argument("--reps", type=int, default=2)
     args = ap.parse_args()
 
     if args.apply_worker:
@@ -363,7 +364,7 @@ def main() -> None:
         apply_worker(cores, n_events, epochs, args.apply_worker[3])
         return
     if args.scaling:
-        s = run_scaling(args.n_small, args.events, args.epochs)
+        s = run_scaling(args.n_small, args.events, args.epochs, reps=args.reps)
         write_baseline_md(s)
         os.makedirs("BENCH", exist_ok=True)
         with open(os.path.join("BENCH", "scaling.json"), "w") as f:

@@ -510,6 +510,38 @@ class IceliteTable:
         _atomic_write_json(self._version_file(new.version), new.to_json())
         return new
 
+    def _commit_append(
+        self,
+        new_files: list[DataFile],
+        epoch_id: str | None,
+        properties: dict | None,
+        retries: int = 10,
+    ) -> Snapshot:
+        """Optimistic-concurrency APPEND commit: on a lost race
+        (another writer created the next version first) re-read the
+        winner's snapshot and rebase — appends commute with appends,
+        and schema ids stay valid because the schema list is
+        append-only. This is Iceberg's commit-retry model (the
+        reference's quota-backoff loop, bq/insert.go:417-480, plays the
+        same role against its sink). Rewrite commits (merge_lww,
+        compact) do NOT rebase — a conflict there means the files they
+        read were replaced, so they abort for the caller to re-run."""
+        last: Exception | None = None
+        for _ in range(retries):
+            snap = self.snapshot()
+            if epoch_id is not None and epoch_id in snap.epochs:
+                return snap
+            try:
+                return self._commit(
+                    snap, snap.files + new_files, snap.schemas, epoch_id, properties
+                )
+            except CommitConflict as e:
+                last = e
+                continue
+        raise CommitConflict(
+            f"append commit lost {retries} races on {self.path}"
+        ) from last
+
     def _write_datafiles(
         self,
         df: DataFrame,
@@ -557,7 +589,7 @@ class IceliteTable:
         schema = snap.current_schema
         new_files = self._write_datafiles(_cast_to(df, schema), schema, len(snap.schemas) - 1,
                                           bucketed=bool(snap.key_cols))
-        return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
+        return self._commit_append(new_files, epoch_id, properties)
 
     def append_rows_local(
         self,
@@ -599,7 +631,7 @@ class IceliteTable:
         fp = os.path.join(out_dir, "part-00000.parquet")
         pq.write_table(table, fp, compression="snappy")
         new_files = _collect_datafiles(self.data_path, rel, len(snap.schemas) - 1)
-        return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
+        return self._commit_append(new_files, epoch_id, properties)
 
     def overwrite(
         self,
@@ -810,11 +842,9 @@ class IceliteTable:
         epoch_id: str | None = None,
         properties: dict | None = None,
     ) -> Snapshot:
-        """Commit previously written files (see ``write_delta_files``)."""
-        snap = self.snapshot()
-        if epoch_id is not None and epoch_id in snap.epochs:
-            return snap
-        return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
+        """Commit previously written files (see ``write_delta_files``).
+        Optimistic-retry on concurrent-writer races."""
+        return self._commit_append(new_files, epoch_id, properties)
 
     def abort_write(self, rel: str) -> None:
         """Discard a staged, uncommitted write (quality-gate abort)."""
@@ -856,7 +886,7 @@ class IceliteTable:
             )
             for r in stats_rows
         ]
-        return self._commit(snap, snap.files + new_files, snap.schemas, epoch_id, properties)
+        return self._commit_append(new_files, epoch_id, properties)
 
     def delta_stats(self) -> dict:
         """Read-amplification stats for the compaction policy."""

@@ -1,0 +1,103 @@
+"""As-of (temporal lookup) join — J1 analog (SURVEY.md §2.3).
+
+The reference's annotation join is temporal: "the geo/ASN of IP x AS
+OF time t" (row/row.go:154-287 batches a (logTime, ip)-keyed RPC).
+Spark has no ASOF JOIN operator; the scalable formulation is the
+union+window trick:
+
+    union(events tagged 0, dim-versions tagged 1)
+      → ONE shuffle on the key
+      → last(dim_value, ignorenulls) over
+            (partition by key order by (ts, is_dim DESC)
+             rows unbounded preceding .. current)
+      → keep event rows
+
+Each event sees the latest dim version with ``dim_ts <= event_ts``
+(ties: the dim row sorts first, so a version effective AT t applies to
+events at t). Cost: one hash exchange + one in-partition sort over
+|events| + |dim versions| — no range explosion, no per-row lookup, no
+broadcast requirement on the dim (works when the dim is also huge).
+Skew note: the partition key is the join key; a hot key concentrates
+its rows in one task — for hot keys pre-aggregate dim versions or
+salt events and replicate dim versions per salt.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    events: DataFrame,
+    dim: DataFrame,
+    key_cols: Sequence[str],
+    events_ts: str,
+    dim_ts: str,
+    value_cols: Sequence[str],
+) -> DataFrame:
+    """Left as-of join: events + latest ``value_cols`` from ``dim``
+    where ``dim.dim_ts <= events.events_ts`` per key (NULL when no
+    version precedes the event)."""
+    keys = list(key_cols)
+    vals = list(value_cols)
+    ecols = [c for c in events.columns]
+
+    e = events.select(
+        *[F.col(c) for c in ecols],
+        *[F.lit(None).cast(dim.schema[v].dataType).alias(f"__v_{v}") for v in vals],
+        F.col(events_ts).alias("__ts"),
+        F.lit(0).alias("__is_dim"),
+    )
+    d = dim.select(
+        *[F.col(k) for k in keys],
+        *[
+            F.lit(None).cast(events.schema[c].dataType).alias(c)
+            for c in ecols
+            if c not in keys
+        ],
+        *[F.col(v).alias(f"__v_{v}") for v in vals],
+        F.col(dim_ts).alias("__ts"),
+        F.lit(1).alias("__is_dim"),
+    ).select(*ecols, *[f"__v_{v}" for v in vals], "__ts", "__is_dim")
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("__ts").asc(), F.col("__is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = e.unionByName(d)
+    for v in vals:
+        filled = filled.withColumn(
+            f"__v_{v}", F.last(f"__v_{v}", ignorenulls=True).over(w)
+        )
+    return (
+        filled.where(F.col("__is_dim") == 0)
+        .select(*ecols, *[F.col(f"__v_{v}").alias(v) for v in vals])
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+) -> DataFrame:
+    """Equi+range join: rows of ``left`` matched to ``right`` rows of
+    the same key whose [lo, hi] interval contains ``left_ts``. The
+    equi key carries the shuffle (hash join); the range predicate is a
+    post-join filter — at 100 TB add a coarse bucket on time to the
+    equi key when a single key's interval set is large."""
+    cond = [F.col(f"l.{k}") == F.col(f"r.{k}") for k in on]
+    cond.append(F.col(f"l.{left_ts}") >= F.col(f"r.{right_lo}"))
+    cond.append(F.col(f"l.{left_ts}") <= F.col(f"r.{right_hi}"))
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    rcols = [
+        F.col(f"r.{c}") for c in right.columns if c not in set(on)
+    ]
+    joined = left.alias("l").join(right.alias("r"), on=cond, how="inner")
+    return joined.select(*lcols, *rcols)

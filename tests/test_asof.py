@@ -1,0 +1,81 @@
+"""As-of join semantics: tie-at-timestamp, no-prior-version, range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_spark.operators.asof import asof_join, range_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_basic_and_ties(spark):
+    events = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 00:00:00")),  # before any version → NULL
+            (2, 10, _ts("2024-01-01 01:00:00")),  # exactly at v1 → v1 applies
+            (3, 10, _ts("2024-01-01 02:30:00")),  # between v1 and v2 → v1
+            (4, 10, _ts("2024-01-01 03:00:00")),  # at v2 → v2
+            (5, 10, _ts("2024-01-01 09:00:00")),  # after all → v2
+            (6, 20, _ts("2024-01-01 05:00:00")),  # other key, no versions → NULL
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    dim = spark.createDataFrame(
+        [
+            (10, _ts("2024-01-01 01:00:00"), 100.0),
+            (10, _ts("2024-01-01 03:00:00"), 200.0),
+        ],
+        "user_id long, ts timestamp, tier double",
+    )
+    out = asof_join(events, dim, ("user_id",), "ts", "ts", ("tier",))
+    got = {r["event_id"]: r["tier"] for r in out.collect()}
+    assert got == {1: None, 2: 100.0, 3: 100.0, 4: 200.0, 5: 200.0, 6: None}
+
+
+def test_asof_matches_duckdb_native(spark):
+    """Random-ish deterministic fixture vs DuckDB's native ASOF JOIN."""
+    import duckdb
+
+    rows = [
+        (i, i % 5, _ts("2024-01-01 00:00:00") + dt.timedelta(minutes=17 * i))
+        for i in range(200)
+    ]
+    dims = [
+        (u, _ts("2024-01-01 00:00:00") + dt.timedelta(minutes=60 * k), float(u * 100 + k))
+        for u in range(5)
+        for k in range(10)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    dim = spark.createDataFrame(dims, "user_id long, ts timestamp, tier double")
+    got = sorted(
+        (r["event_id"], r["tier"])
+        for r in asof_join(ev, dim, ("user_id",), "ts", "ts", ("tier",)).collect()
+    )
+    con = duckdb.connect()
+    con.register("ev", ev.toPandas())
+    con.register("dim", dim.toPandas())
+    exp = sorted(
+        tuple(r)
+        for r in con.sql(
+            "SELECT e.event_id, d.tier FROM ev e "
+            "ASOF LEFT JOIN dim d ON e.user_id = d.user_id AND e.ts >= d.ts"
+        ).fetchall()
+    )
+    assert got == exp
+
+
+def test_range_join_containment(spark):
+    left = spark.createDataFrame(
+        [(1, 5), (1, 15), (2, 100)], "k long, x long"
+    )
+    right = spark.createDataFrame(
+        [(1, 0, 10, "a"), (1, 10, 20, "b"), (2, 0, 10, "c")],
+        "k long, lo long, hi long, tag string",
+    )
+    out = range_join(left, right, on=("k",), left_ts="x",
+                     right_lo="lo", right_hi="hi")
+    got = sorted((r["k"], r["x"], r["tag"]) for r in out.collect())
+    assert got == [(1, 5, "a"), (1, 15, "b")]

@@ -220,3 +220,41 @@ def test_time_travel_and_incremental(spark, tbl_dir):
     assert t.read(version=2).count() == 2
     inc = t.read_incremental(from_version=1)
     assert [r.repo for r in inc.collect()] == ["r2"]
+
+
+def test_concurrent_appends_no_lost_updates(spark, tbl_dir):
+    """T5 analog (optimistic commit-retry): two writers racing on
+    append commits must both land — a lost race rebase-retries onto
+    the winner's snapshot, appends commute, no update is lost."""
+    import os
+    import threading
+
+    from pyspark.sql import types as T
+
+    from etl_spark.icelite.table import IceliteTable
+
+    schema = T.StructType([
+        T.StructField("writer", T.StringType(), False),
+        T.StructField("i", T.LongType(), False),
+    ])
+    t = IceliteTable.create(spark, os.path.join(tbl_dir, "race"), schema)
+    N = 8
+    errs = []
+
+    def writer(name):
+        try:
+            for i in range(N):
+                t.append_rows_local([(name, i)], epoch_id=f"{name}:{i}")
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    th = [threading.Thread(target=writer, args=(w,)) for w in ("a", "b")]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join()
+    assert not errs
+    snap = t.snapshot()
+    assert snap.version == 2 * N          # every commit produced a version
+    assert len(snap.epochs) == 2 * N      # no epoch lost to a race
+    assert t.read().count() == 2 * N
