@@ -888,6 +888,59 @@ class IceliteTable:
         ]
         return self._commit_append(new_files, epoch_id, properties)
 
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Table maintenance: drop all but the newest ``keep_last``
+        snapshot manifests and delete data files referenced ONLY by the
+        expired ones (Iceberg's expire_snapshots). Time travel is
+        limited to retained versions afterwards. Single-maintainer op —
+        run it like compaction, not concurrently with itself."""
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.meta_path)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        expire = versions[:-keep_last] if keep_last > 0 else []
+        if not expire:
+            return {"expired_snapshots": 0, "deleted_files": 0}
+        keep = versions[-keep_last:]
+        referenced = {
+            f_.path for v in keep for f_ in self.snapshot(v).files
+        }
+        doomed = {
+            f_.path for v in expire for f_ in self.snapshot(v).files
+        } - referenced
+        for rel in doomed:
+            p = os.path.join(self.data_path, rel)
+            if os.path.exists(p):
+                os.unlink(p)
+        for v in expire:
+            os.unlink(self._version_file(v))
+        return {"expired_snapshots": len(expire), "deleted_files": len(doomed)}
+
+    def vacuum_orphans(self) -> dict:
+        """Delete data files on disk referenced by NO retained snapshot
+        (debris from aborted/crashed writes). NEVER run while a writer
+        may hold staged-but-uncommitted files — same contract as
+        Iceberg's remove_orphan_files."""
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.meta_path)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        referenced = {
+            f_.path for v in versions for f_ in self.snapshot(v).files
+        }
+        deleted = 0
+        for root, _dirs, files in os.walk(self.data_path, topdown=False):
+            for fn in files:
+                fp = os.path.join(root, fn)
+                if os.path.relpath(fp, self.data_path) not in referenced:
+                    os.unlink(fp)
+                    deleted += 1
+            if root != self.data_path and not os.listdir(root):
+                os.rmdir(root)
+        return {"deleted_files": deleted}
+
     def delta_stats(self) -> dict:
         """Read-amplification stats for the compaction policy."""
         snap = self.snapshot()

@@ -258,3 +258,38 @@ def test_concurrent_appends_no_lost_updates(spark, tbl_dir):
     assert snap.version == 2 * N          # every commit produced a version
     assert len(snap.epochs) == 2 * N      # no epoch lost to a race
     assert t.read().count() == 2 * N
+
+
+def test_expire_snapshots_and_vacuum(spark, tbl_dir):
+    """Maintenance ops: expiry keeps the newest snapshots readable and
+    deletes files only they referenced; vacuum removes aborted-write
+    debris. Current state is bit-identical throughout."""
+    import os
+
+    from etl_spark import gen
+    from etl_spark.operators.apply import create_target, replay
+
+    ev = gen.synthetic_events(spark, 1500, n_repos=20, seed=71)
+    tgt = create_target(spark, os.path.join(tbl_dir, "maint"), n_buckets=8)
+    replay(spark, ev, tgt, None, epoch_size=500)
+    state = sorted(tuple(r) for r in tgt.read().collect())
+    v = tgt.current_version()
+
+    # aborted write leaves debris; vacuum must remove it
+    rel, out_root = tgt.stage_delta_dir()
+    os.makedirs(os.path.join(out_root, "bucket=0"), exist_ok=True)
+    with open(os.path.join(out_root, "bucket=0", "part-junk.parquet"), "wb") as f:
+        f.write(b"junk")
+    got = tgt.vacuum_orphans()
+    assert got["deleted_files"] >= 1
+    assert sorted(tuple(r) for r in tgt.read().collect()) == state
+
+    s = tgt.expire_snapshots(keep_last=1)
+    assert s["expired_snapshots"] > 0
+    assert tgt.current_version() == v
+    assert sorted(tuple(r) for r in tgt.read().collect()) == state
+    # expired versions are no longer time-travelable
+    import pytest
+
+    with pytest.raises(Exception):
+        tgt.snapshot(0)
