@@ -115,3 +115,21 @@ def test_winnow_plan_shape(spark, tmp_path):
     winners = events.join(F.broadcast(winseq), "seq", "left_semi")
     plan = plans.explain_str(winners)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_asof_join_single_exchange(spark):
+    """The union+window as-of join must cost exactly ONE hash exchange
+    for the join itself (the whole point vs an exploded range join):
+    both union branches flow into one partitioning on the key."""
+    import datetime as dt
+
+    from etl_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [(1, 10, dt.datetime(2024, 1, 1))], "event_id long, user_id long, ts timestamp"
+    )
+    dim = spark.createDataFrame(
+        [(10, dt.datetime(2024, 1, 1), 1.0)], "user_id long, ts timestamp, tier double"
+    )
+    df = asof_join(ev, dim, ("user_id",), "ts", "ts", ("tier",))
+    assert plans.count_exchanges(df) == 1

@@ -1,0 +1,91 @@
+"""Property-based LWW convergence: random event sequences → engine
+final state must equal the single-threaded pandas oracle.
+
+The reference has no property-based testing (SURVEY.md §5.1.8); this
+goes beyond it: hypothesis explores op interleavings (delete→insert
+chains, duplicate keys, null keys, bogus ops, shuffled seq order)
+that hand-written fixtures miss. Spark startup dominates per-example
+cost, so examples are few but each is adversarially structured.
+"""
+
+from __future__ import annotations
+
+import os
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from etl_spark.operators.apply import apply_epoch, create_target
+from etl_spark.oracle import replay_pandas
+
+EV_DDL = (
+    "seq long, op string, repo string, path string, commit string, "
+    "lang string, content string, schema_version int"
+)
+
+ops = st.sampled_from(["insert", "update", "delete", "insert", "update", "bogus"])
+repos = st.sampled_from(["r0", "r1", None])
+paths = st.sampled_from(["a", "b", "c"])
+contents = st.sampled_from(["x", "yy", "zzz", None])
+
+
+@st.composite
+def event_batches(draw):
+    n = draw(st.integers(min_value=1, max_value=40))
+    rows = []
+    for seq in range(n):
+        op = draw(ops)
+        rows.append(
+            (
+                seq,
+                op,
+                draw(repos),
+                draw(paths),
+                f"c{seq}",
+                "py",
+                None if op == "delete" else draw(contents),
+                1,
+            )
+        )
+    # deliver in a shuffled order: LWW must not depend on arrival order
+    perm = draw(st.permutations(rows))
+    return list(perm)
+
+
+_counter = [0]
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(event_batches())
+def test_lww_replay_matches_oracle(spark, tbl_dir, rows):
+    _counter[0] += 1
+    ev = spark.createDataFrame(rows, EV_DDL).withColumn(
+        "event_time", F.timestamp_seconds(F.col("seq"))
+    )
+    tgt = create_target(
+        spark, os.path.join(tbl_dir, f"prop{_counter[0]}"), n_buckets=4
+    )
+    stats = apply_epoch(spark, ev, tgt, None, epoch_id="prop",
+                        max_reject_frac=1.0)
+    assert stats.invariant_ok()
+    got = sorted(
+        tuple(r)
+        for r in tgt.read()
+        .select("repo", "path", "commit", "content_sha256", "last_seq")
+        .collect()
+    )
+    exp_df = replay_pandas(ev.toPandas())
+    exp = sorted(
+        (r.repo, r.path, r.commit, r.content_sha256, r.last_seq)
+        for r in exp_df.itertuples(index=False)
+    )
+    assert got == exp
