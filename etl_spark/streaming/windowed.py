@@ -51,3 +51,20 @@ def windowed_counts_batch(events: DataFrame, window: str = "10 minutes") -> Data
     """Batch reference of the identical aggregation (no watermark —
     batch has no lateness)."""
     return _agg(events.withColumn("ts", F.col("ts").cast("timestamp")), window)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("event_id",),
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """T2 row-level analog (BQ InsertID dedup, schema/tcpinfo.go:84-87):
+    streaming duplicate suppression keyed by ``keys``. State is bounded
+    by the watermark — a duplicate arriving within the window is
+    dropped; state for older keys is evicted (exactly the InsertID
+    best-effort-window semantics BigQuery documents)."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(list(keys))
+    )

@@ -10,6 +10,7 @@ Commands:
   stream   --wal DIR --target T --lineage L           tail WAL segments
            --checkpoint C [--max-files N] [--follow]
   compact  --target T                                 fold MoR deltas
+  expire   --target T [--keep-last N] [--vacuum]      snapshot expiry
   status   --target T [--lineage L]                   snapshot/epoch info
   verify   --events E --target T                      replay-equality check
 
@@ -103,6 +104,18 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_expire(args) -> int:
+    from etl_spark.icelite.table import IceliteTable
+
+    spark = _spark(args)
+    t = IceliteTable.load(spark, args.target)
+    out = t.expire_snapshots(keep_last=args.keep_last)
+    if args.vacuum:
+        out["vacuum"] = t.vacuum_orphans()
+    print(json.dumps(out))
+    return 0
+
+
 def cmd_status(args) -> int:
     from etl_spark.icelite.table import IceliteTable
 
@@ -178,6 +191,11 @@ def main() -> int:
     p = sub.add_parser("compact")
     p.add_argument("--target", required=True)
 
+    p = sub.add_parser("expire")
+    p.add_argument("--target", required=True)
+    p.add_argument("--keep-last", type=int, default=5)
+    p.add_argument("--vacuum", action="store_true")
+
     p = sub.add_parser("status")
     p.add_argument("--target", required=True)
     p.add_argument("--lineage", default=None)
@@ -189,7 +207,8 @@ def main() -> int:
     args = ap.parse_args()
     return {
         "init": cmd_init, "apply": cmd_apply, "stream": cmd_stream,
-        "compact": cmd_compact, "status": cmd_status, "verify": cmd_verify,
+        "compact": cmd_compact, "expire": cmd_expire,
+        "status": cmd_status, "verify": cmd_verify,
     }[args.cmd](args)
 
 

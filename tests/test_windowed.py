@@ -95,3 +95,31 @@ def test_late_event_dropped_in_append_mode(spark, tbl_dir):
     emitted = {tuple(r) for r in rows}
     truth = {tuple(r) for r in batch.collect()}
     assert emitted and emitted.issubset(truth)
+
+
+def test_stream_dedup_within_watermark(spark, tbl_dir):
+    """T2 row-level: duplicate event_ids delivered across micro-batches
+    inside the watermark are suppressed to one row."""
+    from etl_spark.streaming.windowed import dedup_stream
+
+    src = os.path.join(tbl_dir, "dup_ev")
+    os.makedirs(src, exist_ok=True)
+    base = spark.createDataFrame(_events_pdf(200), EV_DDL)
+    base.coalesce(1).write.mode("append").parquet(src)
+    # redeliver the first 50 events (same event_ids, same payload)
+    base.where("event_id < 50").coalesce(1).write.mode("append").parquet(src)
+    q = (
+        dedup_stream(
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1").parquet(src)
+        )
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table("dedup_out")
+    assert out.count() == 200
+    assert out.select("event_id").distinct().count() == 200
