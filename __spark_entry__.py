@@ -1137,6 +1137,46 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: candidate pairs blocked on
+    the label (the cluster key a real pipeline would block on — LSH
+    bucket, ANN cell), exact cosine verify, threshold filter on the
+    ROUNDED score so both engines make the identical keep/drop call.
+    Threshold is dataset-relative (synthetic embeddings peak ≈0.47)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(similarity.cosine_similarity_col(F.col("ea"), F.col("eb")), 6)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.35)
+    )
+
+
+_EMB_DEDUP_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+           6) AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+       unnest(range(1, 65)) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+
 def arr_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arrays.thin_array(_read(spark, sf_dir, "embeddings"))
 
@@ -1302,6 +1342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embeddings
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_lsh": ann_cosine_lsh,
+        "dedup_embedding_cosine": dedup_embedding_cosine,
         # multimodal (rows-only: binary decode not SQL-expressible)
         "mm_decode": mm_decode,
         "mm_frames": mm_frames,
@@ -1360,5 +1401,6 @@ def oracle_sql() -> dict[str, str]:
         "arr_overlap_trim": _ARR_TRIM_ORACLE,
         "arr_last_summary": _ARR_SUMMARY_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
+        "dedup_embedding_cosine": _EMB_DEDUP_ORACLE,
         # ann_cosine_lsh: intentionally no oracle (approximate operator)
     }
