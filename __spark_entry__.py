@@ -569,6 +569,35 @@ FROM events GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
 """
 
 
+def w_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the HOURLY rollup is
+    re-aggregated from the 10-MINUTE partials (never from raw — at
+    100 TB the finer aggregate is ~1000× smaller than the events).
+    Counts and sums re-aggregate associatively; the oracle aggregates
+    raw events directly, so the check proves partial-reaggregation
+    equivalence."""
+    from etl_spark.streaming.windowed import windowed_counts_batch
+
+    fine = windowed_counts_batch(_read(spark, sf_dir, "events"))
+    return (
+        fine.groupBy(
+            F.date_trunc("hour", "window_start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_value"), 5).alias("total_value"),
+        )
+    )
+
+
+_HIER_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 5) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
 def w_lead_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J3 analog (PT pollution cross-check, parser/pt.go:622-658): a
     row is discarded when the NEXT row for its key, in stream order,
@@ -1317,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # group co-join + event-time windows + lead discard
         "j_group_cojoin": j_group_cojoin,
         "w_windowed_counts": w_windowed_counts,
+        "w_hier_rollup": w_hier_rollup,
         "w_lead_discard": w_lead_discard,
         "j_asof_enrich": j_asof_enrich,
         "j_range_join": j_range_join,
@@ -1382,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_lww_salted": _CDC_LWW_ORACLE.format(events=ev),
         "j_group_cojoin": _GROUP_COJOIN_ORACLE,
         "w_windowed_counts": _WINDOWED_COUNTS_ORACLE,
+        "w_hier_rollup": _HIER_ROLLUP_ORACLE,
         "w_lead_discard": _LEAD_DISCARD_ORACLE,
         "j_asof_enrich": _ASOF_ORACLE,
         "j_range_join": _RANGE_JOIN_ORACLE,
