@@ -125,6 +125,7 @@ def apply_epoch(
     merge_mode: str = "delta",
     compact_max_delta_files: int = 16,
     dedup_mode: str = "winnow",
+    winseq_broadcast: bool = True,
 ) -> ApplyStats:
     """Apply one epoch of change events. Idempotent per epoch_id.
 
@@ -230,9 +231,16 @@ def apply_epoch(
         )
         # NOTE: `events` (not ev1) on the probe side — the observe node
         # must appear exactly once in the plan or metrics double-count.
+        # winseq_broadcast=False is the large-epoch path (SCALE.md):
+        # when the winning-seq set outgrows broadcast (~10^8 winners →
+        # 800 MB), a shuffle semi-join on the UNIQUE, uniform seq key
+        # is skew-free, and Spark's runtime bloom filtering
+        # (spark.sql.optimizer.runtime.bloomFilter.enabled) pushes a
+        # bloom of the build side into the probe scan automatically.
+        build = F.broadcast(winseq) if winseq_broadcast else winseq
         obs_w = Observation()
         winners = events.join(
-            F.broadcast(winseq), on=schemas.SEQ_COL, how="left_semi"
+            build, on=schemas.SEQ_COL, how="left_semi"
         ).observe(
             obs_w,
             F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes"),

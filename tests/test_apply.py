@@ -239,3 +239,18 @@ def test_extreme_skew_correctness(spark, tbl_dir):
         for r in expected.itertuples(index=False)
     )
     assert final_state(tgt) == exp
+
+
+def test_winnow_shuffle_semi_join_equals_broadcast(spark, tbl_dir):
+    """The large-epoch fallback (shuffle semi-join on seq instead of a
+    broadcast of the winning-seq set, SCALE.md) must produce identical
+    state and accounting."""
+    ev = gen.synthetic_events(spark, 3000, n_repos=40, seed=83, corrupt_frac=0.03)
+    t1, _ = fresh(spark, os.path.join(tbl_dir, "bc"))
+    t2, _ = fresh(spark, os.path.join(tbl_dir, "shuf"))
+    s1 = apply_epoch(spark, ev, t1, None, epoch_id="x", winseq_broadcast=True)
+    s2 = apply_epoch(spark, ev, t2, None, epoch_id="x", winseq_broadcast=False)
+    assert final_state(t1) == final_state(t2)
+    assert (s1.applied, s1.rejected, s1.events_in, s1.high_watermark) == (
+        s2.applied, s2.rejected, s2.events_in, s2.high_watermark
+    )
