@@ -1,0 +1,44 @@
+"""jobs/run.py lifecycle: init → apply → compact → expire → verify,
+driven in-process (the Spark session is reused via getOrCreate)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from argparse import Namespace
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "jobs"))
+
+import run as cli  # noqa: E402
+
+from etl_spark import gen  # noqa: E402
+
+
+def _ns(**kw):
+    base = {"local_cores": None, "cmd": "test"}
+    base.update(kw)
+    return Namespace(**base)
+
+
+def test_cli_lifecycle(spark, tbl_dir, capsys):
+    events_dir = os.path.join(tbl_dir, "events")
+    gen.synthetic_events(spark, 2000, n_repos=15, seed=91).write.parquet(events_dir)
+    t, lin = os.path.join(tbl_dir, "t"), os.path.join(tbl_dir, "l")
+
+    assert cli.cmd_init(_ns(target=t, lineage=lin, buckets=8)) == 0
+    assert (
+        cli.cmd_apply(
+            _ns(events=events_dir, target=t, lineage=lin,
+                epoch_size=700, merge_mode="delta")
+        )
+        == 0
+    )
+    assert cli.cmd_compact(_ns(target=t)) == 0
+    assert cli.cmd_expire(_ns(target=t, keep_last=1, vacuum=True)) == 0
+    assert cli.cmd_verify(_ns(events=events_dir, target=t)) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+           if l.startswith("{")]
+    assert out[-1]["ok"] is True          # verify: replay-equality holds
+    assert out[-2]["expired_snapshots"] >= 1
+    assert out[-3]["after"]["delta_files"] == 0  # compaction folded deltas
