@@ -1166,6 +1166,39 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus AFTER exact dedup: canonical (min doc_id) survivor
+    per content hash — the rows a training pipeline keeps."""
+    return textops.dedup_exact_survivors(_read(spark, sf_dir, "documents"))
+
+
+_DEDUP_SURVIVORS_ORACLE = """
+WITH canon AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN canon USING (doc_id)
+"""
+
+
+def f_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 analog (GCS JSONL row sink, storage/rowwriter.go:27-117):
+    write documents as newline-delimited JSON (built-in sink), read
+    back with an explicit schema. Oracle = the source table — the sink
+    round-trip must be the identity."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_sink_")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(docs.schema).json(out)
+
+
+_JSONL_SINK_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection: candidate pairs blocked on
     the label (the cluster key a real pipeline would block on — LSH
@@ -1373,6 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_lsh": ann_cosine_lsh,
         "dedup_embedding_cosine": dedup_embedding_cosine,
+        "dedup_exact_survivors": dedup_exact_survivors,
+        "f_jsonl_sink_roundtrip": f_jsonl_sink_roundtrip,
         # multimodal (rows-only: binary decode not SQL-expressible)
         "mm_decode": mm_decode,
         "mm_frames": mm_frames,
@@ -1433,5 +1468,7 @@ def oracle_sql() -> dict[str, str]:
         "arr_last_summary": _ARR_SUMMARY_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
         "dedup_embedding_cosine": _EMB_DEDUP_ORACLE,
+        "dedup_exact_survivors": _DEDUP_SURVIVORS_ORACLE,
+        "f_jsonl_sink_roundtrip": _JSONL_SINK_ORACLE,
         # ann_cosine_lsh: intentionally no oracle (approximate operator)
     }
