@@ -311,11 +311,11 @@ and 4× heap alongside 4× cores; a single box does not. Measured
 saturation curve for the same job (single-run samples; host is a
 shared-tenant VM, per-run jitter ±0.1):
 
-| pair | efficiency | throughput at 4N |
+| pair | efficiency | throughput at 4N (48M-event epochs) |
 |---|---|---|
 | 2 → 8   | 0.88-0.96 | ~1.9M ev/s (~240k/core) |
-| 4 → 16  | 0.60-0.65 | ~2.5M ev/s (~170k/core) |
-| 6 → 24  | 0.73      | ~5.4M ev/s (~225k/core, 48M-event epochs) |
+| 4 → 16  | 0.72      | ~3.8M ev/s (~240k/core) |
+| 6 → 24  | 0.73      | ~5.4M ev/s (~225k/core) |
 
 Above ~8-12 active cores the box's memory bus saturates (Arrow IPC,
 shuffle and parquet scan are bandwidth-bound; per-core throughput
