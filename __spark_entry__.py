@@ -116,7 +116,7 @@ FROM events WHERE content IS NOT NULL
 _CDC_OP_STATS_ORACLE = """
 WITH events AS ({events})
 SELECT op, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq,
-       coalesce(sum(length(content)), 0) AS content_bytes
+       coalesce(CAST(sum(length(content)) AS BIGINT), 0) AS content_bytes
 FROM events GROUP BY op
 """
 
@@ -162,7 +162,7 @@ WITH marked AS (
          (event_type <> lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS changed
   FROM events
 )
-SELECT user_id, coalesce(sum(CASE WHEN changed THEN 1 ELSE 0 END), 0) AS n_changes
+SELECT user_id, coalesce(CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_changes
 FROM marked GROUP BY user_id
 """
 
@@ -195,7 +195,7 @@ FROM ranked GROUP BY user_id
 _W_JSON_PROPS_ORACLE = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events GROUP BY event_type
@@ -458,24 +458,25 @@ JOIN sizes zb ON zb.doc_id = p.doc_b
 
 def f_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 analog (gzip/zstd member decode, storage/storage.go:77-118):
-    compress → decompress → per-codec size accounting, all vectorized
-    in mapInPandas. Binary codecs have no SQL oracle — rows-only here;
-    byte-exact round-trips are pinned in tests/test_compress.py."""
+    compress → decompress → identity. The oracle is the source table
+    itself (same pattern as src_tar_roundtrip): DuckDB never sees the
+    codec, it just asserts the round-trip returned every byte. Per-codec
+    size accounting + corrupt-blob handling stay in tests/test_compress.py."""
     from etl_spark.functions import compress
 
-    docs = _read(spark, sf_dir, "documents").withColumn(
-        "codec",
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
         F.element_at(
             F.array(F.lit("gzip"), F.lit("zlib"), F.lit("none")),
             (F.col("doc_id") % 3 + 1).cast("int"),
-        ),
+        ).alias("codec"),
     )
     blobs = compress.compress_content(docs, content_col="text")
     decoded = compress.decompress_content(blobs, blob_col="blob")
-    ok = decoded.where(
-        ~F.col("decode_error") & (F.col("decoded") == F.col("text"))
+    return decoded.where(~F.col("decode_error")).select(
+        "doc_id", "codec", F.col("decoded").alias("text")
     )
-    return compress.compression_stats(ok, blob_col="blob", content_col="text")
 
 
 def src_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -501,6 +502,13 @@ def src_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TAR_ROUNDTRIP_ORACLE = """
 SELECT doc_id, coalesce(text, '') AS text FROM documents
+"""
+
+_COMPRESS_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib' ELSE 'none' END AS codec,
+       coalesce(text, '') AS text
+FROM documents
 """
 
 
@@ -852,14 +860,14 @@ FROM routed GROUP BY experiment, suffix, valid
 _JSONL_ORACLE = """
 SELECT user_id,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_records,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY user_id
 """
 
 _JSON_REPAIR_ORACLE = """
 SELECT event_type,
        count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
-       sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -1148,7 +1156,7 @@ bits AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 
@@ -1284,17 +1292,115 @@ FROM embeddings
 
 
 def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary decode (rows-only: binary parse is not
-    SQL-expressible; exactness vs a pure-Python reference is asserted
-    in tests/test_multimodal.py)."""
+    """Multimodal binary decode. The SMF corpus is a pure function of
+    sha256(media_id), so the expected header fields AND the body mean
+    are derivable in DuckDB SQL (hex→byte via strpos, same trick as the
+    simhash oracle) — the oracle independently recomputes what the
+    binary parse must find. payload_sha256 (not SQL-expressible) lives
+    in mm_decode_full + tests/test_multimodal.py."""
+    media = multimodal.synth_media(spark, 300)
+    return multimodal.decode_media(media).select(
+        "media_id", "kind", "width", "height", "n_frames", "body_bytes",
+        F.round("mean_value", 6).alias("mean_value"), "valid",
+    )
+
+
+def mm_decode_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full decode incl. payload_sha256 (rows-only: blob hashing of a
+    constructed payload is not SQL-expressible; bit-exactness vs a
+    pure-Python reference is asserted in tests/test_multimodal.py)."""
     media = multimodal.synth_media(spark, 300)
     return multimodal.decode_media(media)
 
 
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling, N→M UDTF shape (rows-only)."""
+    """Video frame sampling, N→M UDTF shape. Frame means are
+    SQL-recomputable (cyclic 32-byte body pattern); frame_sha256 stays
+    pytest-only."""
     media = multimodal.synth_media(spark, 300)
-    return multimodal.sample_frames(media, every=2)
+    return multimodal.sample_frames(media, every=2).select(
+        "media_id",
+        "frame_idx",
+        F.round("frame_mean", 6).alias("frame_mean"),
+    )
+
+
+def _hx(col: str, i) -> str:
+    """DuckDB expr: byte ``i`` (0-based) of a lowercase-hex digest column."""
+    hi, lo = (str(2 * i + 1), str(2 * i + 2)) if isinstance(i, int) else (
+        f"2*{i}+1", f"2*{i}+2")
+    return (f"(16*(strpos('0123456789abcdef', substr({col}, {hi}, 1)) - 1)"
+            f" + (strpos('0123456789abcdef', substr({col}, {lo}, 1)) - 1))")
+
+
+# Shared CTE prefix: recompute the SMF corpus spec (kind/dims/body bytes)
+# from sha256 in pure SQL — independent re-derivation of what the binary
+# header parse must find (multimodal._payload_bytes is the generator).
+_MM_SPEC_CTES = f"""
+WITH ids AS (SELECT i AS media_id FROM range(0, 300) AS t(i)),
+hb AS (
+  SELECT media_id,
+         sha256('media:' || CAST(media_id AS VARCHAR)) AS mh,
+         sha256('body:'  || CAST(media_id AS VARCHAR)) AS bh
+  FROM ids
+),
+hdr AS (
+  SELECT media_id, bh,
+         {_hx('mh', 0)} AS b0, {_hx('mh', 1)} AS b1,
+         {_hx('mh', 2)} AS b2, {_hx('mh', 3)} AS b3
+  FROM hb
+),
+dims AS (
+  SELECT media_id, bh,
+    CASE b0 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    CASE b0 % 3 WHEN 0 THEN 8 + b1 % 24 WHEN 1 THEN 8 ELSE 8 + b1 % 8 END AS width,
+    CASE b0 % 3 WHEN 0 THEN 8 + b2 % 24 WHEN 1 THEN 64 + b2 % 192 ELSE 8 + b2 % 8 END AS height,
+    CASE b0 % 3 WHEN 2 THEN 2 + b3 % 6 ELSE 1 END AS n_frames
+  FROM hdr
+),
+body AS (
+  SELECT d.media_id, t.i, {_hx('d.bh', 't.i')} AS bv
+  FROM dims d, range(0, 32) AS t(i)
+)"""
+
+_MM_DECODE_ORACLE = _MM_SPEC_CTES + """,
+stats AS (
+  SELECT d.media_id, d.kind, d.width, d.height, d.n_frames,
+         d.width * d.height * d.n_frames AS body_bytes,
+         sum(b.bv) AS sum32,
+         sum(CASE WHEN b.i < (d.width * d.height * d.n_frames) % 32
+                  THEN b.bv ELSE 0 END) AS sum_rem
+  FROM dims d JOIN body b ON b.media_id = d.media_id
+  GROUP BY d.media_id, d.kind, d.width, d.height, d.n_frames
+)
+SELECT media_id, kind,
+       CAST(width AS INTEGER) AS width,
+       CAST(height AS INTEGER) AS height,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(body_bytes AS BIGINT) AS body_bytes,
+       round(((body_bytes // 32) * sum32 + sum_rem)
+             / CAST(body_bytes AS DOUBLE), 6) AS mean_value,
+       TRUE AS valid
+FROM stats
+"""
+
+_MM_FRAMES_ORACLE = _MM_SPEC_CTES + """,
+frames AS (
+  SELECT d.media_id, d.width * d.height AS flen, f.fi
+  FROM dims d, range(0, 8) AS f(fi)
+  WHERE d.kind = 'video' AND f.fi < d.n_frames AND f.fi % 2 = 0
+),
+pos AS (
+  SELECT fr.media_id, fr.fi, fr.flen,
+         (fr.fi * fr.flen + p.j) % 32 AS i
+  FROM frames fr, range(0, 256) AS p(j)
+  WHERE p.j < fr.flen
+)
+SELECT po.media_id, CAST(po.fi AS INTEGER) AS frame_idx,
+       round(sum(b.bv) / CAST(any_value(po.flen) AS DOUBLE), 6) AS frame_mean
+FROM pos po JOIN body b ON b.media_id = po.media_id AND b.i = po.i
+GROUP BY po.media_id, po.fi
+"""
 
 
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1410,6 +1516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_jsonl_sink_roundtrip": f_jsonl_sink_roundtrip,
         # multimodal (rows-only: binary decode not SQL-expressible)
         "mm_decode": mm_decode,
+        "mm_decode_full": mm_decode_full,
         "mm_frames": mm_frames,
     }
 
@@ -1441,7 +1548,7 @@ def oracle_sql() -> dict[str, str]:
         "w_topk_per_group": _TOPK_ORACLE,
         "f_text_table_decode": _TEXT_TABLE_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
-        # f_compress_roundtrip: rows-only (binary codecs, no SQL oracle)
+        "f_compress_roundtrip": _COMPRESS_ROUNDTRIP_ORACLE,
         "src_tar_roundtrip": _TAR_ROUNDTRIP_ORACLE,
         "f_binary_decode": _BINARY_DECODE_ORACLE,
         "cdc_lww_salted": _CDC_LWW_ORACLE.format(events=ev),
@@ -1470,5 +1577,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding_cosine": _EMB_DEDUP_ORACLE,
         "dedup_exact_survivors": _DEDUP_SURVIVORS_ORACLE,
         "f_jsonl_sink_roundtrip": _JSONL_SINK_ORACLE,
+        "mm_decode": _MM_DECODE_ORACLE,
+        "mm_frames": _MM_FRAMES_ORACLE,
         # ann_cosine_lsh: intentionally no oracle (approximate operator)
+        # mm_decode_full: rows-only (payload sha256 of constructed blob)
     }

@@ -126,7 +126,8 @@ WINNOW_STATS_DDL = (
 )
 
 
-def winnow_write_kernel(delta_schema_json: str, out_root: str):
+def winnow_write_kernel(delta_schema_json: str, out_root: str,
+                        key_cols: tuple = ()):
     """mapInArrow kernel for the winners-only ("winnow") apply path:
     sha256-fingerprint winner rows and stream them straight into
     bucket-partitioned delta files via pyarrow — the JVM never sees the
@@ -134,12 +135,20 @@ def winnow_write_kernel(delta_schema_json: str, out_root: str):
     stat reads; the task output is ONLY per-bucket stats).
 
     Input batches are already partitioned by ``bucket`` (every bucket
-    lives wholly in one task). File paths are deterministic per
-    (bucket, partitionId): a retried task overwrites its own files and
-    the driver receives stats exactly once per successful partition
-    (collect()-based, not accumulator-based), so commit metadata is
-    exact under retries. Speculative execution must stay off for this
-    stage (concurrent same-path writes) — the default."""
+    lives wholly in one task). File paths carry the unique
+    ``taskAttemptId`` so a retried OR speculative attempt never writes
+    the same path concurrently; the manifest records only the paths in
+    collect()ed stats rows (Spark delivers each partition's result from
+    exactly one successful attempt), and ``commit_staged_delta`` sweeps
+    unreferenced orphans from losing attempts. Safe with
+    ``spark.speculation=true``.
+
+    ``key_cols`` enforces the winnow precondition that seqs are unique
+    within the epoch: every failure mode of the seq-based semi-join
+    (duplicate delivery of one seq, cross-key seq collision) surfaces
+    as >1 winner row for some key, which this kernel sees wholesale —
+    it raises rather than writing duplicate winners
+    (etl/etl.go:22-35's accounting invariant, enforced not assumed)."""
     import pyarrow as pa
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
@@ -170,9 +179,20 @@ def winnow_write_kernel(delta_schema_json: str, out_root: str):
         if not tbls:
             return
         t = pa.concat_tables(tbls)
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         for bucket in pc.unique(t["bucket"]).to_pylist():
             sub = t.filter(pc.equal(t["bucket"], bucket))
+            if key_cols:
+                n_keys = sub.group_by(list(key_cols)).aggregate([]).num_rows
+                if n_keys != sub.num_rows:
+                    raise ValueError(
+                        f"winnow invariant violated in bucket {bucket}: "
+                        f"{sub.num_rows} winner rows but {n_keys} distinct "
+                        f"keys — epoch seqs are not unique (duplicate "
+                        f"delivery or producer seq collision)"
+                    )
             content = sub["content"].to_pylist()
             sha = pa.array(
                 [
@@ -189,7 +209,9 @@ def winnow_write_kernel(delta_schema_json: str, out_root: str):
                  for n in names],
                 schema=arrow_schema,
             )
-            rel_path = os.path.join(f"bucket={bucket}", f"part-{pid:05d}.parquet")
+            rel_path = os.path.join(
+                f"bucket={bucket}", f"part-{pid:05d}-{attempt}.parquet"
+            )
             fp = os.path.join(out_root, rel_path)
             os.makedirs(os.path.dirname(fp), exist_ok=True)
             pq.write_table(out, fp, compression="snappy")

@@ -237,15 +237,25 @@ def _arrow_type(spark_type: T.DataType):
 
 
 def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
-                    key_cols: Sequence[str]):
+                    key_cols: Sequence[str],
+                    drop_tombstones_below_seq: int | None = None):
     """Per-bucket compaction task body (runs inside mapInPandas).
 
     Input: spec rows {bucket, files: [[path, schema_id, kind], ...]}.
     Each task: pyarrow-read its bucket's files, pandas-resolve per-key
-    LWW (max (last_seq, is_base) — identical rank to ``read()``), drop
-    tombstones, pyarrow-write ONE fresh base file, emit its stats. All
-    row compute is vectorized (north rule); only file paths cross the
-    driver boundary."""
+    LWW (max (last_seq, is_base) — identical rank to ``read()``),
+    pyarrow-write ONE fresh file per bucket, emit its stats. All row
+    compute is vectorized (north rule); only file paths cross the
+    driver boundary.
+
+    Tombstone retention: a winning DELETE is only physically dropped
+    when ``drop_tombstones_below_seq`` says no lower-seq event can
+    still arrive (the low watermark). With concurrent/out-of-order
+    writers, dropping a tombstone early would let a late lower-seq
+    insert resurrect the key — so by default tombstones are RETAINED:
+    if any survive, the bucket's compacted output is written as a
+    delta-kind file (rows carry __op, deletes keep suppressing); a
+    bucket with no tombstones compacts to a plain base file."""
     import pandas as pd
 
     keys = list(key_cols)
@@ -261,9 +271,6 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
             pa.set_io_thread_count(1)
         except Exception:
             pass
-        arrow_schema = pa.schema(
-            [pa.field(f_.name, _arrow_type(f_.dataType)) for f_ in current.fields]
-        )
         for pdf in batches:
             out_rows = []
             for spec_json in pdf["spec"]:
@@ -282,11 +289,23 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
                 df = df.sort_values(
                     ["last_seq", "__is_base"], kind="mergesort"
                 ).drop_duplicates(subset=keys, keep="last")
-                df = df[df["__op"] != "delete"]
+                dead = df["__op"] == "delete"
+                if drop_tombstones_below_seq is not None:
+                    dead &= df["last_seq"] < drop_tombstones_below_seq
+                    df = df[~dead]
+                    has_tombstones = bool((df["__op"] == "delete").any())
+                else:
+                    has_tombstones = bool(dead.any())
+                    # no watermark: keep every winning delete
+                if not has_tombstones:
+                    df = df[df["__op"] != "delete"]
                 if len(df) == 0:
                     continue
+                out_fields = list(current.fields)
+                if has_tombstones:
+                    out_fields.append(T.StructField("__op", T.StringType(), True))
                 arrays = []
-                for f_ in current.fields:
+                for f_ in out_fields:
                     typ = _arrow_type(f_.dataType)
                     if f_.name not in df.columns:
                         arrays.append(pa.nulls(len(df), type=typ))
@@ -296,16 +315,26 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
                             and str(s.dtype).startswith("datetime64"):
                         s = s.dt.tz_localize("UTC")
                     arrays.append(pa.array(s, type=typ, from_pandas=True))
+                arrow_schema = pa.schema(
+                    [pa.field(f_.name, _arrow_type(f_.dataType))
+                     for f_ in out_fields]
+                )
                 table = pa.Table.from_arrays(arrays, schema=arrow_schema)
-                rel_path = os.path.join(f"bucket={bucket}", "part-00000.parquet")
+                from pyspark import TaskContext
+
+                attempt = TaskContext.get().taskAttemptId()
+                rel_path = os.path.join(
+                    f"bucket={bucket}", f"part-00000-{attempt}.parquet"
+                )
                 fp = os.path.join(out_root, rel_path)
                 os.makedirs(os.path.dirname(fp), exist_ok=True)
                 pq.write_table(table, fp, compression="snappy")
                 out_rows.append(
-                    (bucket, rel_path, len(table), os.path.getsize(fp))
+                    (bucket, rel_path, len(table), os.path.getsize(fp),
+                     "delta" if has_tombstones else "base")
                 )
             yield pd.DataFrame(
-                out_rows, columns=["bucket", "rel_path", "rows", "bytes"]
+                out_rows, columns=["bucket", "rel_path", "rows", "bytes", "kind"]
             )
 
     return run
@@ -443,12 +472,19 @@ class IceliteTable:
             files = [f_ for f_ in files if f_.bucket in bset]
         if not files:
             return self.spark.createDataFrame([], schema)
-        has_delta = any(f_.kind == "delta" for f_ in files)
-        if not has_delta or not resolve:
-            out = self._read_file_group(
-                snap, [f_ for f_ in files if not has_delta or f_.kind == "base"],
-                schema, with_op=False,
+        if not resolve:
+            # resolve=False is the RAW view: every committed row, base
+            # AND delta, with a __op provenance column ('base' for base
+            # rows) — never a silently-stale base-only subset. Callers
+            # wanting final state use the default resolve=True.
+            out = self._read_file_group(snap, files, schema, with_op=True)
+            return out if out is not None else self.spark.createDataFrame(
+                [], T.StructType(schema.fields
+                                 + [T.StructField("__op", T.StringType(), True)])
             )
+        has_delta = any(f_.kind == "delta" for f_ in files)
+        if not has_delta:
+            out = self._read_file_group(snap, files, schema, with_op=False)
             return out if out is not None else self.spark.createDataFrame([], schema)
         all_rows = self._read_file_group(snap, files, schema, with_op=True)
         seq_col = "last_seq" if "last_seq" in [f_.name for f_ in schema.fields] else None
@@ -504,7 +540,15 @@ class IceliteTable:
             n_buckets=base.n_buckets,
             key_cols=base.key_cols,
             files=files,
-            properties={**base.properties, **(properties or {})},
+            # a None value is a deletion marker: callers prune properties
+            # they no longer need (e.g. per-epoch crash-recovery props
+            # once the lineage append has committed) so the manifest
+            # does not grow O(epochs^2) over the table's lifetime.
+            properties={
+                k: v
+                for k, v in {**base.properties, **(properties or {})}.items()
+                if v is not None
+            },
             epochs=base.epochs + ([epoch_id] if epoch_id else []),
         )
         _atomic_write_json(self._version_file(new.version), new.to_json())
@@ -886,6 +930,18 @@ class IceliteTable:
             )
             for r in stats_rows
         ]
+        # Sweep orphans: losing speculative/retried task attempts wrote
+        # attempt-suffixed files that no collected stats row references.
+        # Only manifest-listed files are ever read, but unreferenced
+        # files would leak disk forever (expire_snapshots only deletes
+        # what a manifest once referenced). O(n_buckets) directory walk.
+        keep = {os.path.join(rel, r["rel_path"]) for r in stats_rows}
+        staged_root = os.path.join(self.data_path, rel)
+        for dirpath, _dirs, fnames in os.walk(staged_root):
+            for fn in fnames:
+                p = os.path.join(dirpath, fn)
+                if os.path.relpath(p, self.data_path) not in keep:
+                    os.unlink(p)
         return self._commit_append(new_files, epoch_id, properties)
 
     def expire_snapshots(self, keep_last: int = 5) -> dict:
@@ -957,11 +1013,16 @@ class IceliteTable:
             "max_delta_files_per_bucket": max(per_bucket.values(), default=0),
         }
 
-    def compact(self, properties: dict | None = None) -> Snapshot:
-        """Fold all delta files into fresh base files (resolved LWW
-        state), dropping tombstoned keys. Logical state is unchanged —
-        compaction commutes with replay, so it can run at any point
-        without affecting convergence.
+    def compact(self, properties: dict | None = None,
+                drop_tombstones_below_seq: int | None = None) -> Snapshot:
+        """Fold each bucket's delta files into ONE fresh file of
+        resolved LWW state. Logical state is unchanged — compaction
+        commutes with replay even under concurrent out-of-order
+        writers, because winning DELETEs are retained as tombstones
+        (delta-kind output) until ``drop_tombstones_below_seq`` (the
+        caller's low watermark: no event with a lower seq can still
+        arrive) permits physically dropping them; a bucket left with no
+        tombstones compacts to a plain base file.
 
         ZERO-SHUFFLE: every key lives in exactly one bucket and all of
         a bucket's base+delta files are self-contained, so per-key LWW
@@ -989,14 +1050,26 @@ class IceliteTable:
             ]
             specs.append((b, json.dumps({"bucket": b, "files": files})))
         kernel = _compact_kernel(
-            self.data_path, out_root, snap.schemas, snap.key_cols
+            self.data_path, out_root, snap.schemas, snap.key_cols,
+            drop_tombstones_below_seq=drop_tombstones_below_seq,
         )
         stats = (
             self.spark.createDataFrame(specs, "bucket int, spec string")
             .repartition(len(specs))
-            .mapInPandas(kernel, "bucket int, rel_path string, rows long, bytes long")
+            .mapInPandas(
+                kernel,
+                "bucket int, rel_path string, rows long, bytes long, kind string",
+            )
             .collect()
         )
+        # losing speculative/retried attempts wrote attempt-suffixed
+        # files not present in the collected stats — sweep them
+        keep = {os.path.join(rel, r["rel_path"]) for r in stats}
+        for dirpath, _dirs, fnames in os.walk(out_root):
+            for fn in fnames:
+                p_ = os.path.join(dirpath, fn)
+                if os.path.relpath(p_, self.data_path) not in keep:
+                    os.unlink(p_)
         new_files = [
             DataFile(
                 path=os.path.join(rel, r["rel_path"]),
@@ -1004,13 +1077,43 @@ class IceliteTable:
                 rows=r["rows"],
                 bytes=r["bytes"],
                 schema_id=len(snap.schemas) - 1,
-                kind="base",
+                kind=r["kind"],
             )
             for r in stats
         ]
+        # Rebase-retry commit: a compaction's output replaces exactly
+        # the files it READ (its "consumed" set). Racing APPENDs commute
+        # with it — their new delta files simply stay on top of the
+        # fresh base (per-key seqs are monotone across epochs, so LWW
+        # resolution is unaffected) — so on a lost version race we
+        # re-read the winner's snapshot, keep every file we did not
+        # consume, and try again. Only a concurrent REWRITE of the
+        # consumed files themselves (another compaction / CoW merge)
+        # aborts: our output would resurrect rows it replaced.
+        # Reference analog: 120 concurrent committers retrying through
+        # quota pushback, bq/insert.go:364-381.
         tset = set(touched)
-        kept = [f_ for f_ in snap.files if f_.bucket not in tset]
-        return self._commit(
-            snap, kept + new_files, snap.schemas, None,
-            {**(properties or {}), "compacted_at_version": snap.version + 1},
-        )
+        consumed = {f_.path for f_ in snap.files if f_.bucket in tset}
+        cur = snap
+        last: Exception | None = None
+        for _ in range(10):
+            kept = [f_ for f_ in cur.files if f_.path not in consumed]
+            try:
+                return self._commit(
+                    cur, kept + new_files, cur.schemas, None,
+                    {**(properties or {}),
+                     "compacted_at_version": cur.version + 1},
+                )
+            except CommitConflict as e:
+                last = e
+                cur = self.snapshot()
+                if not consumed <= {f_.path for f_ in cur.files}:
+                    raise CommitConflict(
+                        "compaction read set was rewritten concurrently; "
+                        "re-run compaction against the new snapshot"
+                    ) from e
+                if cur.schemas[: len(snap.schemas)] != snap.schemas:
+                    raise CommitConflict(
+                        "schema list diverged during compaction"
+                    ) from e
+        raise last if last else RuntimeError("unreachable")

@@ -185,8 +185,12 @@ def apply_epoch(
     ]
     if unknown:
         raise ValueError(f"columns not in ledger: {unknown}")
+    # any difference triggers evolution, not just added fields — a
+    # widen-only migration (int→long, same field count) must also land;
+    # evolve_schema itself validates add/widen compatibility and no-ops
+    # on an identical schema.
     tgt_schema = ledger.target_schema()
-    if len(tgt_schema.fields) > len(target.snapshot().current_schema.fields):
+    if tgt_schema.json() != target.snapshot().current_schema.json():
         target.evolve_schema(tgt_schema)
 
     # 2. ONE Spark job per epoch. Accounting rides inside the same job
@@ -263,7 +267,8 @@ def apply_epoch(
             + [T.StructField("__op", T.StringType(), True)]
         ).json()
         rel, out_root = target.stage_delta_dir()
-        kernel = winnow_write_kernel(delta_schema_json, out_root)
+        kernel = winnow_write_kernel(delta_schema_json, out_root,
+                                     key_cols=tuple(snap0.key_cols))
         # AQE's partition coalescing targets ~64MB partitions, which
         # caps the kernel stage's parallelism below the core count for
         # sub-GB winner sets (measured 2.4x slower at 24 cores) —
@@ -280,6 +285,9 @@ def apply_epoch(
                 .mapInArrow(kernel, WINNOW_STATS_DDL)
                 .collect()
             )
+        except Exception:
+            target.abort_write(rel)  # failed job leaves no staged files
+            raise
         finally:
             spark.conf.set("spark.sql.adaptive.enabled", aqe_prev)
         m = obs.get
@@ -304,7 +312,7 @@ def apply_epoch(
              int(obs_w.get["bytes"] or 0), rejected)
         ]
         props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
-                             lineage_rows)
+                             lineage_rows, target=target, lineage=lineage)
         target.commit_staged_delta(rel, stats_rows, epoch_id=epoch_id,
                                    properties=props)
         applied = sum(int(r["rows"]) for r in stats_rows)
@@ -365,7 +373,7 @@ def apply_epoch(
                 f"(> {max_reject_frac:.0%} gate)"
             )
         props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
-                             lineage_rows)
+                             lineage_rows, target=target, lineage=lineage)
         target.commit_add_files(new_files, epoch_id=epoch_id, properties=props)
         applied = sum(f.rows for f in new_files)
         if (
@@ -421,7 +429,7 @@ def apply_epoch(
                 (epoch_id, -1, events_in, None, high_watermark, None, rejected)
             ]
             props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
-                                 lineage_rows)
+                                 lineage_rows, target=target, lineage=lineage)
             target.commit_add_files(new_files, epoch_id=epoch_id, properties=props)
             applied = sum(f.rows for f in new_files)
             if (
@@ -438,7 +446,8 @@ def apply_epoch(
                     (epoch_id, -1, events_in, None, high_watermark, None, rejected)
                 ]
                 props = _epoch_props(epoch_id, events_in, rejected,
-                                     high_watermark, lineage_rows)
+                                     high_watermark, lineage_rows,
+                                     target=target, lineage=lineage)
                 target.merge_lww(
                     updates, op_col="op", seq_col="last_seq",
                     epoch_id=epoch_id, properties=props,
@@ -458,14 +467,31 @@ def apply_epoch(
     return stats
 
 
-def _epoch_props(epoch_id, events_in, rejected, high_watermark, lineage_rows):
-    props = {
-        f"epoch:{epoch_id}": {
-            "events_in": events_in,
-            "rejected": rejected,
-            "high_watermark": high_watermark,
-            "lineage_rows": lineage_rows,
-        },
+def _epoch_props(epoch_id, events_in, rejected, high_watermark, lineage_rows,
+                 target=None, lineage=None):
+    """Per-epoch crash-recovery properties for the target commit.
+
+    The ``epoch:<id>`` entry (incl. its lineage rows) exists ONLY to
+    bridge the window between the target commit and the lineage append;
+    once an epoch's lineage has committed it is dead weight, and
+    carrying every past epoch's rows forward would grow each manifest
+    O(total_epochs × n_buckets). So alongside the new entry we emit
+    ``None`` tombstones (deletion markers, see IceliteTable._commit)
+    for every prior epoch prop whose lineage append already landed —
+    the steady-state manifest carries at most the in-flight epoch."""
+    props = {}
+    if target is not None:
+        lin_epochs = set(lineage.snapshot().epochs) if lineage is not None else None
+        for k in target.snapshot().properties:
+            if not k.startswith("epoch:") or k == f"epoch:{epoch_id}":
+                continue
+            if lin_epochs is None or k[len("epoch:"):] in lin_epochs:
+                props[k] = None
+    props[f"epoch:{epoch_id}"] = {
+        "events_in": events_in,
+        "rejected": rejected,
+        "high_watermark": high_watermark,
+        "lineage_rows": lineage_rows,
     }
     if high_watermark is not None:
         props["high_watermark"] = high_watermark

@@ -67,8 +67,11 @@ def minhash_signatures(docs: DataFrame, n: int = 5, n_perms: int = N_PERMS) -> D
 
 
 def lsh_bands(signatures: DataFrame, band_size: int = BAND_SIZE,
-              n_perms: int = N_PERMS) -> DataFrame:
-    """(doc_id, band, band_hash): md5 over each band's signature slots."""
+              n_perms: int = N_PERMS, keep_cols: tuple = ()) -> DataFrame:
+    """(doc_id, band, band_hash): md5 over each band's signature slots.
+
+    ``keep_cols`` carries extra columns (e.g. the signature itself)
+    through the explode so downstream stages need no join back."""
     n_bands = n_perms // band_size
     bands = F.array(
         *[
@@ -85,7 +88,7 @@ def lsh_bands(signatures: DataFrame, band_size: int = BAND_SIZE,
         ]
     )
     return signatures.select(
-        "doc_id", F.posexplode(bands).alias("band", "band_hash")
+        "doc_id", *keep_cols, F.posexplode(bands).alias("band", "band_hash")
     )
 
 
@@ -99,44 +102,43 @@ def lsh_candidate_pairs(
     """(doc_a, doc_b, est_jaccard) for bucket-colliding pairs, a < b.
 
     est_jaccard = fraction of equal signature slots, computed JVM-side
-    with zip_with over the two signature arrays — no per-slot join."""
+    with zip_with over the two signature arrays — no per-slot join.
+
+    Scale shape: the signature array rides THROUGH the band explode
+    (keep_cols), so the whole operator is one pass over sig — one
+    band-hash shuffle + one pair groupBy. The alternative (joining sig
+    back onto the pair list) either recomputes the signature subplan
+    3× (Catalyst does not reuse it across self-joins) or needs an
+    explicit persist that leaks in the session CacheManager forever;
+    measured, carrying ~n_perms×32B per band row is faster than both.
+    Returns a pure lazy plan — nothing cached, no eager actions."""
     sig = minhash_signatures(docs, n, n_perms)
-    sig.persist()
-    try:
-        bands = lsh_bands(sig, band_size, n_perms)
-        a = bands.select(
-            F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_a")
+    bands = lsh_bands(sig, band_size, n_perms, keep_cols=("sig",))
+    a = bands.select(
+        "band", "band_hash",
+        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+    )
+    b = bands.select(
+        "band", "band_hash",
+        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+    )
+    matches = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
+    )
+    est = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches / F.lit(float(n_perms)), 6).alias("est_jaccard"),
         )
-        b = bands.select(
-            F.col("band"), F.col("band_hash"), F.col("doc_id").alias("doc_b")
-        )
-        pairs = (
-            a.join(b, ["band", "band_hash"])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-            .distinct()
-        )
-        sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"))
-        sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"))
-        matches = F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v
-            )
-        )
-        est = (
-            pairs.join(sa, "doc_a")
-            .join(sb, "doc_b")
-            .select(
-                "doc_a",
-                "doc_b",
-                F.round(matches / F.lit(float(n_perms)), 6).alias("est_jaccard"),
-            )
-        )
-        out = est.where(F.col("est_jaccard") >= min_est_jaccard)
-        out.persist().count()  # materialize before unpersisting sig
-        return out
-    finally:
-        sig.unpersist()
+        # a pair colliding in k bands appears k times with the SAME
+        # estimate — first() is deterministic here
+        .groupBy("doc_a", "doc_b")
+        .agg(F.first("est_jaccard").alias("est_jaccard"))
+    )
+    return est.where(F.col("est_jaccard") >= min_est_jaccard)
 
 
 _HEX = "0123456789abcdef"

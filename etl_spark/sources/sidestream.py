@@ -1,0 +1,222 @@
+"""Sidestream web100 text-table parser — a REAL reference format.
+
+The reference's sidestream pipeline (parser/ss.go:47-160) ingests
+``*.web100`` files: a ``K:`` header line naming the web100 variables of
+THIS file (header-is-the-schema, per-file dynamic), then ``C:`` rows of
+space-separated values. Legacy variable names are canonicalized via the
+rename table from the public web100 KIS definitions document
+(web100/embed/tcp-kis.txt, ``RenameFrom:`` → ``VariableName:`` pairs,
+parsed by web100/parse.go:16-43); ``cid``/``PollTime`` are
+sidestream-specific (not web100 vars, parser/ss.go:178-181), and
+``StartTimeStamp`` is combined with ``StartTimeUsec`` as
+``sec*1e6 + usec`` (parser/ss.go:207-208).
+
+Spark shape: files are (path, content) blob rows; the parse is a 1-blob
+→ N-rows Arrow-batched UDTF (``mapInPandas``) with a FIXED output
+schema — typed connection-spec columns the reference promotes into
+``Web100ConnectionSpecification`` (parser/ss.go:117-123) plus the full
+canonical-named snapshot as ``map<string,string>`` (the dynamic part).
+A per-file Python kernel is the right tool here: the column ORDER is
+only known after reading that file's own header, so no static columnar
+plan can decode it; each file parses independently and in parallel.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import os
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+# Legacy → canonical web100 variable names, from the RenameFrom pairs of
+# the public tcp-kis.txt KIS definitions (web100/embed/tcp-kis.txt; the
+# reference loads the full document at runtime and extracts exactly this
+# mapping, web100/parse.go:16-43).
+KIS_RENAMES: dict[str, str] = {
+    "RemoteAddress": "RemAddress",
+    "RemotePort": "RemPort",
+    "SACKEnabled": "SACK",
+    "TimestampsEnabled": "TimeStamps",
+    "ECNEnabled": "ECN",
+    "SndWinScale": "SndWindScale",
+    "RcvWinScale": "RcvWindScale",
+    "PktsOut": "SegsOut",
+    "DataPktsOut": "DataSegsOut",
+    "DataBytesOut": "HCDataOctetsOut",
+    "PktsRetrans": "SegsRetrans",
+    "BytesRetrans": "OctetsRetrans",
+    "PktsIn": "SegsIn",
+    "DataPktsIn": "DataSegsIn",
+    "DataBytesIn": "HCDataOctetsIn",
+    "CurrTime": "Duration",
+    "StartTimeSec": "StartTimeStamp",
+    "StartTime": "StartTimeStamp",
+    "CurrentMSS": "CurMSS",
+    "SampledRTT": "SampleRTT",
+    "CurrentRTO": "CurRTO",
+    "snd_una": "SndUna",
+    "snd_nxt": "SndNxt",
+    "snd_max": "SndMax",
+    "ThruBytesAcked": "HCThruOctetsAcked",
+    "rcv_nxt": "RcvNxt",
+    "ThruBytesReceived": "HCThruOctetsReceived",
+    "SndLimTransSender": "SndLimTransSnd",
+    "SndLimTimeSender": "SndLimTimeSnd",
+    "NagleEnabled": "Nagle",
+    "CongestionSignals": "CongSignals",
+    "Recoveries": "CongSignals",
+    "PreCongCountRTT": "CongSignals",
+    "CongestionOverCount": "CongOverCount",
+    "CurrentCwnd": "CurCwnd",
+    "MaxCwnd": "MaxSsCwnd",
+    "CurrentSsthresh": "CurSsthresh",
+    "CurrTimeoutCount": "CurTimeoutCount",
+    "SumCwndAtCong": "PreCongSumCwnd",
+    "AckAfterFR": "SpuriousFrDetected",
+    "SndISS": "SndInitial",
+    "RecvISS": "RecInitial",
+    "CurRetranQueue": "CurRetxQueue",
+    "MaxRetranQueue": "MaxRetxQueue",
+    "Sndbuf": "X_Sndbuf",
+    "CurrentRwinSent": "CurRwinSent",
+    "X_RcvRTT": "RcvRTT",
+    "ECERcvd": "CERcvd",
+    "Rcvbuf": "X_Rcvbuf",
+    "CurrentRwinRcvd": "CurRwinRcvd",
+}
+
+AF_INET, AF_INET6 = 2, 10  # linux syscall constants (web100.go ParseIPFamily)
+
+
+def parse_k_header(header: str) -> list[str]:
+    """``K: cid PollTime Var1 ...`` → canonical var-name list
+    (parser/ss.go:63-95). Raises on a corrupted header."""
+    toks = header.split(" ")
+    if toks[0] != "K:":
+        raise ValueError("corrupted sidestream header")
+    return [KIS_RENAMES.get(t, t) for t in toks[1:]]
+
+
+def parse_c_line(line: str, var_names: list[str]) -> dict[str, str] | None:
+    """``C: v1 v2 ...`` → {canonical_name: value}; None if corrupted
+    (wrong marker or arity, parser/ss.go:146-160)."""
+    vals = line.split(" ")
+    if vals[0] != "C:" or len(vals) != len(var_names) + 1:
+        return None
+    return dict(zip(var_names, vals[1:]))
+
+
+def ip_family(ip: str) -> int:
+    """web100.ParseIPFamily: 2 for v4, 10 for v6, -1 unparseable."""
+    try:
+        a = ipaddress.ip_address(ip)
+    except ValueError:
+        return -1
+    return AF_INET if a.version == 4 else AF_INET6
+
+
+def extract_log_time(file_name: str) -> int | None:
+    """``20170203T00:00:00Z_*.web100`` → epoch seconds
+    (parser/ss.go:47-60: first 17 chars, UTC)."""
+    from datetime import datetime, timezone
+
+    base = os.path.basename(file_name)
+    if len(base) < 19 or ".web100" not in base:
+        return None
+    try:
+        t = datetime.strptime(base[:17], "%Y%m%dT%H:%M:%S")
+    except ValueError:
+        return None
+    return int(t.replace(tzinfo=timezone.utc).timestamp())
+
+
+SS_SCHEMA = T.StructType(
+    [
+        T.StructField("test_name", T.StringType(), False),
+        T.StructField("log_time", T.LongType(), True),
+        T.StructField("cid", T.LongType(), True),
+        T.StructField("poll_time", T.StringType(), True),
+        T.StructField("local_ip", T.StringType(), True),
+        T.StructField("local_af", T.IntegerType(), True),
+        T.StructField("local_port", T.LongType(), True),
+        T.StructField("remote_ip", T.StringType(), True),
+        T.StructField("remote_port", T.LongType(), True),
+        T.StructField("start_time_stamp", T.LongType(), True),
+        T.StructField("sample_rtt", T.LongType(), True),
+        T.StructField("snap", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("corrupted", T.BooleanType(), False),
+    ]
+)
+
+
+def _parse_file(name: str, content: str) -> list[tuple]:
+    lines = [ln for ln in content.split("\n") if ln.strip()]
+    if not lines:
+        return []
+    try:
+        var_names = parse_k_header(lines[0])
+    except ValueError:
+        return [(name, extract_log_time(name), None, None, None, None, None,
+                 None, None, None, None, None, True)]
+    log_time = extract_log_time(name)
+    out = []
+    for ln in lines[1:]:
+        vals = parse_c_line(ln, var_names)
+        if vals is None:
+            out.append((name, log_time, None, None, None, None, None, None,
+                        None, None, None, None, True))
+            continue
+        # StartTimeStamp*1e6 + StartTimeUsec (parser/ss.go:207-208);
+        # cid/PollTime/StartTimeUsec are not web100 snap vars.
+        snap = {
+            k: v for k, v in vals.items()
+            if k not in ("cid", "PollTime", "StartTimeUsec")
+        }
+        try:
+            sts = int(vals.get("StartTimeStamp", 0)) * 1_000_000 + int(
+                vals.get("StartTimeUsec", 0))
+        except ValueError:
+            sts = None
+        if sts is not None:
+            snap["StartTimeStamp"] = str(sts)
+
+        def _i(key):
+            try:
+                return int(vals[key])
+            except (KeyError, ValueError):
+                return None
+
+        lip = vals.get("LocalAddress")
+        out.append(
+            (
+                name, log_time, _i("cid"), vals.get("PollTime"),
+                lip, ip_family(lip) if lip else None, _i("LocalPort"),
+                vals.get("RemAddress"), _i("RemPort"),
+                sts, _i("SampleRTT"), snap, False,
+            )
+        )
+    return out
+
+
+def parse_sidestream(
+    files: DataFrame, name_col: str = "member_name", content_col: str = "content"
+) -> DataFrame:
+    """(file name, text content) blobs → typed sidestream rows, one per
+    ``C:`` snapshot line (Arrow-batched UDTF; corrupt lines become
+    ``corrupted=true`` rows so the caller's quality gate can count
+    them, task/task.go:158-162)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SS_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for name, content in zip(pdf[name_col], pdf[content_col]):
+                if isinstance(content, (bytes, bytearray)):
+                    content = bytes(content).decode("utf-8", errors="replace")
+                rows.extend(_parse_file(name, content))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select(name_col, content_col).mapInPandas(run, schema=SS_SCHEMA)

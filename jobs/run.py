@@ -147,8 +147,14 @@ def cmd_verify(args) -> int:
 
     spark = _spark(args)
     events = spark.read.parquet(args.events)
+    # mirror apply_epoch's validity predicate: a corrupt event (bad op,
+    # null key) or a schema_change marker holding a key's max seq must
+    # not become the "expected" winner — the pipeline rejected it.
+    valid = F.col("op").isin("insert", "update", "delete")
+    for k in ("repo", "path"):
+        valid = valid & F.col(k).isNotNull()
     expect = (
-        lww_latest(events)
+        lww_latest(events.where(valid))
         .where(F.col("op") != "delete")
         .select("repo", "path", F.sha2("content", 256).alias("content_sha256"))
     )

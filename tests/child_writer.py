@@ -1,0 +1,52 @@
+"""Subprocess entry for the multi-process concurrency test: a fully
+independent Spark process (own JVM) applying epochs to a SHARED icelite
+table — the reference runs 120+ concurrent committers against one sink
+(bq/insert.go:364-381); this exercises the O_EXCL commit + rebase-retry
+protocol across real process boundaries.
+
+Usage: python -m tests.child_writer <table_dir> <writer_id> <n_epochs>
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+
+def main() -> int:
+    tbl_dir, writer, n_epochs = sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .appName(f"writer-{writer}")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", "4g")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    from etl_spark import gen
+    from etl_spark.icelite.table import IceliteTable
+    from etl_spark.operators.apply import apply_epoch
+
+    target = IceliteTable.load(spark, os.path.join(tbl_dir, "target"))
+    lineage = IceliteTable.load(spark, os.path.join(tbl_dir, "lineage"))
+    per_epoch = 2000
+    for k in range(n_epochs):
+        slot = writer * n_epochs + k
+        ev = gen.synthetic_events(
+            spark, per_epoch, n_repos=30, paths_per_repo=20, seed=7,
+            start_seq=slot * per_epoch, num_partitions=4,
+        )
+        apply_epoch(
+            spark, ev, target, lineage, epoch_id=f"w{writer}e{k}",
+            compact_max_delta_files=10_000,  # parent owns compaction
+        )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -254,3 +254,33 @@ def test_winnow_shuffle_semi_join_equals_broadcast(spark, tbl_dir):
     assert (s1.applied, s1.rejected, s1.events_in, s1.high_watermark) == (
         s2.applied, s2.rejected, s2.events_in, s2.high_watermark
     )
+
+
+def test_winnow_rejects_colliding_seqs(spark, tbl_dir):
+    """The winnow semi-join's precondition — epoch seqs are unique — is
+    ENFORCED, not assumed: duplicate delivery of a seq (or a producer
+    seq collision) surfaces as >1 winner row per key inside the write
+    kernel, which aborts the epoch instead of writing duplicates."""
+    ev = gen.synthetic_events(spark, 300, n_repos=10, seed=31)
+    tgt, lin = fresh(spark, tbl_dir)
+    with pytest.raises(Exception, match="winnow invariant"):
+        apply_epoch(spark, ev.unionAll(ev), tgt, lin, epoch_id="dupseq")
+    assert not tgt.has_epoch("dupseq")
+    assert tgt.current_version() == 0
+    # the failed job aborted its staged dir — no debris to vacuum
+    assert tgt.vacuum_orphans()["deleted_files"] == 0
+
+
+def test_winnow_files_are_attempt_suffixed(spark, tbl_dir):
+    """Speculative-execution safety: kernel file names embed the unique
+    taskAttemptId, so two live attempts of one partition can never race
+    on the same path; the manifest records only the collect()ed
+    winner's files."""
+    ev = gen.synthetic_events(spark, 400, n_repos=10, seed=37)
+    tgt, lin = fresh(spark, tbl_dir)
+    apply_epoch(spark, ev, tgt, lin, epoch_id="e1")
+    files = [f.path for f in tgt.snapshot().files if f.kind == "delta"]
+    assert files
+    import re
+
+    assert all(re.search(r"part-\d{5}-\d+\.parquet$", p) for p in files)

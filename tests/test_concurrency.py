@@ -1,0 +1,173 @@
+"""Multi-PROCESS writer concurrency: two independent Spark JVMs apply
+epochs to one shared table while the parent compacts mid-stream.
+
+Reference analog: 120 concurrent committers pushing into one sink with
+retry-on-pushback (bq/insert.go:364-381, cmd/etl_worker/etl_worker.go:301).
+Here the contended resource is the O_EXCL version file: appends rebase
+and retry (`_commit_append`), and compaction rebases racing appends on
+top of its fresh base files (`compact`), so every writer's commit must
+land and the final LWW state must equal a serial replay of the union."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from etl_spark import gen
+from etl_spark.icelite.table import CommitConflict, IceliteTable
+from etl_spark.operators.apply import create_lineage, create_target
+from etl_spark.operators.dedup import lww_latest
+
+N_WRITERS = 2
+N_EPOCHS = 3
+PER_EPOCH = 2000
+
+
+def test_two_process_writers_with_concurrent_compaction(spark, tbl_dir):
+    create_target(spark, os.path.join(tbl_dir, "target"), n_buckets=8)
+    create_lineage(spark, os.path.join(tbl_dir, "lineage"))
+
+    env = {**os.environ, "PYTHONPATH": os.path.dirname(os.path.dirname(__file__))}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "tests.child_writer", tbl_dir, str(w),
+             str(N_EPOCHS)],
+            env=env, cwd=os.path.dirname(os.path.dirname(__file__)),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for w in range(N_WRITERS)
+    ]
+
+    # parent compacts WHILE the children commit: racing an append must
+    # rebase, never abort the maintenance pass
+    target = IceliteTable.load(spark, os.path.join(tbl_dir, "target"))
+    compactions = 0
+    deadline = time.time() + 240
+    while any(p.poll() is None for p in procs) and time.time() < deadline:
+        if any(f.kind == "delta" for f in target.snapshot().files):
+            target.compact()
+            compactions += 1
+        time.sleep(1.0)
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    # every writer's every epoch committed exactly once
+    snap = target.snapshot()
+    expect_epochs = {f"w{w}e{k}" for w in range(N_WRITERS) for k in range(N_EPOCHS)}
+    assert expect_epochs <= set(snap.epochs)
+    assert len(snap.epochs) == len(set(snap.epochs))
+
+    # final state == serial LWW replay of the union of all slices
+    total = N_WRITERS * N_EPOCHS * PER_EPOCH
+    ev = gen.synthetic_events(
+        spark, total, n_repos=30, paths_per_repo=20, seed=7, start_seq=0
+    )
+    valid = F.col("op").isin("insert", "update", "delete")
+    expect = (
+        lww_latest(ev.where(valid))
+        .where(F.col("op") != "delete")
+        .select("repo", "path", F.col("seq").alias("last_seq"),
+                F.sha2("content", 256).alias("content_sha256"))
+    )
+    got = target.read().select("repo", "path", "last_seq", "content_sha256")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+    # lineage: one totals row per epoch
+    lin = IceliteTable.load(spark, os.path.join(tbl_dir, "lineage"))
+    tot = lin.read().where(F.col("partition_id") == -1)
+    assert tot.count() == N_WRITERS * N_EPOCHS
+
+    # compaction ran against live traffic at least once (sanity that the
+    # race was exercised; rebase path is unit-covered either way)
+    assert compactions >= 1
+
+
+def test_compaction_rebases_over_racing_append(spark, tbl_dir, monkeypatch):
+    """Deterministic interleave: an APPEND lands between compaction's
+    snapshot read and its commit → compaction must rebase (keep the new
+    delta on top of its fresh base) and the final state must include
+    both."""
+    import pytest
+
+    from etl_spark.operators.apply import apply_epoch
+
+    tgt = create_target(spark, os.path.join(tbl_dir, "t"), n_buckets=4)
+    ev = gen.synthetic_events(spark, 500, n_repos=10, seed=3)
+    apply_epoch(spark, ev, tgt, None, epoch_id="e1",
+                compact_max_delta_files=10_000)
+    other = IceliteTable.load(spark, os.path.join(tbl_dir, "t"))
+
+    orig = IceliteTable._commit
+    fired = {"v": False}
+
+    def hooked(self, base, files, schemas, epoch_id, properties):
+        if not fired["v"] and self is tgt:
+            fired["v"] = True  # racing append wins the version race
+            ev2 = gen.synthetic_events(spark, 300, n_repos=10, seed=3,
+                                       start_seq=500)
+            apply_epoch(spark, ev2, other, None, epoch_id="e2",
+                        compact_max_delta_files=10_000)
+        return orig(self, base, files, schemas, epoch_id, properties)
+
+    monkeypatch.setattr(IceliteTable, "_commit", hooked)
+    tgt.compact()
+    monkeypatch.setattr(IceliteTable, "_commit", orig)
+    assert fired["v"]
+    snap = tgt.snapshot()
+    assert set(snap.epochs) == {"e1", "e2"}
+    # e2's delta survived the rebase on top of e1's compacted base
+    assert any(f.kind == "delta" for f in snap.files)
+    total = gen.synthetic_events(spark, 800, n_repos=10, seed=3)
+    valid = F.col("op").isin("insert", "update", "delete")
+    expect = (
+        lww_latest(total.where(valid))
+        .where(F.col("op") != "delete")
+        .select("repo", "path", F.col("seq").alias("last_seq"))
+    )
+    got = tgt.read().select("repo", "path", "last_seq")
+    assert got.exceptAll(expect).count() == 0
+    assert expect.exceptAll(got).count() == 0
+
+
+def test_compaction_aborts_when_read_set_rewritten(spark, tbl_dir, monkeypatch):
+    """Two compactions racing: the loser's consumed files were REPLACED
+    by the winner — it must raise CommitConflict (resurrecting replaced
+    rows would corrupt state), leaving the winner's snapshot intact."""
+    import pytest
+
+    from etl_spark.operators.apply import apply_epoch
+
+    tgt = create_target(spark, os.path.join(tbl_dir, "t"), n_buckets=4)
+    ev = gen.synthetic_events(spark, 500, n_repos=10, seed=3)
+    apply_epoch(spark, ev, tgt, None, epoch_id="e1",
+                compact_max_delta_files=10_000)
+    other = IceliteTable.load(spark, os.path.join(tbl_dir, "t"))
+
+    orig = IceliteTable._commit
+    fired = {"v": False}
+
+    def hooked(self, base, files, schemas, epoch_id, properties):
+        if not fired["v"] and self is tgt:
+            fired["v"] = True
+            other.compact()  # the WINNER rewrites the read set first
+        return orig(self, base, files, schemas, epoch_id, properties)
+
+    monkeypatch.setattr(IceliteTable, "_commit", hooked)
+    with pytest.raises(CommitConflict, match="read set was rewritten"):
+        tgt.compact()
+    monkeypatch.setattr(IceliteTable, "_commit", orig)
+    state = sorted(tuple(r) for r in tgt.read().collect())
+    total = gen.synthetic_events(spark, 500, n_repos=10, seed=3)
+    valid = F.col("op").isin("insert", "update", "delete")
+    expect = sorted(
+        (r["repo"], r["path"]) for r in
+        lww_latest(total.where(valid)).where(F.col("op") != "delete")
+        .select("repo", "path").collect()
+    )
+    assert sorted((r[0], r[1]) for r in state) == expect

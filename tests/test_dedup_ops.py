@@ -84,3 +84,14 @@ def test_simhash_deterministic(spark):
     b = {r.doc_id: r.simhash for r in simdedup.simhash(docs).collect()}
     assert a == b
     assert a[0] == a[1]
+
+
+def test_lsh_leaves_nothing_cached(spark):
+    """lsh_candidate_pairs returns a pure lazy plan: repeated calls in
+    one session must leave zero persisted RDDs and an empty SQL cache
+    (the r1 persist-leak regression gate)."""
+    docs = planted_docs(spark)
+    for _ in range(3):
+        simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.25).count()
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

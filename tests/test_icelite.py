@@ -203,7 +203,14 @@ def test_delta_equals_cow_and_compaction_preserves_state(spark, tbl_dir):
     state = lambda t: sorted(tuple(r) for r in t.read().collect())  # noqa: E731
     assert state(t_delta) == state(t_cow)
     before = state(t_delta)
+    # default compaction RETAINS tombstones (no low watermark): each
+    # touched bucket folds to one file, state unchanged, but buckets
+    # holding a winning delete stay delta-kind
     t_delta.compact()
+    assert t_delta.delta_stats()["max_delta_files_per_bucket"] <= 1
+    assert state(t_delta) == before
+    # with a low watermark past every seq, tombstones drop → pure base
+    t_delta.compact(drop_tombstones_below_seq=10_000)
     assert t_delta.delta_stats()["delta_files"] == 0
     assert state(t_delta) == before
     # post-compaction deltas still resolve
@@ -293,3 +300,57 @@ def test_expire_snapshots_and_vacuum(spark, tbl_dir):
 
     with pytest.raises(Exception):
         tgt.snapshot(0)
+
+
+def test_commit_staged_delta_sweeps_losing_attempts(spark, tbl_dir):
+    """A losing speculative/retried attempt's file (present on disk but
+    absent from the collected stats rows) is deleted at commit; only
+    manifest-listed files survive and reads see exactly the committed
+    rows."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = make(spark, tbl_dir)
+    rel, out_root = t.stage_delta_dir()
+    os.makedirs(os.path.join(out_root, "bucket=0"), exist_ok=True)
+    win_rel = os.path.join("bucket=0", "part-00000-7.parquet")
+    tbl = pa.table(
+        {
+            "repo": ["r1"], "path": ["p1"], "v": pa.array([5], pa.int64()),
+            "last_seq": pa.array([1], pa.int64()), "__op": ["insert"],
+        }
+    )
+    pq.write_table(tbl, os.path.join(out_root, win_rel))
+    lose_abs = os.path.join(out_root, "bucket=0", "part-00000-9.parquet")
+    pq.write_table(tbl, lose_abs)  # duplicate attempt output
+    stats = [
+        {
+            "bucket": 0, "rel_path": win_rel, "rows": 1,
+            "bytes": os.path.getsize(os.path.join(out_root, win_rel)),
+        }
+    ]
+    t.commit_staged_delta(rel, stats, epoch_id="spec1")
+    assert not os.path.exists(lose_abs)
+    rows = [tuple(r) for r in t.read().collect()]
+    assert rows == [("r1", "p1", 5, 1)]
+
+
+def test_tombstone_survives_compaction_blocks_late_lower_seq(spark, tbl_dir):
+    """The concurrent-writer resurrection bug (r2): a winning DELETE
+    compacted away would let a late LOWER-seq insert resurrect the key.
+    Default compaction must retain the tombstone; only a low-watermark
+    compaction may drop it."""
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "p1", 1, 100, "delete"),
+                                 ("r2", "p2", 2, 10, "insert")]))
+    t.compact()  # no watermark → tombstone retained
+    # out-of-order delivery: lower-seq insert for the deleted key
+    t.append_delta(_updf(spark, [("r1", "p1", 3, 50, "insert")]))
+    assert sorted((r.repo, r.path, r.v, r.last_seq) for r in t.read().collect()) \
+        == [("r2", "p2", 2, 10)]
+    # caller's low watermark says nothing below seq 101 can arrive →
+    # tombstone (and its shadowed loser) physically drop, state unchanged
+    t.compact(drop_tombstones_below_seq=101)
+    assert t.delta_stats()["delta_files"] == 0
+    assert sorted((r.repo, r.path, r.v, r.last_seq) for r in t.read().collect()) \
+        == [("r2", "p2", 2, 10)]

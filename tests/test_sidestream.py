@@ -1,0 +1,104 @@
+"""Sidestream parser vs the reference's OWN testdata file.
+
+Parity targets (parser/ss_test.go): 6 committed rows from
+``20170203T00:00:00Z_ALL0.web100`` (TestSSInserter:112), the ParseOneLine
+map contents (SampleRTT == "72", TestParseOneLine:64), the
+StartTimeStamp*1e6+Usec combination (TestPopulateSnap:47-50), and
+filename→log-time extraction (TestExtractLogtimeFromFilename:18-23)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.sources import sidestream
+
+REF_FILE = "/root/reference/parser/testdata/20170203T00:00:00Z_ALL0.web100"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF_FILE), reason="reference testdata not mounted"
+)
+
+
+def _files_df(spark):
+    with open(REF_FILE, "rb") as f:
+        content = f.read().decode()
+    return spark.createDataFrame(
+        [(os.path.basename(REF_FILE), content)],
+        "member_name string, content string",
+    )
+
+
+def test_reference_file_row_count_and_fields(spark):
+    rows = sidestream.parse_sidestream(_files_df(spark)).collect()
+    assert len(rows) == 6  # ss_test.go:112 ins.Committed() == 6
+    assert not any(r["corrupted"] for r in rows)
+    r0 = rows[0]
+    assert r0["cid"] == 21605
+    assert r0["local_ip"] == "213.248.112.75"
+    assert r0["local_port"] == 41131
+    assert r0["local_af"] == 2  # AF_INET
+    assert r0["remote_ip"] == "5.228.253.100"
+    assert r0["remote_port"] == 52290
+    assert r0["sample_rtt"] == 72
+    assert r0["snap"]["SampleRTT"] == "72"  # ss_test.go:64
+    # StartTimeSec=1486123188 StartTimeUsec=191060 → sec*1e6+usec
+    assert r0["start_time_stamp"] == 1486123188191060
+    assert r0["snap"]["StartTimeStamp"] == "1486123188191060"
+    # canonicalized legacy names (tcp-kis.txt RenameFrom)
+    assert "SegsOut" in r0["snap"] and "PktsOut" not in r0["snap"]
+    assert "HCDataOctetsOut" in r0["snap"]
+    # sidestream-specific + folded fields are NOT web100 snap vars
+    for absent in ("cid", "PollTime", "StartTimeUsec"):
+        assert absent not in r0["snap"]
+    # file-name log time: 2017-02-03T00:00:00Z
+    assert r0["log_time"] == 1486080000
+
+
+def test_log_time_matches_reference_unit_test():
+    # parser/ss_test.go:18-23
+    assert (
+        sidestream.extract_log_time("20170315T01:00:00Z_173.205.3.39_0.web100")
+        == 1489539600
+    )
+    assert sidestream.extract_log_time("bogus") is None
+
+
+def test_k_header_var_count():
+    with open(REF_FILE) as f:
+        header = f.readline().rstrip("\n")
+    var_names = sidestream.parse_k_header(header)
+    # ParseOneLine fills one map entry per header var (== 121,
+    # ss_test.go:64); snap drops cid/PollTime/StartTimeUsec
+    assert len(var_names) == 121
+
+
+def test_corrupt_lines_are_counted_not_fatal(spark):
+    df = spark.createDataFrame(
+        [("x.web100", "K: cid PollTime LocalAddress\nC: 1 t 1.2.3.4\nC: wrong")],
+        "member_name string, content string",
+    )
+    rows = sidestream.parse_sidestream(df).collect()
+    assert len(rows) == 2
+    assert [r["corrupted"] for r in rows] == [False, True]
+
+
+def test_through_tar_scan_pipeline(spark):
+    """Reference deployment shape: .web100 files inside archives —
+    scan_tar → parse_sidestream → typed rows."""
+    from etl_spark.sources import archive
+
+    docs = _files_df(spark).select(
+        F.lit(0).alias("archive_id"),
+        F.col("member_name").alias("member"),
+        F.col("content"),
+    )
+    tars = archive.pack_tar(docs, "archive_id", "member", "content")
+    members = archive.scan_tar(tars)
+    out = sidestream.parse_sidestream(members)
+    assert out.count() == 6
+    assert out.where(~F.col("corrupted")).agg(
+        F.countDistinct("cid")
+    ).collect()[0][0] == 6
