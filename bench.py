@@ -58,9 +58,9 @@ def bench_queries() -> dict:
     qs = entry.queries()
 
     # headline: full CDC apply of the derived change stream. The
-    # derivation itself needs a global row_number (test-fixture only,
-    # never an engine path) — materialize it first so the apply timing
-    # measures the engine, and report the derivation separately.
+    # derivation (two-phase partitioned rank, scales with cores) is a
+    # test fixture, not an engine path — materialize it first so the
+    # apply timing measures the engine, and report it separately.
     tmp = tempfile.mkdtemp(prefix="bench_icelite_")
     t0 = time.time()
     gen.derived_events(spark, SF_DIR).write.mode("overwrite").parquet(f"{tmp}/events")

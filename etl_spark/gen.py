@@ -34,11 +34,15 @@ from pyspark.sql import functions as F
 # l_partkey % 20 < 5 collapse onto 'org0/hot' (~25% of events) — the
 # hot-repo skew fixture the salted LWW path must handle.
 #
-# seq must be globally unique (LWW tie-breaks would otherwise differ
-# between engines): row_number() over a total order of ALL columns.
-# Rows that are full duplicates receive adjacent seqs in arbitrary
-# order, but since every derived value is a pure function of
-# (row values, seq), the produced event SET is identical either way.
+# seq must be globally unique and dense (LWW tie-breaks would
+# otherwise differ between engines; epoch boundaries are seq ranges).
+# A single global row_number() would be a one-partition window — the
+# canonical scale-killer — so seq is built in TWO PHASES, both valid in
+# Spark SQL and DuckDB: (1) row_number() PARTITIONED by
+# l_orderkey % {nparts} (parallel, ~rows/{nparts} per window), plus
+# (2) each group's cumulative row-count offset (a {nparts}-row window,
+# broadcast-joined back). Dense 1..N, deterministic, and the window
+# stage scales with cores instead of serializing the corpus.
 _EVENTS_TEMPLATE = """
 SELECT
   seq,
@@ -68,13 +72,28 @@ SELECT
   1 AS schema_version,
   l_shipdate AS event_time
 FROM (
-  SELECT *,
-         row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey,
-                            l_quantity, l_extendedprice, l_discount, l_tax,
-                            l_returnflag, l_linestatus, l_shipdate) AS seq
-  FROM {lineitem}
+  SELECT b.l_orderkey, b.l_linenumber, b.l_partkey, b.l_suppkey, b.l_shipdate,
+         b.rn + o.off AS seq
+  FROM (
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
+           row_number() OVER (
+             PARTITION BY l_orderkey % {nparts}
+             ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+           ) AS rn,
+           l_orderkey % {nparts} AS g
+    FROM {lineitem}
+  ) b
+  JOIN (
+    SELECT g, sum(c) OVER (ORDER BY g) - c AS off
+    FROM (
+      SELECT l_orderkey % {nparts} AS g, count(*) AS c
+      FROM {lineitem} GROUP BY l_orderkey % {nparts}
+    ) t
+  ) o ON b.g = o.g
 ) src
 """
+
+_SEQ_NPARTS = 1024  # seq-derivation window groups (parallelism of phase 1)
 
 
 def sha256_expr(dialect: str, col: str) -> str:
@@ -90,7 +109,7 @@ def derived_events_sql(dialect: str, lineitem: str = "lineitem") -> str:
     """The change-event stream as a SQL text valid in `dialect`."""
     if dialect not in ("spark", "duckdb"):
         raise ValueError(f"unknown dialect: {dialect}")
-    return _EVENTS_TEMPLATE.format(lineitem=lineitem)
+    return _EVENTS_TEMPLATE.format(lineitem=lineitem, nparts=_SEQ_NPARTS)
 
 
 def final_state_sql(dialect: str, lineitem: str = "lineitem") -> str:

@@ -238,10 +238,11 @@ def _arrow_type(spark_type: T.DataType):
 
 def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
                     key_cols: Sequence[str],
-                    drop_tombstones_below_seq: int | None = None):
+                    drop_tombstones_below_seq: int | None = None,
+                    chunk_bytes: int = 1 << 30):
     """Per-bucket compaction task body (runs inside mapInPandas).
 
-    Input: spec rows {bucket, files: [[path, schema_id, kind], ...]}.
+    Input: spec rows {bucket, files: [[path, schema_id, kind, bytes]]}.
     Each task: pyarrow-read its bucket's files, pandas-resolve per-key
     LWW (max (last_seq, is_base) — identical rank to ``read()``),
     pyarrow-write ONE fresh file per bucket, emit its stats. All row
@@ -255,11 +256,142 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
     insert resurrect the key — so by default tombstones are RETAINED:
     if any survive, the bucket's compacted output is written as a
     delta-kind file (rows carry __op, deletes keep suppressing); a
-    bucket with no tombstones compacts to a plain base file."""
+    bucket with no tombstones compacts to a plain base file.
+
+    Growth path (SCALE.md): a bucket whose files exceed ``chunk_bytes``
+    switches to the CHUNKED resolve — pass 1 streams only
+    (key, last_seq, __op) columns per row group to build the carried
+    key→winner map (narrow columns: ~2% of full width), pass 2 streams
+    full-width row groups, keeps exactly the winner rows via a
+    vectorized merge against that map, and appends them to one output
+    file through a ParquetWriter. Peak memory is one row group plus the
+    key map, not the bucket — a 12 GB bucket compacts in a ~fraction-of-
+    a-GB task without giving up the zero-shuffle shape."""
     import pandas as pd
 
     keys = list(key_cols)
     current = T.StructType.fromJson(json.loads(schema_jsons[-1]))
+    RANK = ["last_seq", "__is_base"]
+
+    def _resolve(df):
+        """LWW winners of a frame: rank = (last_seq, is_base) — base
+        wins seq ties, same as the read()-side resolver."""
+        return df.sort_values(RANK, kind="mergesort").drop_duplicates(
+            subset=keys, keep="last"
+        )
+
+    def _apply_tombstone_policy(df):
+        dead = df["__op"] == "delete"
+        if drop_tombstones_below_seq is not None:
+            dead = dead & (df["last_seq"] < drop_tombstones_below_seq)
+            df = df[~dead]
+            has_tombstones = bool((df["__op"] == "delete").any())
+        else:
+            has_tombstones = bool(dead.any())  # keep every winning delete
+        if not has_tombstones:
+            df = df[df["__op"] != "delete"]
+        return df, has_tombstones
+
+    def _arrays(df, out_fields, pa):
+        arrays = []
+        for f_ in out_fields:
+            typ = _arrow_type(f_.dataType)
+            if f_.name not in df.columns:
+                arrays.append(pa.nulls(len(df), type=typ))
+                continue
+            s = df[f_.name]
+            if pa.types.is_timestamp(typ) and getattr(s.dtype, "tz", None) is None \
+                    and str(s.dtype).startswith("datetime64"):
+                s = s.dt.tz_localize("UTC")
+            arrays.append(pa.array(s, type=typ, from_pandas=True))
+        return arrays
+
+    def _out_path(bucket):
+        from pyspark import TaskContext
+
+        attempt = TaskContext.get().taskAttemptId()
+        rel_path = os.path.join(
+            f"bucket={bucket}", f"part-00000-{attempt}.parquet"
+        )
+        fp = os.path.join(out_root, rel_path)
+        os.makedirs(os.path.dirname(fp), exist_ok=True)
+        return rel_path, fp
+
+    def _compact_small(spec, pa):
+        frames = []
+        for path, _sid, kind, _nb in spec["files"]:
+            f = pq.read_table(os.path.join(data_root, path)).to_pandas()
+            if kind != "delta":
+                f["__op"] = "base"
+            frames.append(f)
+        df = pd.concat(frames, ignore_index=True, sort=False)
+        df["__is_base"] = (df["__op"] == "base").astype("int8")
+        df, has_tombstones = _apply_tombstone_policy(_resolve(df))
+        if len(df) == 0:
+            return None
+        out_fields = list(current.fields)
+        if has_tombstones:
+            out_fields.append(T.StructField("__op", T.StringType(), True))
+        arrow_schema = pa.schema(
+            [pa.field(f_.name, _arrow_type(f_.dataType)) for f_ in out_fields]
+        )
+        table = pa.Table.from_arrays(_arrays(df, out_fields, pa), schema=arrow_schema)
+        rel_path, fp = _out_path(spec["bucket"])
+        pq.write_table(table, fp, compression="snappy")
+        return (spec["bucket"], rel_path, len(table), os.path.getsize(fp),
+                "delta" if has_tombstones else "base")
+
+    def _compact_chunked(spec, pa):
+        narrow = keys + ["last_seq", "__op"]
+        # pass 1: narrow streaming scan → carried key→winner map
+        win = None
+        for path, _sid, kind, _nb in spec["files"]:
+            pf = pq.ParquetFile(os.path.join(data_root, path))
+            avail = set(pf.schema_arrow.names)
+            cols = [c for c in narrow if c in avail]
+            for rg in range(pf.num_row_groups):
+                df = pf.read_row_group(rg, columns=cols).to_pandas()
+                if "__op" not in df.columns:
+                    df["__op"] = "base"
+                df["__is_base"] = (df["__op"] == "base").astype("int8")
+                win = _resolve(df if win is None
+                               else pd.concat([win, df], ignore_index=True))
+        if win is None or len(win) == 0:
+            return None
+        win, has_tombstones = _apply_tombstone_policy(win)
+        if len(win) == 0:
+            return None
+        out_fields = list(current.fields)
+        if has_tombstones:
+            out_fields.append(T.StructField("__op", T.StringType(), True))
+        arrow_schema = pa.schema(
+            [pa.field(f_.name, _arrow_type(f_.dataType)) for f_ in out_fields]
+        )
+        match = win[keys + RANK]
+        rel_path, fp = _out_path(spec["bucket"])
+        writer = pq.ParquetWriter(fp, arrow_schema, compression="snappy")
+        rows = 0
+        try:
+            # pass 2: full-width streaming scan; winner rows only
+            for path, _sid, kind, _nb in spec["files"]:
+                pf = pq.ParquetFile(os.path.join(data_root, path))
+                for rg in range(pf.num_row_groups):
+                    df = pf.read_row_group(rg).to_pandas()
+                    if "__op" not in df.columns:
+                        df["__op"] = "base"
+                    df["__is_base"] = (df["__op"] == "base").astype("int8")
+                    keep = df.merge(match, on=keys + RANK, how="inner")
+                    if len(keep) == 0:
+                        continue
+                    writer.write_table(
+                        pa.Table.from_arrays(_arrays(keep, out_fields, pa),
+                                             schema=arrow_schema)
+                    )
+                    rows += len(keep)
+        finally:
+            writer.close()
+        return (spec["bucket"], rel_path, rows, os.path.getsize(fp),
+                "delta" if has_tombstones else "base")
 
     def run(batches):
         import pyarrow as pa
@@ -275,64 +407,11 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
             out_rows = []
             for spec_json in pdf["spec"]:
                 spec = json.loads(spec_json)
-                bucket = spec["bucket"]
-                frames = []
-                for path, _sid, kind in spec["files"]:
-                    f = pq.read_table(os.path.join(data_root, path)).to_pandas()
-                    if kind != "delta":
-                        f["__op"] = "base"
-                    frames.append(f)
-                df = pd.concat(frames, ignore_index=True, sort=False)
-                # rank = (last_seq, is_base): base wins seq ties, same
-                # as the read()-side resolver and the CoW seq guard
-                df["__is_base"] = (df["__op"] == "base").astype("int8")
-                df = df.sort_values(
-                    ["last_seq", "__is_base"], kind="mergesort"
-                ).drop_duplicates(subset=keys, keep="last")
-                dead = df["__op"] == "delete"
-                if drop_tombstones_below_seq is not None:
-                    dead &= df["last_seq"] < drop_tombstones_below_seq
-                    df = df[~dead]
-                    has_tombstones = bool((df["__op"] == "delete").any())
-                else:
-                    has_tombstones = bool(dead.any())
-                    # no watermark: keep every winning delete
-                if not has_tombstones:
-                    df = df[df["__op"] != "delete"]
-                if len(df) == 0:
-                    continue
-                out_fields = list(current.fields)
-                if has_tombstones:
-                    out_fields.append(T.StructField("__op", T.StringType(), True))
-                arrays = []
-                for f_ in out_fields:
-                    typ = _arrow_type(f_.dataType)
-                    if f_.name not in df.columns:
-                        arrays.append(pa.nulls(len(df), type=typ))
-                        continue
-                    s = df[f_.name]
-                    if pa.types.is_timestamp(typ) and getattr(s.dtype, "tz", None) is None \
-                            and str(s.dtype).startswith("datetime64"):
-                        s = s.dt.tz_localize("UTC")
-                    arrays.append(pa.array(s, type=typ, from_pandas=True))
-                arrow_schema = pa.schema(
-                    [pa.field(f_.name, _arrow_type(f_.dataType))
-                     for f_ in out_fields]
-                )
-                table = pa.Table.from_arrays(arrays, schema=arrow_schema)
-                from pyspark import TaskContext
-
-                attempt = TaskContext.get().taskAttemptId()
-                rel_path = os.path.join(
-                    f"bucket={bucket}", f"part-00000-{attempt}.parquet"
-                )
-                fp = os.path.join(out_root, rel_path)
-                os.makedirs(os.path.dirname(fp), exist_ok=True)
-                pq.write_table(table, fp, compression="snappy")
-                out_rows.append(
-                    (bucket, rel_path, len(table), os.path.getsize(fp),
-                     "delta" if has_tombstones else "base")
-                )
+                total = sum(nb for _p, _s, _k, nb in spec["files"])
+                row = (_compact_chunked if total > chunk_bytes
+                       else _compact_small)(spec, pa)
+                if row is not None:
+                    out_rows.append(row)
             yield pd.DataFrame(
                 out_rows, columns=["bucket", "rel_path", "rows", "bytes", "kind"]
             )
@@ -1014,7 +1093,8 @@ class IceliteTable:
         }
 
     def compact(self, properties: dict | None = None,
-                drop_tombstones_below_seq: int | None = None) -> Snapshot:
+                drop_tombstones_below_seq: int | None = None,
+                chunk_bytes: int = 1 << 30) -> Snapshot:
         """Fold each bucket's delta files into ONE fresh file of
         resolved LWW state. Logical state is unchanged — compaction
         commutes with replay even under concurrent out-of-order
@@ -1044,7 +1124,7 @@ class IceliteTable:
         specs = []
         for b in touched:
             files = [
-                [f_.path, f_.schema_id, f_.kind]
+                [f_.path, f_.schema_id, f_.kind, f_.bytes]
                 for f_ in snap.files
                 if f_.bucket == b
             ]
@@ -1052,6 +1132,7 @@ class IceliteTable:
         kernel = _compact_kernel(
             self.data_path, out_root, snap.schemas, snap.key_cols,
             drop_tombstones_below_seq=drop_tombstones_below_seq,
+            chunk_bytes=chunk_bytes,
         )
         stats = (
             self.spark.createDataFrame(specs, "bucket int, spec string")

@@ -1,0 +1,127 @@
+"""DISCO switch-telemetry parser — a second REAL reference format.
+
+The reference's DISCO pipeline (parser/disco.go:40-127) ingests
+``*-switch.json[.gz]`` files holding CONCATENATED JSON objects (a
+``json.Decoder`` loop, not line-delimited): each record carries a
+metric name, host/experiment, and a ``sample`` array of
+(timestamp, value) bins. By design the raw range includes one extra
+overlap bin, which the parser unconditionally trims
+(disco.go:90-96: ``Sample[:len-1]`` when non-empty).
+
+Spark shape: routing (``is_parsable``) is a pure JVM expression; the
+concatenated-JSON decode is a 1-blob → N-rows Arrow-batched UDTF
+keeping ``sample`` as a typed array column; bin explosion afterwards
+is JVM-side ``posexplode``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import json
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SWITCH_SCHEMA = T.StructType(
+    [
+        T.StructField("test_id", T.StringType(), False),
+        T.StructField("metric", T.StringType(), True),
+        T.StructField("hostname", T.StringType(), True),
+        T.StructField("experiment", T.StringType(), True),
+        T.StructField(
+            "sample",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("timestamp", T.LongType(), True),
+                        T.StructField("value", T.DoubleType(), True),
+                    ]
+                )
+            ),
+            True,
+        ),
+        T.StructField("decode_error", T.BooleanType(), False),
+    ]
+)
+
+
+def is_parsable(name_col: str = "member_name") -> Column:
+    """disco.go:42-49: ``*switch.json`` / ``*switch.json.gz`` → switch.
+    JVM expression — runs as a pushed filter, not Python."""
+    c = F.col(name_col)
+    return c.endswith("switch.json") | c.endswith("switch.json.gz")
+
+
+def _decode_stream(name: str, blob) -> list[tuple]:
+    if isinstance(blob, (bytes, bytearray)):
+        blob = bytes(blob)
+        if blob[:2] == b"\x1f\x8b":  # transparent gunzip (storage.go:77-118)
+            try:
+                blob = gzip.decompress(blob)
+            except OSError:
+                return [(name, None, None, None, None, True)]
+        text = blob.decode("utf-8", errors="replace")
+    else:
+        text = blob
+    dec = json.JSONDecoder()
+    rows, idx, n = [], 0, len(text)
+    while True:
+        while idx < n and text[idx] in " \t\r\n":
+            idx += 1
+        if idx >= n:
+            break
+        try:
+            obj, end = dec.raw_decode(text, idx)
+        except ValueError:
+            rows.append((name, None, None, None, None, True))
+            break  # decoder loop aborts on error, like the reference
+        idx = end
+        sample = obj.get("sample") or []
+        if len(sample) > 0:
+            sample = sample[:-1]  # trim the overlap bin (disco.go:90-96)
+        rows.append(
+            (
+                name,
+                obj.get("metric"),
+                obj.get("hostname"),
+                obj.get("experiment"),
+                [(int(s.get("timestamp")), float(s.get("value")))
+                 for s in sample],
+                False,
+            )
+        )
+    return rows
+
+
+def parse_disco(
+    files: DataFrame, name_col: str = "member_name", content_col: str = "content"
+) -> DataFrame:
+    """(file name, json blob) → one row per switch-stats record."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SWITCH_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for name, blob in zip(pdf[name_col], pdf[content_col]):
+                rows.extend(_decode_stream(name, blob))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return (
+        files.where(is_parsable(name_col))
+        .select(name_col, content_col)
+        .mapInPandas(run, schema=SWITCH_SCHEMA)
+    )
+
+
+def explode_samples(stats: DataFrame) -> DataFrame:
+    """Bin-level view: JVM posexplode, no Python."""
+    return stats.where(~F.col("decode_error")).select(
+        "test_id", "metric", "hostname", "experiment",
+        F.posexplode("sample").alias("bin_idx", "s"),
+    ).select(
+        "test_id", "metric", "hostname", "experiment", "bin_idx",
+        F.col("s.timestamp").alias("timestamp"), F.col("s.value").alias("value"),
+    )

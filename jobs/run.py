@@ -9,7 +9,7 @@ Commands:
            [--epoch-size N] [--merge-mode delta|cow]
   stream   --wal DIR --target T --lineage L           tail WAL segments
            --checkpoint C [--max-files N] [--follow]
-  compact  --target T                                 fold MoR deltas
+  compact  --target T [--final-below-seq N]           fold MoR deltas
   expire   --target T [--keep-last N] [--vacuum]      snapshot expiry
   status   --target T [--lineage L]                   snapshot/epoch info
   verify   --events E --target T                      replay-equality check
@@ -94,12 +94,16 @@ def cmd_stream(args) -> int:
 
 
 def cmd_compact(args) -> int:
+    """Fold MoR deltas. Winning deletes are retained as tombstones
+    unless --final-below-seq asserts the low watermark (no event with a
+    lower seq can still arrive), which allows physically dropping
+    them."""
     from etl_spark.icelite.table import IceliteTable
 
     spark = _spark(args)
     t = IceliteTable.load(spark, args.target)
     before = t.delta_stats()
-    t.compact()
+    t.compact(drop_tombstones_below_seq=getattr(args, "final_below_seq", None))
     print(json.dumps({"before": before, "after": t.delta_stats()}))
     return 0
 
@@ -195,6 +199,8 @@ def main() -> int:
     p.add_argument("--interval", default="10 seconds")
 
     p = sub.add_parser("compact")
+    p.add_argument("--final-below-seq", type=int, default=None,
+                   help="low watermark: drop delete tombstones below this seq")
     p.add_argument("--target", required=True)
 
     p = sub.add_parser("expire")

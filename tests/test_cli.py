@@ -34,7 +34,8 @@ def test_cli_lifecycle(spark, tbl_dir, capsys):
         )
         == 0
     )
-    assert cli.cmd_compact(_ns(target=t)) == 0
+    # full replay done → everything below any future seq is final
+    assert cli.cmd_compact(_ns(target=t, final_below_seq=1 << 60)) == 0
     assert cli.cmd_expire(_ns(target=t, keep_last=1, vacuum=True)) == 0
     assert cli.cmd_verify(_ns(events=events_dir, target=t)) == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()

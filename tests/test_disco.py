@@ -1,0 +1,80 @@
+"""DISCO parser vs the reference's own inline fixture
+(parser/disco_test.go:21-29: two concatenated JSON records → 2 rows,
+first sample trimmed from 2 bins to 1, empty sample left empty)."""
+
+from __future__ import annotations
+
+import gzip
+
+from pyspark.sql import functions as F
+
+from etl_spark.sources import disco
+
+TEST_DATA = (
+    '{\n'
+    '"sample": [{"timestamp": 69850, "value": 0.0},'
+    ' {"timestamp": 69860, "value": 0.0}],\n'
+    '"metric": "switch.multicast.local.rx",\n'
+    '"hostname": "mlab4.sea05.measurement-lab.org",\n'
+    '"experiment": "s1.sea05.measurement-lab.org"}\n'
+    '{"sample": [],\n'
+    '"metric": "switch.multicast.local.rx",\n'
+    '"hostname": "mlab1.sea05.measurement-lab.org",\n'
+    '"experiment": "s1.sea05.measurement-lab.org"}'
+)
+
+
+def _df(spark, name, content):
+    return spark.createDataFrame(
+        [(name, content)], "member_name string, content binary"
+    )
+
+
+def test_reference_fixture_two_records(spark):
+    out = disco.parse_disco(
+        _df(spark, "x-to-y-switch.json", TEST_DATA.encode())
+    ).collect()
+    assert len(out) == 2  # disco_test.go:52 Accepted == 2
+    assert not any(r["decode_error"] for r in out)
+    by_host = {r["hostname"]: r for r in out}
+    # overlap bin trimmed: 2 → 1 (disco.go:90-96)
+    assert len(by_host["mlab4.sea05.measurement-lab.org"]["sample"]) == 1
+    assert by_host["mlab4.sea05.measurement-lab.org"]["sample"][0]["timestamp"] == 69850
+    assert len(by_host["mlab1.sea05.measurement-lab.org"]["sample"]) == 0
+    assert all(r["metric"] == "switch.multicast.local.rx" for r in out)
+
+
+def test_gzip_member_transparent(spark):
+    out = disco.parse_disco(
+        _df(spark, "x-to-y-switch.json.gz", gzip.compress(TEST_DATA.encode()))
+    ).collect()
+    assert len(out) == 2 and not any(r["decode_error"] for r in out)
+
+
+def test_routing_rejects_non_switch(spark):
+    df = spark.createDataFrame(
+        [("a-switch.json", TEST_DATA.encode()),
+         ("b.web100", b"K: junk"),
+         ("c-switch.json.trailer", b"{}")],
+        "member_name string, content binary",
+    )
+    out = disco.parse_disco(df)
+    assert out.select("test_id").distinct().collect()[0][0] == "a-switch.json"
+    assert out.count() == 2
+
+
+def test_explode_samples_jvm_side(spark):
+    stats = disco.parse_disco(_df(spark, "x-switch.json", TEST_DATA.encode()))
+    bins = disco.explode_samples(stats)
+    rows = bins.collect()
+    assert len(rows) == 1
+    assert rows[0]["bin_idx"] == 0 and rows[0]["timestamp"] == 69850
+    # plan stays JVM-side after the UDTF: posexplode Generate, no
+    # BatchEvalPython downstream of the decode
+    plan = bins._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan
+
+
+def test_corrupt_json_flagged(spark):
+    out = disco.parse_disco(_df(spark, "x-switch.json", b'{"sample": [')).collect()
+    assert len(out) == 1 and out[0]["decode_error"]

@@ -354,3 +354,48 @@ def test_tombstone_survives_compaction_blocks_late_lower_seq(spark, tbl_dir):
     assert t.delta_stats()["delta_files"] == 0
     assert sorted((r.repo, r.path, r.v, r.last_seq) for r in t.read().collect()) \
         == [("r2", "p2", 2, 10)]
+
+
+def test_chunked_compaction_matches_small_path(spark, tbl_dir):
+    """SCALE.md growth path: a bucket larger than chunk_bytes compacts
+    via the streaming two-pass kernel (narrow winner map + row-group
+    ParquetWriter) to the IDENTICAL logical state as the in-memory
+    path, including tombstone retention and a later watermark drop."""
+    import os as _os
+
+    t_small = IceliteTable.create(
+        spark, _os.path.join(tbl_dir, "s"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=2,
+    )
+    t_chunk = IceliteTable.create(
+        spark, _os.path.join(tbl_dir, "c"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=2,
+    )
+    batches = [
+        [(f"r{i % 13}", f"p{i % 11}", i, i,
+          "delete" if i % 9 == 0 else ("insert" if i % 3 else "update"))
+         for i in range(1, 400)],
+        [(f"r{i % 13}", f"p{i % 11}", i * 2, 400 + i,
+          "delete" if i % 7 == 0 else "update") for i in range(1, 300)],
+    ]
+    for b in batches:
+        t_small.append_delta(_updf(spark, b))
+        t_chunk.append_delta(_updf(spark, b))
+    state = lambda t: sorted(tuple(r) for r in t.read().collect())  # noqa: E731
+    before = state(t_small)
+    t_small.compact()                      # in-memory path
+    t_chunk.compact(chunk_bytes=1)         # force streaming path
+    assert state(t_small) == before
+    assert state(t_chunk) == before
+    # both retained tombstones identically
+    assert t_small.delta_stats()["delta_files"] == t_chunk.delta_stats()["delta_files"]
+    # watermark drop through the chunked path too
+    t_chunk.compact(chunk_bytes=1, drop_tombstones_below_seq=10_000)
+    assert t_chunk.delta_stats()["delta_files"] == 0
+    assert state(t_chunk) == before
+    # single output file per bucket (the ParquetWriter appended row
+    # groups, it did not fan out files)
+    per_bucket = {}
+    for f in t_chunk.snapshot().files:
+        per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
+    assert all(v == 1 for v in per_bucket.values())
