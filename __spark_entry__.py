@@ -512,6 +512,151 @@ FROM documents
 """
 
 
+def src_sidestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidestream web100 text-table format, driver-checked end-to-end
+    (parser/ss.go:63-160): lineitem rows are rendered into K:/C: wire
+    text (legacy var names, so the tcp-kis rename table is exercised),
+    grouped into per-file blobs, then parsed back by the REAL parser —
+    the oracle derives the same typed fields directly from lineitem, so
+    any header/canonicalization/arity/IP/StartTimeStamp bug mismatches."""
+    from etl_spark.sources import sidestream
+
+    li = _read(spark, sf_dir, "lineitem")
+    s = lambda c: c.cast("long").cast("string")  # noqa: E731
+    local_ip = F.concat_ws(
+        ".", s(F.col("l_orderkey") % 256), s(F.col("l_partkey") % 256),
+        s(F.col("l_suppkey") % 256), s(F.col("l_linenumber") * 7 % 256),
+    )
+    remote_ip = F.concat_ws(
+        ".", s(F.col("l_partkey") % 256), s(F.col("l_suppkey") % 256),
+        s(F.col("l_orderkey") % 256), s(F.col("l_linenumber") * 11 % 256),
+    )
+    line = F.concat_ws(
+        " ", F.lit("C:"), s(F.col("l_orderkey")), F.lit("2017-02-03-12:00:03Z"),
+        local_ip, s(F.col("l_partkey") % 65536), remote_ip,
+        s(F.col("l_suppkey") % 65536), s(F.col("l_orderkey")),
+        s(F.col("l_linenumber") * 1000), s(F.col("l_partkey") % 500),
+        s(F.col("l_linenumber")), s(F.col("l_suppkey")),
+    )
+    header = ("K: cid PollTime LocalAddress LocalPort RemAddress RemPort "
+              "StartTimeSec StartTimeUsec SampledRTT PktsOut DataBytesOut")
+    files = (
+        li.select((F.col("l_orderkey") % 8).alias("fid"),
+                  F.struct(F.col("l_orderkey"), F.col("l_linenumber"),
+                           line.alias("ln")).alias("rec"))
+        .groupBy("fid")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("rec")), lambda x: x["ln"]),
+            "\n").alias("body"))
+        .select(
+            F.concat(F.lit("20170203T00:00:00Z_ALL"), F.col("fid").cast("string"),
+                     F.lit(".web100")).alias("member_name"),
+            F.concat(F.lit(header), F.lit("\n"), F.col("body")).alias("content"),
+        )
+    )
+    out = sidestream.parse_sidestream(files)
+    return out.where(~F.col("corrupted")).select(
+        "test_name", "log_time", "cid", "local_ip", "local_port",
+        "remote_ip", "remote_port", "local_af", "start_time_stamp",
+        "sample_rtt",
+        F.element_at("snap", "SegsOut").alias("segs_out"),
+        F.element_at("snap", "HCDataOctetsOut").alias("hc_octets_out"),
+    )
+
+
+_SIDESTREAM_ORACLE = """
+SELECT
+  '20170203T00:00:00Z_ALL' || CAST(l_orderkey % 8 AS VARCHAR) || '.web100' AS test_name,
+  CAST(1486080000 AS BIGINT) AS log_time,
+  CAST(l_orderkey AS BIGINT) AS cid,
+  CAST(l_orderkey % 256 AS VARCHAR) || '.' || CAST(l_partkey % 256 AS VARCHAR)
+    || '.' || CAST(l_suppkey % 256 AS VARCHAR) || '.' || CAST(l_linenumber * 7 % 256 AS VARCHAR) AS local_ip,
+  CAST(l_partkey % 65536 AS BIGINT) AS local_port,
+  CAST(l_partkey % 256 AS VARCHAR) || '.' || CAST(l_suppkey % 256 AS VARCHAR)
+    || '.' || CAST(l_orderkey % 256 AS VARCHAR) || '.' || CAST(l_linenumber * 11 % 256 AS VARCHAR) AS remote_ip,
+  CAST(l_suppkey % 65536 AS BIGINT) AS remote_port,
+  CAST(2 AS INTEGER) AS local_af,
+  CAST(l_orderkey * 1000000 + l_linenumber * 1000 AS BIGINT) AS start_time_stamp,
+  CAST(l_partkey % 500 AS BIGINT) AS sample_rtt,
+  CAST(l_linenumber AS VARCHAR) AS segs_out,
+  CAST(l_suppkey AS VARCHAR) AS hc_octets_out
+FROM lineitem
+"""
+
+
+def src_disco_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCO switch format, driver-checked end-to-end (parser/disco.go:
+    61-127): events are rendered into concatenated-JSON switch records
+    (one record per user, several records per file), parsed back by the
+    REAL parser, bins exploded JVM-side. The oracle derives the typed
+    bins directly — including the overlap-bin trim (each record's last
+    sample is dropped)."""
+    from etl_spark.sources import disco
+
+    ev = _read(spark, sf_dir, "events")
+    ts_l = F.col("ts").cast("timestamp").cast("long")
+    frag = F.concat(
+        F.lit('{"timestamp": '), ts_l.cast("string"),
+        F.lit(', "value": '), F.round("value", 3).cast("string"), F.lit("}"),
+    )
+    recs = (
+        ev.select("user_id", F.struct(ts_l.alias("t"), F.col("event_id"),
+                                      frag.alias("fr")).alias("rec"))
+        .groupBy("user_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("rec")), lambda x: x["fr"]),
+            ", ").alias("samples"))
+        .select(
+            "user_id",
+            F.concat(
+                F.lit('{"sample": ['), F.col("samples"),
+                F.lit('], "metric": "switch.octets.local.rx", "hostname": "mlab'),
+                F.col("user_id").cast("string"),
+                F.lit('", "experiment": "s1"}'),
+            ).alias("rec_json"),
+        )
+    )
+    files = (
+        recs.select((F.col("user_id") % 10).alias("fid"),
+                    F.struct(F.col("user_id"), F.col("rec_json").alias("rj")).alias("r"))
+        .groupBy("fid")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("r")), lambda x: x["rj"]),
+            "\n").alias("content"))
+        .select(
+            F.concat(F.lit("f"), F.col("fid").cast("string"),
+                     F.lit("-switch.json")).alias("member_name"),
+            F.col("content").cast("binary").alias("content"),
+        )
+    )
+    stats = disco.parse_disco(files)
+    return disco.explode_samples(stats).select(
+        "test_id", "metric", "hostname", "bin_idx", "timestamp",
+        F.round("value", 3).alias("value"),
+    )
+
+
+_DISCO_ORACLE = """
+WITH b AS (
+  -- floor(): Spark's timestamp→long cast truncates, DuckDB's rounds;
+  -- the truncated value is also the sample sort key
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l, event_id,
+         round(value, 3) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY floor(epoch(ts)), event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+)
+SELECT 'f' || CAST(user_id % 10 AS VARCHAR) || '-switch.json' AS test_id,
+       'switch.octets.local.rx' AS metric,
+       'mlab' || CAST(user_id AS VARCHAR) AS hostname,
+       CAST(rn - 1 AS INTEGER) AS bin_idx,
+       ts_l AS timestamp,
+       round(v, 3) AS value
+FROM b WHERE rn < cnt
+"""
+
+
 def f_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C6 analog (fixed-offset binary decode, web100/web100.go:218-277):
     pack events into 24-byte little-endian records, then decode the
@@ -1480,6 +1625,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f_compress_roundtrip": f_compress_roundtrip,
         # archive / binary sources + salted LWW
         "src_tar_roundtrip": src_tar_roundtrip,
+        "src_sidestream_decode": src_sidestream_decode,
+        "src_disco_decode": src_disco_decode,
         "f_binary_decode": f_binary_decode,
         "cdc_lww_salted": cdc_lww_salted,
         # group co-join + event-time windows + lead discard
@@ -1550,6 +1697,8 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "f_compress_roundtrip": _COMPRESS_ROUNDTRIP_ORACLE,
         "src_tar_roundtrip": _TAR_ROUNDTRIP_ORACLE,
+        "src_sidestream_decode": _SIDESTREAM_ORACLE,
+        "src_disco_decode": _DISCO_ORACLE,
         "f_binary_decode": _BINARY_DECODE_ORACLE,
         "cdc_lww_salted": _CDC_LWW_ORACLE.format(events=ev),
         "j_group_cojoin": _GROUP_COJOIN_ORACLE,

@@ -236,6 +236,23 @@ def _arrow_type(spark_type: T.DataType):
     return mapping[tn]
 
 
+def _backoff_sleep(attempt: int, base: float = 0.05, cap: float = 2.0) -> None:
+    """Exponential backoff with deterministic-ish jitter for commit
+    retries — the reference's quota/pushback loop (bq/insert.go:417-480:
+    sleep-and-retry with growing delay) translated to the one contended
+    resource here, the O_EXCL version file. With ~100 concurrent
+    committers, immediate retry makes every loser re-read + re-lose in
+    lockstep; spacing retries out makes the expected commit time linear
+    in writer count instead of quadratic."""
+    import random
+    import time as _time
+
+    if attempt <= 0:
+        return
+    delay = min(cap, base * (2 ** (attempt - 1)))
+    _time.sleep(delay * (0.5 + random.random() / 2))
+
+
 def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
                     key_cols: Sequence[str],
                     drop_tombstones_below_seq: int | None = None,
@@ -650,7 +667,8 @@ class IceliteTable:
         compact) do NOT rebase — a conflict there means the files they
         read were replaced, so they abort for the caller to re-run."""
         last: Exception | None = None
-        for _ in range(retries):
+        for attempt in range(retries):
+            _backoff_sleep(attempt)
             snap = self.snapshot()
             if epoch_id is not None and epoch_id in snap.epochs:
                 return snap
@@ -1177,7 +1195,8 @@ class IceliteTable:
         consumed = {f_.path for f_ in snap.files if f_.bucket in tset}
         cur = snap
         last: Exception | None = None
-        for _ in range(10):
+        for attempt in range(10):
+            _backoff_sleep(attempt)
             kept = [f_ for f_ in cur.files if f_.path not in consumed]
             try:
                 return self._commit(

@@ -1,0 +1,281 @@
+"""NDT web100 binary snaplog parser — the reference's core format.
+
+A snaplog (web100/web100.go:30-76) is: a text header whose ``/spec``,
+``/read`` and ``/tune`` sections each list ``name offset type length``
+variable definitions (the header IS the schema — per-file dynamic),
+then ``----End-Of-Header---- -1 -1``, a 4-byte LE log time, a 32-byte
+NUL-padded group name (always "read"), a 16-byte binary connection
+spec, and ~2000 fixed-length binary snapshot records each prefixed
+with ``----Begin-Snap-Data----``.
+
+Decode strategy (Spark-first): one ``mapInPandas`` UDTF per file blob;
+inside, every field of EVERY snapshot decodes in one numpy strided
+view over the raw buffer (`np.ndarray(buffer=..., strides=(record_len,))`)
+— no per-row Python loop over the 2000 snapshots (the
+web100/web100.go:88-92 performance note, taken further). Value
+semantics are byte-for-byte the reference's ``Variable.Save``
+(web100/web100.go:218-277): signed-int32 quirk (``>= 0x7FFFFFFF``
+wraps), canonical renames from tcp-kis, deprecated ``_``-prefixed
+fields skipped, 17-byte address cells, NUL-split STR32. Pinned against
+the reference's own golden snapshot dumps in tests/test_snaplog.py.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from etl_spark.sources.sidestream import KIS_RENAMES
+
+BEGIN_SNAP_DATA = b"----Begin-Snap-Data----\n"
+END_OF_HEADER = b"\x00----End-Of-Header---- -1 -1\n"
+GROUPNAME_LEN = 32
+
+(INTEGER, INTEGER32, ADDR_IPV4, COUNTER32, GAUGE32, UNSIGNED32, TIME_TICKS,
+ COUNTER64, PORT_NUM, INET_ADDRESS, INET_ADDRESS_IPV6, STR32, OCTET) = range(13)
+
+TYPE_SIZES = (4, 4, 4, 4, 4, 4, 4, 8, 2, 17, 17, 32, 1)
+
+
+class SnaplogError(ValueError):
+    pass
+
+
+@dataclass
+class Variable:
+    name: str
+    offset: int
+    type: int
+    size: int
+
+
+def parse_variable(line: str) -> Variable:
+    """``name offset type length`` (web100/web100.go:177-197)."""
+    parts = line.split()
+    if len(parts) != 4:
+        raise SnaplogError(f"bad variable line: {line!r}")
+    name, offset, typ, length = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+    if not 0 <= typ < len(TYPE_SIZES):
+        raise SnaplogError(f"invalid type field: {typ}")
+    if length != TYPE_SIZES[typ]:
+        raise SnaplogError(f"invalid length for {name} field: {length}")
+    return Variable(name, offset, typ, length)
+
+
+@dataclass
+class FieldSet:
+    fields: list
+    length: int  # total record bytes (incl. preamble for /read)
+
+
+@dataclass
+class SnapLog:
+    version: str
+    log_time: int
+    group_name: str
+    local_ip: str
+    local_port: int
+    remote_ip: str
+    remote_port: int
+    spec: FieldSet
+    read: FieldSet
+    tune: FieldSet
+    body_offset: int
+    raw: bytes
+
+    @property
+    def snap_count(self) -> int:
+        return (len(self.raw) - self.body_offset) // self.read.length
+
+    def validate(self) -> None:
+        total = len(self.raw) - self.body_offset
+        if total % self.read.length != 0:
+            raise SnaplogError("last snapshot truncated")
+        for n in (0, self.snap_count - 1):
+            off = self.body_offset + n * self.read.length
+            if self.raw[off:off + len(BEGIN_SNAP_DATA)] != BEGIN_SNAP_DATA:
+                raise SnaplogError("missing BeginSnapData")
+
+
+def _read_line(raw: bytes, pos: int) -> tuple[bytes, int]:
+    nl = raw.index(b"\n", pos)
+    return raw[pos:nl + 1], nl + 1
+
+
+def _parse_fields(raw: bytes, pos: int, preamble: bytes,
+                  terminator: bytes) -> tuple[FieldSet, int]:
+    line, pos = _read_line(raw, pos)
+    if line != preamble:
+        raise SnaplogError(f"expected preamble {preamble!r}, got {line!r}")
+    fields: list[Variable] = []
+    length = 0
+    while True:
+        line, pos = _read_line(raw, pos)
+        if line == terminator:
+            return FieldSet(fields, length), pos
+        if len(line) > 32 + 20:
+            raise SnaplogError("corrupted header")
+        v = parse_variable(line.decode("ascii"))
+        if length != v.offset:
+            raise SnaplogError(f"bad offset at {v.name}")
+        fields.append(v)
+        length += v.size
+
+
+def parse_snaplog(raw: bytes) -> SnapLog:
+    """Header + connection spec (web100/web100.go:419-497)."""
+    version, pos = _read_line(raw, 0)
+    empty, pos = _read_line(raw, pos)
+    if empty != b"\n":
+        raise SnaplogError("expected empty line after version")
+    spec, pos = _parse_fields(raw, pos, b"/spec\n", b"\n")
+    read, pos = _parse_fields(raw, pos, b"/read\n", b"\n")
+    read.length += len(BEGIN_SNAP_DATA)
+    tune, pos = _parse_fields(raw, pos, b"/tune\n", END_OF_HEADER)
+    log_time = int.from_bytes(raw[pos:pos + 4], "little")
+    pos += 4
+    group = raw[pos:pos + GROUPNAME_LEN].split(b"\x00", 1)[0].decode("ascii")
+    pos += GROUPNAME_LEN
+    if group != "read":
+        raise SnaplogError("only 'read' group is supported")
+    cs = raw[pos:pos + 16]
+    if len(cs) < 16:
+        raise SnaplogError("too few bytes for connection spec")
+    dst_port = int.from_bytes(cs[0:2], "little")
+    dst_addr = ".".join(str(b) for b in cs[4:8])
+    src_port = int.from_bytes(cs[8:10], "little")
+    src_addr = ".".join(str(b) for b in cs[12:16])
+    pos += 16
+    return SnapLog(
+        version=version.decode("ascii").split("\n")[0],
+        log_time=log_time, group_name=group,
+        local_ip=src_addr, local_port=src_port,
+        remote_ip=dst_addr, remote_port=dst_port,
+        spec=spec, read=read, tune=tune, body_offset=pos, raw=raw,
+    )
+
+
+def decode_snapshots(slog: SnapLog, indices: list[int] | None = None):
+    """Vectorized decode of the selected snapshots → (integers, strings):
+    two dicts of canonical name → list (one entry per snapshot).
+    Numeric fields decode as ONE strided numpy view per field across
+    all snapshots; only the handful of address/string cells loop."""
+    n = slog.snap_count
+    idx = np.arange(n) if indices is None else np.asarray(indices, dtype=np.int64)
+    if len(idx) and (idx.min() < 0 or idx.max() >= n):
+        raise SnaplogError("invalid snapshot index")
+    recl = slog.read.length
+    base = slog.body_offset + len(BEGIN_SNAP_DATA)
+    buf = slog.raw
+    integers: dict[str, np.ndarray] = {}
+    strings: dict[str, list[str]] = {}
+
+    def strided(dtype, off, count_bytes):
+        a = np.ndarray((n,), dtype=dtype, buffer=buf, offset=base + off,
+                       strides=(recl,))
+        return a[idx]
+
+    for v in slog.read.fields:
+        if v.name.startswith("_"):
+            continue  # deprecated (web100/web100.go:222-224)
+        name = KIS_RENAMES.get(v.name, v.name)
+        t = v.type
+        if t in (INTEGER, INTEGER32):
+            u = strided("<u4", v.offset, 4).astype(np.int64)
+            integers[name] = np.where(u >= 0x7FFFFFFF, u - 0x100000000, u)
+        elif t in (COUNTER32, GAUGE32, UNSIGNED32, TIME_TICKS):
+            integers[name] = strided("<u4", v.offset, 4).astype(np.int64)
+        elif t == COUNTER64:
+            integers[name] = strided("<u8", v.offset, 8).astype(np.int64)
+        elif t == PORT_NUM:
+            integers[name] = strided("<u2", v.offset, 2).astype(np.int64)
+        elif t == OCTET:
+            integers[name] = strided("u1", v.offset, 1).astype(np.int64)
+        elif t == ADDR_IPV4:
+            cells = strided(("u1", (4,)) if False else np.dtype(("u1", 4)),
+                            v.offset, 4)
+            strings[name] = [".".join(str(int(b)) for b in c) for c in cells]
+        elif t in (INET_ADDRESS, INET_ADDRESS_IPV6):
+            cells = strided(np.dtype(("u1", 17)), v.offset, 17)
+            out = []
+            for c in cells:
+                at = int(c[16])
+                if at == 1:
+                    out.append(".".join(str(int(b)) for b in c[:4]))
+                elif at == 2:
+                    out.append(str(ipaddress.IPv6Address(bytes(c[:16]))))
+                else:
+                    out.append(None)
+            strings[name] = out
+        elif t == STR32:
+            cells = strided(np.dtype(("S", 32)), v.offset, 32)
+            strings[name] = [c.split(b"\x00", 1)[0].decode("ascii", "replace")
+                             for c in cells]
+        else:
+            raise SnaplogError(f"invalid field type {t}")
+    return integers, strings
+
+
+SNAPLOG_SCHEMA = T.StructType(
+    [
+        T.StructField("test_name", T.StringType(), False),
+        T.StructField("version", T.StringType(), True),
+        T.StructField("log_time", T.LongType(), True),
+        T.StructField("local_ip", T.StringType(), True),
+        T.StructField("local_port", T.LongType(), True),
+        T.StructField("remote_ip", T.StringType(), True),
+        T.StructField("remote_port", T.LongType(), True),
+        T.StructField("snap_idx", T.LongType(), True),
+        T.StructField("integers", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("strings", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("corrupted", T.BooleanType(), False),
+    ]
+)
+
+
+def parse_snaplogs(
+    files: DataFrame, name_col: str = "member_name",
+    content_col: str = "content", every: int = 1,
+) -> DataFrame:
+    """(file name, raw bytes) → one row per (sampled) snapshot.
+    ``every`` keeps every Nth snapshot plus the last (the reference's
+    NDT pipeline thins the ~2000 snapshots the same way — W2)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SNAPLOG_SCHEMA.fields]
+        for pdf in batches:
+            rows: list[tuple] = []
+            for name, blob in zip(pdf[name_col], pdf[content_col]):
+                raw = bytes(blob) if not isinstance(blob, bytes) else blob
+                try:
+                    slog = parse_snaplog(raw)
+                    slog.validate()
+                    n = slog.snap_count
+                    idx = sorted(set(range(0, n, every)) | ({n - 1} if n else set()))
+                    ints, strs = decode_snapshots(slog, idx)
+                except (SnaplogError, ValueError, IndexError):
+                    rows.append((name, None, None, None, None, None, None,
+                                 None, None, None, True))
+                    continue
+                for j, snap_i in enumerate(idx):
+                    rows.append(
+                        (
+                            name, slog.version, slog.log_time,
+                            slog.local_ip, slog.local_port,
+                            slog.remote_ip, slog.remote_port, snap_i,
+                            {k: int(v[j]) for k, v in ints.items()},
+                            {k: s[j] for k, s in strs.items() if s[j] is not None},
+                            False,
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.select(name_col, content_col).mapInPandas(
+        run, schema=SNAPLOG_SCHEMA
+    )

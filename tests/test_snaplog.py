@@ -1,0 +1,90 @@
+"""Snaplog parser vs the reference's OWN binary testdata + golden dumps.
+
+Parity targets (web100/web100_test.go): header shape (142 fields,
+669-byte records, LogTime 1494337516, TestHeaderParsing:18-45), full
+value equality for snapshots 1 / 1000 / 2000 against the JSON blobs
+produced by the original C-library parser (TestSnapshotContent:70-72,
+107-150), and the 112-integers/2-strings shape check (OneSnapshot)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from etl_spark.sources import snaplog
+
+REF = ("/root/reference/parser/testdata/"
+       "20170509T13:45:13.590210000Z_eb.measurementlab.net:48716.c2s_snaplog")
+GOLD = "/root/reference/web100/web100_test.go"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(REF), reason="reference testdata not mounted"
+)
+
+
+def _gold(name: str) -> dict:
+    """Extract a golden JSON blob (old1/old1000/old2000) from the
+    reference's test source."""
+    with open(GOLD) as f:
+        src = f.read()
+    marker = f"var {name} = `"
+    start = src.index(marker) + len(marker)
+    return json.loads(src[start:src.index("`", start)])
+
+
+def _slog():
+    with open(REF, "rb") as f:
+        return snaplog.parse_snaplog(f.read())
+
+
+def test_header_parsing():
+    slog = _slog()
+    assert len(slog.read.fields) == 142      # SnapshotNumFields
+    assert slog.read.length == 669           # SnapshotNumBytes (incl. preamble)
+    assert slog.log_time == 1494337516
+    slog.validate()                          # first/last snapshot intact
+
+
+@pytest.mark.parametrize("gold_name,snap_i", [
+    ("old1", 1), ("old1000", 1000), ("old2000", 2000),
+])
+def test_snapshot_values_match_c_parser(gold_name, snap_i):
+    slog = _slog()
+    ints, strs = snaplog.decode_snapshots(slog, [snap_i])
+    got_i = {k: int(v[0]) for k, v in ints.items()}
+    got_s = {k: s[0] for k, s in strs.items() if s[0] is not None}
+    gold = _gold(gold_name)
+    assert got_i == gold["Integers"]
+    assert got_s == gold["Strings"]
+    assert len(got_i) == 112 and len(got_s) == 2  # OneSnapshot shape
+
+
+def test_spark_surface_thinned(spark):
+    with open(REF, "rb") as f:
+        raw = f.read()
+    df = spark.createDataFrame(
+        [(os.path.basename(REF), raw)], "member_name string, content binary"
+    )
+    out = snaplog.parse_snaplogs(df, every=500)
+    rows = sorted((r["snap_idx"], r) for r in out.collect())
+    slog = _slog()
+    n = slog.snap_count
+    expect_idx = sorted(set(range(0, n, 500)) | {n - 1})
+    assert [i for i, _ in rows] == expect_idx
+    r0 = rows[0][1]
+    assert not r0["corrupted"]
+    assert r0["log_time"] == 1494337516
+    assert r0["remote_port"] == 48716 or r0["local_port"] == 48716
+    assert r0["integers"]["CurMSS"] > 0
+    assert "LocalAddress" in r0["strings"]
+
+
+def test_corrupt_blob_flagged(spark):
+    df = spark.createDataFrame(
+        [("x.snaplog", b"not a snaplog at all\n\n")],
+        "member_name string, content binary",
+    )
+    rows = snaplog.parse_snaplogs(df).collect()
+    assert len(rows) == 1 and rows[0]["corrupted"]
