@@ -584,6 +584,93 @@ FROM lineitem
 """
 
 
+def src_paris_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paris-traceroute legacy text format, driver-checked end-to-end
+    (parser/pt.go:774-920): lineitem rows are rendered into real
+    single-flow traceroute text (one chain per file), parsed back by
+    the REAL tree-building parser, hops exploded JVM-side. The oracle
+    derives the reversed hop chain (hops[0] = final hop, source =
+    previous node, root sourced at the server IP) directly from
+    lineitem windows."""
+    from etl_spark.sources import paris as pt
+
+    li = _read(spark, sf_dir, "lineitem")
+    s = lambda c: c.cast("long").cast("string")  # noqa: E731
+    g = F.col("l_orderkey") % 512
+    ip = F.concat_ws(
+        ".", s(F.col("l_orderkey") % 223 + 1), s(F.col("l_partkey") % 256),
+        s(F.col("l_suppkey") % 256), s(F.col("l_linenumber") * 3 % 256),
+    )
+    rtt = ((F.col("l_partkey") % 10000) / F.lit(1000.0)).cast("string")
+    line = F.concat(
+        F.lit(" 1  P(6, 6) h"), ip, F.lit(" ("), ip, F.lit(")  "),
+        rtt, F.lit(" ms"),
+    )
+    server = F.concat(F.lit("10.0."), F.expr("CAST((l_orderkey % 512) DIV 256 AS STRING)"),
+                      F.lit("."), F.expr("CAST((l_orderkey % 512) % 256 AS STRING)"))
+    files = (
+        li.select(
+            g.alias("g"), server.alias("server"),
+            F.struct(F.col("l_orderkey"), F.col("l_linenumber"),
+                     F.col("l_partkey"), F.col("l_suppkey"),
+                     line.alias("ln"), ip.alias("ip")).alias("rec"),
+        )
+        .groupBy("g", "server")
+        .agg(F.array_sort(F.collect_list("rec")).alias("arr"))
+        .select(
+            F.concat(F.lit("20170320T23:53:10Z-g"), F.col("g").cast("string"),
+                     F.lit(".paris")).alias("member_name"),
+            F.concat(
+                F.lit("traceroute [("), F.col("server"), F.lit(":33456) -> ("),
+                F.element_at("arr", -1)["ip"], F.lit(":33457)], protocol tcp, "
+                "algo exhaustive, duration 3 s\n"),
+                F.array_join(F.transform("arr", lambda x: x["ln"]), "\n"),
+            ).alias("content"),
+        )
+    )
+    hops = pt.explode_hops(pt.parse_paris(files))
+    return hops.select(
+        "test_name", "log_time", "source_ip", "dest_ip",
+        F.col("hop_idx").cast("int").alias("hop_idx"),
+        "hop_src_ip", "hop_src_hostname", "hop_dst_ip",
+        F.element_at("rtt", 1).alias("rtt_ms"),
+    )
+
+
+_PARIS_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey % 512 AS g,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY l_orderkey % 512) AS cnt,
+         CAST(l_orderkey % 223 + 1 AS VARCHAR) || '.' ||
+           CAST(l_partkey % 256 AS VARCHAR) || '.' ||
+           CAST(l_suppkey % 256 AS VARCHAR) || '.' ||
+           CAST(l_linenumber * 3 % 256 AS VARCHAR) AS ip,
+         CAST(l_partkey % 10000 AS DOUBLE) / 1000 AS rtt
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey % 512
+               ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+),
+c AS (
+  SELECT g, rn, cnt, ip, rtt,
+         lag(ip) OVER (PARTITION BY g ORDER BY rn) AS pip,
+         first_value(ip) OVER (PARTITION BY g ORDER BY rn DESC) AS dest
+  FROM b
+)
+SELECT '20170320T23:53:10Z-g' || CAST(g AS VARCHAR) || '.paris' AS test_name,
+       CAST(1490053990 AS BIGINT) AS log_time,
+       '10.0.' || CAST(g // 256 AS VARCHAR) || '.' || CAST(g % 256 AS VARCHAR) AS source_ip,
+       dest AS dest_ip,
+       CAST(cnt - rn AS INTEGER) AS hop_idx,
+       coalesce(pip, '10.0.' || CAST(g // 256 AS VARCHAR) || '.'
+                 || CAST(g % 256 AS VARCHAR)) AS hop_src_ip,
+       CASE WHEN pip IS NULL THEN '' ELSE 'h' || pip END AS hop_src_hostname,
+       ip AS hop_dst_ip,
+       rtt AS rtt_ms
+FROM c
+"""
+
+
 def src_disco_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISCO switch format, driver-checked end-to-end (parser/disco.go:
     61-127): events are rendered into concatenated-JSON switch records
@@ -1627,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_tar_roundtrip": src_tar_roundtrip,
         "src_sidestream_decode": src_sidestream_decode,
         "src_disco_decode": src_disco_decode,
+        "src_paris_decode": src_paris_decode,
         "f_binary_decode": f_binary_decode,
         "cdc_lww_salted": cdc_lww_salted,
         # group co-join + event-time windows + lead discard
@@ -1699,6 +1787,7 @@ def oracle_sql() -> dict[str, str]:
         "src_tar_roundtrip": _TAR_ROUNDTRIP_ORACLE,
         "src_sidestream_decode": _SIDESTREAM_ORACLE,
         "src_disco_decode": _DISCO_ORACLE,
+        "src_paris_decode": _PARIS_ORACLE,
         "f_binary_decode": _BINARY_DECODE_ORACLE,
         "cdc_lww_salted": _CDC_LWW_ORACLE.format(events=ev),
         "j_group_cojoin": _GROUP_COJOIN_ORACLE,

@@ -1,0 +1,431 @@
+"""Paris-traceroute legacy text parser — the reference's PT format.
+
+The reference (parser/pt.go:666-920) parses exhaustive paris-traceroute
+text output into a 4-level nested row: test → hops[] → links[] →
+probes[] → rtt[]. The interesting part is the TREE build: each line's
+tuples become nodes whose parents are the previous line's leaves; a
+multi-flow tuple ``(ip):0,2,4`` fans out per flow id and only attaches
+to leaves with a matching (or unassigned) flow. Hops are then emitted
+in reverse node order, so ``hops[0]`` is the final hop
+(parser/pt.go:374-419).
+
+Spark shape: a 1-blob → 1-nested-row Arrow-batched UDTF with a typed
+deeply-nested schema (array<struct<...array<struct<...>>>>) — the same
+modeling the reference's BigQuery sink uses (schema/pt_schema.go:15-55).
+Tree construction is per-file Python by necessity (stateful leaves
+across lines); everything downstream of the UDTF (hop explosion,
+aggregation) is JVM-side.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import os
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class PTError(ValueError):
+    pass
+
+
+def get_log_time(file_name: str) -> int:
+    """``20170320T23:53:10Z-...`` or ``20160112T004544Z_...`` → epoch
+    (parser/pt.go:34-50: chars up to the first 'Z', colons stripped)."""
+    base = os.path.basename(file_name)
+    i = base.find("Z")
+    if i < 15:
+        raise PTError("no date in filename")
+    date = base[: i + 1].replace(":", "")
+    t = datetime.strptime(date, "%Y%m%dT%H%M%SZ")
+    return int(t.replace(tzinfo=timezone.utc).timestamp())
+
+
+def create_test_id(fn: str, bn: str) -> str:
+    """parser/pt.go:529-540."""
+    raw = os.path.basename(fn)
+    if len(raw) > 30:
+        return (f"{raw[0:4]}/{raw[4:6]}/{raw[6:8]}/{raw[17:22]}.{raw[23:28]}"
+                f"/{bn}.gz")
+    return bn
+
+
+def parse_first_line(line: str) -> tuple[str, str, str]:
+    """→ (protocol, dest_ip, server_ip); raises on corruption
+    (parser/pt.go:433-477)."""
+    parts = line.split(",")
+    protocol, dest_ip, server_ip = "", "", ""
+    for index, part in enumerate(parts):
+        if index == 0:
+            seg = part.split(" ")
+            if len(seg) != 4:
+                raise PTError("corrupted first line")
+            if (len(seg[1]) <= 2 or not seg[1].startswith("[(")
+                    or len(seg[3]) <= 2 or not seg[3].startswith("(")):
+                raise PTError("invalid data format in the first line")
+            si = seg[1].rfind(":")
+            di = seg[3].rfind(":")
+            if si < 3 or di < 2:
+                raise PTError("invalid data format in the first line")
+            server_ip = seg[1][2:si]
+            dest_ip = seg[3][1:di]
+            try:
+                ipaddress.ip_address(server_ip)
+                ipaddress.ip_address(dest_ip)
+            except ValueError as e:
+                raise PTError("invalid IP address in the first line") from e
+            continue
+        mm = part.strip().split(" ")
+        if len(mm) > 1 and mm[0] == "protocol":
+            if mm[1] not in ("icmp", "udp", "tcp"):
+                raise PTError("unknown protocol")
+            protocol = mm[1]
+    return protocol, dest_ip, server_ip
+
+
+@dataclass
+class _Node:
+    hostname: str
+    ip: str
+    rtts: list
+    parent_ip: str = ""
+    parent_hostname: str = ""
+    flow: int = -1
+
+
+def _unique(node: _Node, nodes: list) -> bool:
+    return not any(
+        n.hostname == node.hostname and n.ip == node.ip and n.flow == node.flow
+        for n in nodes
+    )
+
+
+def _process_tuple(parts: list, protocol: str, current_leaves: list,
+                   all_nodes: list, new_leaves: list) -> None:
+    """parser/pt.go:666-770, exactly."""
+    if len(parts) != 4:
+        raise PTError("corrupted input")
+    if parts[3] != "ms":
+        raise PTError("malformed line, expected 'ms'")
+    rtt: list[float] = []
+    if protocol in ("tcp", "udp"):
+        rtt = [float(parts[2])]
+    elif protocol == "icmp":
+        nums = parts[2].split("/")
+        if len(nums) != 4:
+            raise PTError("failed to parse rtts for icmp test")
+        rtt = [float(x) for x in nums]
+    ips = parts[1].split(":")
+    if not all_nodes:
+        root = _Node(parts[0], ips[0][1:-1], rtt)
+        all_nodes.append(root)
+        new_leaves.append(root)
+        return
+    if len(ips) == 1:
+        for leaf in current_leaves:
+            node = _Node(parts[0], ips[0][1:-1], rtt, leaf.ip, leaf.hostname)
+            all_nodes.append(node)
+            if _unique(node, new_leaves):
+                new_leaves.append(node)
+    elif len(ips) == 2:
+        for flow_s in ips[1].split(","):
+            flow = int(flow_s)
+            for leaf in current_leaves:
+                if leaf.flow in (-1, flow):
+                    node = _Node(parts[0], ips[0][1:-1], rtt, leaf.ip,
+                                 leaf.hostname, flow)
+                    all_nodes.append(node)
+                    if _unique(node, new_leaves):
+                        new_leaves.append(node)
+    else:
+        raise PTError("wrong format for IP address")
+
+
+def _hops_from_nodes(all_nodes: list, server_ip: str) -> list:
+    """parser/pt.go:374-419 — reverse order, hops[0] = final hop."""
+    hops = []
+    for node in reversed(all_nodes):
+        link = {"hop_dst_ip": node.ip, "probes": [{"rtt": node.rtts}]}
+        if node.parent_ip == "":
+            hops.append({"source": {"ip": server_ip, "hostname": ""},
+                         "links": [link]})
+            break
+        hops.append({"source": {"ip": node.parent_ip,
+                                "hostname": node.parent_hostname},
+                     "links": [link]})
+    return hops
+
+
+def parse_pt_text(test_name: str, raw: bytes | str) -> dict:
+    """One legacy .paris file → one nested test record
+    (parser/pt.go:774-920)."""
+    if isinstance(raw, (bytes, bytearray)):
+        raw = bytes(raw).decode("utf-8", errors="replace")
+    log_time = get_log_time(test_name)
+    first = True
+    protocol, dest_ip, server_ip = "icmp", "", ""
+    current_leaves: list[_Node] = []
+    all_nodes: list[_Node] = []
+    last_valid_hop_line = ""
+    reached_dest = False
+    for line in raw.split("\n"):
+        if not line or line[0] == "#":
+            continue
+        new_leaves: list[_Node] = []
+        if first:
+            first = False
+            protocol, dest_ip, server_ip = parse_first_line(line)
+        else:
+            parts = line.split()
+            if len(parts) < 4 or parts[0] == "MPLS":
+                continue
+            i = 3
+            while i < len(parts):
+                if i + 3 >= len(parts):
+                    break  # corrupted tail guard (pt.go:836-839)
+                _process_tuple(parts[i:i + 4], protocol, current_leaves,
+                               all_nodes, new_leaves)
+                i += 4
+                while i < len(parts) and parts[i] and parts[i][0] == "!":
+                    i += 1  # skip trailing error codes
+            if dest_ip in line:
+                reached_dest = True
+            last_valid_hop_line = line
+        current_leaves = new_leaves
+    if not all_nodes:
+        raise PTError("empty test")
+    last_hop = dest_ip
+    if all_nodes[-1].ip != dest_ip and dest_ip not in last_valid_hop_line:
+        last_hop = all_nodes[-1].ip
+    else:
+        last_valid_hop_line = "ExpectedDestIP"
+    return {
+        "test_name": test_name,
+        "log_time": log_time,
+        "protocol": protocol,
+        "source_ip": server_ip,
+        "dest_ip": dest_ip,
+        "last_hop_ip": last_hop,
+        "reached_dest": reached_dest or last_valid_hop_line == "ExpectedDestIP",
+        "last_valid_hop_line": last_valid_hop_line,
+        "hops": _hops_from_nodes(all_nodes, server_ip),
+    }
+
+
+PT_SCHEMA = T.StructType(
+    [
+        T.StructField("test_name", T.StringType(), False),
+        T.StructField("log_time", T.LongType(), True),
+        T.StructField("protocol", T.StringType(), True),
+        T.StructField("source_ip", T.StringType(), True),
+        T.StructField("dest_ip", T.StringType(), True),
+        T.StructField("last_hop_ip", T.StringType(), True),
+        T.StructField("reached_dest", T.BooleanType(), True),
+        T.StructField("last_valid_hop_line", T.StringType(), True),
+        T.StructField(
+            "hops",
+            T.ArrayType(T.StructType([
+                T.StructField("source", T.StructType([
+                    T.StructField("ip", T.StringType(), True),
+                    T.StructField("hostname", T.StringType(), True),
+                ]), True),
+                T.StructField("links", T.ArrayType(T.StructType([
+                    T.StructField("hop_dst_ip", T.StringType(), True),
+                    T.StructField("probes", T.ArrayType(T.StructType([
+                        T.StructField("rtt", T.ArrayType(T.DoubleType()), True),
+                    ])), True),
+                ])), True),
+            ])),
+            True,
+        ),
+        T.StructField("corrupted", T.BooleanType(), False),
+    ]
+)
+
+
+def is_parsable(name_col: str = "member_name") -> Column:
+    """parser/pt.go:546-552 — JVM expression."""
+    c = F.col(name_col)
+    return c.endswith(".paris") | c.endswith(".jsonl")
+
+
+def parse_paris(
+    files: DataFrame, name_col: str = "member_name", content_col: str = "content"
+) -> DataFrame:
+    """(file name, text blob) → one nested test row per file; corrupt
+    or empty tests become ``corrupted=true`` rows."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in PT_SCHEMA.fields]
+        empty = {c: None for c in cols}
+        for pdf in batches:
+            rows = []
+            for name, blob in zip(pdf[name_col], pdf[content_col]):
+                try:
+                    rec = parse_pt_text(name, blob)
+                    rec["corrupted"] = False
+                except (PTError, ValueError):
+                    rec = {**empty, "test_name": name, "corrupted": True}
+                rows.append(tuple(rec[c] for c in cols))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.where(F.col(name_col).endswith(".paris")).select(
+        name_col, content_col
+    ).mapInPandas(run, schema=PT_SCHEMA)
+
+
+def explode_hops(tests: DataFrame) -> DataFrame:
+    """Hop-level flat view — JVM posexplode over the nested arrays."""
+    return tests.where(~F.col("corrupted")).select(
+        "test_name", "log_time", "source_ip", "dest_ip",
+        F.posexplode("hops").alias("hop_idx", "h"),
+    ).select(
+        "test_name", "log_time", "source_ip", "dest_ip", "hop_idx",
+        F.col("h.source.ip").alias("hop_src_ip"),
+        F.col("h.source.hostname").alias("hop_src_hostname"),
+        F.col("h.links")[0]["hop_dst_ip"].alias("hop_dst_ip"),
+        F.col("h.links")[0]["probes"][0]["rtt"].alias("rtt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# scamper JSONL variant (traceroute-caller output), parser/pt.go:182-315
+# ---------------------------------------------------------------------------
+
+SCAMPER_SCHEMA = T.StructType(
+    [
+        T.StructField("test_name", T.StringType(), False),
+        T.StructField("uuid", T.StringType(), True),
+        T.StructField("log_time", T.LongType(), True),
+        T.StructField("start_time", T.LongType(), True),
+        T.StructField("stop_time", T.LongType(), True),
+        T.StructField("scamper_version", T.StringType(), True),
+        T.StructField("exp_version", T.StringType(), True),
+        T.StructField("cached_result", T.BooleanType(), True),
+        T.StructField("source_ip", T.StringType(), True),
+        T.StructField("dest_ip", T.StringType(), True),
+        T.StructField("probe_size", T.LongType(), True),
+        T.StructField("probec", T.LongType(), True),
+        T.StructField(
+            "hops",
+            T.ArrayType(T.StructType([
+                T.StructField("source", T.StructType([
+                    T.StructField("ip", T.StringType(), True),
+                    T.StructField("hostname", T.StringType(), True),
+                ]), True),
+                T.StructField("linkc", T.LongType(), True),
+                T.StructField("links", T.ArrayType(T.StructType([
+                    T.StructField("hop_dst_ip", T.StringType(), True),
+                    T.StructField("ttl", T.LongType(), True),
+                    T.StructField("probes", T.ArrayType(T.StructType([
+                        T.StructField("flowid", T.LongType(), True),
+                        T.StructField("rtt", T.ArrayType(T.DoubleType()), True),
+                    ])), True),
+                ])), True),
+            ])),
+            True,
+        ),
+        T.StructField("corrupted", T.BooleanType(), False),
+    ]
+)
+
+
+def parse_pt_jsonl(test_name: str, raw: bytes | str) -> dict:
+    """Scamper traceroute-caller .jsonl: exactly 4 JSON lines — meta,
+    cycle-start, tracelb, cycle-stop (parser/pt.go:182-315). A
+    malformed tracelb line goes through the json repair pass
+    (functions/parsing.py C5 — the reference shells out to jsonnet for
+    the same early-scamper grammar bugs)."""
+    import json as _json
+
+    if isinstance(raw, (bytes, bytearray)):
+        raw = bytes(raw).decode("utf-8", errors="replace")
+    log_time = get_log_time(test_name)
+    lines = raw.split("\n")
+    if len(lines) != 5:
+        raise PTError("invalid test: expected 4 jsonl lines")
+    meta = _json.loads(lines[0])
+    uuid = meta.get("UUID")
+    if not uuid:
+        raise PTError("empty UUID")
+    cyc_start = _json.loads(lines[1])
+    try:
+        tracelb = _json.loads(lines[2])
+    except ValueError:
+        # early-stage scamper emits trailing commas (the reference
+        # shells out to jsonnet for the same grammar bug)
+        import re as _re
+
+        fixed = _re.sub(r",\s*([}\]])", r"\1", lines[2])
+        try:
+            tracelb = _json.loads(fixed)
+        except ValueError as e:
+            raise PTError("corrupted tracelb line") from e
+    cyc_stop = _json.loads(lines[3])
+    hops = []
+    for node in tracelb.get("nodes") or []:
+        src = {"ip": node.get("addr"), "hostname": node.get("name") or ""}
+        nlinks = node.get("links") or []
+        if len(nlinks) == 0:
+            hops.append({"source": src, "linkc": int(node.get("linkc", 0)),
+                         "links": None})
+            continue
+        if len(nlinks) != 1:
+            continue  # pt.go:262-264
+        links = []
+        for one in nlinks[0]:
+            probes, ttl = [], 0
+            for p in one.get("probes") or []:
+                rtt = [r["rtt"] for r in (p.get("replies") or []) if "rtt" in r]
+                probes.append({"flowid": int(p.get("flowid", 0)),
+                               "rtt": rtt or None})
+                ttl = int(p.get("ttl", 0))
+            links.append({"hop_dst_ip": one.get("addr"), "ttl": ttl,
+                          "probes": probes or None})
+        hops.append({"source": src, "linkc": int(node.get("linkc", 0)),
+                     "links": links})
+    return {
+        "test_name": test_name,
+        "uuid": uuid,
+        "log_time": log_time,
+        "start_time": int(cyc_start.get("start_time", 0)),
+        "stop_time": int(cyc_stop.get("stop_time", 0)),
+        "scamper_version": tracelb.get("version"),
+        "exp_version": meta.get("TracerouteCallerVersion"),
+        "cached_result": bool(meta.get("CachedResult", False)),
+        "source_ip": tracelb.get("src"),
+        "dest_ip": tracelb.get("dst"),
+        "probe_size": int(tracelb.get("probe_size", 0)),
+        "probec": int(tracelb.get("probec", 0)),
+        "hops": hops or None,
+    }
+
+
+def parse_scamper(
+    files: DataFrame, name_col: str = "member_name", content_col: str = "content"
+) -> DataFrame:
+    """(file name, jsonl blob) → one nested scamper test row per file."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in SCAMPER_SCHEMA.fields]
+        empty = {c: None for c in cols}
+        for pdf in batches:
+            rows = []
+            for name, blob in zip(pdf[name_col], pdf[content_col]):
+                try:
+                    rec = parse_pt_jsonl(name, blob)
+                    rec["corrupted"] = False
+                except (PTError, ValueError):
+                    rec = {**empty, "test_name": name, "corrupted": True}
+                rows.append(tuple(rec[c] for c in cols))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.where(F.col(name_col).endswith(".jsonl")).select(
+        name_col, content_col
+    ).mapInPandas(run, schema=SCAMPER_SCHEMA)

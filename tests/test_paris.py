@@ -1,0 +1,133 @@
+"""Paris-traceroute parser vs the reference's OWN testdata + unit
+expectations (parser/pt_test.go)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.sources import paris
+
+TD = "/root/reference/parser/testdata"
+LEGACY = f"{TD}/20160112T00:45:44Z_ALL27409.paris"
+TUPLE5 = f"{TD}/20170320T23:53:10Z-172.17.94.34-33456-74.125.224.100-33457.paris"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(LEGACY), reason="reference testdata not mounted"
+)
+
+
+def test_legacy_format(spark):
+    # pt_test.go TestParseLegacyFormatData:182-201
+    with open(LEGACY, "rb") as f:
+        rec = paris.parse_pt_text(os.path.basename(LEGACY), f.read())
+    assert len(rec["hops"]) == 9
+    assert rec["log_time"] == 1452559544
+    assert rec["last_valid_hop_line"] == "ExpectedDestIP"
+
+
+def test_five_tuple_format(spark):
+    # pt_test.go TestPTParser:218-267
+    with open(TUPLE5, "rb") as f:
+        rec = paris.parse_pt_text(os.path.basename(TUPLE5), f.read())
+    assert rec["log_time"] == 1490053990
+    assert rec["source_ip"] == "172.17.94.34"
+    assert rec["dest_ip"] == "74.125.224.100"
+    assert len(rec["hops"]) == 38
+    h0 = rec["hops"][0]  # hops[0] is the FINAL hop (reverse node order)
+    assert h0["source"]["ip"] == "64.233.174.109"
+    assert h0["source"]["hostname"] == "sr05-te1-8.nuq04.net.google.com"
+    assert h0["links"][0]["hop_dst_ip"] == "74.125.224.100"
+    assert h0["links"][0]["probes"][0]["rtt"] == [0.895]
+
+
+def test_first_line_cases():
+    # pt_test.go TestParseFirstLine (incl. ipv6 + error lines)
+    p, d, s = paris.parse_first_line(
+        "traceroute [(64.86.132.76:33461) -> "
+        "(2001:0db8:85a3:0000:0000:8a2e:0370:7334:53849)], protocol icmp, "
+        "algo exhaustive, duration 19 s")
+    assert (p, d, s) == ("icmp", "2001:0db8:85a3:0000:0000:8a2e:0370:7334",
+                         "64.86.132.76")
+    with pytest.raises(paris.PTError):
+        paris.parse_first_line(
+            "Exception : [ERROR](Probe.cc, 109)Can't send the probe : "
+            "Invalid argument")
+    with pytest.raises(paris.PTError):
+        paris.parse_first_line(
+            "traceroute to 35.243.216.203 (35.243.216.203), 30 hops max, "
+            "30 bytes packets")
+
+
+def test_create_test_id():
+    # pt_test.go TestCreateTestId:172-180
+    got = paris.create_test_id(
+        "20170501T000000Z-mlab1-acc02-paris-traceroute-0000.tgz",
+        "20170501T23:53:10Z-98.162.212.214-53849-64.86.132.75-42677.paris")
+    assert got == ("2017/05/01/mlab1.acc02/"
+                   "20170501T23:53:10Z-98.162.212.214-53849-64.86.132.75"
+                   "-42677.paris.gz")
+
+
+def test_spark_surface_and_hop_explosion(spark):
+    names = [LEGACY, TUPLE5] + [
+        os.path.join(TD, "PT", n) for n in os.listdir(f"{TD}/PT")
+        if n.endswith(".paris")
+    ]
+    rows = []
+    for p in names:
+        with open(p, "rb") as f:
+            rows.append((os.path.basename(p), f.read()))
+    df = spark.createDataFrame(rows, "member_name string, content binary")
+    tests = paris.parse_paris(df)
+    got = {r["test_name"]: r for r in tests.collect()}
+    assert len(got) == len(names)
+    ok = [r for r in got.values() if not r["corrupted"]]
+    assert len(ok) >= 2  # both checked-in top-level files parse
+    hops = paris.explode_hops(tests)
+    n9 = hops.where(F.col("test_name") == os.path.basename(LEGACY)).count()
+    assert n9 == 9
+    plan = hops._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" in plan  # explosion is JVM-side
+
+
+def test_empty_and_corrupt_flagged(spark):
+    df = spark.createDataFrame(
+        [("x.paris", b"garbage first line\n"),
+         ("y.paris", b"")],
+        "member_name string, content binary",
+    )
+    out = paris.parse_paris(df).collect()
+    assert len(out) == 2 and all(r["corrupted"] for r in out)
+
+
+def test_scamper_jsonl(spark):
+    # pt_test.go TestJSONParser:203-216
+    p = f"{TD}/PT/20190927T070859Z_ndt-qtfh8_1565996043_0000000000003B64.jsonl"
+    with open(p, "rb") as f:
+        raw = f.read()
+    rec = paris.parse_pt_jsonl(os.path.basename(p), raw)
+    assert rec["uuid"] == "ndt-qtfh8_1565996043_0000000000003B64"
+    assert rec["source_ip"] == "::ffff:91.213.30.229"
+    assert rec["dest_ip"] == "::ffff:91.169.126.135"
+    assert rec["start_time"] == 1569568139
+    assert rec["scamper_version"] == "0.1"
+    # Spark surface
+    df = spark.createDataFrame(
+        [(os.path.basename(p), raw)], "member_name string, content binary"
+    )
+    rows = paris.parse_scamper(df).collect()
+    assert len(rows) == 1 and not rows[0]["corrupted"]
+    assert rows[0]["uuid"] == "ndt-qtfh8_1565996043_0000000000003B64"
+
+
+def test_scamper_trailing_comma_repair():
+    raw = (b'{"UUID": "u1"}\n'
+           b'{"type":"cycle-start", "start_time":5}\n'
+           b'{"type":"tracelb", "version":"0.1", "src":"a", "dst":"b", '
+           b'"probe_size":60, "probec":0, "nodec":0, "linkc":0,}\n'
+           b'{"type":"cycle-stop", "stop_time":9}\n')
+    rec = paris.parse_pt_jsonl("20190927T070859Z_x.jsonl", raw)
+    assert rec["uuid"] == "u1" and rec["stop_time"] == 9
