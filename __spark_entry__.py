@@ -468,8 +468,8 @@ def f_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
         F.element_at(
-            F.array(F.lit("gzip"), F.lit("zlib"), F.lit("none")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            F.array(F.lit("gzip"), F.lit("zlib"), F.lit("zstd"), F.lit("none")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
         ).alias("codec"),
     )
     blobs = compress.compress_content(docs, content_col="text")
@@ -506,7 +506,8 @@ SELECT doc_id, coalesce(text, '') AS text FROM documents
 
 _COMPRESS_ROUNDTRIP_ORACLE = """
 SELECT doc_id,
-       CASE doc_id % 3 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib' ELSE 'none' END AS codec,
+       CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                       WHEN 2 THEN 'zstd' ELSE 'none' END AS codec,
        coalesce(text, '') AS text
 FROM documents
 """

@@ -57,6 +57,13 @@ def bench_queries() -> dict:
     timings: dict[str, float] = {}
     qs = entry.queries()
 
+    # warm the JVM (codegen, parquet reader, shuffle machinery) with a
+    # throwaway job so the first timed query measures the operator, not
+    # session startup (~7s of one-time cost otherwise lands on it)
+    spark.range(0, 1_000_000, 1, CPUS).selectExpr("sum(id)").collect()
+    spark.read.parquet(f"{SF_DIR}/lineitem.parquet").limit(1000).write.mode(
+        "overwrite").format("noop").save()
+
     # headline: full CDC apply of the derived change stream. The
     # derivation (two-phase partitioned rank, scales with cores) is a
     # test fixture, not an engine path — materialize it first so the

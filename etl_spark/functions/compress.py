@@ -20,12 +20,24 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-try:  # optional, not in this container
+try:  # prefer the dedicated lib if present
     import zstandard  # type: ignore
 
     _ZSTD = zstandard
 except ImportError:
     _ZSTD = None
+
+
+def _pa_zstd():
+    """pyarrow ships a zstd codec even when the zstandard lib is absent
+    — stream (de)compression via CompressedInput/OutputStream emits and
+    reads standard zstd frames (verified against the reference's real
+    .jsonl.zst testdata in tests/test_tcpinfo.py)."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available("zstd"):
+        raise NotImplementedError("no zstd codec available")
+    return pa
 
 CODECS = ("gzip", "zlib", "zstd", "none")
 
@@ -36,9 +48,13 @@ def _compress_one(data: bytes, codec: str) -> bytes:
     if codec == "zlib":
         return zlib.compress(data)
     if codec == "zstd":
-        if _ZSTD is None:
-            raise NotImplementedError("zstandard not installed in this environment")
-        return _ZSTD.ZstdCompressor().compress(data)
+        if _ZSTD is not None:
+            return _ZSTD.ZstdCompressor().compress(data)
+        pa = _pa_zstd()
+        sink = pa.BufferOutputStream()
+        with pa.CompressedOutputStream(sink, "zstd") as out:
+            out.write(data)
+        return sink.getvalue().to_pybytes()
     if codec == "none":
         return data
     raise ValueError(f"unknown codec {codec}")
@@ -51,9 +67,14 @@ def _decompress_one(data: bytes, codec: str) -> bytes | None:
         if codec == "zlib":
             return zlib.decompress(data)
         if codec == "zstd":
-            if _ZSTD is None:
-                raise NotImplementedError("zstandard not installed")
-            return _ZSTD.ZstdDecompressor().decompress(data)
+            if _ZSTD is not None:
+                return _ZSTD.ZstdDecompressor().decompress(data)
+            pa = _pa_zstd()
+            try:
+                return pa.CompressedInputStream(
+                    pa.BufferReader(data), "zstd").read()
+            except pa.lib.ArrowInvalid:
+                return None  # corrupt frame → NULL, same as gzip branch
         if codec == "none":
             return data
         return None

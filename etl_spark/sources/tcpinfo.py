@@ -1,0 +1,201 @@
+"""tcpinfo parser — zstd JSONL of netlink snapshots (parser/tcpinfo.go).
+
+One ``*.jsonl.zst`` file is one TCP connection: a metadata record
+({UUID, Sequence, StartTime}) followed by ~2000 ArchivalRecords, each
+carrying ``RawIDM`` — a base64 72-byte ``struct inet_diag_msg`` (the
+Linux netlink sock-diag ABI) — plus attribute blobs where index 2
+(INET_DIAG_INFO) is ``struct tcp_info``. The reference emits one row
+per connection with the socket 4-tuple, the final snapshot, and the
+snapshot list thinned 10:1 (parser/tcpinfo.go:100-120,114-196).
+
+This decode is pure public ABI: inet_diag_msg field offsets and the
+tcp_info u32/u64 layout come from the Linux uapi headers
+(linux/inet_diag.h, linux/tcp.h). zstd frames are read with pyarrow's
+codec (no external zstd lib needed). Verified against the reference's
+own .tgz testdata: 362 connection rows, SPort/SrcIP spot checks
+(parser/tcpinfo_test.go:107-199).
+"""
+
+from __future__ import annotations
+
+import base64
+import ipaddress
+import json
+import struct
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.functions.compress import _decompress_one
+
+INET_DIAG_INFO = 2  # attribute index of struct tcp_info
+
+# offsets into struct tcp_info (linux/tcp.h, u8[8] then u32 fields)
+_TI_U32 = {
+    "rto": 8, "snd_mss": 16, "rcv_mss": 20, "unacked": 24, "lost": 32,
+    "retrans": 36, "pmtu": 60, "rtt": 68, "rttvar": 72, "snd_ssthresh": 76,
+    "snd_cwnd": 80, "advmss": 84, "rcv_space": 96, "total_retrans": 100,
+    "segs_out": 120, "segs_in": 124,
+}
+_TI_U64 = {"bytes_acked": 104, "bytes_received": 112}
+
+
+class TcpinfoError(ValueError):
+    pass
+
+
+def decode_sock_id(raw_idm: bytes) -> dict:
+    """72-byte inet_diag_msg → socket identity (inet_diag.h):
+    family/state u8s, then sockid {sport/dport __be16, src/dst 16B,
+    ifindex u32, cookie u32[2]}."""
+    if len(raw_idm) != 72:
+        raise TcpinfoError(f"inet_diag_msg must be 72 bytes, got {len(raw_idm)}")
+    family, state = raw_idm[0], raw_idm[1]
+    sport, dport = struct.unpack(">HH", raw_idm[4:8])
+    def _ip(b: bytes) -> str:
+        if family == 2:
+            return ".".join(str(x) for x in b[:4])
+        a = ipaddress.IPv6Address(b)
+        # v4-mapped sockets print as dotted quads (tcp-info GetSockID)
+        return str(a.ipv4_mapped) if a.ipv4_mapped else str(a)
+
+    src, dst = _ip(raw_idm[8:24]), _ip(raw_idm[24:40])
+    cookie = int.from_bytes(raw_idm[44:52], "little")
+    if cookie >= 1 << 63:
+        cookie -= 1 << 64  # Go's int64(uint64) wrap (tcp-info GetSockID)
+    return {"family": family, "state": state, "sport": sport, "dport": dport,
+            "src_ip": src, "dst_ip": dst, "cookie": cookie}
+
+
+def decode_tcp_info(blob: bytes) -> dict:
+    """struct tcp_info subset (public u32/u64 offsets); tolerant of the
+    kernel-version-dependent tail length."""
+    out = {}
+    for name, off in _TI_U32.items():
+        out[name] = (int.from_bytes(blob[off:off + 4], "little")
+                     if len(blob) >= off + 4 else None)
+    for name, off in _TI_U64.items():
+        if len(blob) >= off + 8:
+            v = int.from_bytes(blob[off:off + 8], "little")
+            out[name] = v - (1 << 64) if v >= 1 << 63 else v
+        else:
+            out[name] = None
+    return out
+
+
+def _ts_epoch_ms(ts: str) -> int | None:
+    if not ts or ts.startswith("0001-01-01"):
+        return None
+    t = datetime.fromisoformat(ts.replace("Z", "+00:00"))
+    return int(t.astimezone(timezone.utc).timestamp() * 1000)
+
+
+def thin_snaps(snaps: list, every: int = 10) -> list:
+    """parser/tcpinfo.go:100-110: every 10th plus the last (when the
+    count is not a multiple of 10)."""
+    out = snaps[::every]
+    if len(snaps) % every != 0 and snaps:
+        out = out + [snaps[-1]]
+    return out
+
+
+def parse_tcpinfo_file(name: str, raw: bytes) -> dict:
+    """One connection file → one row (reference: 1 file → 1 TCPRow)."""
+    if name.endswith(".zst"):
+        raw = _decompress_one(raw, "zstd")
+        if raw is None:
+            raise TcpinfoError("zstd decode failed")
+    uuid, start_time = None, None
+    snaps = []
+    for line in raw.decode("utf-8", errors="replace").split("\n"):
+        if not line.strip():
+            continue
+        rec = json.loads(line)
+        meta = rec.get("Metadata")
+        if meta:
+            uuid = meta.get("UUID")
+            start_time = meta.get("StartTime")
+        b64 = rec.get("RawIDM")
+        if not b64:
+            continue
+        sock = decode_sock_id(base64.b64decode(b64))
+        attrs = rec.get("Attributes") or []
+        ti = None
+        if len(attrs) > INET_DIAG_INFO and attrs[INET_DIAG_INFO]:
+            ti = decode_tcp_info(base64.b64decode(attrs[INET_DIAG_INFO]))
+        snaps.append({"timestamp_ms": _ts_epoch_ms(rec.get("Timestamp")),
+                      "state": sock["state"], **(ti or {})})
+        last_sock = sock
+    if not snaps:
+        raise TcpinfoError("no snapshots")  # reference drops these rows
+    return {
+        "test_name": name,
+        "uuid": uuid,
+        "start_time_ms": _ts_epoch_ms(start_time) if start_time else None,
+        "sock_id": last_sock,
+        "n_snaps": len(snaps),
+        "final_snapshot": snaps[-1],
+        "snapshots": thin_snaps(snaps),
+    }
+
+
+_SNAP_FIELDS = (
+    [T.StructField("timestamp_ms", T.LongType(), True),
+     T.StructField("state", T.IntegerType(), True)]
+    + [T.StructField(n, T.LongType(), True) for n in _TI_U32]
+    + [T.StructField(n, T.LongType(), True) for n in _TI_U64]
+)
+
+TCPINFO_SCHEMA = T.StructType(
+    [
+        T.StructField("test_name", T.StringType(), False),
+        T.StructField("uuid", T.StringType(), True),
+        T.StructField("start_time_ms", T.LongType(), True),
+        T.StructField("sock_id", T.StructType([
+            T.StructField("family", T.IntegerType(), True),
+            T.StructField("state", T.IntegerType(), True),
+            T.StructField("sport", T.IntegerType(), True),
+            T.StructField("dport", T.IntegerType(), True),
+            T.StructField("src_ip", T.StringType(), True),
+            T.StructField("dst_ip", T.StringType(), True),
+            T.StructField("cookie", T.LongType(), True),
+        ]), True),
+        T.StructField("n_snaps", T.LongType(), True),
+        T.StructField("final_snapshot", T.StructType(_SNAP_FIELDS), True),
+        T.StructField("snapshots", T.ArrayType(T.StructType(_SNAP_FIELDS)), True),
+        T.StructField("corrupted", T.BooleanType(), False),
+    ]
+)
+
+
+def is_parsable(name_col: str = "member_name"):
+    """parser/tcpinfo.go:93-98 — JVM expression."""
+    return F.col(name_col).endswith("jsonl.zst") | F.col(name_col).endswith(".jsonl")
+
+
+def parse_tcpinfo(
+    files: DataFrame, name_col: str = "member_name", content_col: str = "content"
+) -> DataFrame:
+    """(file name, zstd/plain jsonl blob) → one row per connection."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in TCPINFO_SCHEMA.fields]
+        empty = {c: None for c in cols}
+        for pdf in batches:
+            rows = []
+            for name, blob in zip(pdf[name_col], pdf[content_col]):
+                try:
+                    rec = parse_tcpinfo_file(name, bytes(blob))
+                    rec["corrupted"] = False
+                except (TcpinfoError, ValueError, KeyError):
+                    rec = {**empty, "test_name": name, "corrupted": True}
+                rows.append(tuple(rec[c] for c in cols))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.where(is_parsable(name_col)).select(
+        name_col, content_col
+    ).mapInPandas(run, schema=TCPINFO_SCHEMA)

@@ -57,11 +57,16 @@ def test_compression_stats(spark):
     assert stats["gzip"].n == 2
 
 
-def test_zstd_is_guarded(spark):
-    import pytest
-
-    if compress._ZSTD is not None:
-        pytest.skip("zstandard present; guard not exercised")
-    df = spark.createDataFrame([(1, "x", "zstd")], "id long, content string, codec string")
-    with pytest.raises(Exception, match="zstandard"):
-        compress.compress_content(df).collect()
+def test_zstd_real_roundtrip(spark):
+    """zstd is REAL now (pyarrow codec fallback when the zstandard lib
+    is absent): Spark-side compress→decompress must be byte-exact."""
+    df = spark.createDataFrame(
+        [(1, "zstd payload " * 50, "zstd")],
+        "id long, content string, codec string",
+    )
+    out = compress.decompress_content(
+        compress.compress_content(df), blob_col="blob"
+    ).collect()[0]
+    assert not out["decode_error"]
+    assert out["decoded"] == out["content"]
+    assert len(out["blob"]) < len(out["content"])  # actually compressed

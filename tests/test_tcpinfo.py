@@ -1,0 +1,84 @@
+"""tcpinfo parser vs the reference's OWN .tgz testdata.
+
+Parity targets (parser/tcpinfo_test.go:107-199): 362 committed
+connection rows from the archive, SPort == 3010 for the first five
+files, SrcIP ∈ {195.89.146.242, 2001:5012:100:24::242}, snapshot
+thinning 10:1 + last."""
+
+from __future__ import annotations
+
+import os
+import tarfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.sources import tcpinfo
+
+TGZ = ("/root/reference/parser/testdata/"
+       "20190516T013026.744845Z-tcpinfo-mlab4-arn02-ndt.tgz")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(TGZ), reason="reference testdata not mounted"
+)
+
+
+def _members():
+    tf = tarfile.open(TGZ)
+    out = []
+    for m in tf:
+        if m.isfile():
+            out.append((m.name, tf.extractfile(m).read()))
+    return out
+
+
+def test_reference_archive_row_count_and_spot_checks(spark):
+    members = _members()
+    df = spark.createDataFrame(members, "member_name string, content binary") \
+        .repartition(16)
+    rows = tcpinfo.parse_tcpinfo(df).collect()
+    ok = [r for r in rows if not r["corrupted"]]
+    assert len(ok) == 362  # tcpinfo_test.go:137 ins.Committed()
+    by_name = {r["test_name"]: r for r in ok}
+    first5 = [n for n, _ in members if n in by_name][:5]
+    for n in first5:
+        assert by_name[n]["sock_id"]["sport"] == 3010  # :162
+    src_ips = {r["sock_id"]["src_ip"] for r in ok}
+    assert src_ips <= {"195.89.146.242", "2001:5012:100:24::242"}  # :166
+    # thinning: every 10th + last (tcpinfo.go:100-110)
+    for r in ok:
+        n, t = r["n_snaps"], len(r["snapshots"])
+        expect = len(range(0, n, 10)) + (1 if n % 10 else 0)
+        assert t == expect
+    # snapshots carry real tcp_info counters
+    any_rtt = any(r["final_snapshot"]["rtt"] for r in ok)
+    assert any_rtt
+
+
+def test_zstd_roundtrip_via_pyarrow():
+    from etl_spark.functions.compress import _compress_one, _decompress_one
+
+    blob = b"tcpinfo zstd roundtrip " * 257
+    z = _compress_one(blob, "zstd")
+    assert _decompress_one(z, "zstd") == blob
+    assert _decompress_one(b"corrupt-frame", "zstd") is None
+
+
+def test_sock_id_decode_v4_mapped():
+    import base64
+    # first RawIDM from the archive's first connection file
+    members = _members()
+    name, raw = members[0]
+    rec = tcpinfo.parse_tcpinfo_file(name, raw)
+    assert rec["uuid"] and rec["uuid"].startswith("ndt-")
+    assert rec["sock_id"]["family"] in (2, 10)
+    assert rec["sock_id"]["cookie"] != 0
+
+
+def test_corrupt_flagged(spark):
+    df = spark.createDataFrame(
+        [("x.jsonl.zst", b"not zstd"), ("y.jsonl", b"{bad json")],
+        "member_name string, content binary",
+    )
+    rows = tcpinfo.parse_tcpinfo(df).collect()
+    assert len(rows) == 2 and all(r["corrupted"] for r in rows)
