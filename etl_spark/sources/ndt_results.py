@@ -1,0 +1,193 @@
+"""NDT5 / NDT7 / annotation JSON result parsers — ALL JVM-side.
+
+These reference parsers (parser/ndt7_result.go:70-175,
+parser/ndt5_result.go:60-115, parser/annotation.go:73-110) are
+one-JSON-file → one-typed-row decodes plus a small summary derivation.
+That is exactly what Catalyst's ``from_json`` + column expressions do
+natively, so — unlike the binary/stateful formats — there is NO Python
+kernel here at all: schema-projected JSON decode, ``element_at(-1)``
+for the final measurement, and arithmetic for the NDT7 summary
+(mean throughput = 8·bytes/elapsed_us, min RTT in seconds, loss =
+retrans/sent — ndt7_result.go:119-175), all inside whole-stage
+codegen. A corrupt blob yields a null struct → ``corrupted=true``
+(the reference counts and skips them the same way).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TCPINFO7 = T.StructType(
+    [
+        T.StructField("BytesAcked", T.LongType(), True),
+        T.StructField("BytesReceived", T.LongType(), True),
+        T.StructField("BytesSent", T.LongType(), True),
+        T.StructField("BytesRetrans", T.LongType(), True),
+        T.StructField("ElapsedTime", T.LongType(), True),
+        T.StructField("MinRTT", T.LongType(), True),
+        T.StructField("RTT", T.LongType(), True),
+    ]
+)
+
+_ARCHIVAL = T.StructType(
+    [
+        T.StructField("UUID", T.StringType(), True),
+        T.StructField("StartTime", T.StringType(), True),
+        T.StructField("EndTime", T.StringType(), True),
+        T.StructField(
+            "ServerMeasurements",
+            T.ArrayType(T.StructType([
+                T.StructField("TCPInfo", _TCPINFO7, True),
+            ])),
+            True,
+        ),
+    ]
+)
+
+NDT7_RAW = T.StructType(
+    [
+        T.StructField("GitShortCommit", T.StringType(), True),
+        T.StructField("Version", T.StringType(), True),
+        T.StructField("ServerIP", T.StringType(), True),
+        T.StructField("ServerPort", T.IntegerType(), True),
+        T.StructField("ClientIP", T.StringType(), True),
+        T.StructField("ClientPort", T.IntegerType(), True),
+        T.StructField("StartTime", T.StringType(), True),
+        T.StructField("EndTime", T.StringType(), True),
+        T.StructField("Download", _ARCHIVAL, True),
+        T.StructField("Upload", _ARCHIVAL, True),
+    ]
+)
+
+
+def parse_ndt7(files: DataFrame, name_col: str = "member_name",
+               content_col: str = "content") -> DataFrame:
+    """ndt7 result → Standard-Columns row {id, a(summary), raw}."""
+    j = F.from_json(F.col(content_col).cast("string"), NDT7_RAW)
+    down = j["Download"]
+    up = j["Upload"]
+    arch = F.when(down.isNotNull(), down).otherwise(up)
+    last = F.element_at(arch["ServerMeasurements"], -1)["TCPInfo"]
+    is_down = down.isNotNull()
+    mbps = F.when(
+        is_down, F.lit(8.0) * last["BytesAcked"] / last["ElapsedTime"]
+    ).otherwise(F.lit(8.0) * last["BytesReceived"] / last["ElapsedTime"])
+    loss = F.when(
+        is_down, last["BytesRetrans"].cast("double") / last["BytesSent"]
+    ).otherwise(F.lit(0.0))
+    return files.where(F.col(name_col).endswith(".json")).select(
+        F.col(name_col).alias("test_name"),
+        arch["UUID"].alias("id"),
+        F.struct(
+            arch["UUID"].alias("uuid"),
+            F.to_timestamp(arch["StartTime"]).alias("test_time"),
+            F.lit("bbr").alias("congestion_control"),
+            F.coalesce(mbps, F.lit(0.0)).alias("mean_throughput_mbps"),
+            F.coalesce(last["MinRTT"] / F.lit(1e6), F.lit(0.0)).alias("min_rtt"),
+            F.coalesce(loss, F.lit(0.0)).alias("loss_rate"),
+        ).alias("a"),
+        F.when(is_down, F.lit("download")).when(up.isNotNull(), F.lit("upload"))
+        .alias("direction"),
+        j["ServerIP"].alias("server_ip"),
+        j["ClientIP"].alias("client_ip"),
+        j.isNull().alias("corrupted"),
+    )
+
+
+_NDT5_SUB = T.StructType(
+    [
+        T.StructField("UUID", T.StringType(), True),
+        T.StructField("StartTime", T.StringType(), True),
+        T.StructField("EndTime", T.StringType(), True),
+        T.StructField("MeanThroughputMbps", T.DoubleType(), True),
+    ]
+)
+
+NDT5_RAW = T.StructType(
+    [
+        T.StructField("GitShortCommit", T.StringType(), True),
+        T.StructField("Version", T.StringType(), True),
+        T.StructField("ServerIP", T.StringType(), True),
+        T.StructField("ClientIP", T.StringType(), True),
+        T.StructField("StartTime", T.StringType(), True),
+        T.StructField("EndTime", T.StringType(), True),
+        T.StructField("Control", T.StructType([
+            T.StructField("UUID", T.StringType(), True),
+            T.StructField("Protocol", T.StringType(), True),
+        ]), True),
+        T.StructField("C2S", _NDT5_SUB, True),
+        T.StructField("S2C", _NDT5_SUB, True),
+    ]
+)
+
+
+def parse_ndt5(files: DataFrame, name_col: str = "member_name",
+               content_col: str = "content") -> DataFrame:
+    j = F.from_json(F.col(content_col).cast("string"), NDT5_RAW)
+    return files.where(F.col(name_col).endswith(".json")).select(
+        F.col(name_col).alias("test_name"),
+        j["Control"]["UUID"].alias("control_uuid"),
+        j["Control"]["Protocol"].alias("protocol"),
+        j["ServerIP"].alias("server_ip"),
+        j["ClientIP"].alias("client_ip"),
+        F.to_timestamp(j["StartTime"]).alias("start_time"),
+        j["S2C"]["MeanThroughputMbps"].alias("s2c_mbps"),
+        j["C2S"]["MeanThroughputMbps"].alias("c2s_mbps"),
+        j.isNull().alias("corrupted"),
+    )
+
+
+_GEO = T.StructType(
+    [
+        T.StructField("ContinentCode", T.StringType(), True),
+        T.StructField("CountryCode", T.StringType(), True),
+        T.StructField("City", T.StringType(), True),
+        T.StructField("Latitude", T.DoubleType(), True),
+        T.StructField("Longitude", T.DoubleType(), True),
+        T.StructField("PostalCode", T.StringType(), True),
+    ]
+)
+
+ANNOTATION_RAW = T.StructType(
+    [
+        T.StructField("UUID", T.StringType(), True),
+        T.StructField("Timestamp", T.StringType(), True),
+        T.StructField("Server", T.StructType([
+            T.StructField("Site", T.StringType(), True),
+            T.StructField("Machine", T.StringType(), True),
+            T.StructField("Geo", _GEO, True),
+            T.StructField("Network", T.StructType([
+                T.StructField("ASNumber", T.LongType(), True),
+                T.StructField("ASName", T.StringType(), True),
+            ]), True),
+        ]), True),
+        T.StructField("Client", T.StructType([
+            T.StructField("Geo", _GEO, True),
+            T.StructField("Network", T.StructType([
+                T.StructField("ASNumber", T.LongType(), True),
+                T.StructField("ASName", T.StringType(), True),
+            ]), True),
+        ]), True),
+    ]
+)
+
+
+def parse_annotation(files: DataFrame, name_col: str = "member_name",
+                     content_col: str = "content") -> DataFrame:
+    """annotation.go:73-110 — the enrichment rows later broadcast-joined
+    onto result rows by UUID (J1)."""
+    j = F.from_json(F.col(content_col).cast("string"), ANNOTATION_RAW)
+    return files.where(F.col(name_col).endswith(".json")).select(
+        F.col(name_col).alias("test_name"),
+        j["UUID"].alias("uuid"),
+        F.to_timestamp(j["Timestamp"]).alias("ts"),
+        j["Server"]["Site"].alias("server_site"),
+        j["Server"]["Geo"]["City"].alias("server_city"),
+        j["Server"]["Network"]["ASNumber"].alias("server_asn"),
+        j["Client"]["Geo"]["CountryCode"].alias("client_country"),
+        j["Client"]["Geo"]["Latitude"].alias("client_lat"),
+        j["Client"]["Network"]["ASNumber"].alias("client_asn"),
+        (j.isNull() | j["UUID"].isNull()).alias("corrupted"),
+    )

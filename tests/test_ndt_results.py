@@ -1,0 +1,79 @@
+"""NDT5/NDT7/annotation JSON parsers vs the reference's OWN testdata —
+and proof that the decode is entirely JVM-side (no Python stage)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.sources import ndt_results
+
+TD = "/root/reference/parser/testdata"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(f"{TD}/NDT7Result"), reason="reference testdata not mounted"
+)
+
+
+def _df(spark, paths):
+    rows = []
+    for p in paths:
+        with open(p, "rb") as f:
+            rows.append((os.path.basename(p), f.read()))
+    return spark.createDataFrame(rows, "member_name string, content binary")
+
+
+def test_ndt7_summary_matches_reference_math(spark):
+    p = (f"{TD}/NDT7Result/ndt7-download-20200318T000657.568382877Z."
+         "ndt-knwp4_1583603744_000000000000590E.json")
+    out = ndt_results.parse_ndt7(_df(spark, [p])).collect()[0]
+    assert not out["corrupted"]
+    raw = json.load(open(p))
+    last = raw["Download"]["ServerMeasurements"][-1]["TCPInfo"]
+    a = out["a"]
+    assert a["uuid"] == raw["Download"]["UUID"] == out["id"]
+    assert a["congestion_control"] == "bbr"
+    assert abs(a["mean_throughput_mbps"]
+               - 8.0 * last["BytesAcked"] / last["ElapsedTime"]) < 1e-9
+    assert abs(a["min_rtt"] - last["MinRTT"] / 1e6) < 1e-12
+    assert abs(a["loss_rate"]
+               - last["BytesRetrans"] / last["BytesSent"]) < 1e-12
+    assert out["direction"] == "download"
+
+
+def test_ndt7_is_pure_jvm(spark):
+    p = (f"{TD}/NDT7Result/ndt7-download-20200318T000657.568382877Z."
+         "ndt-knwp4_1583603744_000000000000590E.json")
+    df = ndt_results.parse_ndt7(_df(spark, [p]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # from_json + exprs: zero Python
+
+
+def test_ndt5_control_uuid_is_filename_stem(spark):
+    # ndt5_result_test.go:55 — Control.UUID == testName minus .json
+    paths = [f"{TD}/NDT5Result/ndt-5hkck_1566219987_000000000000017D.json",
+             f"{TD}/NDT5Result/ndt-vscqp_1565987984_000000000001A1C2.json"]
+    rows = ndt_results.parse_ndt5(_df(spark, paths)).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert not r["corrupted"]
+        assert r["control_uuid"] == r["test_name"].removesuffix(".json")
+    # non-.json files are routed away (badfile.badextension analog)
+    bad = _df(spark, paths).withColumn(
+        "member_name", F.lit("badfile.badextension"))
+    assert ndt_results.parse_ndt5(bad).count() == 0
+
+
+def test_annotation_good_and_corrupt(spark):
+    good = f"{TD}/Annotation/ndt-njp6l_1585004303_00000000000170FA.json"
+    corrupt = f"{TD}/Annotation/ndt-corrupt.json"
+    rows = {r["test_name"]: r
+            for r in ndt_results.parse_annotation(_df(spark, [good, corrupt])).collect()}
+    g = rows[os.path.basename(good)]
+    assert not g["corrupted"]
+    assert g["uuid"] == "ndt-njp6l_1585004303_00000000000170FA"
+    assert g["server_site"] == "lga1t" and g["server_asn"] == 3356
+    assert rows["ndt-corrupt.json"]["corrupted"]
