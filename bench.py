@@ -302,7 +302,9 @@ JIT/code-cache warmup.
 | local[4N] | {s['4n_cores']} | {s['t_4n_sec']} | {s['events_per_sec_4n']:,} |
 
 **Scaling efficiency (T_N / T_4N) / 4 = {s['scaling_efficiency']}**
-**Compaction scaling (zero-shuffle bucket-local rewrite):
+**Compaction scaling (zero-shuffle bucket-local rewrite; r2 retains
+delete tombstones for out-of-order-writer safety, so compacted output
+now carries the winning deletes + __op column):
 {s['compact_sec_n']}s → {s['compact_sec_4n']}s, efficiency
 {s['compact_efficiency']}**
 
@@ -320,9 +322,15 @@ shared-tenant VM, per-run jitter ±0.1):
 
 | pair | efficiency | throughput at 4N (48M-event epochs) |
 |---|---|---|
-| 2 → 8   | 0.88-0.96 | ~1.9M ev/s (~240k/core) |
+| 2 → 8   | 0.78-0.93 (0.86 at reps=3 min-filter) | ~1.5-1.9M ev/s (~200-240k/core) |
 | 4 → 16  | 0.72      | ~3.8M ev/s (~240k/core) |
 | 6 → 24  | 0.73      | ~5.4M ev/s (~225k/core) |
+
+(2→8 band spans r1+r2 measurement sessions; ambient tenant load on
+this shared box shifted ALL r2 runs ~20% slower in absolute wall than
+r1 — both endpoints equally — which moves the ratio by ±0.1 run to
+run. The reps=3 min-of-reps protocol is the noise filter; the 4→16 and
+6→24 rows are r1 single-run samples of the saturated region.)
 
 Above ~8-12 active cores the box's memory bus saturates (Arrow IPC,
 shuffle and parquet scan are bandwidth-bound; per-core throughput
