@@ -629,11 +629,12 @@ class IceliteTable:
         schemas: list[str],
         epoch_id: str | None,
         properties: dict | None,
+        n_buckets: int | None = None,
     ) -> Snapshot:
         new = Snapshot(
             version=base.version + 1,
             schemas=schemas,
-            n_buckets=base.n_buckets,
+            n_buckets=n_buckets or base.n_buckets,
             key_cols=base.key_cols,
             files=files,
             # a None value is a deletion marker: callers prune properties
@@ -1217,3 +1218,59 @@ class IceliteTable:
                         "schema list diverged during compaction"
                     ) from e
         raise last if last else RuntimeError("unreachable")
+
+    def split_buckets(self, factor: int = 2) -> Snapshot:
+        """Grow the bucket count by ``factor`` (power of two) — the
+        SCALE.md escape hatch for buckets that outgrow even chunked
+        compaction's key map.
+
+        ZERO-SHUFFLE by construction: with ``bucket = pmod(h, n)``,
+        every key in old bucket ``b`` lands in one of the ``factor``
+        children ``{b, b+n, b+2n, ...}`` under ``pmod(h, factor*n)`` —
+        so each input file's rows split locally into ≤factor output
+        files (one narrow map + partitioned write; no exchange, cost ∝
+        table size like compaction). Rows are rewritten as delta-kind
+        files with their ``__op`` preserved ('base' for base-file rows,
+        which keeps the base-wins-seq-ties rank identical, see
+        ``read()``), so logical state is unchanged and a later
+        compaction folds the children normally.
+
+        A full-table rewrite cannot rebase over concurrent commits:
+        a racing append's files carry STALE bucket ids — on a lost
+        version race this raises ``CommitConflict`` for the caller to
+        re-run during a quiet window (maintenance op)."""
+        if factor < 2 or factor & (factor - 1):
+            raise ValueError("factor must be a power of two >= 2")
+        snap = self.snapshot()
+        if not snap.key_cols:
+            raise ValueError("split_buckets requires a keyed table")
+        if not snap.files:
+            return self._commit(snap, [], snap.schemas, None,
+                                {"split_at_version": snap.version + 1},
+                                n_buckets=snap.n_buckets * factor)
+        new_n = snap.n_buckets * factor
+        schema = snap.current_schema
+        raw = self.read(resolve=False)  # base+delta union with __op
+        rel = f"s{uuid.uuid4().hex[:12]}"
+        out_dir = os.path.join(self.data_path, rel)
+        cols = [bucket_expr(snap.key_cols, new_n).alias("bucket")] + [
+            F.col(f_.name).cast(f_.dataType).alias(f_.name)
+            for f_ in schema.fields
+        ] + [F.col("__op")]
+        (
+            raw.select(*cols)
+            .write.partitionBy("bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        p = os.path.join(out_dir, "_SUCCESS")
+        if os.path.exists(p):
+            os.unlink(p)
+        new_files = _collect_datafiles(
+            self.data_path, rel, len(snap.schemas) - 1, "delta"
+        )
+        return self._commit(
+            snap, new_files, snap.schemas, None,
+            {"split_at_version": snap.version + 1},
+            n_buckets=new_n,
+        )

@@ -10,6 +10,7 @@ Commands:
   stream   --wal DIR --target T --lineage L           tail WAL segments
            --checkpoint C [--max-files N] [--follow]
   compact  --target T [--final-below-seq N]           fold MoR deltas
+  split    --target T [--factor 2]                    grow bucket count
   expire   --target T [--keep-last N] [--vacuum]      snapshot expiry
   status   --target T [--lineage L]                   snapshot/epoch info
   verify   --events E --target T                      replay-equality check
@@ -108,6 +109,20 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def cmd_split(args) -> int:
+    """Grow the bucket count (zero-shuffle local rewrite; maintenance
+    op — run in a quiet window, a racing commit aborts it)."""
+    from etl_spark.icelite.table import IceliteTable
+
+    spark = _spark(args)
+    t = IceliteTable.load(spark, args.target)
+    before = t.snapshot().n_buckets
+    snap = t.split_buckets(factor=args.factor)
+    print(json.dumps({"n_buckets_before": before,
+                      "n_buckets_after": snap.n_buckets}))
+    return 0
+
+
 def cmd_expire(args) -> int:
     from etl_spark.icelite.table import IceliteTable
 
@@ -203,6 +218,10 @@ def main() -> int:
                    help="low watermark: drop delete tombstones below this seq")
     p.add_argument("--target", required=True)
 
+    p = sub.add_parser("split")
+    p.add_argument("--target", required=True)
+    p.add_argument("--factor", type=int, default=2)
+
     p = sub.add_parser("expire")
     p.add_argument("--target", required=True)
     p.add_argument("--keep-last", type=int, default=5)
@@ -219,7 +238,7 @@ def main() -> int:
     args = ap.parse_args()
     return {
         "init": cmd_init, "apply": cmd_apply, "stream": cmd_stream,
-        "compact": cmd_compact, "expire": cmd_expire,
+        "compact": cmd_compact, "split": cmd_split, "expire": cmd_expire,
         "status": cmd_status, "verify": cmd_verify,
     }[args.cmd](args)
 

@@ -284,3 +284,23 @@ def test_winnow_files_are_attempt_suffixed(spark, tbl_dir):
     import re
 
     assert all(re.search(r"part-\d{5}-\d+\.parquet$", p) for p in files)
+
+
+def test_apply_after_bucket_split(spark, tbl_dir):
+    """The epoch pipeline reads n_buckets from the live snapshot, so a
+    mid-stream split_buckets (4x) is transparent: subsequent epochs
+    write into the grown layout and the final state equals a serial
+    replay."""
+    ev = gen.synthetic_events(spark, 2000, n_repos=20, seed=47)
+    tgt, lin = fresh(spark, tbl_dir)
+    apply_epoch(spark, ev.where("seq < 1000"), tgt, lin, epoch_id="pre")
+    snap = tgt.split_buckets(factor=4)
+    assert snap.n_buckets == 32
+    apply_epoch(spark, ev.where("seq >= 1000"), tgt, lin, epoch_id="post")
+    expected = replay_pandas(ev.toPandas())
+    got = final_state(tgt)
+    exp = sorted(
+        (r.repo, r.path, r.commit, r.lang, r.content_sha256, r.last_seq)
+        for r in expected.itertuples(index=False)
+    )
+    assert got == exp

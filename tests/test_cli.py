@@ -34,6 +34,7 @@ def test_cli_lifecycle(spark, tbl_dir, capsys):
         )
         == 0
     )
+    assert cli.cmd_split(_ns(target=t, factor=2)) == 0
     # full replay done → everything below any future seq is final
     assert cli.cmd_compact(_ns(target=t, final_below_seq=1 << 60)) == 0
     assert cli.cmd_expire(_ns(target=t, keep_last=1, vacuum=True)) == 0
@@ -43,3 +44,4 @@ def test_cli_lifecycle(spark, tbl_dir, capsys):
     assert out[-1]["ok"] is True          # verify: replay-equality holds
     assert out[-2]["expired_snapshots"] >= 1
     assert out[-3]["after"]["delta_files"] == 0  # compaction folded deltas
+    assert out[-4]["n_buckets_after"] == 16     # split doubled 8 → 16

