@@ -1,0 +1,156 @@
+"""NDT legacy ``.meta`` files + test-group composition.
+
+The reference's NDT pipeline pairs each test's ``.meta`` text file
+(key: value lines — parser/ndt_meta.go:parseMetaFile) with its
+``.c2s_snaplog``/``.s2c_snaplog`` binary logs, holding per-test-group
+state between files (parser/ndt.go:238-312 — the T7 stateful-grouping
+mechanism). Here the group key is the shared filename timestamp
+prefix, and the composition is a plain relational join of the two
+parsed streams — Spark's groupBy/join replaces the reference's
+in-parser state machine, which is exactly the batch-vs-streaming
+reshaping SURVEY §2.9 calls for (the streaming analog is
+``applyInPandasWithState``, already covered by streaming/sessions.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("test_name", T.StringType(), False),
+        T.StructField("group_key", T.StringType(), True),
+        T.StructField("date_time_ms", T.LongType(), True),
+        T.StructField("websockets", T.BooleanType(), True),
+        T.StructField("tls", T.BooleanType(), True),
+        T.StructField("summary_data", T.ArrayType(T.LongType()), True),
+        T.StructField("client_ip", T.StringType(), True),
+        T.StructField("client_hostname", T.StringType(), True),
+        T.StructField("server_hostname", T.StringType(), True),
+        T.StructField("fields", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("corrupted", T.BooleanType(), False),
+    ]
+)
+
+
+def group_key(file_name: str) -> str | None:
+    """Shared timestamp prefix up to the first 'Z' — the test-group id
+    (same shape as PT's GetDate, parser/pt.go:34-41)."""
+    base = os.path.basename(file_name)
+    i = base.find("Z")
+    return base[: i + 1] if i >= 15 else None
+
+
+def parse_meta_text(name: str, raw: bytes | str) -> dict:
+    """parser/ndt_meta.go:parseMetaFile + createMetaFileData."""
+    if isinstance(raw, (bytes, bytearray)):
+        raw = bytes(raw).decode("utf-8", errors="replace")
+    fields: dict[str, str] = {}
+    for line in raw.split("\n"):
+        kv = line.split(":", 1)
+        if len(kv) != 2:
+            continue  # " * Additional data:" etc.
+        fields[kv[0]] = kv[1].strip()
+    out = {
+        "test_name": name,
+        "group_key": group_key(name),
+        "date_time_ms": None,
+        "websockets": None,
+        "tls": None,
+        "summary_data": None,
+        "client_ip": fields.get("client IP address") or None,
+        "client_hostname": fields.get("client hostname") or None,
+        "server_hostname": fields.get("server hostname") or None,
+        "fields": fields,
+    }
+    dt = fields.get("Date/Time")
+    if dt:
+        t = datetime.strptime(dt[:17].replace(":", ""), "%Y%m%dT%H%M%S")
+        out["date_time_ms"] = int(
+            t.replace(tzinfo=timezone.utc).timestamp() * 1000)
+    for k in ("websockets", "tls"):
+        if k in fields:
+            out[k] = fields[k].lower() in ("true", "1", "t")
+    sd = fields.get("Summary data")
+    if sd:
+        try:
+            out["summary_data"] = [int(x) for x in json.loads(f"[{sd}]")]
+        except ValueError as e:
+            raise ValueError("bad Summary data") from e
+    return out
+
+
+def parse_meta(
+    files: DataFrame, name_col: str = "member_name", content_col: str = "content"
+) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in META_SCHEMA.fields]
+        empty = {c: None for c in cols}
+        for pdf in batches:
+            rows = []
+            for name, blob in zip(pdf[name_col], pdf[content_col]):
+                try:
+                    rec = parse_meta_text(name, blob)
+                    rec["corrupted"] = False
+                except (ValueError, KeyError):
+                    rec = {**empty, "test_name": name, "corrupted": True}
+                rows.append(tuple(rec[c] for c in cols))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return files.where(F.col(name_col).endswith(".meta")).select(
+        name_col, content_col
+    ).mapInPandas(run, schema=META_SCHEMA)
+
+
+def compose_ndt_tests(members: DataFrame, name_col: str = "member_name",
+                      content_col: str = "content") -> DataFrame:
+    """meta + c2s/s2c snaplogs → one row per NDT test group.
+
+    The reference does this with cross-file parser state
+    (parser/ndt.go:238-312); relationally it is: parse each stream,
+    derive the group key from the filename, and join — the snaplog
+    side is pre-thinned to its FINAL snapshot (``every`` > snap count),
+    which is what the reference promotes into the test row."""
+    from etl_spark.sources import snaplog as sl
+
+    meta = parse_meta(members, name_col, content_col).where(~F.col("corrupted"))
+    logs = sl.parse_snaplogs(
+        members.where(F.col(name_col).endswith("snaplog")),
+        name_col, content_col, every=1 << 30,
+    ).where(~F.col("corrupted"))
+    key_expr = F.substring_index(F.col("test_name"), "Z", 1)
+    final = (
+        logs.groupBy(
+            F.concat(key_expr, F.lit("Z")).alias("group_key"),
+            F.when(F.col("test_name").endswith(".c2s_snaplog"), F.lit("c2s"))
+            .otherwise(F.lit("s2c")).alias("direction"),
+        )
+        .agg(
+            F.max_by(
+                F.struct("local_port", "remote_port", "log_time",
+                         F.col("integers").alias("snap_integers")),
+                F.col("snap_idx"),
+            ).alias("fin")
+        )
+    )
+    c2s = final.where("direction = 'c2s'").select(
+        "group_key", F.col("fin.local_port").alias("c2s_port"),
+        F.col("fin.remote_port").alias("c2s_remote_port"),
+        F.col("fin.snap_integers").alias("c2s_final"))
+    s2c = final.where("direction = 's2c'").select(
+        "group_key", F.col("fin.local_port").alias("s2c_port"),
+        F.col("fin.remote_port").alias("s2c_remote_port"),
+        F.col("fin.snap_integers").alias("s2c_final"))
+    return (
+        meta.withColumn("group_key", F.concat(key_expr, F.lit("Z")))
+        .join(c2s, "group_key", "left")
+        .join(s2c, "group_key", "left")
+    )

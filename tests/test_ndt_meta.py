@@ -1,0 +1,61 @@
+"""NDT .meta parse + test-group composition vs the reference's own
+testdata (the .meta and its two snaplogs share one timestamp prefix)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.sources import ndt_meta
+
+TD = "/root/reference/parser/testdata"
+META = f"{TD}/20170509T13:45:13.590210000Z_eb.measurementlab.net:53000.meta"
+C2S = f"{TD}/20170509T13:45:13.590210000Z_eb.measurementlab.net:48716.c2s_snaplog"
+S2C = f"{TD}/20170509T13:45:13.590210000Z_eb.measurementlab.net:44160.s2c_snaplog"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(META), reason="reference testdata not mounted"
+)
+
+
+def test_meta_fields():
+    with open(META, "rb") as f:
+        rec = ndt_meta.parse_meta_text(os.path.basename(META), f.read())
+    assert rec["websockets"] is True
+    assert rec["client_ip"] == "45.56.98.222"
+    assert rec["client_hostname"] == "eb.measurementlab.net"
+    assert rec["server_hostname"] == "mlab3.vie01.measurement-lab.org"
+    assert rec["fields"]["client.version"] == "3.7.0"
+    assert rec["summary_data"][0] == 0 and len(rec["summary_data"]) > 40
+    assert rec["group_key"] == "20170509T13:45:13.590210000Z"
+
+
+def test_compose_group(spark):
+    rows = []
+    for p in (META, C2S, S2C):
+        with open(p, "rb") as f:
+            rows.append((os.path.basename(p), f.read()))
+    members = spark.createDataFrame(rows, "member_name string, content binary")
+    out = ndt_meta.compose_ndt_tests(members).collect()
+    assert len(out) == 1
+    r = out[0]
+    # meta side
+    assert r["websockets"] is True and r["client_ip"] == "45.56.98.222"
+    # both snaplog directions joined on (ports from each log's header
+    # conn spec; the filename port is the REMOTE side)
+    assert r["c2s_port"] == 46024
+    # the final snapshot's counters rode along
+    assert r["c2s_final"]["SegsIn"] > 0
+    assert r["s2c_final"]["HCDataOctetsOut"] > 0
+
+
+def test_meta_without_group_is_kept(spark):
+    df = spark.createDataFrame(
+        [("weird.meta", b"Date/Time: 20170509T13:45:13.590210000Z\nfoo: bar\n")],
+        "member_name string, content binary",
+    )
+    rows = ndt_meta.parse_meta(df).collect()
+    assert len(rows) == 1 and not rows[0]["corrupted"]
+    assert rows[0]["fields"]["foo"] == "bar"
