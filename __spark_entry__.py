@@ -672,6 +672,205 @@ FROM c
 """
 
 
+def src_tcpinfo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tcpinfo netlink format, driver-checked end-to-end
+    (parser/tcpinfo.go:114-196): events rows are rendered into REAL
+    .jsonl.zst connection files (struct.pack'd 72-byte inet_diag_msg +
+    tcp_info attribute, zstd-framed), parsed back by the real parser
+    (pyarrow-zstd + ABI decode + 10:1 thinning), and the oracle derives
+    every output — sock 4-tuple, final-snapshot counters, thinned
+    count — directly from events in SQL."""
+    import base64 as _b64
+    import json as _json
+    import struct as _struct
+    from datetime import datetime, timezone
+
+    import pandas as _pd
+
+    from etl_spark.functions.compress import _compress_one
+    from etl_spark.sources import tcpinfo as ti
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_l"),
+    )
+
+    def render(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+        u = int(key[0])
+        pdf = pdf.sort_values(["ts_l", "event_id"], kind="mergesort")
+        sport, dport = u % 60000 + 1024, (u * 7) % 60000 + 1024
+        src = bytes([10, u % 200, u % 250, u % 251]) + b"\x00" * 12
+        dst = bytes([172, 16 + u % 16, u % 256, (u * 3) % 256]) + b"\x00" * 12
+        lines = [_json.dumps({"Metadata": {
+            "UUID": f"conn-{u}", "Sequence": 0,
+            "StartTime": "2024-01-01T00:00:00Z"}})]
+        for ts_l, eid in zip(pdf["ts_l"], pdf["event_id"]):
+            eid = int(eid)
+            state = eid % 12 + 1
+            idm = (bytes([2, state, 0, 0])
+                   + _struct.pack(">HH", sport, dport) + src + dst
+                   + _struct.pack("<I", 1)
+                   + _struct.pack("<Q", (u << 16) | 7)
+                   + b"\x00" * 20)
+            info = bytearray(128)
+            _struct.pack_into("<I", info, 68, eid % 100000)        # rtt
+            _struct.pack_into("<Q", info, 104, eid * 17)           # bytes_acked
+            attrs = [None, None,
+                     _b64.b64encode(bytes(info)).decode()]
+            iso = datetime.fromtimestamp(int(ts_l), tz=timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ")
+            lines.append(_json.dumps({"Timestamp": iso,
+                                      "RawIDM": _b64.b64encode(idm).decode(),
+                                      "Attributes": attrs}))
+        blob = _compress_one(("\n".join(lines) + "\n").encode(), "zstd")
+        return _pd.DataFrame({"member_name": [f"conn-{u}.00000.jsonl.zst"],
+                              "content": [blob]})
+
+    files = ev.groupBy("user_id").applyInPandas(
+        render, schema="member_name string, content binary")
+    out = ti.parse_tcpinfo(files).where(~F.col("corrupted"))
+    return out.select(
+        "uuid",
+        F.col("n_snaps").cast("long").alias("n_snaps"),
+        F.size("snapshots").cast("long").alias("n_thinned"),
+        F.col("sock_id.sport").alias("sport"),
+        F.col("sock_id.dport").alias("dport"),
+        F.col("sock_id.src_ip").alias("src_ip"),
+        F.col("sock_id.dst_ip").alias("dst_ip"),
+        F.col("sock_id.state").alias("state"),
+        F.col("final_snapshot.timestamp_ms").alias("final_ts_ms"),
+        F.col("final_snapshot.rtt").alias("final_rtt"),
+        F.col("final_snapshot.bytes_acked").alias("final_bytes_acked"),
+    )
+
+
+_TCPINFO_ORACLE = """
+WITH b AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id)
+)
+SELECT 'conn-' || CAST(user_id AS VARCHAR) AS uuid,
+       cnt AS n_snaps,
+       (cnt + 9) // 10 + CASE WHEN cnt % 10 <> 0 THEN 1 ELSE 0 END AS n_thinned,
+       CAST(user_id % 60000 + 1024 AS INTEGER) AS sport,
+       CAST((user_id * 7) % 60000 + 1024 AS INTEGER) AS dport,
+       '10.' || CAST(user_id % 200 AS VARCHAR) || '.'
+         || CAST(user_id % 250 AS VARCHAR) || '.'
+         || CAST(user_id % 251 AS VARCHAR) AS src_ip,
+       '172.' || CAST(16 + user_id % 16 AS VARCHAR) || '.'
+         || CAST(user_id % 256 AS VARCHAR) || '.'
+         || CAST((user_id * 3) % 256 AS VARCHAR) AS dst_ip,
+       CAST(event_id % 12 + 1 AS INTEGER) AS state,
+       ts_l * 1000 AS final_ts_ms,
+       CAST(event_id % 100000 AS BIGINT) AS final_rtt,
+       CAST(event_id * 17 AS BIGINT) AS final_bytes_acked
+FROM b WHERE rn = cnt
+"""
+
+
+def src_snaplog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """web100 snaplog BINARY format, driver-checked end-to-end
+    (web100/web100.go:419-497): lineitem rows are rendered into real
+    snaplog files — text header whose /read section declares the record
+    layout (legacy names exercise the tcp-kis renames; a ``_``-prefixed
+    field exercises deprecation skip; an INTEGER field exercises the
+    signed >= 0x7FFFFFFF wrap), binary conn spec, fixed-length records
+    — then parsed back by the strided-numpy parser. The oracle derives
+    every decoded value directly from lineitem."""
+    import struct as _struct
+
+    import pandas as _pd
+
+    from etl_spark.sources import snaplog as sl
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 32).alias("g"),
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    )
+    HEADER_FIELDS = ("/read\n"
+                     "PktsOut 0 3 4\n"        # COUNTER32 → SegsOut
+                     "DataBytesOut 4 7 8\n"   # COUNTER64 → HCDataOctetsOut
+                     "LocalAddress 12 2 4\n"  # ADDR_IPV4
+                     "SampledRTT 16 4 4\n"    # GAUGE32 → SampleRTT
+                     "State 20 0 4\n"         # INTEGER (signed wrap)
+                     "_gone 24 5 4\n"         # deprecated → skipped
+                     "\n")
+
+    def render(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+        g = int(key[0])
+        pdf = pdf.sort_values(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+            kind="mergesort")
+        head = ("2.5.27 202401010000 net100\n\n/spec\n\n" + HEADER_FIELDS
+                + "/tune\n").encode()
+        head += b"\x00----End-Of-Header---- -1 -1\n"
+        head += _struct.pack("<I", 1704067200)
+        head += b"read" + b"\x00" * 28
+        # conn spec: dst_port, pad, dst_addr, src_port, pad, src_addr
+        head += _struct.pack("<H", (g * 13) % 65536) + b"\x00\x00"
+        head += bytes([172, 16, g % 256, 1])
+        head += _struct.pack("<H", (g * 29) % 65536) + b"\x00\x00"
+        head += bytes([10, 0, g % 256, 2])
+        recs = []
+        for ok, ln, pk, sk in zip(pdf["l_orderkey"], pdf["l_linenumber"],
+                                  pdf["l_partkey"], pdf["l_suppkey"]):
+            ok, ln, pk, sk = int(ok), int(ln), int(pk), int(sk)
+            body = _struct.pack("<I", ln)
+            body += _struct.pack("<Q", sk * 1001)
+            body += bytes([ok % 223 + 1, pk % 256, sk % 256, ln * 3 % 256])
+            body += _struct.pack("<I", pk % 500000)
+            body += _struct.pack("<i", (pk % 7) - 3)
+            body += b"\x00" * 4
+            recs.append(b"----Begin-Snap-Data----\n" + body)
+        blob = head + b"".join(recs)
+        return _pd.DataFrame(
+            {"member_name": [f"20240101T00:00:00Z_g{g}.snaplog"],
+             "content": [blob]})
+
+    files = li.groupBy("g").applyInPandas(
+        render, schema="member_name string, content binary")
+    out = sl.parse_snaplogs(files, every=1).where(~F.col("corrupted"))
+    return out.select(
+        "test_name", "snap_idx", "log_time",
+        "local_ip", "local_port", "remote_ip", "remote_port",
+        F.element_at("integers", "SegsOut").alias("segs_out"),
+        F.element_at("integers", "HCDataOctetsOut").alias("hc_octets_out"),
+        F.element_at("integers", "SampleRTT").alias("sample_rtt"),
+        F.element_at("integers", "State").alias("state"),
+        F.element_at("strings", "LocalAddress").alias("snap_local_ip"),
+    )
+
+
+_SNAPLOG_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey % 32 AS g,
+         row_number() OVER w - 1 AS snap_idx,
+         l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk, l_suppkey AS sk
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey % 32
+               ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+)
+SELECT '20240101T00:00:00Z_g' || CAST(g AS VARCHAR) || '.snaplog' AS test_name,
+       CAST(snap_idx AS BIGINT) AS snap_idx,
+       CAST(1704067200 AS BIGINT) AS log_time,
+       '10.0.' || CAST(g % 256 AS VARCHAR) || '.2' AS local_ip,
+       CAST((g * 29) % 65536 AS BIGINT) AS local_port,
+       '172.16.' || CAST(g % 256 AS VARCHAR) || '.1' AS remote_ip,
+       CAST((g * 13) % 65536 AS BIGINT) AS remote_port,
+       CAST(ln AS BIGINT) AS segs_out,
+       CAST(sk * 1001 AS BIGINT) AS hc_octets_out,
+       CAST(pk % 500000 AS BIGINT) AS sample_rtt,
+       CAST(pk % 7 - 3 AS BIGINT) AS state,
+       CAST(ok % 223 + 1 AS VARCHAR) || '.' || CAST(pk % 256 AS VARCHAR)
+         || '.' || CAST(sk % 256 AS VARCHAR) || '.'
+         || CAST(ln * 3 % 256 AS VARCHAR) AS snap_local_ip
+FROM b
+"""
+
+
 def src_disco_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DISCO switch format, driver-checked end-to-end (parser/disco.go:
     61-127): events are rendered into concatenated-JSON switch records
@@ -1716,6 +1915,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_sidestream_decode": src_sidestream_decode,
         "src_disco_decode": src_disco_decode,
         "src_paris_decode": src_paris_decode,
+        "src_tcpinfo_decode": src_tcpinfo_decode,
+        "src_snaplog_decode": src_snaplog_decode,
         "f_binary_decode": f_binary_decode,
         "cdc_lww_salted": cdc_lww_salted,
         # group co-join + event-time windows + lead discard
@@ -1789,6 +1990,8 @@ def oracle_sql() -> dict[str, str]:
         "src_sidestream_decode": _SIDESTREAM_ORACLE,
         "src_disco_decode": _DISCO_ORACLE,
         "src_paris_decode": _PARIS_ORACLE,
+        "src_tcpinfo_decode": _TCPINFO_ORACLE,
+        "src_snaplog_decode": _SNAPLOG_ORACLE,
         "f_binary_decode": _BINARY_DECODE_ORACLE,
         "cdc_lww_salted": _CDC_LWW_ORACLE.format(events=ev),
         "j_group_cojoin": _GROUP_COJOIN_ORACLE,
