@@ -1836,8 +1836,12 @@ GROUP BY po.media_id, po.fi
 
 
 def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate variant — no SQL oracle (LSH bucketing is engine
-    logic, not SQL-expressible); recall vs brute force is tested in
+    """Approximate top-k — FULLY oracle-checked despite being
+    approximate: the md5-derived Rademacher hyperplanes are
+    recomputable in DuckDB (same strpos-hex bit trick as the simhash
+    oracle), so the oracle independently re-derives buckets, the
+    multi-table candidate set, exact cosines and the final ranking.
+    Recall vs brute force is additionally tested in
     tests/test_similarity.py."""
     emb = _read(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 8)
@@ -1845,6 +1849,61 @@ def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
     )
+
+
+_ANN_LSH_ORACLE = """
+WITH planes AS (
+  SELECT t.t AS tbl, h.h, d.i,
+         CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('hp' || CAST(t.t AS VARCHAR) || ':'
+                           || CAST(h.h AS VARCHAR) || ':'
+                           || CAST(d.i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS c
+  FROM range(0, 8) t(t), range(0, 6) h(h), range(0, 64) d(i)
+),
+vecs AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+sigs AS (
+  SELECT v.vec_id, p.tbl, p.h, sum(v.v * p.c) >= 0 AS bit
+  FROM vecs v JOIN planes p ON p.i = v.i
+  GROUP BY v.vec_id, p.tbl, p.h
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN bit THEN (CAST(1 AS BIGINT) << h)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM sigs GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(
+           sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(ne.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)))),
+           6) AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+  CROSS JOIN unnest(range(1, 65)) AS t(i)
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
 
 
 _ANN_ORACLE = """
@@ -2021,6 +2080,6 @@ def oracle_sql() -> dict[str, str]:
         "f_jsonl_sink_roundtrip": _JSONL_SINK_ORACLE,
         "mm_decode": _MM_DECODE_ORACLE,
         "mm_frames": _MM_FRAMES_ORACLE,
-        # ann_cosine_lsh: intentionally no oracle (approximate operator)
+        "ann_cosine_lsh": _ANN_LSH_ORACLE,
         # mm_decode_full: rows-only (payload sha256 of constructed blob)
     }

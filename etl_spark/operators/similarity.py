@@ -79,18 +79,23 @@ def cosine_topk_bruteforce(
 
 
 def _hyperplane(dim: int, table: int, h: int):
-    """Deterministic pseudo-random hyperplane: component i of plane h in
-    hash table ``table`` is ±1 from a hash bit — no RNG state, identical
-    on every executor."""
+    """Deterministic pseudo-random Rademacher hyperplane: component i
+    of plane h in hash table ``table`` is ±1 from an md5 bit — no RNG
+    state, identical on every executor, and (unlike xxhash64)
+    recomputable in DuckDB SQL, so the WHOLE approximate path is
+    oracle-checkable (the src/ann queries re-derive buckets, candidate
+    sets and scores independently)."""
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
     return F.transform(
         idx,
         lambda i: F.when(
-            F.pmod(
-                F.xxhash64(F.concat(F.lit(f"hp{table}:{h}:"), i.cast("string"))),
-                F.lit(2),
-            )
-            == 0,
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"hp{table}:{h}:"), i.cast("string"))),
+                    1, 1,
+                ),
+                16, 10,
+            ).cast("int") % 2 == 0,
             F.lit(1.0),
         ).otherwise(F.lit(-1.0)),
     )
