@@ -1745,6 +1745,30 @@ def mm_decode_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.decode_media(media)
 
 
+def mm_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-exactness of the FULL constructed media payload, oracle-
+    checked: both engines hash the (injective) lowercase hex of the
+    blob — DuckDB rebuilds the SMF payload hex from the sha256 spec
+    (little-endian header packing included) and hashes the same ASCII
+    string, closing the one surface the raw-blob sha could not cover
+    (this DuckDB's sha256 only accepts VARCHAR)."""
+    media = multimodal.synth_media(spark, 300)
+    return media.select(
+        "media_id",
+        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_hex_sha"),
+    )
+
+
+def _le_hex(expr: str, nbytes: int) -> str:
+    """DuckDB expr: little-endian hex of an int, ``nbytes`` wide."""
+    hexlen = nbytes * 2
+    return " || ".join(
+        f"substr(lpad(format('{{:x}}', {expr}), {hexlen}, '0'), "
+        f"{hexlen - 1 - 2 * i}, 2)"
+        for i in range(nbytes)
+    )
+
+
 def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame sampling, N→M UDTF shape. Frame means are
     SQL-recomputable (cyclic 32-byte body pattern); frame_sha256 stays
@@ -1814,6 +1838,21 @@ SELECT media_id, kind,
              / CAST(body_bytes AS DOUBLE), 6) AS mean_value,
        TRUE AS valid
 FROM stats
+"""
+
+_MM_PAYLOAD_ORACLE = _MM_SPEC_CTES + f""",
+hx AS (
+  SELECT media_id,
+         '534d4631' || {_le_hex('kind_i', 1)} || {_le_hex('width', 4)}
+           || {_le_hex('height', 4)} || {_le_hex('n_frames', 2)}
+           || substr(repeat(bh, (width * height * n_frames) // 32 + 1),
+                     1, width * height * n_frames * 2) AS payload_hex
+  FROM (SELECT d.media_id, d.bh,
+               CASE d.kind WHEN 'image' THEN 0 WHEN 'audio' THEN 1 ELSE 2 END AS kind_i,
+               d.width, d.height, d.n_frames
+        FROM dims d) t
+)
+SELECT media_id, sha256(payload_hex) AS payload_hex_sha FROM hx
 """
 
 _MM_FRAMES_ORACLE = _MM_SPEC_CTES + """,
@@ -2013,6 +2052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal (rows-only: binary decode not SQL-expressible)
         "mm_decode": mm_decode,
         "mm_decode_full": mm_decode_full,
+        "mm_payload_roundtrip": mm_payload_roundtrip,
         "mm_frames": mm_frames,
     }
 
@@ -2080,6 +2120,7 @@ def oracle_sql() -> dict[str, str]:
         "f_jsonl_sink_roundtrip": _JSONL_SINK_ORACLE,
         "mm_decode": _MM_DECODE_ORACLE,
         "mm_frames": _MM_FRAMES_ORACLE,
+        "mm_payload_roundtrip": _MM_PAYLOAD_ORACLE,
         "ann_cosine_lsh": _ANN_LSH_ORACLE,
         # mm_decode_full: rows-only (payload sha256 of constructed blob)
     }
