@@ -1330,7 +1330,7 @@ classified AS (
     ELSE FALSE END AS is_private
   FROM fields
 )
-SELECT valid, is_private, count(*) AS n, sum(ip_int) AS sum_ip_int,
+SELECT valid, is_private, count(*) AS n, CAST(sum(ip_int) AS BIGINT) AS sum_ip_int,
        min(oct1) AS min_oct1, max(oct1) AS max_oct1
 FROM classified GROUP BY valid, is_private
 """

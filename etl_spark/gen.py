@@ -73,7 +73,7 @@ SELECT
   l_shipdate AS event_time
 FROM (
   SELECT b.l_orderkey, b.l_linenumber, b.l_partkey, b.l_suppkey, b.l_shipdate,
-         b.rn + o.off AS seq
+         CAST(b.rn + o.off AS BIGINT) AS seq
   FROM (
     SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_shipdate,
            row_number() OVER (

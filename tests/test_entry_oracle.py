@@ -31,6 +31,27 @@ def test_query_matches_oracle(spark, name):
     }
 
 
+def test_oracle_types_no_hugeint():
+    """Type-parity regression gate (VERDICT r2 item 2): the driver's value
+    hash is type-sensitive, and DuckDB silently widens windowed/plain sums
+    of BIGINT to HUGEINT (int128) — a type Spark cannot produce.  Every
+    oracle column must DESCRIBE to a non-HUGEINT type so the r1/r2 HUGEINT
+    regression class can never ship again."""
+    from .compare import duckdb_con
+
+    con = duckdb_con(SF_TINY)
+    offenders = []
+    for name, sql in ORACLES.items():
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        for col, typ, *_ in desc:
+            if "HUGEINT" in typ.upper():
+                offenders.append((name, col, typ))
+    assert not offenders, (
+        "oracle columns widened to HUGEINT — CAST them to BIGINT: "
+        f"{offenders}"
+    )
+
+
 def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
