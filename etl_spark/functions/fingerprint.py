@@ -184,19 +184,22 @@ def winnow_write_kernel(delta_schema_json: str, out_root: str,
         attempt = ctx.taskAttemptId()
         for bucket in pc.unique(t["bucket"]).to_pylist():
             sub = t.filter(pc.equal(t["bucket"], bucket))
-            if key_cols:
-                # a duplicate winner key ALWAYS implies a duplicate seq
-                # value among winners (the colliding seq's owner key is
-                # selected too), so distinct-counting the int64 seq is
-                # an equivalent, far cheaper invariant check than a
-                # group_by over string key columns (~3% vs ~40% of
-                # kernel time at 10M events)
-                n_seq = len(pc.unique(sub["last_seq"]))
-                if n_seq != sub.num_rows:
+            if key_cols and "__khash" in sub.column_names:
+                # winner-KEY uniqueness per bucket, checked on the
+                # JVM-computed 64-bit key hash (int64 unique — same ~3%
+                # kernel cost as the old seq check, vs ~40% for a
+                # group_by over string keys). Unlike seq-uniqueness,
+                # this also catches CROSS-key seq collisions: when key B
+                # shares key A's winning seq, the spurious (B, S) row
+                # lands in B's bucket next to B's true winner — same
+                # khash, distinct seqs — which a seq check cannot see.
+                # Residual blind spot: a 2^-64 xxhash64 key collision.
+                n_keys = len(pc.unique(sub["__khash"]))
+                if n_keys != sub.num_rows:
                     raise ValueError(
                         f"winnow invariant violated in bucket {bucket}: "
-                        f"{sub.num_rows} winner rows but {n_seq} distinct "
-                        f"seqs — epoch seqs are not unique (duplicate "
+                        f"{sub.num_rows} winner rows but {n_keys} distinct "
+                        f"keys — duplicate winner rows for a key (duplicate "
                         f"delivery or producer seq collision)"
                     )
             content = sub["content"].to_pylist()

@@ -384,7 +384,17 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         arrow_schema = pa.schema(
             [pa.field(f_.name, _arrow_type(f_.dataType)) for f_ in out_fields]
         )
-        match = win[keys + RANK]
+        import numpy as np
+
+        # one unique id per winner so pass 2 can emit each winner AT
+        # MOST once: an exact duplicate (key, last_seq) row committed in
+        # two files (same events redelivered under different epoch_ids —
+        # per-epoch idempotency can't catch that) would otherwise match
+        # the winner map twice and be written twice, while _compact_small
+        # dedupes via drop_duplicates. emitted[] is O(winners) bits.
+        match = win[keys + RANK].reset_index(drop=True)
+        match = match.assign(__wid=np.arange(len(match), dtype=np.int64))
+        emitted = np.zeros(len(match), dtype=bool)
         rel_path, fp = _out_path(spec["bucket"])
         writer = pq.ParquetWriter(fp, arrow_schema, compression="snappy")
         rows = 0
@@ -400,6 +410,15 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
                     keep = df.merge(match, on=keys + RANK, how="inner")
                     if len(keep) == 0:
                         continue
+                    keep = keep.drop_duplicates(subset="__wid")
+                    wid = keep["__wid"].to_numpy()
+                    fresh = ~emitted[wid]
+                    if not fresh.all():
+                        keep = keep[fresh]
+                        wid = wid[fresh]
+                    if len(keep) == 0:
+                        continue
+                    emitted[wid] = True
                     writer.write_table(
                         pa.Table.from_arrays(_arrays(keep, out_fields, pa),
                                              schema=arrow_schema)
@@ -657,6 +676,7 @@ class IceliteTable:
         epoch_id: str | None,
         properties: dict | None,
         retries: int = 10,
+        written_n_buckets: int | None = None,
     ) -> Snapshot:
         """Optimistic-concurrency APPEND commit: on a lost race
         (another writer created the next version first) re-read the
@@ -666,13 +686,30 @@ class IceliteTable:
         reference's quota-backoff loop, bq/insert.go:417-480, plays the
         same role against its sink). Rewrite commits (merge_lww,
         compact) do NOT rebase — a conflict there means the files they
-        read were replaced, so they abort for the caller to re-run."""
+        read were replaced, so they abort for the caller to re-run.
+
+        ``written_n_buckets``: the bucket modulus the files were hashed
+        under at write time. Appends do NOT commute with a concurrent
+        ``split_buckets`` — file bucket ids computed under the old
+        modulus are wrong under the new one, and rebasing would commit
+        them silently mis-bucketed (invisible to bucket-pruned reads,
+        merge_lww and per-bucket compaction). If the rebased snapshot's
+        layout differs, raise instead of rebasing so the caller rewrites
+        against the new layout."""
         last: Exception | None = None
         for attempt in range(retries):
             _backoff_sleep(attempt)
             snap = self.snapshot()
             if epoch_id is not None and epoch_id in snap.epochs:
                 return snap
+            if written_n_buckets is not None and snap.n_buckets != written_n_buckets:
+                raise CommitConflict(
+                    f"bucket layout changed under this append: files were "
+                    f"written for n_buckets={written_n_buckets} but the table "
+                    f"is now n_buckets={snap.n_buckets} (concurrent "
+                    f"split_buckets); stale bucket ids cannot be rebased — "
+                    f"rewrite the files against the current layout"
+                )
             try:
                 return self._commit(
                     snap, snap.files + new_files, snap.schemas, epoch_id, properties
@@ -692,15 +729,19 @@ class IceliteTable:
         bucketed: bool,
         buckets_hint: int | None = None,
         kind: str = "base",
+        snap: "Snapshot | None" = None,
     ) -> list[DataFile]:
         rel = f"s{uuid.uuid4().hex[:12]}"
         out_dir = os.path.join(self.data_path, rel)
-        snap_buckets = self.snapshot().n_buckets
+        # pin the layout to the caller's snapshot so the commit-time
+        # written_n_buckets guard checks the modulus actually used here
+        snap = snap or self.snapshot()
+        snap_buckets = snap.n_buckets
         if bucketed:
             # one shuffle, co-partitioned by bucket → one file per
             # touched bucket (small-file control at scale: target file
             # size governs how many buckets land per write task)
-            withb = df.withColumn("__bucket", bucket_expr(self.snapshot().key_cols, snap_buckets))
+            withb = df.withColumn("__bucket", bucket_expr(snap.key_cols, snap_buckets))
             n = buckets_hint or snap_buckets
             (
                 withb.repartition(n, "__bucket")
@@ -730,8 +771,11 @@ class IceliteTable:
             return snap
         schema = snap.current_schema
         new_files = self._write_datafiles(_cast_to(df, schema), schema, len(snap.schemas) - 1,
-                                          bucketed=bool(snap.key_cols))
-        return self._commit_append(new_files, epoch_id, properties)
+                                          bucketed=bool(snap.key_cols), snap=snap)
+        return self._commit_append(
+            new_files, epoch_id, properties,
+            written_n_buckets=snap.n_buckets if snap.key_cols else None,
+        )
 
     def append_rows_local(
         self,
@@ -921,15 +965,19 @@ class IceliteTable:
         if epoch_id is not None and epoch_id in snap.epochs:
             return snap
         _, new_files = self.write_delta_files(
-            updates, op_col=op_col, assume_bucketed=assume_bucketed
+            updates, op_col=op_col, assume_bucketed=assume_bucketed, snap=snap
         )
-        return self.commit_add_files(new_files, epoch_id=epoch_id, properties=properties)
+        return self.commit_add_files(
+            new_files, epoch_id=epoch_id, properties=properties,
+            written_n_buckets=snap.n_buckets,
+        )
 
     def write_delta_files(
         self,
         updates: DataFrame,
         op_col: str = "op",
         assume_bucketed: bool = False,
+        snap: "Snapshot | None" = None,
     ) -> tuple[str, list[DataFile]]:
         """Run the delta-write JOB without committing — returns the
         staging dir (for ``abort_write``) and manifest entries (for
@@ -937,7 +985,7 @@ class IceliteTable:
         caller run post-job, pre-commit checks (the epoch quality gate)
         in the SAME Spark job that produced the files: uncommitted files
         are invisible to readers, so an abort is just an rmtree."""
-        snap = self.snapshot()
+        snap = snap or self.snapshot()
         if not snap.key_cols:
             raise ValueError("append_delta requires a keyed table")
         schema = snap.current_schema
@@ -973,7 +1021,8 @@ class IceliteTable:
             cols.append(F.col(op_col).cast("string").alias("__op"))
             delta_df = updates.select(*cols)
             new_files = self._write_datafiles(
-                delta_df, delta_schema, len(snap.schemas) - 1, bucketed=True, kind="delta"
+                delta_df, delta_schema, len(snap.schemas) - 1, bucketed=True,
+                kind="delta", snap=snap,
             )
             rel = new_files[0].path.split(os.sep, 1)[0] if new_files else ""
         return rel, new_files
@@ -983,10 +1032,14 @@ class IceliteTable:
         new_files: list[DataFile],
         epoch_id: str | None = None,
         properties: dict | None = None,
+        written_n_buckets: int | None = None,
     ) -> Snapshot:
         """Commit previously written files (see ``write_delta_files``).
-        Optimistic-retry on concurrent-writer races."""
-        return self._commit_append(new_files, epoch_id, properties)
+        Optimistic-retry on concurrent-writer races; pass the
+        ``written_n_buckets`` the files were hashed under so a racing
+        split_buckets aborts this commit instead of corrupting it."""
+        return self._commit_append(new_files, epoch_id, properties,
+                                   written_n_buckets=written_n_buckets)
 
     def abort_write(self, rel: str) -> None:
         """Discard a staged, uncommitted write (quality-gate abort)."""
@@ -1009,6 +1062,7 @@ class IceliteTable:
         stats_rows: list,
         epoch_id: str | None = None,
         properties: dict | None = None,
+        written_n_buckets: int | None = None,
     ) -> Snapshot:
         """Commit kernel-written delta files from their collected stats
         rows (bucket, rel_path, rows, bytes, ...) — no footer reads, no
@@ -1040,7 +1094,8 @@ class IceliteTable:
                 p = os.path.join(dirpath, fn)
                 if os.path.relpath(p, self.data_path) not in keep:
                     os.unlink(p)
-        return self._commit_append(new_files, epoch_id, properties)
+        return self._commit_append(new_files, epoch_id, properties,
+                                   written_n_buckets=written_n_buckets)
 
     def expire_snapshots(self, keep_last: int = 5) -> dict:
         """Table maintenance: drop all but the newest ``keep_last``
@@ -1236,9 +1291,13 @@ class IceliteTable:
         compaction folds the children normally.
 
         A full-table rewrite cannot rebase over concurrent commits:
-        a racing append's files carry STALE bucket ids — on a lost
-        version race this raises ``CommitConflict`` for the caller to
-        re-run during a quiet window (maintenance op)."""
+        a racing append's files carry STALE bucket ids. Both directions
+        of the race are now safe: if split loses the version race it
+        raises ``CommitConflict`` here (re-run during a quiet window);
+        if split WINS, the racing append's own commit sees the changed
+        ``n_buckets`` via the ``written_n_buckets`` guard in
+        ``_commit_append`` and aborts instead of rebasing mis-bucketed
+        files into the post-split snapshot."""
         if factor < 2 or factor & (factor - 1):
             raise ValueError("factor must be a power of two >= 2")
         snap = self.snapshot()

@@ -261,6 +261,13 @@ def apply_epoch(
                 sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         sel.append(F.col("op").cast("string").alias("__op"))
         sel.append(bucket_expr(snap0.key_cols, snap0.n_buckets).alias("bucket"))
+        # full 64-bit key hash rides along (same xxhash64 the bucket is
+        # derived from — free at the JVM) so the kernel can assert
+        # winner-KEY uniqueness per bucket at int64-unique cost; the
+        # kernel drops it before writing (not in delta_schema).
+        sel.append(
+            F.xxhash64(*[F.col(c) for c in snap0.key_cols]).alias("__khash")
+        )
         bucketed = winners.select(*sel)
         delta_schema_json = T.StructType(
             snap0.current_schema.fields
@@ -314,7 +321,8 @@ def apply_epoch(
         props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
                              lineage_rows, target=target, lineage=lineage)
         target.commit_staged_delta(rel, stats_rows, epoch_id=epoch_id,
-                                   properties=props)
+                                   properties=props,
+                                   written_n_buckets=snap0.n_buckets)
         applied = sum(int(r["rows"]) for r in stats_rows)
         if (
             target.delta_stats()["max_delta_files_per_bucket"]
@@ -350,7 +358,8 @@ def apply_epoch(
             "bucket", F.pmod(F.col("__g"), F.lit(snap0.n_buckets)).cast("int")
         )
         updates = bucketed.groupBy("__g").applyInPandas(kernel, out_schema)
-        rel, new_files = target.write_delta_files(updates, assume_bucketed=True)
+        rel, new_files = target.write_delta_files(updates, assume_bucketed=True,
+                                                  snap=snap0)
         # stats: dedupe by group id — a retried/speculative task re-adds
         # an identical tuple for its group (deterministic input), so
         # first-seen-per-group restores exactly-once accounting.
@@ -374,7 +383,8 @@ def apply_epoch(
             )
         props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
                              lineage_rows, target=target, lineage=lineage)
-        target.commit_add_files(new_files, epoch_id=epoch_id, properties=props)
+        target.commit_add_files(new_files, epoch_id=epoch_id, properties=props,
+                                written_n_buckets=snap0.n_buckets)
         applied = sum(f.rows for f in new_files)
         if (
             target.delta_stats()["max_delta_files_per_bucket"]
@@ -419,7 +429,9 @@ def apply_epoch(
             return events_in, rejected, m["max_seq"]
 
         if merge_mode == "delta":
-            rel, new_files = target.write_delta_files(updates, op_col="op")
+            snap_w = target.snapshot()
+            rel, new_files = target.write_delta_files(updates, op_col="op",
+                                                      snap=snap_w)
             try:
                 events_in, rejected, high_watermark = totals()
             except EpochQualityError:
@@ -430,7 +442,9 @@ def apply_epoch(
             ]
             props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
                                  lineage_rows, target=target, lineage=lineage)
-            target.commit_add_files(new_files, epoch_id=epoch_id, properties=props)
+            target.commit_add_files(new_files, epoch_id=epoch_id,
+                                    properties=props,
+                                    written_n_buckets=snap_w.n_buckets)
             applied = sum(f.rows for f in new_files)
             if (
                 target.delta_stats()["max_delta_files_per_bucket"]
@@ -481,11 +495,15 @@ def _epoch_props(epoch_id, events_in, rejected, high_watermark, lineage_rows,
     the steady-state manifest carries at most the in-flight epoch."""
     props = {}
     if target is not None:
-        lin_epochs = set(lineage.snapshot().epochs) if lineage is not None else None
+        # prune ONLY epochs whose lineage append provably landed; with
+        # no lineage table we cannot prove anything, so prune nothing —
+        # a lineage-less run must not destroy the recovery bridge for
+        # earlier epochs whose lineage append is still in flight.
+        lin_epochs = set(lineage.snapshot().epochs) if lineage is not None else set()
         for k in target.snapshot().properties:
             if not k.startswith("epoch:") or k == f"epoch:{epoch_id}":
                 continue
-            if lin_epochs is None or k[len("epoch:"):] in lin_epochs:
+            if k[len("epoch:"):] in lin_epochs:
                 props[k] = None
     props[f"epoch:{epoch_id}"] = {
         "events_in": events_in,

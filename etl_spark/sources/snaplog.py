@@ -209,7 +209,12 @@ def decode_snapshots(slog: SnapLog, indices: list[int] | None = None):
                 if at == 1:
                     out.append(".".join(str(int(b)) for b in c[:4]))
                 elif at == 2:
-                    out.append(str(ipaddress.IPv6Address(bytes(c[:16]))))
+                    v6 = ipaddress.IPv6Address(bytes(c[:16]))
+                    # Go's net.IP.String() renders ::ffff:0:0/96
+                    # (IPv4-mapped) addresses as the dotted quad
+                    # (web100.go IPFromBytes) — match it.
+                    v4 = v6.ipv4_mapped
+                    out.append(str(v4) if v4 is not None else str(v6))
                 else:
                     out.append(None)
             strings[name] = out

@@ -304,3 +304,46 @@ def test_apply_after_bucket_split(spark, tbl_dir):
         for r in expected.itertuples(index=False)
     )
     assert got == exp
+
+
+def test_winnow_rejects_cross_key_seq_collision(spark, tbl_dir):
+    """ADVICE r2: a seq-uniqueness check misses the CROSS-key collision
+    — key B shares key A's winning seq S while B's true winner has a
+    distinct seq, so the spurious (B, S) row lands in B's bucket with
+    no duplicate seq anywhere. The kernel's key-hash uniqueness check
+    must still abort the epoch."""
+    ev = gen.synthetic_events(spark, 100, n_repos=4, seed=19)
+    # key B owns the global max seq (so B's true winner outranks any
+    # forgery); S is ANOTHER key's winning seq. The forged (B, S) row
+    # is not B's winner, but S is in the winning-seq set, so the
+    # seq-based semi-join selects it anyway → two B rows in B's bucket.
+    rows = ev.select("repo", "path", "seq").collect()
+    best: dict[tuple, int] = {}
+    for r in rows:
+        best[(r.repo, r.path)] = max(best.get((r.repo, r.path), -1), r.seq)
+    b_key = max(best, key=lambda k: best[k])
+    s = max(v for k, v in best.items() if k != b_key)
+    forged = (
+        ev.where(F.col("seq") == s)
+        .withColumn("repo", F.lit(b_key[0]))
+        .withColumn("path", F.lit(b_key[1]))
+    )
+    tgt, lin = fresh(spark, tbl_dir)
+    with pytest.raises(Exception, match="winnow invariant"):
+        apply_epoch(spark, ev.unionByName(forged), tgt, lin, epoch_id="xkey")
+    assert not tgt.has_epoch("xkey")
+    assert tgt.current_version() == 0
+
+
+def test_lineage_none_preserves_recovery_props(spark, tbl_dir):
+    """ADVICE r2: a run with lineage=None cannot PROVE any prior
+    epoch's lineage append landed, so it must prune nothing — pruning
+    would destroy the crash-recovery bridge for epochs whose lineage
+    append is still in flight."""
+    ev = gen.synthetic_events(spark, 400, n_repos=10, seed=23)
+    tgt, _ = fresh(spark, tbl_dir)
+    apply_epoch(spark, ev.where("seq < 200"), tgt, None, epoch_id="e1")
+    assert "epoch:e1" in tgt.snapshot().properties
+    apply_epoch(spark, ev.where("seq >= 200"), tgt, None, epoch_id="e2")
+    props = tgt.snapshot().properties
+    assert "epoch:e1" in props and "epoch:e2" in props

@@ -445,3 +445,66 @@ def test_split_buckets_rejects_bad_factor(spark, tbl_dir):
     t = make(spark, tbl_dir)
     with pytest.raises(ValueError):
         t.split_buckets(factor=3)
+
+
+def test_append_commit_aborts_across_racing_split(spark, tbl_dir):
+    """Appends do NOT commute with split_buckets: files written under
+    the old modulus carry stale bucket ids, so when a split lands
+    between write and commit the commit must raise CommitConflict
+    (forcing a rewrite) instead of silently rebasing mis-bucketed
+    files into the post-split snapshot."""
+    t = make(spark, tbl_dir, n_buckets=4)
+    t.append_delta(_updf(spark, [("r1", "p1", 1, 1, "insert")]))
+    snap = t.snapshot()
+    rel, files = t.write_delta_files(
+        _updf(spark, [("r2", "p2", 2, 2, "insert")]), snap=snap
+    )
+    t.split_buckets(factor=2)  # racing maintenance wins the version race
+    with pytest.raises(CommitConflict, match="bucket layout"):
+        t.commit_add_files(files, epoch_id="e2",
+                           written_n_buckets=snap.n_buckets)
+    t.abort_write(rel)
+    assert not t.has_epoch("e2")
+    # the recovery path: rewrite against the live layout succeeds and
+    # every committed file's rows hash to its recorded bucket
+    t.append_delta(_updf(spark, [("r2", "p2", 2, 2, "insert")]), epoch_id="e2")
+    assert t.has_epoch("e2")
+    for f_ in t.snapshot().files:
+        bad = (
+            t.read(buckets=[f_.bucket])
+            .withColumn("b", bucket_expr(("repo", "path"), t.snapshot().n_buckets))
+            .where(F.col("b") != f_.bucket)
+            .count()
+        )
+        assert bad == 0
+
+
+def test_chunked_compaction_dedupes_redelivered_rows(spark, tbl_dir):
+    """An exact duplicate (key, last_seq) row committed in TWO files
+    (same events redelivered under a different epoch_id — per-epoch
+    idempotency cannot catch it) must compact to ONE physical row on
+    the chunked path, same as _compact_small, or the post-compaction
+    base fast-path read returns duplicate key rows."""
+    t_small = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "s"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=2,
+    )
+    t_chunk = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "c"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=2,
+    )
+    rows = [(f"r{i}", f"p{i}", i, i, "insert") for i in range(1, 60)]
+    for t in (t_small, t_chunk):
+        t.append_delta(_updf(spark, rows), epoch_id="e1")
+        t.append_delta(_updf(spark, rows), epoch_id="e1-redelivered")
+    t_small.compact()
+    t_chunk.compact(chunk_bytes=1)  # force the streaming two-pass path
+    state = lambda t: sorted(tuple(r) for r in t.read().collect())  # noqa: E731
+    assert state(t_chunk) == state(t_small)
+    # physical row counts agree too (no-delta fast path reads raw rows)
+    assert t_chunk.read().count() == 59
+    dupes = (
+        t_chunk.read().groupBy("repo", "path").count()
+        .where(F.col("count") > 1).count()
+    )
+    assert dupes == 0

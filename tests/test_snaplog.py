@@ -88,3 +88,28 @@ def test_corrupt_blob_flagged(spark):
     )
     rows = snaplog.parse_snaplogs(df).collect()
     assert len(rows) == 1 and rows[0]["corrupted"]
+
+
+def test_v4_mapped_inet_address_renders_dotted_quad():
+    """ADVICE r2 parity fix: INET_ADDRESS cells with addrtype=2 holding
+    IPv4-mapped bytes (::ffff:0:0/96) must render as the dotted quad,
+    matching the reference's net.IP.String() (web100.go IPFromBytes) —
+    a genuine v6 address still renders in v6 form."""
+    from etl_spark.sources.snaplog import (
+        BEGIN_SNAP_DATA, INET_ADDRESS, FieldSet, SnapLog, Variable,
+        decode_snapshots,
+    )
+
+    mapped = bytes.fromhex("00000000000000000000ffff01020304") + b"\x02"
+    real6 = bytes.fromhex("20010db8000000000000000000000001") + b"\x02"
+    body = BEGIN_SNAP_DATA + mapped + BEGIN_SNAP_DATA + real6
+    v = Variable("LocalAddress", 0, INET_ADDRESS, 17)
+    slog = SnapLog(
+        version="v", log_time=0, group_name="read",
+        local_ip="", local_port=0, remote_ip="", remote_port=0,
+        spec=FieldSet([], 0),
+        read=FieldSet([v], 17 + len(BEGIN_SNAP_DATA)),
+        tune=FieldSet([], 0), body_offset=0, raw=body,
+    )
+    _, strs = decode_snapshots(slog)
+    assert strs["LocalAddress"] == ["1.2.3.4", "2001:db8::1"]
