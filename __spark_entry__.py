@@ -25,1951 +25,129 @@ Query groups (see COVERAGE.md for the SURVEY §2 line-by-line map):
 
 from __future__ import annotations
 
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from etl_spark import gen
 from etl_spark.functions import parsing
-from etl_spark.functions.fingerprint import parse_validate_fingerprint
-from etl_spark.operators import (
-    arrays,
-    multimodal,
-    relational,
-    similarity,
-    simdedup,
-    textops,
-    windows,
+from etl_spark.operators import relational
+from etl_spark.queries.cdc import (
+    _CDC_FINGERPRINT_ORACLE,
+    _CDC_LWW_ORACLE,
+    _CDC_OP_STATS_ORACLE,
+    cdc_events,
+    cdc_final_state,
+    cdc_fingerprint,
+    cdc_lww,
+    cdc_op_stats,
 )
-from etl_spark.operators.apply import create_target, create_lineage, replay
-from etl_spark.operators.dedup import lww_latest
-
-
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
-
-
-# ---------------------------------------------------------------------------
-# CDC engine queries
-# ---------------------------------------------------------------------------
-
-def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return gen.derived_events(spark, sf_dir)
-
-
-def cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = gen.derived_events(spark, sf_dir)
-    return lww_latest(ev).select(
-        "repo", "path", F.col("seq").alias("last_seq"), "op", "commit",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-    )
-
-
-def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship: full engine replay into a fresh icelite table."""
-    ev = gen.derived_events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="icelite_entry_")
-    tgt = create_target(spark, f"{tmp}/target", n_buckets=32)
-    lin = create_lineage(spark, f"{tmp}/lineage")
-    replay(spark, ev, tgt, lin, epoch_size=1 << 60)
-    return tgt.read().select("repo", "path", "commit", "lang", "content_sha256")
-
-
-def cdc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Vectorized mapInPandas sha256 — proves Arrow-UDF parity."""
-    ev = gen.derived_events(spark, sf_dir)
-    out = parse_validate_fingerprint(ev)
-    return out.where(F.col("content").isNotNull()).select(
-        "seq", "repo", "path", "content_sha256"
-    )
-
-
-def cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Lineage-style accounting aggregates (A1 analog)."""
-    ev = gen.derived_events(spark, sf_dir)
-    return ev.groupBy("op").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("seq").alias("min_seq"),
-        F.max("seq").alias("max_seq"),
-        F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("content_bytes"),
-    )
-
-
-_CDC_LWW_ORACLE = """
-WITH events AS ({events}),
-ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
-  FROM events
+from etl_spark.queries.docs import (
+    _DEDUP_EXACT_ORACLE,
+    _MINHASH_LSH_ORACLE,
+    _NGRAM_JACCARD_ORACLE,
+    _SIMHASH_ORACLE,
+    _doc_features_oracle,
+    dedup_exact,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    doc_quality,
+    doc_text_features,
 )
-SELECT repo, path, seq AS last_seq, op, commit, sha256(content) AS content_sha256
-FROM ranked WHERE rn = 1
-"""
-
-_CDC_FINGERPRINT_ORACLE = """
-WITH events AS ({events})
-SELECT seq, repo, path, sha256(content) AS content_sha256
-FROM events WHERE content IS NOT NULL
-"""
-
-_CDC_OP_STATS_ORACLE = """
-WITH events AS ({events})
-SELECT op, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq,
-       coalesce(CAST(sum(length(content)) AS BIGINT), 0) AS content_bytes
-FROM events GROUP BY op
-"""
-
-
-# ---------------------------------------------------------------------------
-# window queries over the generic events stream
-# ---------------------------------------------------------------------------
-
-def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.lag_delta(_read(spark, sf_dir, "events"))
-
-
-def w_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.change_points(_read(spark, sf_dir, "events")).select(
-        "user_id", "n_changes"
-    )
-
-
-def w_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.thin_events(_read(spark, sf_dir, "events"))
-
-
-def w_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.session_summary(_read(spark, sf_dir, "events"))
-
-
-def w_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return windows.json_props(_read(spark, sf_dir, "events"))
-
-
-_W_LAG_DELTA_ORACLE = """
-SELECT user_id, event_id, event_type, value,
-       round(value - lag(value) OVER w, 6) AS value_delta,
-       (row_number() OVER w2 = 1) AS is_last
-FROM events
-WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
-       w2 AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
-"""
-
-_W_CHANGE_POINTS_ORACLE = """
-WITH marked AS (
-  SELECT user_id,
-         (event_type <> lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS changed
-  FROM events
+from etl_spark.queries.embed import (
+    _ANN_LSH_ORACLE,
+    _ANN_ORACLE,
+    _ARR_OPS_ORACLE,
+    _EMB_DEDUP_ORACLE,
+    _MM_DECODE_ORACLE,
+    _MM_FRAMES_ORACLE,
+    ann_cosine_lsh,
+    ann_cosine_topk,
+    arr_ops,
+    dedup_embedding_cosine,
+    mm_decode,
+    mm_frames,
 )
-SELECT user_id, coalesce(CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_changes
-FROM marked GROUP BY user_id
-"""
-
-_W_THIN_ORACLE = """
-WITH numbered AS (
-  SELECT user_id, event_id, ts, value,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
-         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rlast
-  FROM events
+from etl_spark.queries.rel import (
+    _ASOF_ORACLE,
+    _COGROUP_ORACLE,
+    _GROUP_COJOIN_ORACLE,
+    _NATION_REVENUE_ORACLE,
+    _Q1_ORACLE,
+    _RANGE_JOIN_ORACLE,
+    j_asof_enrich,
+    j_group_cojoin,
+    j_range_join,
 )
-SELECT user_id, event_id, ts, value
-FROM numbered WHERE (rn - 1) % 10 = 0 OR rlast = 1
-"""
-
-_W_SESSION_SUMMARY_ORACLE = """
-WITH ranked AS (
-  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-  FROM events
+from etl_spark.queries.scalars import (
+    _IP_ORACLE,
+    _JSON_REPAIR_ORACLE,
+    _JSONL_ORACLE,
+    _JSONL_SINK_ORACLE,
+    _ROUTE_ORACLE,
+    _SIZE_GUARD_ORACLE,
+    f_ip_tools,
+    f_json_repair,
+    f_jsonl_decode,
+    f_jsonl_sink_roundtrip,
+    f_route_paths,
+    f_size_guard,
 )
-SELECT user_id,
-       count(*) AS n_events,
-       min(ts) AS first_ts,
-       max(ts) AS last_ts,
-       max(CASE WHEN rn = 1 THEN event_type END) AS last_event_type,
-       round(sum(value), 6) AS total_value,
-       round(max(value), 6) AS max_value
-FROM ranked GROUP BY user_id
-"""
-
-_W_JSON_PROPS_ORACLE = """
-SELECT event_type,
-       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-FROM events GROUP BY event_type
-"""
-
-
-def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.7 set ops: INTERSECT/EXCEPT between early/late active users."""
-    ev = _read(spark, sf_dir, "events")
-    cut = F.lit("2024-01-08")
-    early = ev.where(F.col("ts") < cut).select("user_id").distinct()
-    late = ev.where(F.col("ts") >= cut).select("user_id").distinct()
-    both = early.intersect(late).count()
-    only_early = early.exceptAll(early.intersect(late)).count()
-    only_late = late.exceptAll(late.intersect(early)).count()
-    return spark.createDataFrame(
-        [(both, only_early, only_late)],
-        "n_both long, n_only_early long, n_only_late long",
-    )
-
-
-_SET_OPS_ORACLE = """
-WITH early AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'),
-late AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-08')
-SELECT
-  (SELECT count(*) FROM (SELECT * FROM early INTERSECT SELECT * FROM late)) AS n_both,
-  (SELECT count(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)) AS n_only_early,
-  (SELECT count(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)) AS n_only_late
-"""
-
-
-def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 analog: exact interpolated percentiles per event_type (the
-    lineage-histogram shape; at 100 TB swap in approx_percentile)."""
-    ev = _read(spark, sf_dir, "events")
-    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.element_at(pct, 1), 6).alias("p25"),
-        F.round(F.element_at(pct, 2), 6).alias("p50"),
-        F.round(F.element_at(pct, 3), 6).alias("p75"),
-    )
-
-
-_PERCENTILES_ORACLE = """
-SELECT event_type, count(*) AS n,
-       round(quantile_cont(value, 0.25), 6) AS p25,
-       round(quantile_cont(value, 0.50), 6) AS p50,
-       round(quantile_cont(value, 0.75), 6) AS p75
-FROM events GROUP BY event_type
-"""
-
-
-def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C11 analog (base64 filename decode, etl/globals.go:327-342)."""
-    docs = _read(spark, sf_dir, "documents")
-    # Spark's base64 is MIME (76-char lines, \r\n); strip to canonical
-    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\\r\\n]", "")
-    return docs.select(
-        "doc_id",
-        F.length(b64).cast("long").alias("b64_len"),
-        F.substring(b64, 1, 24).alias("b64_prefix"),
-        (F.unbase64(b64).cast("string") == F.col("text")).alias("roundtrip_ok"),
-    )
-
-
-_BASE64_ORACLE = """
-SELECT doc_id,
-       length(to_base64(encode(text))) AS b64_len,
-       substr(to_base64(encode(text)), 1, 24) AS b64_prefix,
-       (decode(from_base64(to_base64(encode(text)))) = text) AS roundtrip_ok
-FROM documents
-"""
-
-
-def w_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7 analog: gap-based sessionization (batch window form of the
-    applyInPandasWithState streaming operator in streaming/sessions.py;
-    the two are equivalence-tested in tests/test_sessions.py)."""
-    from etl_spark.streaming.sessions import sessionize_batch
-
-    s = sessionize_batch(_read(spark, sf_dir, "events"), gap_seconds=1800)
-    return s.select(
-        "user_id", "session_start", "session_end",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.round("total_value", 6).alias("total_value"),
-    )
-
-
-_SESSIONIZE_ORACLE = """
-WITH o AS (
-  SELECT user_id, ts, event_id, value,
-         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
-              THEN 1 ELSE 0 END AS ns
-  FROM events
-), s AS (
-  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                          ROWS UNBOUNDED PRECEDING) AS sid
-  FROM o
+from etl_spark.queries.streams import (
+    _BASE64_ORACLE,
+    _HIER_ROLLUP_ORACLE,
+    _LEAD_DISCARD_ORACLE,
+    _MONOTONE_ORACLE,
+    _PERCENTILES_ORACLE,
+    _ROLLUP_ORACLE,
+    _SESSIONIZE_ORACLE,
+    _SET_OPS_ORACLE,
+    _TOPK_ORACLE,
+    _W_CHANGE_POINTS_ORACLE,
+    _W_JSON_PROPS_ORACLE,
+    _W_LAG_DELTA_ORACLE,
+    _W_SESSION_SUMMARY_ORACLE,
+    _W_THIN_ORACLE,
+    _WINDOWED_COUNTS_ORACLE,
+    agg_rollup,
+    base64_roundtrip,
+    set_ops,
+    value_percentiles,
+    w_change_points,
+    w_hier_rollup,
+    w_json_props,
+    w_lag_delta,
+    w_lead_discard,
+    w_monotone_violations,
+    w_session_summary,
+    w_sessionize_gap,
+    w_thin,
+    w_topk_per_group,
+    w_windowed_counts,
 )
-SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 6) AS total_value
-FROM s GROUP BY user_id, sid
-"""
-
-
-def w_monotone_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W5 analog (parser/ndt.go:238-250): per-key seq regressions in
-    event-time order — stream-integrity rows destined for lineage."""
-    ev = gen.derived_events(spark, sf_dir)
-    return windows.monotonic_violations(
-        ev, seq_col="seq", order_cols=("event_time", "seq"),
-        key_cols=("repo", "path"),
-    ).select("repo", "path", "seq", "prev_seq")
-
-
-_MONOTONE_ORACLE = """
-WITH events AS ({events}),
-w AS (
-  SELECT repo, path, seq,
-         lag(seq) OVER (PARTITION BY repo, path ORDER BY event_time, seq) AS prev_seq
-  FROM events
+from etl_spark.queries.wire import (
+    _COMPRESS_ROUNDTRIP_ORACLE,
+    _DISCO_ORACLE,
+    _NDT_DELTAS_ORACLE,
+    _NDT_RESULTS_ORACLE,
+    _PARIS_ORACLE,
+    _SIDESTREAM_ORACLE,
+    _SNAPLOG_ORACLE,
+    _TAR_ROUNDTRIP_ORACLE,
+    _TCPINFO_ORACLE,
+    f_binary_decode,
+    f_compress_roundtrip,
+    f_text_table_decode,
+    ndt_deltas,
+    src_disco_decode,
+    src_ndt_results_decode,
+    src_paris_decode,
+    src_sidestream_decode,
+    src_snaplog_decode,
+    src_tar_roundtrip,
+    src_tcpinfo_decode,
 )
-SELECT repo, path, seq, prev_seq
-FROM w WHERE prev_seq IS NOT NULL AND seq <= prev_seq
-"""
-
-
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.4 beyond-reference: ROLLUP subtotal lattice in one pass
-    (partial+final hash agg per grouping set, no re-scan)."""
-    li = _read(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        F.grouping_id().cast("long").alias("gid"),
-    )
-
-
-_ROLLUP_ORACLE = """
-SELECT l_returnflag, l_linestatus, count(*) AS n,
-       round(sum(l_quantity), 2) AS sum_qty,
-       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
-FROM lineitem
-GROUP BY ROLLUP (l_returnflag, l_linestatus)
-"""
-
-
-def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """§2.6: deterministic top-3 orders per priority class (row_number
-    window; at 100 TB Catalyst rewrites the rank filter into a partial
-    top-k before the shuffle)."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("o_orderpriority").orderBy(
-        F.desc("o_totalprice"), F.asc("o_orderkey")
-    )
-    return (
-        _read(spark, sf_dir, "orders")
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= 3)
-        .select(
-            "o_orderpriority", "o_orderkey",
-            F.round("o_totalprice", 2).alias("o_totalprice"),
-            F.col("rk").cast("long").alias("rk"),
-        )
-    )
-
-
-_TOPK_ORACLE = """
-WITH r AS (
-  SELECT o_orderpriority, o_orderkey, o_totalprice,
-         row_number() OVER (PARTITION BY o_orderpriority
-                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
-  FROM orders
-)
-SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
-       CAST(rk AS BIGINT) AS rk
-FROM r WHERE rk <= 3
-"""
-
-
-def f_text_table_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C7 analog (sidestream text-table decode, parser/ss.go:63-95):
-    split + posexplode of the leading tokens, position-indexed."""
-    toks = F.slice(F.split(F.col("text"), " "), 1, 5)
-    return (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
-        .select(
-            "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "tok",
-            F.length("tok").cast("long").alias("tok_len"),
-        )
-    )
-
-
-_TEXT_TABLE_ORACLE = """
-WITH t AS (
-  SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS l FROM documents
-)
-SELECT doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
-       unnest(l) AS tok, CAST(length(unnest(l)) AS BIGINT) AS tok_len
-FROM t
-"""
-
-
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact char-5-gram Jaccard over deterministically pruned
-    candidate pairs (same lang, |n_chars diff| <= 16) — the verify
-    stage of the dedup pipeline with a SQL-expressible pair source
-    (the LSH pair source is oracle-checked rows-only separately)."""
-    docs = _read(spark, sf_dir, "documents")
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("nc_a"),
-    )
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("nc_b"),
-    )
-    pairs = a.join(
-        b,
-        (F.col("lang_a") == F.col("lang_b"))
-        & (F.col("doc_a") < F.col("doc_b"))
-        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 16),
-    ).select("doc_a", "doc_b")
-    return simdedup.ngram_jaccard_pairs(docs, pairs, n=5)
-
-
-_NGRAM_JACCARD_ORACLE = """
-WITH sh AS (
-  SELECT doc_id, unnest(list_distinct(list_transform(
-      generate_series(1, greatest(length(text) - 4, 1)),
-      i -> substr(text, i, 5)))) AS shingle
-  FROM documents
-),
-sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM documents a JOIN documents b
-    ON a.lang = b.lang AND a.doc_id < b.doc_id
-   AND abs(a.n_chars - b.n_chars) <= 16
-),
-inter AS (
-  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
-  FROM pairs p
-  JOIN sh sa ON sa.doc_id = p.doc_a
-  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
-  GROUP BY p.doc_a, p.doc_b
-)
-SELECT p.doc_a, p.doc_b,
-       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-             / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
-FROM pairs p
-LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
-JOIN sizes za ON za.doc_id = p.doc_a
-JOIN sizes zb ON zb.doc_id = p.doc_b
-"""
-
-
-def f_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 analog (gzip/zstd member decode, storage/storage.go:77-118):
-    compress → decompress → identity. The oracle is the source table
-    itself (same pattern as src_tar_roundtrip): DuckDB never sees the
-    codec, it just asserts the round-trip returned every byte. Per-codec
-    size accounting + corrupt-blob handling stay in tests/test_compress.py."""
-    from etl_spark.functions import compress
-
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.coalesce(F.col("text"), F.lit("")).alias("text"),
-        F.element_at(
-            F.array(F.lit("gzip"), F.lit("zlib"), F.lit("zstd"), F.lit("none")),
-            (F.col("doc_id") % 4 + 1).cast("int"),
-        ).alias("codec"),
-    )
-    blobs = compress.compress_content(docs, content_col="text")
-    decoded = compress.decompress_content(blobs, blob_col="blob")
-    return decoded.where(~F.col("decode_error")).select(
-        "doc_id", "codec", F.col("decoded").alias("text")
-    )
-
-
-def src_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1 analog (GCS tar scan, storage/storage.go:139-199): pack docs
-    into deterministic tar blobs (10 docs/archive), scan members back
-    out as a 1→N UDTF. Oracle = the documents table itself — the
-    round-trip must be the identity."""
-    from etl_spark.sources import archive
-
-    docs = _read(spark, sf_dir, "documents").select(
-        (F.col("doc_id") / 10).cast("long").alias("archive_id"),
-        F.format_string("doc_%06d.txt", F.col("doc_id").cast("int")).alias("member"),
-        "doc_id", "text",
-    )
-    tars = archive.pack_tar(docs, "archive_id", "member", "text")
-    members = archive.scan_tar(tars)
-    return members.select(
-        F.regexp_extract("member_name", r"doc_(\d+)\.txt", 1)
-        .cast("long").alias("doc_id"),
-        F.col("content").alias("text"),
-    )
-
-
-_TAR_ROUNDTRIP_ORACLE = """
-SELECT doc_id, coalesce(text, '') AS text FROM documents
-"""
-
-_COMPRESS_ROUNDTRIP_ORACLE = """
-SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
-                       WHEN 2 THEN 'zstd' ELSE 'none' END AS codec,
-       coalesce(text, '') AS text
-FROM documents
-"""
-
-
-def src_sidestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sidestream web100 text-table format, driver-checked end-to-end
-    (parser/ss.go:63-160): lineitem rows are rendered into K:/C: wire
-    text (legacy var names, so the tcp-kis rename table is exercised),
-    grouped into per-file blobs, then parsed back by the REAL parser —
-    the oracle derives the same typed fields directly from lineitem, so
-    any header/canonicalization/arity/IP/StartTimeStamp bug mismatches."""
-    from etl_spark.sources import sidestream
-
-    li = _read(spark, sf_dir, "lineitem")
-    s = lambda c: c.cast("long").cast("string")  # noqa: E731
-    local_ip = F.concat_ws(
-        ".", s(F.col("l_orderkey") % 256), s(F.col("l_partkey") % 256),
-        s(F.col("l_suppkey") % 256), s(F.col("l_linenumber") * 7 % 256),
-    )
-    remote_ip = F.concat_ws(
-        ".", s(F.col("l_partkey") % 256), s(F.col("l_suppkey") % 256),
-        s(F.col("l_orderkey") % 256), s(F.col("l_linenumber") * 11 % 256),
-    )
-    line = F.concat_ws(
-        " ", F.lit("C:"), s(F.col("l_orderkey")), F.lit("2017-02-03-12:00:03Z"),
-        local_ip, s(F.col("l_partkey") % 65536), remote_ip,
-        s(F.col("l_suppkey") % 65536), s(F.col("l_orderkey")),
-        s(F.col("l_linenumber") * 1000), s(F.col("l_partkey") % 500),
-        s(F.col("l_linenumber")), s(F.col("l_suppkey")),
-    )
-    header = ("K: cid PollTime LocalAddress LocalPort RemAddress RemPort "
-              "StartTimeSec StartTimeUsec SampledRTT PktsOut DataBytesOut")
-    files = (
-        li.select((F.col("l_orderkey") % 8).alias("fid"),
-                  F.struct(F.col("l_orderkey"), F.col("l_linenumber"),
-                           line.alias("ln")).alias("rec"))
-        .groupBy("fid")
-        .agg(F.array_join(
-            F.transform(F.array_sort(F.collect_list("rec")), lambda x: x["ln"]),
-            "\n").alias("body"))
-        .select(
-            F.concat(F.lit("20170203T00:00:00Z_ALL"), F.col("fid").cast("string"),
-                     F.lit(".web100")).alias("member_name"),
-            F.concat(F.lit(header), F.lit("\n"), F.col("body")).alias("content"),
-        )
-    )
-    out = sidestream.parse_sidestream(files)
-    return out.where(~F.col("corrupted")).select(
-        "test_name", "log_time", "cid", "local_ip", "local_port",
-        "remote_ip", "remote_port", "local_af", "start_time_stamp",
-        "sample_rtt",
-        F.element_at("snap", "SegsOut").alias("segs_out"),
-        F.element_at("snap", "HCDataOctetsOut").alias("hc_octets_out"),
-    )
-
-
-_SIDESTREAM_ORACLE = """
-SELECT
-  '20170203T00:00:00Z_ALL' || CAST(l_orderkey % 8 AS VARCHAR) || '.web100' AS test_name,
-  CAST(1486080000 AS BIGINT) AS log_time,
-  CAST(l_orderkey AS BIGINT) AS cid,
-  CAST(l_orderkey % 256 AS VARCHAR) || '.' || CAST(l_partkey % 256 AS VARCHAR)
-    || '.' || CAST(l_suppkey % 256 AS VARCHAR) || '.' || CAST(l_linenumber * 7 % 256 AS VARCHAR) AS local_ip,
-  CAST(l_partkey % 65536 AS BIGINT) AS local_port,
-  CAST(l_partkey % 256 AS VARCHAR) || '.' || CAST(l_suppkey % 256 AS VARCHAR)
-    || '.' || CAST(l_orderkey % 256 AS VARCHAR) || '.' || CAST(l_linenumber * 11 % 256 AS VARCHAR) AS remote_ip,
-  CAST(l_suppkey % 65536 AS BIGINT) AS remote_port,
-  CAST(2 AS INTEGER) AS local_af,
-  CAST(l_orderkey * 1000000 + l_linenumber * 1000 AS BIGINT) AS start_time_stamp,
-  CAST(l_partkey % 500 AS BIGINT) AS sample_rtt,
-  CAST(l_linenumber AS VARCHAR) AS segs_out,
-  CAST(l_suppkey AS VARCHAR) AS hc_octets_out
-FROM lineitem
-"""
-
-
-def src_paris_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Paris-traceroute legacy text format, driver-checked end-to-end
-    (parser/pt.go:774-920): lineitem rows are rendered into real
-    single-flow traceroute text (one chain per file), parsed back by
-    the REAL tree-building parser, hops exploded JVM-side. The oracle
-    derives the reversed hop chain (hops[0] = final hop, source =
-    previous node, root sourced at the server IP) directly from
-    lineitem windows."""
-    from etl_spark.sources import paris as pt
-
-    li = _read(spark, sf_dir, "lineitem")
-    s = lambda c: c.cast("long").cast("string")  # noqa: E731
-    g = F.col("l_orderkey") % 512
-    ip = F.concat_ws(
-        ".", s(F.col("l_orderkey") % 223 + 1), s(F.col("l_partkey") % 256),
-        s(F.col("l_suppkey") % 256), s(F.col("l_linenumber") * 3 % 256),
-    )
-    rtt = ((F.col("l_partkey") % 10000) / F.lit(1000.0)).cast("string")
-    line = F.concat(
-        F.lit(" 1  P(6, 6) h"), ip, F.lit(" ("), ip, F.lit(")  "),
-        rtt, F.lit(" ms"),
-    )
-    server = F.concat(F.lit("10.0."), F.expr("CAST((l_orderkey % 512) DIV 256 AS STRING)"),
-                      F.lit("."), F.expr("CAST((l_orderkey % 512) % 256 AS STRING)"))
-    files = (
-        li.select(
-            g.alias("g"), server.alias("server"),
-            F.struct(F.col("l_orderkey"), F.col("l_linenumber"),
-                     F.col("l_partkey"), F.col("l_suppkey"),
-                     line.alias("ln"), ip.alias("ip")).alias("rec"),
-        )
-        .groupBy("g", "server")
-        .agg(F.array_sort(F.collect_list("rec")).alias("arr"))
-        .select(
-            F.concat(F.lit("20170320T23:53:10Z-g"), F.col("g").cast("string"),
-                     F.lit(".paris")).alias("member_name"),
-            F.concat(
-                F.lit("traceroute [("), F.col("server"), F.lit(":33456) -> ("),
-                F.element_at("arr", -1)["ip"], F.lit(":33457)], protocol tcp, "
-                "algo exhaustive, duration 3 s\n"),
-                F.array_join(F.transform("arr", lambda x: x["ln"]), "\n"),
-            ).alias("content"),
-        )
-    )
-    hops = pt.explode_hops(pt.parse_paris(files))
-    return hops.select(
-        "test_name", "log_time", "source_ip", "dest_ip",
-        F.col("hop_idx").cast("int").alias("hop_idx"),
-        "hop_src_ip", "hop_src_hostname", "hop_dst_ip",
-        F.element_at("rtt", 1).alias("rtt_ms"),
-    )
-
-
-_PARIS_ORACLE = """
-WITH b AS (
-  SELECT l_orderkey % 512 AS g,
-         row_number() OVER w AS rn,
-         count(*) OVER (PARTITION BY l_orderkey % 512) AS cnt,
-         CAST(l_orderkey % 223 + 1 AS VARCHAR) || '.' ||
-           CAST(l_partkey % 256 AS VARCHAR) || '.' ||
-           CAST(l_suppkey % 256 AS VARCHAR) || '.' ||
-           CAST(l_linenumber * 3 % 256 AS VARCHAR) AS ip,
-         CAST(l_partkey % 10000 AS DOUBLE) / 1000 AS rtt
-  FROM lineitem
-  WINDOW w AS (PARTITION BY l_orderkey % 512
-               ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
-),
-c AS (
-  SELECT g, rn, cnt, ip, rtt,
-         lag(ip) OVER (PARTITION BY g ORDER BY rn) AS pip,
-         first_value(ip) OVER (PARTITION BY g ORDER BY rn DESC) AS dest
-  FROM b
-)
-SELECT '20170320T23:53:10Z-g' || CAST(g AS VARCHAR) || '.paris' AS test_name,
-       CAST(1490053990 AS BIGINT) AS log_time,
-       '10.0.' || CAST(g // 256 AS VARCHAR) || '.' || CAST(g % 256 AS VARCHAR) AS source_ip,
-       dest AS dest_ip,
-       CAST(cnt - rn AS INTEGER) AS hop_idx,
-       coalesce(pip, '10.0.' || CAST(g // 256 AS VARCHAR) || '.'
-                 || CAST(g % 256 AS VARCHAR)) AS hop_src_ip,
-       CASE WHEN pip IS NULL THEN '' ELSE 'h' || pip END AS hop_src_hostname,
-       ip AS hop_dst_ip,
-       rtt AS rtt_ms
-FROM c
-"""
-
-
-def src_tcpinfo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """tcpinfo netlink format, driver-checked end-to-end
-    (parser/tcpinfo.go:114-196): events rows are rendered into REAL
-    .jsonl.zst connection files (struct.pack'd 72-byte inet_diag_msg +
-    tcp_info attribute, zstd-framed), parsed back by the real parser
-    (pyarrow-zstd + ABI decode + 10:1 thinning), and the oracle derives
-    every output — sock 4-tuple, final-snapshot counters, thinned
-    count — directly from events in SQL."""
-    import base64 as _b64
-    import json as _json
-    import struct as _struct
-    from datetime import datetime, timezone
-
-    import pandas as _pd
-
-    from etl_spark.functions.compress import _compress_one
-    from etl_spark.sources import tcpinfo as ti
-
-    ev = _read(spark, sf_dir, "events").select(
-        "user_id", "event_id",
-        F.col("ts").cast("timestamp").cast("long").alias("ts_l"),
-    )
-
-    def render(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
-        u = int(key[0])
-        pdf = pdf.sort_values(["ts_l", "event_id"], kind="mergesort")
-        sport, dport = u % 60000 + 1024, (u * 7) % 60000 + 1024
-        src = bytes([10, u % 200, u % 250, u % 251]) + b"\x00" * 12
-        dst = bytes([172, 16 + u % 16, u % 256, (u * 3) % 256]) + b"\x00" * 12
-        lines = [_json.dumps({"Metadata": {
-            "UUID": f"conn-{u}", "Sequence": 0,
-            "StartTime": "2024-01-01T00:00:00Z"}})]
-        for ts_l, eid in zip(pdf["ts_l"], pdf["event_id"]):
-            eid = int(eid)
-            state = eid % 12 + 1
-            idm = (bytes([2, state, 0, 0])
-                   + _struct.pack(">HH", sport, dport) + src + dst
-                   + _struct.pack("<I", 1)
-                   + _struct.pack("<Q", (u << 16) | 7)
-                   + b"\x00" * 20)
-            info = bytearray(128)
-            _struct.pack_into("<I", info, 68, eid % 100000)        # rtt
-            _struct.pack_into("<Q", info, 104, eid * 17)           # bytes_acked
-            attrs = [None, None,
-                     _b64.b64encode(bytes(info)).decode()]
-            iso = datetime.fromtimestamp(int(ts_l), tz=timezone.utc).strftime(
-                "%Y-%m-%dT%H:%M:%SZ")
-            lines.append(_json.dumps({"Timestamp": iso,
-                                      "RawIDM": _b64.b64encode(idm).decode(),
-                                      "Attributes": attrs}))
-        blob = _compress_one(("\n".join(lines) + "\n").encode(), "zstd")
-        return _pd.DataFrame({"member_name": [f"conn-{u}.00000.jsonl.zst"],
-                              "content": [blob]})
-
-    files = ev.groupBy("user_id").applyInPandas(
-        render, schema="member_name string, content binary")
-    out = ti.parse_tcpinfo(files).where(~F.col("corrupted"))
-    return out.select(
-        "uuid",
-        F.col("n_snaps").cast("long").alias("n_snaps"),
-        F.size("snapshots").cast("long").alias("n_thinned"),
-        F.col("sock_id.sport").alias("sport"),
-        F.col("sock_id.dport").alias("dport"),
-        F.col("sock_id.src_ip").alias("src_ip"),
-        F.col("sock_id.dst_ip").alias("dst_ip"),
-        F.col("sock_id.state").alias("state"),
-        F.col("final_snapshot.timestamp_ms").alias("final_ts_ms"),
-        F.col("final_snapshot.rtt").alias("final_rtt"),
-        F.col("final_snapshot.bytes_acked").alias("final_bytes_acked"),
-    )
-
-
-_TCPINFO_ORACLE = """
-WITH b AS (
-  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
-         row_number() OVER w AS rn,
-         count(*) OVER (PARTITION BY user_id) AS cnt
-  FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id)
-)
-SELECT 'conn-' || CAST(user_id AS VARCHAR) AS uuid,
-       cnt AS n_snaps,
-       (cnt + 9) // 10 + CASE WHEN cnt % 10 <> 0 THEN 1 ELSE 0 END AS n_thinned,
-       CAST(user_id % 60000 + 1024 AS INTEGER) AS sport,
-       CAST((user_id * 7) % 60000 + 1024 AS INTEGER) AS dport,
-       '10.' || CAST(user_id % 200 AS VARCHAR) || '.'
-         || CAST(user_id % 250 AS VARCHAR) || '.'
-         || CAST(user_id % 251 AS VARCHAR) AS src_ip,
-       '172.' || CAST(16 + user_id % 16 AS VARCHAR) || '.'
-         || CAST(user_id % 256 AS VARCHAR) || '.'
-         || CAST((user_id * 3) % 256 AS VARCHAR) AS dst_ip,
-       CAST(event_id % 12 + 1 AS INTEGER) AS state,
-       ts_l * 1000 AS final_ts_ms,
-       CAST(event_id % 100000 AS BIGINT) AS final_rtt,
-       CAST(event_id * 17 AS BIGINT) AS final_bytes_acked
-FROM b WHERE rn = cnt
-"""
-
-
-def src_snaplog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """web100 snaplog BINARY format, driver-checked end-to-end
-    (web100/web100.go:419-497): lineitem rows are rendered into real
-    snaplog files — text header whose /read section declares the record
-    layout (legacy names exercise the tcp-kis renames; a ``_``-prefixed
-    field exercises deprecation skip; an INTEGER field exercises the
-    signed >= 0x7FFFFFFF wrap), binary conn spec, fixed-length records
-    — then parsed back by the strided-numpy parser. The oracle derives
-    every decoded value directly from lineitem."""
-    import struct as _struct
-
-    import pandas as _pd
-
-    from etl_spark.sources import snaplog as sl
-
-    li = _read(spark, sf_dir, "lineitem").select(
-        (F.col("l_orderkey") % 32).alias("g"),
-        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
-    )
-    HEADER_FIELDS = ("/read\n"
-                     "PktsOut 0 3 4\n"        # COUNTER32 → SegsOut
-                     "DataBytesOut 4 7 8\n"   # COUNTER64 → HCDataOctetsOut
-                     "LocalAddress 12 2 4\n"  # ADDR_IPV4
-                     "SampledRTT 16 4 4\n"    # GAUGE32 → SampleRTT
-                     "State 20 0 4\n"         # INTEGER (signed wrap)
-                     "_gone 24 5 4\n"         # deprecated → skipped
-                     "\n")
-
-    def render(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
-        g = int(key[0])
-        pdf = pdf.sort_values(
-            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
-            kind="mergesort")
-        head = ("2.5.27 202401010000 net100\n\n/spec\n\n" + HEADER_FIELDS
-                + "/tune\n").encode()
-        head += b"\x00----End-Of-Header---- -1 -1\n"
-        head += _struct.pack("<I", 1704067200)
-        head += b"read" + b"\x00" * 28
-        # conn spec: dst_port, pad, dst_addr, src_port, pad, src_addr
-        head += _struct.pack("<H", (g * 13) % 65536) + b"\x00\x00"
-        head += bytes([172, 16, g % 256, 1])
-        head += _struct.pack("<H", (g * 29) % 65536) + b"\x00\x00"
-        head += bytes([10, 0, g % 256, 2])
-        recs = []
-        for ok, ln, pk, sk in zip(pdf["l_orderkey"], pdf["l_linenumber"],
-                                  pdf["l_partkey"], pdf["l_suppkey"]):
-            ok, ln, pk, sk = int(ok), int(ln), int(pk), int(sk)
-            body = _struct.pack("<I", ln)
-            body += _struct.pack("<Q", sk * 1001)
-            body += bytes([ok % 223 + 1, pk % 256, sk % 256, ln * 3 % 256])
-            body += _struct.pack("<I", pk % 500000)
-            body += _struct.pack("<i", (pk % 7) - 3)
-            body += b"\x00" * 4
-            recs.append(b"----Begin-Snap-Data----\n" + body)
-        blob = head + b"".join(recs)
-        return _pd.DataFrame(
-            {"member_name": [f"20240101T00:00:00Z_g{g}.snaplog"],
-             "content": [blob]})
-
-    files = li.groupBy("g").applyInPandas(
-        render, schema="member_name string, content binary")
-    out = sl.parse_snaplogs(files, every=1).where(~F.col("corrupted"))
-    return out.select(
-        "test_name", "snap_idx", "log_time",
-        "local_ip", "local_port", "remote_ip", "remote_port",
-        F.element_at("integers", "SegsOut").alias("segs_out"),
-        F.element_at("integers", "HCDataOctetsOut").alias("hc_octets_out"),
-        F.element_at("integers", "SampleRTT").alias("sample_rtt"),
-        F.element_at("integers", "State").alias("state"),
-        F.element_at("strings", "LocalAddress").alias("snap_local_ip"),
-    )
-
-
-_SNAPLOG_ORACLE = """
-WITH b AS (
-  SELECT l_orderkey % 32 AS g,
-         row_number() OVER w - 1 AS snap_idx,
-         l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk, l_suppkey AS sk
-  FROM lineitem
-  WINDOW w AS (PARTITION BY l_orderkey % 32
-               ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
-)
-SELECT '20240101T00:00:00Z_g' || CAST(g AS VARCHAR) || '.snaplog' AS test_name,
-       CAST(snap_idx AS BIGINT) AS snap_idx,
-       CAST(1704067200 AS BIGINT) AS log_time,
-       '10.0.' || CAST(g % 256 AS VARCHAR) || '.2' AS local_ip,
-       CAST((g * 29) % 65536 AS BIGINT) AS local_port,
-       '172.16.' || CAST(g % 256 AS VARCHAR) || '.1' AS remote_ip,
-       CAST((g * 13) % 65536 AS BIGINT) AS remote_port,
-       CAST(ln AS BIGINT) AS segs_out,
-       CAST(sk * 1001 AS BIGINT) AS hc_octets_out,
-       CAST(pk % 500000 AS BIGINT) AS sample_rtt,
-       CAST(pk % 7 - 3 AS BIGINT) AS state,
-       CAST(ok % 223 + 1 AS VARCHAR) || '.' || CAST(pk % 256 AS VARCHAR)
-         || '.' || CAST(sk % 256 AS VARCHAR) || '.'
-         || CAST(ln * 3 % 256 AS VARCHAR) AS snap_local_ip
-FROM b
-"""
-
-
-def src_disco_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DISCO switch format, driver-checked end-to-end (parser/disco.go:
-    61-127): events are rendered into concatenated-JSON switch records
-    (one record per user, several records per file), parsed back by the
-    REAL parser, bins exploded JVM-side. The oracle derives the typed
-    bins directly — including the overlap-bin trim (each record's last
-    sample is dropped)."""
-    from etl_spark.sources import disco
-
-    ev = _read(spark, sf_dir, "events")
-    ts_l = F.col("ts").cast("timestamp").cast("long")
-    frag = F.concat(
-        F.lit('{"timestamp": '), ts_l.cast("string"),
-        F.lit(', "value": '), F.round("value", 3).cast("string"), F.lit("}"),
-    )
-    recs = (
-        ev.select("user_id", F.struct(ts_l.alias("t"), F.col("event_id"),
-                                      frag.alias("fr")).alias("rec"))
-        .groupBy("user_id")
-        .agg(F.array_join(
-            F.transform(F.array_sort(F.collect_list("rec")), lambda x: x["fr"]),
-            ", ").alias("samples"))
-        .select(
-            "user_id",
-            F.concat(
-                F.lit('{"sample": ['), F.col("samples"),
-                F.lit('], "metric": "switch.octets.local.rx", "hostname": "mlab'),
-                F.col("user_id").cast("string"),
-                F.lit('", "experiment": "s1"}'),
-            ).alias("rec_json"),
-        )
-    )
-    files = (
-        recs.select((F.col("user_id") % 10).alias("fid"),
-                    F.struct(F.col("user_id"), F.col("rec_json").alias("rj")).alias("r"))
-        .groupBy("fid")
-        .agg(F.array_join(
-            F.transform(F.array_sort(F.collect_list("r")), lambda x: x["rj"]),
-            "\n").alias("content"))
-        .select(
-            F.concat(F.lit("f"), F.col("fid").cast("string"),
-                     F.lit("-switch.json")).alias("member_name"),
-            F.col("content").cast("binary").alias("content"),
-        )
-    )
-    stats = disco.parse_disco(files)
-    return disco.explode_samples(stats).select(
-        "test_id", "metric", "hostname", "bin_idx", "timestamp",
-        F.round("value", 3).alias("value"),
-    )
-
-
-_DISCO_ORACLE = """
-WITH b AS (
-  -- floor(): Spark's timestamp→long cast truncates, DuckDB's rounds;
-  -- the truncated value is also the sample sort key
-  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l, event_id,
-         round(value, 3) AS v,
-         row_number() OVER (PARTITION BY user_id
-                            ORDER BY floor(epoch(ts)), event_id) AS rn,
-         count(*) OVER (PARTITION BY user_id) AS cnt
-  FROM events
-)
-SELECT 'f' || CAST(user_id % 10 AS VARCHAR) || '-switch.json' AS test_id,
-       'switch.octets.local.rx' AS metric,
-       'mlab' || CAST(user_id AS VARCHAR) AS hostname,
-       CAST(rn - 1 AS INTEGER) AS bin_idx,
-       ts_l AS timestamp,
-       round(v, 3) AS value
-FROM b WHERE rn < cnt
-"""
-
-
-def f_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C6 analog (fixed-offset binary decode, web100/web100.go:218-277):
-    pack events into 24-byte little-endian records, then decode the
-    whole Arrow batch with one numpy.frombuffer reinterpret. Oracle =
-    the source columns — the wire round-trip must be bit-exact."""
-    from etl_spark.sources import archive
-
-    ev = _read(spark, sf_dir, "events")
-    decoded = archive.decode_records(archive.pack_records(ev))
-    return decoded.select(
-        "event_id", "user_id", F.round("value", 6).alias("value")
-    )
-
-
-_BINARY_DECODE_ORACLE = """
-SELECT event_id, user_id, round(value, 6) AS value FROM events
-"""
-
-
-def j_group_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J2 analog (NDT test-group co-join, parser/ndt.go:222-321): the
-    members of a logical group arrive in any order; collect them per
-    group key, order within the group, and merge into one summary row
-    (collect_list + array_sort — the grouping state machine as one
-    hash aggregation)."""
-    ev = _read(spark, sf_dir, "events")
-    members = F.array_sort(
-        F.collect_list(F.struct("ts", "event_id", "event_type"))
-    )
-    return (
-        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.array_join(
-                F.transform(members, lambda s: s["event_type"]), ","
-            ).alias("type_seq"),
-            F.round(F.sum("value"), 6).alias("total_value"),
-        )
-    )
-
-
-_GROUP_COJOIN_ORACLE = """
-SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS n,
-       string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
-       round(sum(value), 6) AS total_value
-FROM events GROUP BY user_id, date_trunc('hour', ts)
-"""
-
-
-def w_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T3 analog batch form: event-time tumbling windows (the streaming
-    twin with watermark lives in streaming/windowed.py, equivalence-
-    tested in tests/test_windowed.py)."""
-    from etl_spark.streaming.windowed import windowed_counts_batch
-
-    return windowed_counts_batch(_read(spark, sf_dir, "events"))
-
-
-_WINDOWED_COUNTS_ORACLE = """
-SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
-       event_type, count(*) AS n, round(sum(value), 6) AS total_value
-FROM events GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
-"""
-
-
-def w_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hypertable-style continuous aggregate: the HOURLY rollup is
-    re-aggregated from the 10-MINUTE partials (never from raw — at
-    100 TB the finer aggregate is ~1000× smaller than the events).
-    Counts and sums re-aggregate associatively; the oracle aggregates
-    raw events directly, so the check proves partial-reaggregation
-    equivalence."""
-    from etl_spark.streaming.windowed import windowed_counts_batch
-
-    fine = windowed_counts_batch(_read(spark, sf_dir, "events"))
-    return (
-        fine.groupBy(
-            F.date_trunc("hour", "window_start").alias("hour_start"),
-            "event_type",
-        )
-        .agg(
-            F.sum("n").alias("n"),
-            F.round(F.sum("total_value"), 5).alias("total_value"),
-        )
-    )
-
-
-_HIER_ROLLUP_ORACLE = """
-SELECT date_trunc('hour', ts) AS hour_start, event_type,
-       count(*) AS n, round(sum(value), 5) AS total_value
-FROM events GROUP BY date_trunc('hour', ts), event_type
-"""
-
-
-def w_lead_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 analog (PT pollution cross-check, parser/pt.go:622-658): a
-    row is discarded when the NEXT row for its key, in stream order,
-    repeats its type within 60s — the bounded look-ahead anti-pattern
-    filter, as a lead() window instead of a stateful buffer."""
-    from pyspark.sql import Window
-
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    secs = lambda c: c.cast("timestamp").cast("double")  # NTZ-safe under UTC
-    polluted = (
-        (F.lead("event_type").over(w) == F.col("event_type"))
-        & (secs(F.lead("ts").over(w)) - secs(F.col("ts")) <= 60)
-    )
-    return (
-        ev.withColumn("__p", F.coalesce(polluted, F.lit(False)))
-        .where(~F.col("__p"))
-        .select("event_id", "user_id", "event_type", "ts")
-    )
-
-
-_LEAD_DISCARD_ORACLE = """
-WITH w AS (
-  SELECT event_id, user_id, event_type, ts,
-         lead(event_type) OVER win AS nt,
-         lead(ts) OVER win AS nts
-  FROM events
-  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
-)
-SELECT event_id, user_id, event_type, ts FROM w
-WHERE NOT coalesce(nt = event_type AND epoch(nts) - epoch(ts) <= 60, false)
-"""
-
-
-def j_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J1 analog (temporal annotation lookup, row/row.go:154-287):
-    enrich every event with the user's latest 'buy' value AS OF the
-    event's timestamp — union+window as-of join (one shuffle, no
-    broadcast requirement). Oracle: DuckDB native ASOF LEFT JOIN."""
-    from etl_spark.operators.asof import asof_join
-
-    ev = _read(spark, sf_dir, "events")
-    tiers = (
-        ev.where(F.col("event_type") == "buy")
-        .groupBy("user_id", "ts")
-        .agg(F.max("value").alias("tier_value"))
-    )
-    out = asof_join(
-        ev.select("event_id", "user_id", "event_type", "ts"),
-        tiers,
-        key_cols=("user_id",),
-        events_ts="ts",
-        dim_ts="ts",
-        value_cols=("tier_value",),
-    )
-    return out.select("event_id", "user_id", "event_type", "ts", "tier_value")
-
-
-_ASOF_ORACLE = """
-WITH tiers AS (
-  SELECT user_id, ts, max(value) AS tier_value
-  FROM events WHERE event_type = 'buy' GROUP BY user_id, ts
-)
-SELECT e.event_id, e.user_id, e.event_type, e.ts, t.tier_value
-FROM events e
-ASOF LEFT JOIN tiers t ON e.user_id = t.user_id AND e.ts >= t.ts
-"""
-
-
-def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range join (equi key + interval containment): lineitems shipped
-    within 90 days of their order's date."""
-    from etl_spark.operators.asof import range_join
-
-    li = _read(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("okey"), "l_shipdate", "l_linenumber"
-    )
-    o = _read(spark, sf_dir, "orders").select(
-        F.col("o_orderkey").alias("okey"), "o_orderdate",
-        F.date_add("o_orderdate", 90).alias("o_hi"),
-        F.round("o_totalprice", 2).alias("o_totalprice"),
-    )
-    out = range_join(li, o, on=("okey",), left_ts="l_shipdate",
-                     right_lo="o_orderdate", right_hi="o_hi")
-    return out.select("okey", "l_linenumber", "l_shipdate", "o_orderdate",
-                      "o_totalprice")
-
-
-_RANGE_JOIN_ORACLE = """
-SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_shipdate, o.o_orderdate,
-       round(o.o_totalprice, 2) AS o_totalprice
-FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
- AND l.l_shipdate >= o.o_orderdate
- AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
-"""
-
-
-def cdc_lww_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-phase salted LWW (partial max per (key, salt) → final per
-    key): the hot-key path must produce byte-identical winners to the
-    direct hash-agg (same oracle as cdc_lww)."""
-    from etl_spark.operators.dedup import lww_latest_salted
-
-    ev = gen.derived_events(spark, sf_dir)
-    return lww_latest_salted(ev).select(
-        "repo", "path", F.col("seq").alias("last_seq"), "op", "commit",
-        F.sha2(F.col("content"), 256).alias("content_sha256"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# scalar parsing / routing / data-quality queries
-# ---------------------------------------------------------------------------
-
-def f_route_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F1 analog: synthesize archive URIs from lineitem (some malformed),
-    regex-route, aggregate per experiment/validity."""
-    li = _read(spark, sf_dir, "lineitem")
-    uri = F.when(
-        F.col("l_partkey") % 7 == 0,
-        # malformed: date segment missing
-        F.concat(F.lit("gs://archive/exp"), (F.col("l_suppkey") % 3).cast("string"),
-                 F.lit("/badfile.tgz")),
-    ).otherwise(
-        F.concat(
-            F.lit("gs://archive/exp"), (F.col("l_suppkey") % 3).cast("string"),
-            F.lit("/2024/"),
-            F.lpad((F.col("l_partkey") % 12 + 1).cast("string"), 2, "0"),
-            F.lit("/"),
-            F.lpad((F.col("l_orderkey") % 28 + 1).cast("string"), 2, "0"),
-            F.lit("/host"), (F.col("l_linenumber") % 5).cast("string"),
-            F.lit(".tgz"),
-        )
-    )
-    routed = parsing.route_paths(li.select(uri.alias("uri")))
-    return routed.groupBy("experiment", "suffix", "valid").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("mm").alias("min_mm"),
-        F.max("dd").alias("max_dd"),
-    )
-
-
-def f_jsonl_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C4 analog: pack each user's props into one JSONL blob, decode it
-    back via split+explode+from_json, aggregate — round-trip equality
-    against direct aggregation."""
-    ev = _read(spark, sf_dir, "events")
-    packed = ev.groupBy("user_id").agg(
-        F.concat_ws(
-            "\n",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("event_id", "props"))),
-                lambda s: s["props"],
-            ),
-        ).alias("jsonl")
-    )
-    decoded = parsing.decode_jsonl(packed, "jsonl", ["user_id"])
-    return decoded.groupBy("user_id").agg(
-        F.count("k").alias("n_records"),
-        F.sum("k").alias("sum_k"),
-    )
-
-
-def f_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C5 analog: deterministically corrupt a third of the props blobs,
-    regexp-repair, strict-parse, aggregate."""
-    ev = _read(spark, sf_dir, "events")
-    corrupted = ev.select(
-        "event_type",
-        F.when(
-            F.col("event_id") % 3 == 0,
-            F.concat(F.col("props"), F.lit(";;corrupt<<<garbage")),
-        ).otherwise(F.col("props")).alias("props"),
-    )
-    parsed = corrupted.select(
-        "event_type", parsing.repair_json(F.col("props")).alias("j")
-    )
-    return parsed.groupBy("event_type").agg(
-        F.count("j.k").alias("n_parsed"),
-        F.sum("j.k").alias("sum_k"),
-    )
-
-
-def f_ip_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3/C9 analog: synthesize IPs (some malformed), validate/convert/
-    classify, aggregate per first octet."""
-    li = _read(spark, sf_dir, "lineitem")
-    ip = F.when(
-        F.col("l_orderkey") % 11 == 0, F.lit("999.1.2")  # malformed
-    ).otherwise(
-        F.concat_ws(
-            ".",
-            (F.col("l_orderkey") % 256).cast("string"),
-            (F.col("l_partkey") % 256).cast("string"),
-            (F.col("l_suppkey") % 256).cast("string"),
-            (F.col("l_linenumber") * 7 % 256).cast("string"),
-        )
-    )
-    fields = parsing.ipv4_fields(li.select(ip.alias("ip")))
-    return fields.groupBy("valid", "is_private").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("ip_int").alias("sum_ip_int"),
-        F.min("oct1").alias("min_oct1"),
-        F.max("oct1").alias("max_oct1"),
-    )
-
-
-def f_size_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S3 analog: oversize flag + size-bucket histogram on the derived
-    event contents, nothing dropped."""
-    ev = gen.derived_events(spark, sf_dir).where(F.col("content").isNotNull())
-    guarded = parsing.size_guard(
-        ev.select("seq", F.length("content").alias("content_len")),
-        F.col("content_len"),
-        limit=600,
-    )
-    return guarded.groupBy("oversize", "size_bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("content_len").alias("min_len"),
-        F.max("content_len").alias("max_len"),
-    )
-
-
-_ROUTE_ORACLE = """
-WITH uris AS (
-  SELECT CASE WHEN l_partkey % 7 = 0
-    THEN 'gs://archive/exp' || CAST(l_suppkey % 3 AS VARCHAR) || '/badfile.tgz'
-    ELSE 'gs://archive/exp' || CAST(l_suppkey % 3 AS VARCHAR) || '/2024/'
-         || lpad(CAST(l_partkey % 12 + 1 AS VARCHAR), 2, '0') || '/'
-         || lpad(CAST(l_orderkey % 28 + 1 AS VARCHAR), 2, '0')
-         || '/host' || CAST(l_linenumber % 5 AS VARCHAR) || '.tgz'
-  END AS uri FROM lineitem
-),
-routed AS (
-  SELECT uri,
-    CASE WHEN regexp_matches(uri, '{re}')
-         THEN regexp_extract(uri, '{re}', 2) END AS experiment,
-    CASE WHEN regexp_matches(uri, '{re}')
-         THEN regexp_extract(uri, '{re}', 4) END AS mm,
-    CASE WHEN regexp_matches(uri, '{re}')
-         THEN regexp_extract(uri, '{re}', 5) END AS dd,
-    CASE WHEN regexp_matches(uri, '{re}')
-         THEN regexp_extract(uri, '{re}', 7) END AS suffix,
-    regexp_matches(uri, '{re}') AS valid
-  FROM uris
-)
-SELECT experiment, suffix, valid, count(*) AS n,
-       min(mm) AS min_mm, max(dd) AS max_dd
-FROM routed GROUP BY experiment, suffix, valid
-"""
-
-_JSONL_ORACLE = """
-SELECT user_id,
-       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_records,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-FROM events GROUP BY user_id
-"""
-
-_JSON_REPAIR_ORACLE = """
-SELECT event_type,
-       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
-FROM events GROUP BY event_type
-"""
-
-_IP_ORACLE = """
-WITH ips AS (
-  SELECT CASE WHEN l_orderkey % 11 = 0 THEN '999.1.2'
-    ELSE CAST(l_orderkey % 256 AS VARCHAR) || '.' || CAST(l_partkey % 256 AS VARCHAR)
-         || '.' || CAST(l_suppkey % 256 AS VARCHAR) || '.'
-         || CAST(l_linenumber * 7 % 256 AS VARCHAR)
-  END AS ip FROM lineitem
-),
-fields AS (
-  SELECT ip,
-    len(string_split(ip, '.')) = 4 AS valid,
-    CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
-    CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
-    CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
-    CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
-  FROM ips
-),
-classified AS (
-  SELECT
-    CASE WHEN valid THEN o1 END AS oct1,
-    CASE WHEN valid THEN o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 END AS ip_int,
-    valid,
-    CASE WHEN valid THEN
-      (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR (o1 = 192 AND o2 = 168))
-    ELSE FALSE END AS is_private
-  FROM fields
-)
-SELECT valid, is_private, count(*) AS n, CAST(sum(ip_int) AS BIGINT) AS sum_ip_int,
-       min(oct1) AS min_oct1, max(oct1) AS max_oct1
-FROM classified GROUP BY valid, is_private
-"""
-
-_SIZE_GUARD_ORACLE = """
-WITH events AS ({events}),
-sized AS (
-  SELECT seq, length(content) AS content_len FROM events WHERE content IS NOT NULL
-),
-guarded AS (
-  SELECT *, content_len > 600 AS oversize,
-         CASE WHEN content_len <= 0 THEN 0
-              ELSE CAST(floor(log2(CAST(content_len AS DOUBLE))) AS INTEGER) END AS size_bucket
-  FROM sized
-)
-SELECT oversize, size_bucket, count(*) AS n,
-       min(content_len) AS min_len, max(content_len) AS max_len
-FROM guarded GROUP BY oversize, size_bucket
-"""
-
-
-# ---------------------------------------------------------------------------
-# relational queries
-# ---------------------------------------------------------------------------
-
-_Q1_ORACLE = """
-SELECT l_returnflag, l_linestatus,
-       sum(l_quantity) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-       round(avg(l_quantity), 6) AS avg_qty,
-       round(avg(l_extendedprice), 6) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
-       count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= DATE '1998-09-02'
-GROUP BY l_returnflag, l_linestatus
-"""
-
-_Q3_ORACLE = """
-SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-FROM customer, orders, lineitem
-WHERE c_mktsegment = 'BUILDING'
-  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
-  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
-GROUP BY l_orderkey, o_orderdate, o_orderpriority
-ORDER BY revenue DESC, l_orderkey
-LIMIT 10
-"""
-
-_NATION_REVENUE_ORACLE = """
-SELECT r_name, n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-       count(*) AS n_items
-FROM lineitem, supplier, nation, region
-WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-  AND n_regionkey = r_regionkey
-GROUP BY r_name, n_name
-"""
-
-_ANTI_JOIN_ORACLE = """
-SELECT c_nationkey, count(*) AS n_customers_no_orders
-FROM customer
-WHERE c_custkey NOT IN (
-  SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01'
-)
-GROUP BY c_nationkey
-"""
-
-_COGROUP_ORACLE = """
-WITH grouped AS (
-  SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS total_qty
-  FROM lineitem GROUP BY l_orderkey
-)
-SELECT o_orderstatus, n_lines, count(*) AS n_orders,
-       round(avg(total_qty), 6) AS avg_total_qty
-FROM grouped JOIN orders ON l_orderkey = o_orderkey
-GROUP BY o_orderstatus, n_lines
-"""
-
-
-# ---------------------------------------------------------------------------
-# documents: text analysis + dedup
-# ---------------------------------------------------------------------------
-
-def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = textops.token_stats(_read(spark, sf_dir, "documents"))
-    return out.select(
-        "doc_id",
-        F.col("n_chars2").cast("long").alias("n_chars2"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
-    )
-
-
-def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = textops.quality_score(_read(spark, sf_dir, "documents"))
-    return out.select(
-        "doc_id", "lang",
-        F.col("n_chars2").cast("long").alias("n_chars2"),
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        "mean_token_len", "lexical_diversity", "stopword_ratio", "keep",
-    )
-
-
-def doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.lang_id(_read(spark, sf_dir, "documents"))
-
-
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.doc_fingerprint(_read(spark, sf_dir, "documents"))
-
-
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return textops.dedup_exact(_read(spark, sf_dir, "documents"))
-
-
-_TOKENS = "string_split(text, ' ')"
-
-_DOC_TOKEN_STATS_ORACLE = f"""
-SELECT doc_id,
-       length(text) AS n_chars2,
-       len({_TOKENS}) AS n_tokens,
-       len(list_distinct({_TOKENS})) AS n_distinct_tokens
-FROM documents
-"""
-
-_COUNT_WORD = (
-    "CAST((length(' ' || lower(text) || ' ') - "
-    "length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {wl} AS BIGINT)"
-)
-
-
-def _cw(w: str) -> str:
-    return _COUNT_WORD.format(w=w, wl=len(w) + 2)
-
-
-_DOC_QUALITY_ORACLE = f"""
-SELECT doc_id, lang,
-       length(text) AS n_chars2,
-       len({_TOKENS}) AS n_tokens,
-       round(length(text) / len({_TOKENS}), 6) AS mean_token_len,
-       round(len(list_distinct({_TOKENS})) / len({_TOKENS}), 6) AS lexical_diversity,
-       round(({_cw('the')} + {_cw('a')}) / len({_TOKENS}), 6) AS stopword_ratio,
-       (length(text) >= 100 AND len({_TOKENS}) >= 20
-        AND len(list_distinct({_TOKENS})) / len({_TOKENS}) >= 0.2) AS keep
-FROM documents
-"""
-
-
-def _langid_oracle() -> str:
-    score = {
-        lg: " + ".join(_cw(w) for w in ws) for lg, ws in textops.LANG_MARKERS.items()
-    }
-    return f"""
-WITH scored AS (
-  SELECT doc_id, lang,
-         {score['en']} AS s_en, {score['de']} AS s_de,
-         {score['fr']} AS s_fr, {score['es']} AS s_es
-  FROM documents
-)
-SELECT doc_id, lang,
-       CASE
-         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
-         WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
-         WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
-         ELSE 'es'
-       END AS detected_lang,
-       greatest(s_en, s_de, s_fr, s_es) AS marker_hits
-FROM scored
-"""
-
-
-_DOC_FINGERPRINT_ORACLE = r"""
-SELECT doc_id,
-       sha256(text) AS sha_raw,
-       sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS sha_norm,
-       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS md5_norm
-FROM documents
-"""
-
-_DEDUP_EXACT_ORACLE = """
-SELECT sha256(text) AS content_hash,
-       min(doc_id) AS canonical_doc_id,
-       count(*) AS n_copies
-FROM documents GROUP BY 1
-"""
-
-
-# ---------------------------------------------------------------------------
-# near-dup sketches
-# ---------------------------------------------------------------------------
-
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _read(spark, sf_dir, "documents")
-    return simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.25)
-
-
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simdedup.simhash(_read(spark, sf_dir, "documents"))
-
-
-_SHINGLES = """
-SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
-FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
-"""
-
-_MINHASH_SIG = f"""
-SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || ':' || shingle)) AS mh
-FROM ({_SHINGLES}) s, unnest(range(0, 16)) AS p(perm)
-GROUP BY doc_id, perm
-"""
-
-_MINHASH_LSH_ORACLE = f"""
-WITH sig AS ({_MINHASH_SIG}),
-bands AS (
-  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
-         md5(string_agg(mh, '|' ORDER BY perm)) AS band_hash
-  FROM sig GROUP BY doc_id, 2
-),
-pairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-  WHERE a.doc_id < b.doc_id
-),
-est AS (
-  SELECT p.doc_a, p.doc_b,
-         round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
-  FROM pairs p
-  JOIN sig sa ON sa.doc_id = p.doc_a
-  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
-  GROUP BY p.doc_a, p.doc_b
-)
-SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
-"""
-
-_SIMHASH_ORACLE = r"""
-WITH toks AS (
-  SELECT DISTINCT doc_id, md5(tok) AS h
-  FROM (
-    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
-    FROM documents
-  ) WHERE tok <> ''
-),
-bits AS (
-  SELECT doc_id, b,
-         sum(CASE WHEN
-               CAST(floor((strpos('0123456789abcdef',
-                      substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
-                    / power(2, b % 4)) AS BIGINT) % 2 = 1
-             THEN 1 ELSE -1 END) AS s
-  FROM toks, unnest(range(0, 32)) AS t(b)
-  GROUP BY doc_id, b
-)
-SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
-"""
-
-
-# ---------------------------------------------------------------------------
-# embeddings: similarity search
-# ---------------------------------------------------------------------------
-
-def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = _read(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 8)
-    out = similarity.cosine_topk_bruteforce(emb, q, k=5)
-    return out.select(
-        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
-    )
-
-
-def dedup_exact_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The corpus AFTER exact dedup: canonical (min doc_id) survivor
-    per content hash — the rows a training pipeline keeps."""
-    return textops.dedup_exact_survivors(_read(spark, sf_dir, "documents"))
-
-
-_DEDUP_SURVIVORS_ORACLE = """
-WITH canon AS (
-  SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)
-)
-SELECT d.doc_id, d.lang, d.source, d.n_chars
-FROM documents d JOIN canon USING (doc_id)
-"""
-
-
-def f_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S7 analog (GCS JSONL row sink, storage/rowwriter.go:27-117):
-    write documents as newline-delimited JSON (built-in sink), read
-    back with an explicit schema. Oracle = the source table — the sink
-    round-trip must be the identity."""
-    docs = _read(spark, sf_dir, "documents").select(
-        "doc_id", "text", "lang", "source", "n_chars"
-    )
-    out = tempfile.mkdtemp(prefix="jsonl_sink_")
-    docs.write.mode("overwrite").json(out)
-    return spark.read.schema(docs.schema).json(out)
-
-
-_JSONL_SINK_ORACLE = """
-SELECT doc_id, text, lang, source, n_chars FROM documents
-"""
-
-
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup detection: candidate pairs blocked on
-    the label (the cluster key a real pipeline would block on — LSH
-    bucket, ANN cell), exact cosine verify, threshold filter on the
-    ROUNDED score so both engines make the identical keep/drop call.
-    Threshold is dataset-relative (synthetic embeddings peak ≈0.47)."""
-    emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("label"),
-        F.col("embedding").alias("ea"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("label"),
-        F.col("embedding").alias("eb"),
-    )
-    pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
-    cos = F.round(similarity.cosine_similarity_col(F.col("ea"), F.col("eb")), 6)
-    return (
-        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
-        .where(F.col("cosine") >= 0.35)
-    )
-
-
-_EMB_DEDUP_ORACLE = """
-WITH pairs AS (
-  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         round(
-           sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
-           / (sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
-              * sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
-           6) AS cosine
-  FROM embeddings a
-  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
-       unnest(range(1, 65)) AS t(i)
-  GROUP BY a.vec_id, b.vec_id
-)
-SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
-"""
-
-
-def arr_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return arrays.thin_array(_read(spark, sf_dir, "embeddings"))
-
-
-def arr_overlap_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return arrays.overlap_trim(_read(spark, sf_dir, "embeddings"))
-
-
-def arr_last_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return arrays.last_element_summary(_read(spark, sf_dir, "embeddings"))
-
-
-_ARR_THIN_ORACLE = """
-WITH kept AS (
-  SELECT vec_id,
-         list_filter(embedding, (x, i) -> (i - 1) % 10 = 0 OR i = len(embedding)) AS k
-  FROM embeddings
-)
-SELECT vec_id, len(k) AS n_kept,
-       round(list_sum(list_transform(k, x -> CAST(x AS DOUBLE))), 5) AS kept_sum
-FROM kept
-"""
-
-_ARR_TRIM_ORACLE = """
-WITH t AS (
-  SELECT vec_id, embedding[1:len(embedding) - 1] AS k FROM embeddings
-)
-SELECT vec_id, len(k) AS n_after_trim,
-       round(list_sum(list_transform(k, x -> CAST(x AS DOUBLE))), 5) AS trim_sum
-FROM t
-"""
-
-_ARR_SUMMARY_ORACLE = """
-SELECT vec_id,
-       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
-       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
-       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
-       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
-       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
-             / len(embedding), 6) AS mean_val
-FROM embeddings
-"""
-
-
-def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal binary decode. The SMF corpus is a pure function of
-    sha256(media_id), so the expected header fields AND the body mean
-    are derivable in DuckDB SQL (hex→byte via strpos, same trick as the
-    simhash oracle) — the oracle independently recomputes what the
-    binary parse must find. payload_sha256 (not SQL-expressible) lives
-    in mm_decode_full + tests/test_multimodal.py."""
-    media = multimodal.synth_media(spark, 300)
-    return multimodal.decode_media(media).select(
-        "media_id", "kind", "width", "height", "n_frames", "body_bytes",
-        F.round("mean_value", 6).alias("mean_value"), "valid",
-    )
-
-
-def mm_decode_full(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full decode incl. payload_sha256 (rows-only: blob hashing of a
-    constructed payload is not SQL-expressible; bit-exactness vs a
-    pure-Python reference is asserted in tests/test_multimodal.py)."""
-    media = multimodal.synth_media(spark, 300)
-    return multimodal.decode_media(media)
-
-
-def mm_payload_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-exactness of the FULL constructed media payload, oracle-
-    checked: both engines hash the (injective) lowercase hex of the
-    blob — DuckDB rebuilds the SMF payload hex from the sha256 spec
-    (little-endian header packing included) and hashes the same ASCII
-    string, closing the one surface the raw-blob sha could not cover
-    (this DuckDB's sha256 only accepts VARCHAR)."""
-    media = multimodal.synth_media(spark, 300)
-    return media.select(
-        "media_id",
-        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_hex_sha"),
-    )
-
-
-def _le_hex(expr: str, nbytes: int) -> str:
-    """DuckDB expr: little-endian hex of an int, ``nbytes`` wide."""
-    hexlen = nbytes * 2
-    return " || ".join(
-        f"substr(lpad(format('{{:x}}', {expr}), {hexlen}, '0'), "
-        f"{hexlen - 1 - 2 * i}, 2)"
-        for i in range(nbytes)
-    )
-
-
-def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame sampling, N→M UDTF shape. Frame means are
-    SQL-recomputable (cyclic 32-byte body pattern); frame_sha256 stays
-    pytest-only."""
-    media = multimodal.synth_media(spark, 300)
-    return multimodal.sample_frames(media, every=2).select(
-        "media_id",
-        "frame_idx",
-        F.round("frame_mean", 6).alias("frame_mean"),
-    )
-
-
-def _hx(col: str, i) -> str:
-    """DuckDB expr: byte ``i`` (0-based) of a lowercase-hex digest column."""
-    hi, lo = (str(2 * i + 1), str(2 * i + 2)) if isinstance(i, int) else (
-        f"2*{i}+1", f"2*{i}+2")
-    return (f"(16*(strpos('0123456789abcdef', substr({col}, {hi}, 1)) - 1)"
-            f" + (strpos('0123456789abcdef', substr({col}, {lo}, 1)) - 1))")
-
-
-# Shared CTE prefix: recompute the SMF corpus spec (kind/dims/body bytes)
-# from sha256 in pure SQL — independent re-derivation of what the binary
-# header parse must find (multimodal._payload_bytes is the generator).
-_MM_SPEC_CTES = f"""
-WITH ids AS (SELECT i AS media_id FROM range(0, 300) AS t(i)),
-hb AS (
-  SELECT media_id,
-         sha256('media:' || CAST(media_id AS VARCHAR)) AS mh,
-         sha256('body:'  || CAST(media_id AS VARCHAR)) AS bh
-  FROM ids
-),
-hdr AS (
-  SELECT media_id, bh,
-         {_hx('mh', 0)} AS b0, {_hx('mh', 1)} AS b1,
-         {_hx('mh', 2)} AS b2, {_hx('mh', 3)} AS b3
-  FROM hb
-),
-dims AS (
-  SELECT media_id, bh,
-    CASE b0 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-    CASE b0 % 3 WHEN 0 THEN 8 + b1 % 24 WHEN 1 THEN 8 ELSE 8 + b1 % 8 END AS width,
-    CASE b0 % 3 WHEN 0 THEN 8 + b2 % 24 WHEN 1 THEN 64 + b2 % 192 ELSE 8 + b2 % 8 END AS height,
-    CASE b0 % 3 WHEN 2 THEN 2 + b3 % 6 ELSE 1 END AS n_frames
-  FROM hdr
-),
-body AS (
-  SELECT d.media_id, t.i, {_hx('d.bh', 't.i')} AS bv
-  FROM dims d, range(0, 32) AS t(i)
-)"""
-
-_MM_DECODE_ORACLE = _MM_SPEC_CTES + """,
-stats AS (
-  SELECT d.media_id, d.kind, d.width, d.height, d.n_frames,
-         d.width * d.height * d.n_frames AS body_bytes,
-         sum(b.bv) AS sum32,
-         sum(CASE WHEN b.i < (d.width * d.height * d.n_frames) % 32
-                  THEN b.bv ELSE 0 END) AS sum_rem
-  FROM dims d JOIN body b ON b.media_id = d.media_id
-  GROUP BY d.media_id, d.kind, d.width, d.height, d.n_frames
-)
-SELECT media_id, kind,
-       CAST(width AS INTEGER) AS width,
-       CAST(height AS INTEGER) AS height,
-       CAST(n_frames AS INTEGER) AS n_frames,
-       CAST(body_bytes AS BIGINT) AS body_bytes,
-       round(((body_bytes // 32) * sum32 + sum_rem)
-             / CAST(body_bytes AS DOUBLE), 6) AS mean_value,
-       TRUE AS valid
-FROM stats
-"""
-
-_MM_PAYLOAD_ORACLE = _MM_SPEC_CTES + f""",
-hx AS (
-  SELECT media_id,
-         '534d4631' || {_le_hex('kind_i', 1)} || {_le_hex('width', 4)}
-           || {_le_hex('height', 4)} || {_le_hex('n_frames', 2)}
-           || substr(repeat(bh, (width * height * n_frames) // 32 + 1),
-                     1, width * height * n_frames * 2) AS payload_hex
-  FROM (SELECT d.media_id, d.bh,
-               CASE d.kind WHEN 'image' THEN 0 WHEN 'audio' THEN 1 ELSE 2 END AS kind_i,
-               d.width, d.height, d.n_frames
-        FROM dims d) t
-)
-SELECT media_id, sha256(payload_hex) AS payload_hex_sha FROM hx
-"""
-
-_MM_FRAMES_ORACLE = _MM_SPEC_CTES + """,
-frames AS (
-  SELECT d.media_id, d.width * d.height AS flen, f.fi
-  FROM dims d, range(0, 8) AS f(fi)
-  WHERE d.kind = 'video' AND f.fi < d.n_frames AND f.fi % 2 = 0
-),
-pos AS (
-  SELECT fr.media_id, fr.fi, fr.flen,
-         (fr.fi * fr.flen + p.j) % 32 AS i
-  FROM frames fr, range(0, 256) AS p(j)
-  WHERE p.j < fr.flen
-)
-SELECT po.media_id, CAST(po.fi AS INTEGER) AS frame_idx,
-       round(sum(b.bv) / CAST(any_value(po.flen) AS DOUBLE), 6) AS frame_mean
-FROM pos po JOIN body b ON b.media_id = po.media_id AND b.i = po.i
-GROUP BY po.media_id, po.fi
-"""
-
-
-def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k — FULLY oracle-checked despite being
-    approximate: the md5-derived Rademacher hyperplanes are
-    recomputable in DuckDB (same strpos-hex bit trick as the simhash
-    oracle), so the oracle independently re-derives buckets, the
-    multi-table candidate set, exact cosines and the final ranking.
-    Recall vs brute force is additionally tested in
-    tests/test_similarity.py."""
-    emb = _read(spark, sf_dir, "embeddings")
-    q = emb.where(F.col("vec_id") < 8)
-    out = similarity.cosine_topk_lsh(emb, q, dim=64, k=5)
-    return out.select(
-        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
-    )
-
-
-_ANN_LSH_ORACLE = """
-WITH planes AS (
-  SELECT t.t AS tbl, h.h, d.i,
-         CASE WHEN (strpos('0123456789abcdef',
-                substr(md5('hp' || CAST(t.t AS VARCHAR) || ':'
-                           || CAST(h.h AS VARCHAR) || ':'
-                           || CAST(d.i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
-              THEN 1.0 ELSE -1.0 END AS c
-  FROM range(0, 8) t(t), range(0, 6) h(h), range(0, 64) d(i)
-),
-vecs AS (
-  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-         CAST(unnest(embedding) AS DOUBLE) AS v
-  FROM embeddings
-),
-sigs AS (
-  SELECT v.vec_id, p.tbl, p.h, sum(v.v * p.c) >= 0 AS bit
-  FROM vecs v JOIN planes p ON p.i = v.i
-  GROUP BY v.vec_id, p.tbl, p.h
-),
-buckets AS (
-  SELECT vec_id, tbl,
-         CAST(sum(CASE WHEN bit THEN (CAST(1 AS BIGINT) << h)
-                       ELSE 0 END) AS BIGINT) AS bucket
-  FROM sigs GROUP BY vec_id, tbl
-),
-cand AS (
-  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-  FROM buckets q JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
-  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
-),
-scored AS (
-  SELECT cand.query_id, cand.neighbor_id,
-         round(
-           sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))
-           / (sqrt(sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
-              * sqrt(sum(CAST(ne.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)))),
-           6) AS cosine
-  FROM cand
-  JOIN embeddings qe ON qe.vec_id = cand.query_id
-  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
-  CROSS JOIN unnest(range(1, 65)) AS t(i)
-  GROUP BY cand.query_id, cand.neighbor_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, cosine,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
-FROM ranked WHERE rank <= 5
-"""
-
-
-_ANN_ORACLE = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
-scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         round(
-           sum(CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
-           / (sqrt(sum(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-              * sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))),
-           6) AS cosine
-  FROM q, embeddings e, unnest(range(1, 65)) AS t(i)
-  WHERE e.vec_id <> q.query_id
-  GROUP BY q.query_id, e.vec_id
-),
-ranked AS (
-  SELECT query_id, neighbor_id, cosine,
-         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-  FROM scored
-)
-SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
-"""
-
-
-# ---------------------------------------------------------------------------
-# the contract
-# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full CDC engine replay on sf0.001."""
@@ -1977,82 +155,69 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries — the driver checks the FIRST 50 registered
+    queries, so every capability's proof row must sit inside that
+    window. r3 consolidated redundant rows (arr_*, doc_*, survivor and
+    payload variants, duplicate relational demos) into merged queries;
+    the per-op variants remain as module functions pinned by pytest."""
     return {
-        # CDC engine
+        # CDC engine (flagship family)
         "cdc_events": cdc_events,
         "cdc_lww": cdc_lww,
         "cdc_final_state": cdc_final_state,
         "cdc_fingerprint": cdc_fingerprint,
         "cdc_op_stats": cdc_op_stats,
-        # windows
+        # ordered-stream window operators
         "w_lag_delta": w_lag_delta,
         "w_change_points": w_change_points,
         "w_thin": w_thin,
-        "w_session_summary": w_session_summary,
         "w_json_props": w_json_props,
-        # relational
-        "q1_pricing_summary": relational.q1_pricing_summary,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "nation_revenue": relational.nation_revenue,
-        "customers_without_orders": relational.customers_without_orders,
-        "order_cogroup_stats": relational.order_cogroup_stats,
-        # set ops / percentiles / base64
-        "set_ops": set_ops,
-        "value_percentiles": value_percentiles,
-        "base64_roundtrip": base64_roundtrip,
-        # sessionization / integrity / rollup / top-k / text-table
         "w_sessionize_gap": w_sessionize_gap,
         "w_monotone_violations": w_monotone_violations,
-        "agg_rollup": agg_rollup,
+        "w_windowed_counts": w_windowed_counts,
+        "w_hier_rollup": w_hier_rollup,
+        "w_lead_discard": w_lead_discard,
         "w_topk_per_group": w_topk_per_group,
-        "f_text_table_decode": f_text_table_decode,
-        "dedup_ngram_jaccard": dedup_ngram_jaccard,
-        "f_compress_roundtrip": f_compress_roundtrip,
-        # archive / binary sources + salted LWW
+        # relational / joins
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "nation_revenue": relational.nation_revenue,
+        "j_group_cojoin": j_group_cojoin,
+        "j_asof_enrich": j_asof_enrich,
+        "j_range_join": j_range_join,
+        # aggregates / set ops / codecs
+        "set_ops": set_ops,
+        "value_percentiles": value_percentiles,
+        "agg_rollup": agg_rollup,
+        "base64_roundtrip": base64_roundtrip,
+        # real wire-format sources (render-and-parse, all end-to-end)
         "src_tar_roundtrip": src_tar_roundtrip,
         "src_sidestream_decode": src_sidestream_decode,
         "src_disco_decode": src_disco_decode,
         "src_paris_decode": src_paris_decode,
         "src_tcpinfo_decode": src_tcpinfo_decode,
         "src_snaplog_decode": src_snaplog_decode,
-        "f_binary_decode": f_binary_decode,
-        "cdc_lww_salted": cdc_lww_salted,
-        # group co-join + event-time windows + lead discard
-        "j_group_cojoin": j_group_cojoin,
-        "w_windowed_counts": w_windowed_counts,
-        "w_hier_rollup": w_hier_rollup,
-        "w_lead_discard": w_lead_discard,
-        "j_asof_enrich": j_asof_enrich,
-        "j_range_join": j_range_join,
-        # scalar parsing / routing / data quality
+        "src_ndt_results_decode": src_ndt_results_decode,
+        "ndt_deltas": ndt_deltas,
+        # scalar functions / sinks
         "f_route_paths": f_route_paths,
         "f_jsonl_decode": f_jsonl_decode,
         "f_json_repair": f_json_repair,
         "f_ip_tools": f_ip_tools,
         "f_size_guard": f_size_guard,
-        # documents / text
-        "doc_token_stats": doc_token_stats,
-        "doc_quality": doc_quality,
-        "doc_langid": doc_langid,
-        "doc_fingerprint": doc_fingerprint,
+        "f_compress_roundtrip": f_compress_roundtrip,
+        "f_jsonl_sink_roundtrip": f_jsonl_sink_roundtrip,
+        # documents / dedup
+        "doc_text_features": doc_text_features,
         "dedup_exact": dedup_exact,
-        # near-dup sketches
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
-        # array-column ops
-        "arr_thin": arr_thin,
-        "arr_overlap_trim": arr_overlap_trim,
-        "arr_last_summary": arr_last_summary,
-        # embeddings
+        # arrays / embeddings / multimodal
+        "arr_ops": arr_ops,
         "ann_cosine_topk": ann_cosine_topk,
         "ann_cosine_lsh": ann_cosine_lsh,
         "dedup_embedding_cosine": dedup_embedding_cosine,
-        "dedup_exact_survivors": dedup_exact_survivors,
-        "f_jsonl_sink_roundtrip": f_jsonl_sink_roundtrip,
-        # multimodal (rows-only: binary decode not SQL-expressible)
         "mm_decode": mm_decode,
-        "mm_decode_full": mm_decode_full,
-        "mm_payload_roundtrip": mm_payload_roundtrip,
         "mm_frames": mm_frames,
     }
 
@@ -2068,59 +233,54 @@ def oracle_sql() -> dict[str, str]:
         "w_lag_delta": _W_LAG_DELTA_ORACLE,
         "w_change_points": _W_CHANGE_POINTS_ORACLE,
         "w_thin": _W_THIN_ORACLE,
-        "w_session_summary": _W_SESSION_SUMMARY_ORACLE,
         "w_json_props": _W_JSON_PROPS_ORACLE,
-        "q1_pricing_summary": _Q1_ORACLE,
-        "q3_shipping_priority": _Q3_ORACLE,
-        "nation_revenue": _NATION_REVENUE_ORACLE,
-        "customers_without_orders": _ANTI_JOIN_ORACLE,
-        "order_cogroup_stats": _COGROUP_ORACLE,
-        "set_ops": _SET_OPS_ORACLE,
-        "value_percentiles": _PERCENTILES_ORACLE,
-        "base64_roundtrip": _BASE64_ORACLE,
         "w_sessionize_gap": _SESSIONIZE_ORACLE,
         "w_monotone_violations": _MONOTONE_ORACLE.format(events=ev),
-        "agg_rollup": _ROLLUP_ORACLE,
+        "w_windowed_counts": _WINDOWED_COUNTS_ORACLE,
+        "w_hier_rollup": _HIER_ROLLUP_ORACLE,
+        "w_lead_discard": _LEAD_DISCARD_ORACLE,
         "w_topk_per_group": _TOPK_ORACLE,
-        "f_text_table_decode": _TEXT_TABLE_ORACLE,
-        "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
-        "f_compress_roundtrip": _COMPRESS_ROUNDTRIP_ORACLE,
+        "q1_pricing_summary": _Q1_ORACLE,
+        "nation_revenue": _NATION_REVENUE_ORACLE,
+        "j_group_cojoin": _GROUP_COJOIN_ORACLE,
+        "j_asof_enrich": _ASOF_ORACLE,
+        "j_range_join": _RANGE_JOIN_ORACLE,
+        "set_ops": _SET_OPS_ORACLE,
+        "value_percentiles": _PERCENTILES_ORACLE,
+        "agg_rollup": _ROLLUP_ORACLE,
+        "base64_roundtrip": _BASE64_ORACLE,
         "src_tar_roundtrip": _TAR_ROUNDTRIP_ORACLE,
         "src_sidestream_decode": _SIDESTREAM_ORACLE,
         "src_disco_decode": _DISCO_ORACLE,
         "src_paris_decode": _PARIS_ORACLE,
         "src_tcpinfo_decode": _TCPINFO_ORACLE,
         "src_snaplog_decode": _SNAPLOG_ORACLE,
-        "f_binary_decode": _BINARY_DECODE_ORACLE,
-        "cdc_lww_salted": _CDC_LWW_ORACLE.format(events=ev),
-        "j_group_cojoin": _GROUP_COJOIN_ORACLE,
-        "w_windowed_counts": _WINDOWED_COUNTS_ORACLE,
-        "w_hier_rollup": _HIER_ROLLUP_ORACLE,
-        "w_lead_discard": _LEAD_DISCARD_ORACLE,
-        "j_asof_enrich": _ASOF_ORACLE,
-        "j_range_join": _RANGE_JOIN_ORACLE,
+        "src_ndt_results_decode": _NDT_RESULTS_ORACLE,
+        "ndt_deltas": _NDT_DELTAS_ORACLE,
         "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
         "f_jsonl_decode": _JSONL_ORACLE,
         "f_json_repair": _JSON_REPAIR_ORACLE,
         "f_ip_tools": _IP_ORACLE,
         "f_size_guard": _SIZE_GUARD_ORACLE.format(events=ev),
-        "doc_token_stats": _DOC_TOKEN_STATS_ORACLE,
-        "doc_quality": _DOC_QUALITY_ORACLE,
-        "doc_langid": _langid_oracle(),
-        "doc_fingerprint": _DOC_FINGERPRINT_ORACLE,
+        "f_compress_roundtrip": _COMPRESS_ROUNDTRIP_ORACLE,
+        "f_jsonl_sink_roundtrip": _JSONL_SINK_ORACLE,
+        "doc_text_features": _doc_features_oracle(),
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
+        "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
-        "arr_thin": _ARR_THIN_ORACLE,
-        "arr_overlap_trim": _ARR_TRIM_ORACLE,
-        "arr_last_summary": _ARR_SUMMARY_ORACLE,
+        "arr_ops": _ARR_OPS_ORACLE,
         "ann_cosine_topk": _ANN_ORACLE,
+        "ann_cosine_lsh": _ANN_LSH_ORACLE,
         "dedup_embedding_cosine": _EMB_DEDUP_ORACLE,
-        "dedup_exact_survivors": _DEDUP_SURVIVORS_ORACLE,
-        "f_jsonl_sink_roundtrip": _JSONL_SINK_ORACLE,
         "mm_decode": _MM_DECODE_ORACLE,
         "mm_frames": _MM_FRAMES_ORACLE,
-        "mm_payload_roundtrip": _MM_PAYLOAD_ORACLE,
-        "ann_cosine_lsh": _ANN_LSH_ORACLE,
-        # mm_decode_full: rows-only (payload sha256 of constructed blob)
     }
+
+
+# bench.py / pytest surface: per-operator variants and timing names
+# kept stable across rounds even where the driver registry
+# consolidated them (resolved via getattr fallback in bench.py).
+q1_pricing_summary = relational.q1_pricing_summary
+nation_revenue = relational.nation_revenue
+q3_shipping_priority = relational.q3_shipping_priority

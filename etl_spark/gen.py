@@ -139,10 +139,32 @@ def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> Non
         spark.read.parquet(f"{sf_dir}/{name}.parquet").createOrReplaceTempView(name)
 
 
+_MATERIALIZED: dict[str, str] = {}
+
+
 def derived_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark-side derived change stream (matches the DuckDB oracle)."""
+    """Spark-side derived change stream (matches the DuckDB oracle).
+
+    With ``SPARK_GRAFT_MATERIALIZE_EVENTS=1`` (bench.py sets it) the
+    stream is written to parquet ONCE per process per sf_dir and later
+    calls read it back — so per-operator bench timings measure the
+    operator, not re-derivation of the shared fixture. Off by default:
+    driver correctness runs get the pure lazy plan."""
+    import os
+    import tempfile
+
     load_tables(spark, sf_dir, ("lineitem",))
-    return spark.sql(derived_events_sql("spark"))
+    df = spark.sql(derived_events_sql("spark"))
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE_EVENTS") != "1":
+        return df
+    path = _MATERIALIZED.get(sf_dir)
+    if path is None:
+        store = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="derived_events_", dir=store), "events")
+        df.write.mode("overwrite").parquet(path)
+        _MATERIALIZED[sf_dir] = path
+    return spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------

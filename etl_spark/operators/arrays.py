@@ -57,3 +57,33 @@ def last_element_summary(docs: DataFrame, col: str = "embedding",
         F.round(F.array_max(arr).cast("double"), 6).alias("max_val"),
         F.round(total / F.size(arr), 6).alias("mean_val"),
     )
+
+
+def array_ops(docs: DataFrame, col: str = "embedding", every: int = 10,
+              id_col: str = "vec_id") -> DataFrame:
+    """W2 + W6 + A2 in ONE zero-shuffle projection (thin + overlap-trim
+    + last-element summary) — merged so a single driver row set proves
+    all three array capabilities, and the plan reads the array column
+    once instead of three times."""
+    arr = F.col(col)
+    kept = F.filter(
+        arr,
+        lambda x, i: (F.pmod(i, F.lit(every)) == 0) | (i == F.size(arr) - 1),
+    )
+    trimmed = F.slice(arr, 1, F.size(arr) - 1)
+
+    def tot(a):
+        return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+    return docs.select(
+        F.col(id_col).alias("vec_id"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.round(tot(kept), 5).alias("kept_sum"),
+        F.size(trimmed).cast("long").alias("n_after_trim"),
+        F.round(tot(trimmed), 5).alias("trim_sum"),
+        F.round(F.element_at(arr, 1).cast("double"), 6).alias("first_val"),
+        F.round(F.element_at(arr, -1).cast("double"), 6).alias("last_val"),
+        F.round(F.array_min(arr).cast("double"), 6).alias("min_val"),
+        F.round(F.array_max(arr).cast("double"), 6).alias("max_val"),
+        F.round(tot(arr) / F.size(arr), 6).alias("mean_val"),
+    )

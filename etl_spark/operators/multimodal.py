@@ -223,15 +223,84 @@ def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
-def decode_real(media: DataFrame) -> DataFrame:
-    """Real-codec decode (JPEG/PNG/WAV/MP4). STUB: the container ships
-    no imaging/audio libraries; the Arrow plumbing above is the
-    production shape — only this kernel changes."""
+def _decode_real_one(media_id: int, payload: bytes | None) -> tuple:
+    from etl_spark.operators import codecs
+
+    if payload is None:
+        return (media_id, None, None, None, None, None, None, None, False)
     try:
-        import PIL  # noqa: F401
-    except ImportError as e:
-        raise NotImplementedError(
-            "real-codec decode requires PIL/soundfile/ffmpeg, not present "
-            "in this environment; use decode_media (SMF) for the tested path"
-        ) from e
-    raise NotImplementedError("real-codec kernel intentionally not implemented")
+        if payload[:8] == codecs.PNG_SIG:
+            img = codecs.png_decode(payload)
+            h, w = img.shape[:2]
+            return (media_id, "image", int(w), int(h), 1, int(img.size),
+                    float(img.mean()), hashlib.sha256(payload).hexdigest(), True)
+        if payload[:4] == b"RIFF":
+            samples, rate, _bits = codecs.wav_decode(payload)
+            # audio maps onto the (width, height) slots the same way SMF
+            # does: width=sample_rate/1000, height=n_samples
+            return (media_id, "audio", int(rate // 1000), int(samples.shape[0]),
+                    1, int(samples.size),
+                    float(samples.astype(np.float64).mean()) if samples.size else None,
+                    hashlib.sha256(payload).hexdigest(), True)
+    except ValueError:
+        pass
+    return (media_id, None, None, None, None, None, None, None, False)
+
+
+def decode_real(media: DataFrame) -> DataFrame:
+    """Real-codec decode over public formats: PNG (8-bit gray/RGB/RGBA,
+    stdlib zlib inflate + full filter-type unfilter) and RIFF PCM WAV —
+    see operators/codecs.py. Same Arrow plumbing and output schema as
+    ``decode_media``; dispatch is on the payload's magic bytes, and
+    undecodable payloads yield ``valid=false`` rows (the reference's
+    corrupt-row convention, parser/ndt.go error rows)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _decode_real_one(m, p)
+                for m, p in zip(pdf["media_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(out, columns=[f.name for f in DECODED_SCHEMA.fields])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=DECODED_SCHEMA)
+
+
+def synth_real_media(spark: SparkSession, n: int,
+                     num_partitions: int | None = None) -> DataFrame:
+    """Deterministic corpus of REAL-format payloads (PNG images and
+    PCM WAV clips), generated executor-side. Pure function of
+    media_id: pixel/sample bytes come from the same sha256 stream as
+    SMF bodies; PNG filter type cycles 0-4 so every unfilter path runs
+    in production, not just in tests."""
+    from etl_spark.operators import codecs
+
+    base = spark.range(0, n, 1, num_partitions or 8)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].tolist():
+                h = hashlib.sha256(f"media:{i}".encode()).digest()
+                body = hashlib.sha256(f"body:{i}".encode()).digest()
+                if h[0] % 2 == 0:  # PNG
+                    w, hgt = 4 + h[1] % 12, 4 + h[2] % 12
+                    reps = (w * hgt) // 32 + 1
+                    img = np.frombuffer((body * reps)[:w * hgt],
+                                        dtype=np.uint8).reshape(hgt, w)
+                    payload = codecs.png_encode(img, filter_type=h[3] % 5)
+                    meta = {"width": w, "height": hgt, "n_frames": 1,
+                            "declared_bytes": len(payload)}
+                    rows.append((i, "image", payload, meta))
+                else:  # WAV
+                    n_samp = 64 + h[2] % 192
+                    reps = (2 * n_samp) // 32 + 1
+                    samples = np.frombuffer((body * reps)[:2 * n_samp],
+                                            dtype="<i2")
+                    payload = codecs.wav_encode(samples, 8000, bits=16)
+                    meta = {"width": 8, "height": n_samp, "n_frames": 1,
+                            "declared_bytes": len(payload)}
+                    rows.append((i, "audio", payload, meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)

@@ -1,0 +1,177 @@
+"""NDT web100 output-row composition: per-snaplog snapshot deltas.
+
+The reference's flagship NDT row nests a ``deltas[]`` array built from
+the ~2000 snaplog snapshots (parser/ndt.go:401-462 getDeltas):
+
+- first snapshot emits every field; later snapshots emit ONLY fields
+  whose value changed vs the previous snapshot
+  (web100/web100.go:570-588 SnapshotDeltas);
+- a fixed set of connection-constant fields is deleted from every
+  delta (parser/ndt.go:427-437);
+- a delta whose only changed field is ``Duration`` is skipped
+  (parser/ndt.go:438-442);
+- deltas are tagged ``snapshot_num`` (raw index), ``delta_index``
+  (emitted index) and the final one ``is_last``
+  (parser/ndt.go:445-447,456-460);
+- at most 2800 snapshots are considered (parser/ndt.go:61,409).
+
+Spark-first shape: ``parse_snaplogs`` already yields one row per
+snapshot carrying dense field MAPs, so the delta is a ``lag()`` of the
+map columns plus ``map_filter`` — ONE shuffle (hash-partition by
+test_name), no explode/re-join, no Python. The 100 TB plan: each
+snaplog is a few thousand rows that hash to one partition's window;
+files are independent, so parallelism = number of snaplogs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# parser/ndt.go:427-437 — fields constant for the connection's lifetime,
+# deleted from every delta (canonical post-tcp-kis names).
+CONSTANT_FIELDS = (
+    "TimeStamps",
+    "StartTimeStamp",
+    "StartTimeUsec",
+    "LocalAddress",
+    "LocalAddressType",
+    "LocalPort",
+    "RemAddress",
+    "RemPort",
+    "SACK",
+)
+
+MAX_SNAPSHOTS = 2800  # parser/ndt.go:61
+
+
+def _not_constant(k):
+    cond = None
+    for name in CONSTANT_FIELDS:
+        e = k != F.lit(name)
+        cond = e if cond is None else (cond & e)
+    return cond
+
+
+def snaplog_deltas(parsed: DataFrame, cap: int = MAX_SNAPSHOTS) -> DataFrame:
+    """parse_snaplogs rows → one row per EMITTED delta with the
+    changed-field maps (``d_ints``/``d_strs``), ``snapshot_num``,
+    ``delta_index`` and ``is_last``. Requires ``every=1`` parsing (true
+    consecutive-snapshot deltas)."""
+    w = Window.partitionBy("test_name").orderBy("snap_idx")
+    p = (
+        parsed.where(~F.col("corrupted") & (F.col("snap_idx") < cap))
+        .select(
+            "test_name", "snap_idx", "integers", "strings",
+            F.lag("integers").over(w).alias("p_ints"),
+            F.lag("strings").over(w).alias("p_strs"),
+        )
+    )
+    first = F.col("p_ints").isNull()
+    d_ints = F.map_filter(
+        "integers",
+        lambda k, v: _not_constant(k)
+        & (first | ~v.eqNullSafe(F.try_element_at(F.col("p_ints"), k))),
+    )
+    # a string key can be absent in a snapshot (parse drops nulls) —
+    # try_element_at yields null there and eqNullSafe treats it as a
+    # change, matching the reference's raw-bytes compare.
+    d_strs = F.map_filter(
+        "strings",
+        lambda k, v: _not_constant(k)
+        & (first | ~v.eqNullSafe(F.try_element_at(F.col("p_strs"), k))),
+    )
+    d = p.select(
+        "test_name",
+        F.col("snap_idx").alias("snapshot_num"),
+        d_ints.alias("d_ints"),
+        d_strs.alias("d_strs"),
+    )
+    # skip a delta whose ONLY changed field is Duration (an empty delta
+    # is still emitted, as in the reference — it advances delta_index)
+    n_changed = F.size("d_ints") + F.size("d_strs")
+    dur_only = (n_changed == 1) & F.map_contains_key("d_ints", "Duration")
+    kept = d.where(~dur_only)
+    w2 = Window.partitionBy("test_name").orderBy("snapshot_num")
+    kept = kept.withColumn("delta_index", F.row_number().over(w2) - 1)
+    kept = kept.withColumn(
+        "is_last",
+        F.col("delta_index")
+        == F.max("delta_index").over(Window.partitionBy("test_name")),
+    )
+    return kept.select(
+        "test_name", "snapshot_num",
+        F.col("delta_index").cast("long").alias("delta_index"),
+        "is_last", "d_ints", "d_strs",
+    )
+
+
+def flatten_deltas(deltas: DataFrame) -> DataFrame:
+    """Delta maps → one row per changed field (the oracle-checkable
+    surface: value_long for web100 integers, value_str for addresses)."""
+    base = ["test_name", "snapshot_num", "delta_index", "is_last"]
+    ints = deltas.select(
+        *base, F.explode("d_ints").alias("field", "value_long")
+    ).withColumn("value_str", F.lit(None).cast("string"))
+    strs = deltas.select(
+        *base, F.explode("d_strs").alias("field", "value_str")
+    ).withColumn("value_long", F.lit(None).cast("long"))
+    return ints.unionByName(strs).select(
+        *base, "field", "value_long", "value_str"
+    )
+
+
+def compose_ndt_rows(members: DataFrame, cap: int = MAX_SNAPSHOTS,
+                     meta: DataFrame | None = None) -> DataFrame:
+    """The reference's full NDT output row: one nested row per snaplog
+    with the connection spec, ``deltas[]`` populated, and (when a
+    parsed ``.meta`` stream is supplied) the test-group metadata fused
+    on via the shared filename-timestamp group key
+    (parser/ndt.go:238-312; sources/ndt_meta.py)."""
+    from etl_spark.sources.snaplog import parse_snaplogs
+
+    parsed = parse_snaplogs(members, every=1)
+    spec = (
+        parsed.where(~F.col("corrupted"))
+        .groupBy("test_name")
+        .agg(
+            F.first("version").alias("version"),
+            F.first("log_time").alias("log_time"),
+            F.first("local_ip").alias("local_ip"),
+            F.first("local_port").alias("local_port"),
+            F.first("remote_ip").alias("remote_ip"),
+            F.first("remote_port").alias("remote_port"),
+            F.count(F.lit(1)).alias("n_snapshots"),
+        )
+    )
+    nested = (
+        snaplog_deltas(parsed, cap=cap)
+        .groupBy("test_name")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("snapshot_num", "delta_index", "is_last",
+                             "d_ints", "d_strs")
+                ),
+                # structs holding MAP columns have no default ordering —
+                # compare on the bigint snapshot index explicitly
+                lambda l, r: F.when(
+                    l["snapshot_num"] < r["snapshot_num"], -1
+                ).when(l["snapshot_num"] > r["snapshot_num"], 1).otherwise(0),
+            ).alias("deltas"),
+            F.count(F.lit(1)).cast("long").alias("n_deltas"),
+        )
+    )
+    row = spec.join(nested, "test_name", "left")
+    if meta is not None:
+        # ndt_meta.group_key keeps the trailing 'Z' of the timestamp
+        key = F.concat(F.substring_index(F.col("test_name"), "Z", 1), F.lit("Z"))
+        m = meta.select(
+            F.col("group_key"),
+            F.struct(*[c for c in meta.columns if c != "group_key"]).alias("meta"),
+        )
+        row = (
+            row.withColumn("group_key", key)
+            .join(F.broadcast(m), "group_key", "left")
+        )
+    return row

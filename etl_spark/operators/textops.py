@@ -136,3 +136,69 @@ def dedup_exact_survivors(docs: DataFrame) -> DataFrame:
     """The kept rows after exact dedup (canonical ids only)."""
     canon = dedup_exact(docs).select(F.col("canonical_doc_id").alias("doc_id"))
     return docs.join(canon, "doc_id", "left_semi").select("doc_id", "lang", "source", "n_chars")
+
+
+def text_features(docs: DataFrame) -> DataFrame:
+    """ALL per-document text features in one zero-shuffle pipeline:
+    token stats + quality heuristics + marker-word language ID +
+    content fingerprints (merged r3 — one scan of ``text`` instead of
+    four, and one driver row set proves all four capabilities)."""
+    langs = sorted(LANG_MARKERS)  # de, en, es, fr
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    stop = _count_word(F.col("text"), "the") + _count_word(F.col("text"), "a")
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars2"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(F.length("text") / n_tokens, 6).alias("mean_token_len"),
+        F.round(n_distinct / n_tokens, 6).alias("lexical_diversity"),
+        F.round(stop / n_tokens, 6).alias("stopword_ratio"),
+        (
+            (F.length("text") >= 100)
+            & (n_tokens >= 20)
+            & ((n_distinct / n_tokens) >= 0.2)
+        ).alias("keep"),
+        F.sha2(F.col("text"), 256).alias("sha_raw"),
+        F.sha2(norm, 256).alias("sha_norm"),
+        F.md5(norm).alias("md5_norm"),
+        *[
+            sum(_count_word(F.col("text"), w) for w in LANG_MARKERS[lg]).alias(f"s_{lg}")
+            for lg in langs
+        ],
+    )
+    pref = ["en", "de", "fr", "es"]
+    detected = None
+    for lg in reversed(pref):
+        cond = None
+        for other in pref:
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        detected = F.when(cond, F.lit(lg)).otherwise(
+            detected if detected is not None else F.lit(pref[-1])
+        )
+    best_score = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
+    return scored.select(
+        "doc_id", "lang", "n_chars2", "n_tokens", "n_distinct_tokens",
+        "mean_token_len", "lexical_diversity", "stopword_ratio", "keep",
+        detected.alias("detected_lang"), best_score.alias("marker_hits"),
+        "sha_raw", "sha_norm", "md5_norm",
+    )
+
+
+def dedup_exact_report(docs: DataFrame) -> DataFrame:
+    """Exact dedup, group stats AND survivors in one row set: one row
+    per canonical (kept) document carrying its content hash and how
+    many copies it stood for. Single hash-groupBy + one join back on
+    doc_id (both uniform keys — scale-safe)."""
+    groups = dedup_exact(docs)
+    return (
+        docs.join(
+            groups, docs["doc_id"] == groups["canonical_doc_id"], "inner"
+        ).select("doc_id", "lang", "source", "n_chars",
+                 "content_hash", "n_copies")
+    )

@@ -1,0 +1,3 @@
+"""Query registry modules backing __spark_entry__ (one module per
+SURVEY.md §2 family); see __spark_entry__.queries() for the
+driver-facing registration order."""

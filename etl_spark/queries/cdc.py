@@ -1,0 +1,88 @@
+"""CDC engine queries: derived change stream, LWW dedup, full
+replay into icelite, fingerprints, accounting (SURVEY.md §2.1/§2.4)."""
+from pyspark.sql import functions as F
+
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_spark import gen
+from etl_spark.functions.fingerprint import parse_validate_fingerprint
+from etl_spark.operators.apply import create_lineage, create_target, replay
+from etl_spark.operators.dedup import lww_latest
+from etl_spark.queries.base import _read
+
+
+def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gen.derived_events(spark, sf_dir)
+
+
+def cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-writer-wins winner per key — via the SALTED two-phase plan
+    (partial max per (key, salt) → final per key), the hot-key-safe
+    shape the engine prefers at 10^10-event scale. The direct hash-agg
+    variant (operators/dedup.lww_latest) is pinned byte-identical to
+    this one in tests/test_dedup_ops.py, so one driver row proves
+    both."""
+    from etl_spark.operators.dedup import lww_latest_salted
+
+    ev = gen.derived_events(spark, sf_dir)
+    return lww_latest_salted(ev).select(
+        "repo", "path", F.col("seq").alias("last_seq"), "op", "commit",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship: full engine replay into a fresh icelite table."""
+    ev = gen.derived_events(spark, sf_dir)
+    tmp = tempfile.mkdtemp(prefix="icelite_entry_")
+    tgt = create_target(spark, f"{tmp}/target", n_buckets=32)
+    lin = create_lineage(spark, f"{tmp}/lineage")
+    replay(spark, ev, tgt, lin, epoch_size=1 << 60)
+    return tgt.read().select("repo", "path", "commit", "lang", "content_sha256")
+
+
+def cdc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized mapInPandas sha256 — proves Arrow-UDF parity."""
+    ev = gen.derived_events(spark, sf_dir)
+    out = parse_validate_fingerprint(ev)
+    return out.where(F.col("content").isNotNull()).select(
+        "seq", "repo", "path", "content_sha256"
+    )
+
+
+def cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage-style accounting aggregates (A1 analog)."""
+    ev = gen.derived_events(spark, sf_dir)
+    return ev.groupBy("op").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("seq").alias("min_seq"),
+        F.max("seq").alias("max_seq"),
+        F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("content_bytes"),
+    )
+
+
+_CDC_LWW_ORACLE = """
+WITH events AS ({events}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM events
+)
+SELECT repo, path, seq AS last_seq, op, commit, sha256(content) AS content_sha256
+FROM ranked WHERE rn = 1
+"""
+
+_CDC_FINGERPRINT_ORACLE = """
+WITH events AS ({events})
+SELECT seq, repo, path, sha256(content) AS content_sha256
+FROM events WHERE content IS NOT NULL
+"""
+
+_CDC_OP_STATS_ORACLE = """
+WITH events AS ({events})
+SELECT op, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq,
+       coalesce(CAST(sum(length(content)) AS BIGINT), 0) AS content_bytes
+FROM events GROUP BY op
+"""

@@ -1,0 +1,224 @@
+"""Document text analysis + near-duplicate detection (LLM-pipeline
+operators: langid, quality, token stats, fingerprints, exact dedup,
+MinHash+LSH, SimHash, n-gram Jaccard)."""
+from pyspark.sql import functions as F
+
+
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_spark.operators import simdedup
+from etl_spark.operators import textops
+from etl_spark.queries.base import _read
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact char-5-gram Jaccard over deterministically pruned
+    candidate pairs (same lang, |n_chars diff| <= 16) — the verify
+    stage of the dedup pipeline with a SQL-expressible pair source
+    (the LSH pair source is oracle-checked rows-only separately)."""
+    docs = _read(spark, sf_dir, "documents")
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 16),
+    ).select("doc_a", "doc_b")
+    return simdedup.ngram_jaccard_pairs(docs, pairs, n=5)
+
+
+_NGRAM_JACCARD_ORACLE = """
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(list_transform(
+      generate_series(1, greatest(length(text) - 4, 1)),
+      i -> substr(text, i, 5)))) AS shingle
+  FROM documents
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM documents a JOIN documents b
+    ON a.lang = b.lang AND a.doc_id < b.doc_id
+   AND abs(a.n_chars - b.n_chars) <= 16
+),
+inter AS (
+  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+  FROM pairs p
+  JOIN sh sa ON sa.doc_id = p.doc_a
+  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b,
+       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+             / (za.n_sh + zb.n_sh - coalesce(i.n_inter, 0)), 6) AS jaccard
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+"""
+
+def doc_text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token stats + quality heuristics + language ID + fingerprints in
+    ONE per-doc row set (one scan; proves all four text capabilities in
+    one driver row — the per-op variants live in operators/textops.py
+    and share expressions)."""
+    out = textops.text_features(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_chars2").cast("long").alias("n_chars2"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct_tokens").cast("long").alias("n_distinct_tokens"),
+        "mean_token_len", "lexical_diversity", "stopword_ratio", "keep",
+        "detected_lang", "marker_hits", "sha_raw", "sha_norm", "md5_norm",
+    )
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bench.py surface (kept for cross-round timing comparability;
+    driver-checked via doc_text_features)."""
+    out = textops.quality_score(_read(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "lang",
+        F.col("n_chars2").cast("long").alias("n_chars2"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "mean_token_len", "lexical_diversity", "stopword_ratio", "keep",
+    )
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with the survivor view fused on: one row per kept
+    (canonical) document + its content hash and copy count — proves the
+    group stats AND the survivors in one driver row."""
+    return textops.dedup_exact_report(_read(spark, sf_dir, "documents"))
+
+
+_TOKENS = "string_split(text, ' ')"
+
+_COUNT_WORD = (
+    "CAST((length(' ' || lower(text) || ' ') - "
+    "length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {wl} AS BIGINT)"
+)
+
+
+def _cw(w: str) -> str:
+    return _COUNT_WORD.format(w=w, wl=len(w) + 2)
+
+
+def _doc_features_oracle() -> str:
+    score = {
+        lg: " + ".join(_cw(w) for w in ws) for lg, ws in textops.LANG_MARKERS.items()
+    }
+    return rf"""
+WITH scored AS (
+  SELECT doc_id, lang, text,
+         {score['en']} AS s_en, {score['de']} AS s_de,
+         {score['fr']} AS s_fr, {score['es']} AS s_es
+  FROM documents
+)
+SELECT doc_id, lang,
+       length(text) AS n_chars2,
+       len({_TOKENS}) AS n_tokens,
+       len(list_distinct({_TOKENS})) AS n_distinct_tokens,
+       round(length(text) / len({_TOKENS}), 6) AS mean_token_len,
+       round(len(list_distinct({_TOKENS})) / len({_TOKENS}), 6) AS lexical_diversity,
+       round(({_cw('the')} + {_cw('a')}) / len({_TOKENS}), 6) AS stopword_ratio,
+       (length(text) >= 100 AND len({_TOKENS}) >= 20
+        AND len(list_distinct({_TOKENS})) / len({_TOKENS}) >= 0.2) AS keep,
+       CASE
+         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+         WHEN s_de >= s_en AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+         WHEN s_fr >= s_en AND s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+         ELSE 'es'
+       END AS detected_lang,
+       greatest(s_en, s_de, s_fr, s_es) AS marker_hits,
+       sha256(text) AS sha_raw,
+       sha256(regexp_replace(lower(text), '\s+', ' ', 'g')) AS sha_norm,
+       md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS md5_norm
+FROM scored
+"""
+
+
+_DEDUP_EXACT_ORACLE = """
+WITH g AS (
+  SELECT sha256(text) AS content_hash,
+         min(doc_id) AS canonical_doc_id,
+         count(*) AS n_copies
+  FROM documents GROUP BY 1
+)
+SELECT d.doc_id, d.lang, d.source, d.n_chars, g.content_hash, g.n_copies
+FROM documents d JOIN g ON d.doc_id = g.canonical_doc_id
+"""
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _read(spark, sf_dir, "documents")
+    return simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.25)
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simdedup.simhash(_read(spark, sf_dir, "documents"))
+
+
+_SHINGLES = """
+SELECT DISTINCT doc_id, substr(text, i, 5) AS shingle
+FROM documents, unnest(range(1, greatest(length(text) - 4, 1) + 1)) AS t(i)
+"""
+
+_MINHASH_SIG = f"""
+SELECT doc_id, perm, min(md5(CAST(perm AS VARCHAR) || ':' || shingle)) AS mh
+FROM ({_SHINGLES}) s, unnest(range(0, 16)) AS p(perm)
+GROUP BY doc_id, perm
+"""
+
+_MINHASH_LSH_ORACLE = f"""
+WITH sig AS ({_MINHASH_SIG}),
+bands AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(mh, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, 2
+),
+pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+  FROM pairs p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
+"""
+
+_SIMHASH_ORACLE = r"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, md5(tok) AS h
+  FROM (
+    SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+    FROM documents
+  ) WHERE tok <> ''
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN
+               CAST(floor((strpos('0123456789abcdef',
+                      substr(h, CAST(b // 4 AS INTEGER) + 1, 1)) - 1)
+                    / power(2, b % 4)) AS BIGINT) % 2 = 1
+             THEN 1 ELSE -1 END) AS s
+  FROM toks, unnest(range(0, 32)) AS t(b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""

@@ -1,0 +1,316 @@
+"""Embedding similarity search + array ops + multimodal binary
+columns (ANN brute/LSH, embedding near-dup, SMF decode, frames)."""
+from pyspark.sql import functions as F
+
+
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_spark.operators import arrays
+from etl_spark.operators import multimodal
+from etl_spark.operators import similarity
+from etl_spark.queries.base import _read
+
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    out = similarity.cosine_topk_bruteforce(emb, q, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup detection: candidate pairs blocked on
+    the label (the cluster key a real pipeline would block on — LSH
+    bucket, ANN cell), exact cosine verify, threshold filter on the
+    ROUNDED score so both engines make the identical keep/drop call.
+    Threshold is dataset-relative (synthetic embeddings peak ≈0.47)."""
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"), F.col("label"),
+        F.col("embedding").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"), F.col("label"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(b, "label").where(F.col("vec_a") < F.col("vec_b"))
+    cos = F.round(similarity.cosine_similarity_col(F.col("ea"), F.col("eb")), 6)
+    return (
+        pairs.select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= 0.35)
+    )
+
+
+_EMB_DEDUP_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(
+           sum(CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))),
+           6) AS cosine
+  FROM embeddings a
+  JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id,
+       unnest(range(1, 65)) AS t(i)
+  GROUP BY a.vec_id, b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM pairs WHERE cosine >= 0.35
+"""
+
+
+def arr_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 thin + W6 overlap-trim + A2 last-element summary over the
+    embedding arrays — one projection, one driver row set proving all
+    three array capabilities (the per-op variants live in
+    operators/arrays.py and share expressions)."""
+    return arrays.array_ops(_read(spark, sf_dir, "embeddings"))
+
+
+_ARR_OPS_ORACLE = """
+WITH t AS (
+  SELECT vec_id, embedding,
+         list_filter(embedding, (x, i) -> (i - 1) % 10 = 0 OR i = len(embedding)) AS kept,
+         embedding[1:len(embedding) - 1] AS trimmed
+  FROM embeddings
+)
+SELECT vec_id,
+       len(kept) AS n_kept,
+       round(list_sum(list_transform(kept, x -> CAST(x AS DOUBLE))), 5) AS kept_sum,
+       len(trimmed) AS n_after_trim,
+       round(list_sum(list_transform(trimmed, x -> CAST(x AS DOUBLE))), 5) AS trim_sum,
+       round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+       round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+       round(CAST(list_min(embedding) AS DOUBLE), 6) AS min_val,
+       round(CAST(list_max(embedding) AS DOUBLE), 6) AS max_val,
+       round(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+             / len(embedding), 6) AS mean_val
+FROM t
+"""
+
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary decode + full-payload byte-exactness in one
+    row set. The SMF corpus is a pure function of sha256(media_id), so
+    the expected header fields AND the body mean are derivable in
+    DuckDB SQL (hex→byte via strpos, same trick as the simhash oracle);
+    payload_hex_sha closes the raw-bytes surface — both engines hash
+    the (injective) lowercase hex of the blob, with DuckDB rebuilding
+    the SMF payload hex from the sha256 spec (little-endian header
+    packing included). payload_sha256 over the raw blob stays in
+    tests/test_multimodal.py (this DuckDB's sha256 only accepts
+    VARCHAR)."""
+    media = multimodal.synth_media(spark, 300)
+    pay = media.select(
+        "media_id",
+        F.sha2(F.lower(F.hex("payload")), 256).alias("payload_hex_sha"),
+    )
+    dec = multimodal.decode_media(media).select(
+        "media_id", "kind", "width", "height", "n_frames", "body_bytes",
+        F.round("mean_value", 6).alias("mean_value"), "valid",
+    )
+    return dec.join(pay, "media_id")
+
+
+def _le_hex(expr: str, nbytes: int) -> str:
+    """DuckDB expr: little-endian hex of an int, ``nbytes`` wide."""
+    hexlen = nbytes * 2
+    return " || ".join(
+        f"substr(lpad(format('{{:x}}', {expr}), {hexlen}, '0'), "
+        f"{hexlen - 1 - 2 * i}, 2)"
+        for i in range(nbytes)
+    )
+
+
+def mm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling, N→M UDTF shape. Frame means are
+    SQL-recomputable (cyclic 32-byte body pattern); frame_sha256 stays
+    pytest-only."""
+    media = multimodal.synth_media(spark, 300)
+    return multimodal.sample_frames(media, every=2).select(
+        "media_id",
+        "frame_idx",
+        F.round("frame_mean", 6).alias("frame_mean"),
+    )
+
+
+def _hx(col: str, i) -> str:
+    """DuckDB expr: byte ``i`` (0-based) of a lowercase-hex digest column."""
+    hi, lo = (str(2 * i + 1), str(2 * i + 2)) if isinstance(i, int) else (
+        f"2*{i}+1", f"2*{i}+2")
+    return (f"(16*(strpos('0123456789abcdef', substr({col}, {hi}, 1)) - 1)"
+            f" + (strpos('0123456789abcdef', substr({col}, {lo}, 1)) - 1))")
+
+
+# Shared CTE prefix: recompute the SMF corpus spec (kind/dims/body bytes)
+# from sha256 in pure SQL — independent re-derivation of what the binary
+# header parse must find (multimodal._payload_bytes is the generator).
+_MM_SPEC_CTES = f"""
+WITH ids AS (SELECT i AS media_id FROM range(0, 300) AS t(i)),
+hb AS (
+  SELECT media_id,
+         sha256('media:' || CAST(media_id AS VARCHAR)) AS mh,
+         sha256('body:'  || CAST(media_id AS VARCHAR)) AS bh
+  FROM ids
+),
+hdr AS (
+  SELECT media_id, bh,
+         {_hx('mh', 0)} AS b0, {_hx('mh', 1)} AS b1,
+         {_hx('mh', 2)} AS b2, {_hx('mh', 3)} AS b3
+  FROM hb
+),
+dims AS (
+  SELECT media_id, bh,
+    CASE b0 % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+    CASE b0 % 3 WHEN 0 THEN 8 + b1 % 24 WHEN 1 THEN 8 ELSE 8 + b1 % 8 END AS width,
+    CASE b0 % 3 WHEN 0 THEN 8 + b2 % 24 WHEN 1 THEN 64 + b2 % 192 ELSE 8 + b2 % 8 END AS height,
+    CASE b0 % 3 WHEN 2 THEN 2 + b3 % 6 ELSE 1 END AS n_frames
+  FROM hdr
+),
+body AS (
+  SELECT d.media_id, t.i, {_hx('d.bh', 't.i')} AS bv
+  FROM dims d, range(0, 32) AS t(i)
+)"""
+
+_MM_DECODE_ORACLE = _MM_SPEC_CTES + f""",
+stats AS (
+  SELECT d.media_id, d.kind, d.width, d.height, d.n_frames,
+         d.width * d.height * d.n_frames AS body_bytes,
+         sum(b.bv) AS sum32,
+         sum(CASE WHEN b.i < (d.width * d.height * d.n_frames) % 32
+                  THEN b.bv ELSE 0 END) AS sum_rem
+  FROM dims d JOIN body b ON b.media_id = d.media_id
+  GROUP BY d.media_id, d.kind, d.width, d.height, d.n_frames
+),
+hx AS (
+  SELECT media_id,
+         '534d4631' || {_le_hex('kind_i', 1)} || {_le_hex('width', 4)}
+           || {_le_hex('height', 4)} || {_le_hex('n_frames', 2)}
+           || substr(repeat(bh, (width * height * n_frames) // 32 + 1),
+                     1, width * height * n_frames * 2) AS payload_hex
+  FROM (SELECT d.media_id, d.bh,
+               CASE d.kind WHEN 'image' THEN 0 WHEN 'audio' THEN 1 ELSE 2 END AS kind_i,
+               d.width, d.height, d.n_frames
+        FROM dims d) t
+)
+SELECT s.media_id, s.kind,
+       CAST(s.width AS INTEGER) AS width,
+       CAST(s.height AS INTEGER) AS height,
+       CAST(s.n_frames AS INTEGER) AS n_frames,
+       CAST(s.body_bytes AS BIGINT) AS body_bytes,
+       round(((s.body_bytes // 32) * s.sum32 + s.sum_rem)
+             / CAST(s.body_bytes AS DOUBLE), 6) AS mean_value,
+       TRUE AS valid,
+       sha256(hx.payload_hex) AS payload_hex_sha
+FROM stats s JOIN hx ON hx.media_id = s.media_id
+"""
+
+_MM_FRAMES_ORACLE = _MM_SPEC_CTES + """,
+frames AS (
+  SELECT d.media_id, d.width * d.height AS flen, f.fi
+  FROM dims d, range(0, 8) AS f(fi)
+  WHERE d.kind = 'video' AND f.fi < d.n_frames AND f.fi % 2 = 0
+),
+pos AS (
+  SELECT fr.media_id, fr.fi, fr.flen,
+         (fr.fi * fr.flen + p.j) % 32 AS i
+  FROM frames fr, range(0, 256) AS p(j)
+  WHERE p.j < fr.flen
+)
+SELECT po.media_id, CAST(po.fi AS INTEGER) AS frame_idx,
+       round(sum(b.bv) / CAST(any_value(po.flen) AS DOUBLE), 6) AS frame_mean
+FROM pos po JOIN body b ON b.media_id = po.media_id AND b.i = po.i
+GROUP BY po.media_id, po.fi
+"""
+
+def ann_cosine_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k — FULLY oracle-checked despite being
+    approximate: the md5-derived Rademacher hyperplanes are
+    recomputable in DuckDB (same strpos-hex bit trick as the simhash
+    oracle), so the oracle independently re-derives buckets, the
+    multi-table candidate set, exact cosines and the final ranking.
+    Recall vs brute force is additionally tested in
+    tests/test_similarity.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 8)
+    out = similarity.cosine_topk_lsh(emb, q, dim=64, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cosine", F.col("rank").cast("long").alias("rank")
+    )
+
+
+_ANN_LSH_ORACLE = """
+WITH planes AS (
+  SELECT t.t AS tbl, h.h, d.i,
+         CASE WHEN (strpos('0123456789abcdef',
+                substr(md5('hp' || CAST(t.t AS VARCHAR) || ':'
+                           || CAST(h.h AS VARCHAR) || ':'
+                           || CAST(d.i AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS c
+  FROM range(0, 8) t(t), range(0, 6) h(h), range(0, 64) d(i)
+),
+vecs AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+sigs AS (
+  SELECT v.vec_id, p.tbl, p.h, sum(v.v * p.c) >= 0 AS bit
+  FROM vecs v JOIN planes p ON p.i = v.i
+  GROUP BY v.vec_id, p.tbl, p.h
+),
+buckets AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN bit THEN (CAST(1 AS BIGINT) << h)
+                       ELSE 0 END) AS BIGINT) AS bucket
+  FROM sigs GROUP BY vec_id, tbl
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM buckets q JOIN buckets c ON c.tbl = q.tbl AND c.bucket = q.bucket
+  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id
+),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         round(
+           sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(qe.embedding[i] AS DOUBLE) * CAST(qe.embedding[i] AS DOUBLE)))
+              * sqrt(sum(CAST(ne.embedding[i] AS DOUBLE) * CAST(ne.embedding[i] AS DOUBLE)))),
+           6) AS cosine
+  FROM cand
+  JOIN embeddings qe ON qe.vec_id = cand.query_id
+  JOIN embeddings ne ON ne.vec_id = cand.neighbor_id
+  CROSS JOIN unnest(range(1, 65)) AS t(i)
+  GROUP BY cand.query_id, cand.neighbor_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(
+           sum(CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))
+           / (sqrt(sum(CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+              * sqrt(sum(CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))),
+           6) AS cosine
+  FROM q, embeddings e, unnest(range(1, 65)) AS t(i)
+  WHERE e.vec_id <> q.query_id
+  GROUP BY q.query_id, e.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""

@@ -1,0 +1,158 @@
+"""Relational coverage: joins, co-group, as-of/range joins, TPC-H
+style aggregations (SURVEY.md §2.3)."""
+from pyspark.sql import functions as F
+
+
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_spark.queries.base import _read
+
+
+def j_group_cojoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 analog (NDT test-group co-join, parser/ndt.go:222-321): the
+    members of a logical group arrive in any order; collect them per
+    group key, order within the group, and merge into one summary row
+    (collect_list + array_sort — the grouping state machine as one
+    hash aggregation)."""
+    ev = _read(spark, sf_dir, "events")
+    members = F.array_sort(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        ev.groupBy("user_id", F.date_trunc("hour", "ts").alias("hour_ts"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.array_join(
+                F.transform(members, lambda s: s["event_type"]), ","
+            ).alias("type_seq"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+_GROUP_COJOIN_ORACLE = """
+SELECT user_id, date_trunc('hour', ts) AS hour_ts, count(*) AS n,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS type_seq,
+       round(sum(value), 6) AS total_value
+FROM events GROUP BY user_id, date_trunc('hour', ts)
+"""
+
+def j_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 analog (temporal annotation lookup, row/row.go:154-287):
+    enrich every event with the user's latest 'buy' value AS OF the
+    event's timestamp — union+window as-of join (one shuffle, no
+    broadcast requirement). Oracle: DuckDB native ASOF LEFT JOIN."""
+    from etl_spark.operators.asof import asof_join
+
+    ev = _read(spark, sf_dir, "events")
+    tiers = (
+        ev.where(F.col("event_type") == "buy")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("tier_value"))
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "event_type", "ts"),
+        tiers,
+        key_cols=("user_id",),
+        events_ts="ts",
+        dim_ts="ts",
+        value_cols=("tier_value",),
+    )
+    return out.select("event_id", "user_id", "event_type", "ts", "tier_value")
+
+
+_ASOF_ORACLE = """
+WITH tiers AS (
+  SELECT user_id, ts, max(value) AS tier_value
+  FROM events WHERE event_type = 'buy' GROUP BY user_id, ts
+)
+SELECT e.event_id, e.user_id, e.event_type, e.ts, t.tier_value
+FROM events e
+ASOF LEFT JOIN tiers t ON e.user_id = t.user_id AND e.ts >= t.ts
+"""
+
+
+def j_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (equi key + interval containment): lineitems shipped
+    within 90 days of their order's date."""
+    from etl_spark.operators.asof import range_join
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("okey"), "l_shipdate", "l_linenumber"
+    )
+    o = _read(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("okey"), "o_orderdate",
+        F.date_add("o_orderdate", 90).alias("o_hi"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    )
+    out = range_join(li, o, on=("okey",), left_ts="l_shipdate",
+                     right_lo="o_orderdate", right_hi="o_hi")
+    return out.select("okey", "l_linenumber", "l_shipdate", "o_orderdate",
+                      "o_totalprice")
+
+
+_RANGE_JOIN_ORACLE = """
+SELECT l.l_orderkey AS okey, l.l_linenumber, l.l_shipdate, o.o_orderdate,
+       round(o.o_totalprice, 2) AS o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+ AND l.l_shipdate >= o.o_orderdate
+ AND l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+"""
+
+_Q1_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= DATE '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+_Q3_ORACLE = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = 'BUILDING'
+  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '1995-03-15' AND l_shipdate > DATE '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+_NATION_REVENUE_ORACLE = """
+SELECT r_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem, supplier, nation, region
+WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+"""
+
+_ANTI_JOIN_ORACLE = """
+SELECT c_nationkey, count(*) AS n_customers_no_orders
+FROM customer
+WHERE c_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+)
+GROUP BY c_nationkey
+"""
+
+_COGROUP_ORACLE = """
+WITH grouped AS (
+  SELECT l_orderkey, count(*) AS n_lines, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT o_orderstatus, n_lines, count(*) AS n_orders,
+       round(avg(total_qty), 6) AS avg_total_qty
+FROM grouped JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus, n_lines
+"""

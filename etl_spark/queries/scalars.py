@@ -1,0 +1,229 @@
+"""Scalar parsing / routing / data-quality queries + row sinks
+(SURVEY.md §2.2/§2.8)."""
+from pyspark.sql import functions as F
+
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_spark import gen
+from etl_spark.functions import parsing
+from etl_spark.queries.base import _read
+
+
+def f_route_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 analog: synthesize archive URIs from lineitem (some malformed),
+    regex-route, aggregate per experiment/validity."""
+    li = _read(spark, sf_dir, "lineitem")
+    uri = F.when(
+        F.col("l_partkey") % 7 == 0,
+        # malformed: date segment missing
+        F.concat(F.lit("gs://archive/exp"), (F.col("l_suppkey") % 3).cast("string"),
+                 F.lit("/badfile.tgz")),
+    ).otherwise(
+        F.concat(
+            F.lit("gs://archive/exp"), (F.col("l_suppkey") % 3).cast("string"),
+            F.lit("/2024/"),
+            F.lpad((F.col("l_partkey") % 12 + 1).cast("string"), 2, "0"),
+            F.lit("/"),
+            F.lpad((F.col("l_orderkey") % 28 + 1).cast("string"), 2, "0"),
+            F.lit("/host"), (F.col("l_linenumber") % 5).cast("string"),
+            F.lit(".tgz"),
+        )
+    )
+    routed = parsing.route_paths(li.select(uri.alias("uri")))
+    return routed.groupBy("experiment", "suffix", "valid").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("mm").alias("min_mm"),
+        F.max("dd").alias("max_dd"),
+    )
+
+
+def f_jsonl_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 analog: pack each user's props into one JSONL blob, decode it
+    back via split+explode+from_json, aggregate — round-trip equality
+    against direct aggregation."""
+    ev = _read(spark, sf_dir, "events")
+    packed = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("event_id", "props"))),
+                lambda s: s["props"],
+            ),
+        ).alias("jsonl")
+    )
+    decoded = parsing.decode_jsonl(packed, "jsonl", ["user_id"])
+    return decoded.groupBy("user_id").agg(
+        F.count("k").alias("n_records"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+def f_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5 analog: deterministically corrupt a third of the props blobs,
+    regexp-repair, strict-parse, aggregate."""
+    ev = _read(spark, sf_dir, "events")
+    corrupted = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % 3 == 0,
+            F.concat(F.col("props"), F.lit(";;corrupt<<<garbage")),
+        ).otherwise(F.col("props")).alias("props"),
+    )
+    parsed = corrupted.select(
+        "event_type", parsing.repair_json(F.col("props")).alias("j")
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("j.k").alias("n_parsed"),
+        F.sum("j.k").alias("sum_k"),
+    )
+
+
+def f_ip_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/C9 analog: synthesize IPs (some malformed), validate/convert/
+    classify, aggregate per first octet."""
+    li = _read(spark, sf_dir, "lineitem")
+    ip = F.when(
+        F.col("l_orderkey") % 11 == 0, F.lit("999.1.2")  # malformed
+    ).otherwise(
+        F.concat_ws(
+            ".",
+            (F.col("l_orderkey") % 256).cast("string"),
+            (F.col("l_partkey") % 256).cast("string"),
+            (F.col("l_suppkey") % 256).cast("string"),
+            (F.col("l_linenumber") * 7 % 256).cast("string"),
+        )
+    )
+    fields = parsing.ipv4_fields(li.select(ip.alias("ip")))
+    return fields.groupBy("valid", "is_private").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ip_int").alias("sum_ip_int"),
+        F.min("oct1").alias("min_oct1"),
+        F.max("oct1").alias("max_oct1"),
+    )
+
+
+def f_size_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 analog: oversize flag + size-bucket histogram on the derived
+    event contents, nothing dropped."""
+    ev = gen.derived_events(spark, sf_dir).where(F.col("content").isNotNull())
+    guarded = parsing.size_guard(
+        ev.select("seq", F.length("content").alias("content_len")),
+        F.col("content_len"),
+        limit=600,
+    )
+    return guarded.groupBy("oversize", "size_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("content_len").alias("min_len"),
+        F.max("content_len").alias("max_len"),
+    )
+
+
+_ROUTE_ORACLE = """
+WITH uris AS (
+  SELECT CASE WHEN l_partkey % 7 = 0
+    THEN 'gs://archive/exp' || CAST(l_suppkey % 3 AS VARCHAR) || '/badfile.tgz'
+    ELSE 'gs://archive/exp' || CAST(l_suppkey % 3 AS VARCHAR) || '/2024/'
+         || lpad(CAST(l_partkey % 12 + 1 AS VARCHAR), 2, '0') || '/'
+         || lpad(CAST(l_orderkey % 28 + 1 AS VARCHAR), 2, '0')
+         || '/host' || CAST(l_linenumber % 5 AS VARCHAR) || '.tgz'
+  END AS uri FROM lineitem
+),
+routed AS (
+  SELECT uri,
+    CASE WHEN regexp_matches(uri, '{re}')
+         THEN regexp_extract(uri, '{re}', 2) END AS experiment,
+    CASE WHEN regexp_matches(uri, '{re}')
+         THEN regexp_extract(uri, '{re}', 4) END AS mm,
+    CASE WHEN regexp_matches(uri, '{re}')
+         THEN regexp_extract(uri, '{re}', 5) END AS dd,
+    CASE WHEN regexp_matches(uri, '{re}')
+         THEN regexp_extract(uri, '{re}', 7) END AS suffix,
+    regexp_matches(uri, '{re}') AS valid
+  FROM uris
+)
+SELECT experiment, suffix, valid, count(*) AS n,
+       min(mm) AS min_mm, max(dd) AS max_dd
+FROM routed GROUP BY experiment, suffix, valid
+"""
+
+_JSONL_ORACLE = """
+SELECT user_id,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_records,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY user_id
+"""
+
+_JSON_REPAIR_ORACLE = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_parsed,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+_IP_ORACLE = """
+WITH ips AS (
+  SELECT CASE WHEN l_orderkey % 11 = 0 THEN '999.1.2'
+    ELSE CAST(l_orderkey % 256 AS VARCHAR) || '.' || CAST(l_partkey % 256 AS VARCHAR)
+         || '.' || CAST(l_suppkey % 256 AS VARCHAR) || '.'
+         || CAST(l_linenumber * 7 % 256 AS VARCHAR)
+  END AS ip FROM lineitem
+),
+fields AS (
+  SELECT ip,
+    len(string_split(ip, '.')) = 4 AS valid,
+    CAST(string_split(ip, '.')[1] AS BIGINT) AS o1,
+    CAST(string_split(ip, '.')[2] AS BIGINT) AS o2,
+    CAST(string_split(ip, '.')[3] AS BIGINT) AS o3,
+    CAST(string_split(ip, '.')[4] AS BIGINT) AS o4
+  FROM ips
+),
+classified AS (
+  SELECT
+    CASE WHEN valid THEN o1 END AS oct1,
+    CASE WHEN valid THEN o1 * 16777216 + o2 * 65536 + o3 * 256 + o4 END AS ip_int,
+    valid,
+    CASE WHEN valid THEN
+      (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31) OR (o1 = 192 AND o2 = 168))
+    ELSE FALSE END AS is_private
+  FROM fields
+)
+SELECT valid, is_private, count(*) AS n, CAST(sum(ip_int) AS BIGINT) AS sum_ip_int,
+       min(oct1) AS min_oct1, max(oct1) AS max_oct1
+FROM classified GROUP BY valid, is_private
+"""
+
+_SIZE_GUARD_ORACLE = """
+WITH events AS ({events}),
+sized AS (
+  SELECT seq, length(content) AS content_len FROM events WHERE content IS NOT NULL
+),
+guarded AS (
+  SELECT *, content_len > 600 AS oversize,
+         CASE WHEN content_len <= 0 THEN 0
+              ELSE CAST(floor(log2(CAST(content_len AS DOUBLE))) AS INTEGER) END AS size_bucket
+  FROM sized
+)
+SELECT oversize, size_bucket, count(*) AS n,
+       min(content_len) AS min_len, max(content_len) AS max_len
+FROM guarded GROUP BY oversize, size_bucket
+"""
+
+def f_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 analog (GCS JSONL row sink, storage/rowwriter.go:27-117):
+    write documents as newline-delimited JSON (built-in sink), read
+    back with an explicit schema. Oracle = the source table — the sink
+    round-trip must be the identity."""
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="jsonl_sink_")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(docs.schema).json(out)
+
+
+_JSONL_SINK_ORACLE = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""

@@ -1,0 +1,340 @@
+"""Ordered-stream window operators, sessionization, set ops,
+percentiles, rollups, top-k (SURVEY.md §2.5-§2.7)."""
+from pyspark.sql import functions as F
+
+
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_spark import gen
+from etl_spark.operators import windows
+from etl_spark.queries.base import _read
+
+
+def w_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.lag_delta(_read(spark, sf_dir, "events"))
+
+
+def w_change_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.change_points(_read(spark, sf_dir, "events")).select(
+        "user_id", "n_changes"
+    )
+
+
+def w_thin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.thin_events(_read(spark, sf_dir, "events"))
+
+
+def w_session_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.session_summary(_read(spark, sf_dir, "events"))
+
+
+def w_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windows.json_props(_read(spark, sf_dir, "events"))
+
+
+_W_LAG_DELTA_ORACLE = """
+SELECT user_id, event_id, event_type, value,
+       round(value - lag(value) OVER w, 6) AS value_delta,
+       (row_number() OVER w2 = 1) AS is_last
+FROM events
+WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
+       w2 AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC)
+"""
+
+_W_CHANGE_POINTS_ORACLE = """
+WITH marked AS (
+  SELECT user_id,
+         (event_type <> lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS changed
+  FROM events
+)
+SELECT user_id, coalesce(CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_changes
+FROM marked GROUP BY user_id
+"""
+
+_W_THIN_ORACLE = """
+WITH numbered AS (
+  SELECT user_id, event_id, ts, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rlast
+  FROM events
+)
+SELECT user_id, event_id, ts, value
+FROM numbered WHERE (rn - 1) % 10 = 0 OR rlast = 1
+"""
+
+_W_SESSION_SUMMARY_ORACLE = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       count(*) AS n_events,
+       min(ts) AS first_ts,
+       max(ts) AS last_ts,
+       max(CASE WHEN rn = 1 THEN event_type END) AS last_event_type,
+       round(sum(value), 6) AS total_value,
+       round(max(value), 6) AS max_value
+FROM ranked GROUP BY user_id
+"""
+
+_W_JSON_PROPS_ORACLE = """
+SELECT event_type,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 set ops: INTERSECT/EXCEPT between early/late active users."""
+    ev = _read(spark, sf_dir, "events")
+    cut = F.lit("2024-01-08")
+    early = ev.where(F.col("ts") < cut).select("user_id").distinct()
+    late = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+    both = early.intersect(late).count()
+    only_early = early.exceptAll(early.intersect(late)).count()
+    only_late = late.exceptAll(late.intersect(early)).count()
+    return spark.createDataFrame(
+        [(both, only_early, only_late)],
+        "n_both long, n_only_early long, n_only_late long",
+    )
+
+
+_SET_OPS_ORACLE = """
+WITH early AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-08'),
+late AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-08')
+SELECT
+  (SELECT count(*) FROM (SELECT * FROM early INTERSECT SELECT * FROM late)) AS n_both,
+  (SELECT count(*) FROM (SELECT * FROM early EXCEPT SELECT * FROM late)) AS n_only_early,
+  (SELECT count(*) FROM (SELECT * FROM late EXCEPT SELECT * FROM early)) AS n_only_late
+"""
+
+
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 analog: exact interpolated percentiles per event_type (the
+    lineage-histogram shape; at 100 TB swap in approx_percentile)."""
+    ev = _read(spark, sf_dir, "events")
+    pct = F.percentile("value", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.element_at(pct, 1), 6).alias("p25"),
+        F.round(F.element_at(pct, 2), 6).alias("p50"),
+        F.round(F.element_at(pct, 3), 6).alias("p75"),
+    )
+
+
+_PERCENTILES_ORACLE = """
+SELECT event_type, count(*) AS n,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
+
+def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C11 analog (base64 filename decode, etl/globals.go:327-342)."""
+    docs = _read(spark, sf_dir, "documents")
+    # Spark's base64 is MIME (76-char lines, \r\n); strip to canonical
+    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\\r\\n]", "")
+    return docs.select(
+        "doc_id",
+        F.length(b64).cast("long").alias("b64_len"),
+        F.substring(b64, 1, 24).alias("b64_prefix"),
+        (F.unbase64(b64).cast("string") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+_BASE64_ORACLE = """
+SELECT doc_id,
+       length(to_base64(encode(text))) AS b64_len,
+       substr(to_base64(encode(text)), 1, 24) AS b64_prefix,
+       (decode(from_base64(to_base64(encode(text)))) = text) AS roundtrip_ok
+FROM documents
+"""
+
+
+def w_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 analog: gap-based sessionization (batch window form of the
+    applyInPandasWithState streaming operator in streaming/sessions.py;
+    the two are equivalence-tested in tests/test_sessions.py)."""
+    from etl_spark.streaming.sessions import sessionize_batch
+
+    s = sessionize_batch(_read(spark, sf_dir, "events"), gap_seconds=1800)
+    return s.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 6).alias("total_value"),
+    )
+
+
+_SESSIONIZE_ORACLE = """
+WITH o AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS ns
+  FROM events
+), s AS (
+  SELECT *, sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, sid
+"""
+
+
+def w_monotone_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 analog (parser/ndt.go:238-250): per-key seq regressions in
+    event-time order — stream-integrity rows destined for lineage."""
+    ev = gen.derived_events(spark, sf_dir)
+    return windows.monotonic_violations(
+        ev, seq_col="seq", order_cols=("event_time", "seq"),
+        key_cols=("repo", "path"),
+    ).select("repo", "path", "seq", "prev_seq")
+
+
+_MONOTONE_ORACLE = """
+WITH events AS ({events}),
+w AS (
+  SELECT repo, path, seq,
+         lag(seq) OVER (PARTITION BY repo, path ORDER BY event_time, seq) AS prev_seq
+  FROM events
+)
+SELECT repo, path, seq, prev_seq
+FROM w WHERE prev_seq IS NOT NULL AND seq <= prev_seq
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.4 beyond-reference: ROLLUP subtotal lattice in one pass
+    (partial+final hash agg per grouping set, no re-scan)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+_ROLLUP_ORACLE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def w_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6: deterministic top-3 orders per priority class (row_number
+    window; at 100 TB Catalyst rewrites the rank filter into a partial
+    top-k before the shuffle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        _read(spark, sf_dir, "orders")
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select(
+            "o_orderpriority", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+_TOPK_ORACLE = """
+WITH r AS (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders
+)
+SELECT o_orderpriority, o_orderkey, round(o_totalprice, 2) AS o_totalprice,
+       CAST(rk AS BIGINT) AS rk
+FROM r WHERE rk <= 3
+"""
+
+def w_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 analog batch form: event-time tumbling windows (the streaming
+    twin with watermark lives in streaming/windowed.py, equivalence-
+    tested in tests/test_windowed.py)."""
+    from etl_spark.streaming.windowed import windowed_counts_batch
+
+    return windowed_counts_batch(_read(spark, sf_dir, "events"))
+
+
+_WINDOWED_COUNTS_ORACLE = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+       event_type, count(*) AS n, round(sum(value), 6) AS total_value
+FROM events GROUP BY time_bucket(INTERVAL '10 minutes', ts), event_type
+"""
+
+def w_hier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: the HOURLY rollup is
+    re-aggregated from the 10-MINUTE partials (never from raw — at
+    100 TB the finer aggregate is ~1000× smaller than the events).
+    Counts and sums re-aggregate associatively; the oracle aggregates
+    raw events directly, so the check proves partial-reaggregation
+    equivalence."""
+    from etl_spark.streaming.windowed import windowed_counts_batch
+
+    fine = windowed_counts_batch(_read(spark, sf_dir, "events"))
+    return (
+        fine.groupBy(
+            F.date_trunc("hour", "window_start").alias("hour_start"),
+            "event_type",
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.round(F.sum("total_value"), 5).alias("total_value"),
+        )
+    )
+
+
+_HIER_ROLLUP_ORACLE = """
+SELECT date_trunc('hour', ts) AS hour_start, event_type,
+       count(*) AS n, round(sum(value), 5) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+def w_lead_discard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 analog (PT pollution cross-check, parser/pt.go:622-658): a
+    row is discarded when the NEXT row for its key, in stream order,
+    repeats its type within 60s — the bounded look-ahead anti-pattern
+    filter, as a lead() window instead of a stateful buffer."""
+    from pyspark.sql import Window
+
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = lambda c: c.cast("timestamp").cast("double")  # NTZ-safe under UTC
+    polluted = (
+        (F.lead("event_type").over(w) == F.col("event_type"))
+        & (secs(F.lead("ts").over(w)) - secs(F.col("ts")) <= 60)
+    )
+    return (
+        ev.withColumn("__p", F.coalesce(polluted, F.lit(False)))
+        .where(~F.col("__p"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+
+
+_LEAD_DISCARD_ORACLE = """
+WITH w AS (
+  SELECT event_id, user_id, event_type, ts,
+         lead(event_type) OVER win AS nt,
+         lead(ts) OVER win AS nts
+  FROM events
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id, user_id, event_type, ts FROM w
+WHERE NOT coalesce(nt = event_type AND epoch(nts) - epoch(ts) <= 60, false)
+"""

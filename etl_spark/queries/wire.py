@@ -1,0 +1,840 @@
+"""Real wire-format source queries (render-and-parse, end-to-end
+vs DuckDB): tar, compression codecs, text tables, binary records,
+sidestream, paris-traceroute, tcpinfo, snaplog, DISCO, NDT results,
+NDT deltas[] composition (SURVEY.md §2.2/§2.11)."""
+from pyspark.sql import functions as F
+
+
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_spark.operators import windows
+from etl_spark.queries.base import _read
+
+
+def f_text_table_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C7 analog (sidestream text-table decode, parser/ss.go:63-95):
+    split + posexplode of the leading tokens, position-indexed."""
+    toks = F.slice(F.split(F.col("text"), " "), 1, 5)
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(toks).alias("pos", "tok"))
+        .select(
+            "doc_id", (F.col("pos") + 1).cast("long").alias("pos"), "tok",
+            F.length("tok").cast("long").alias("tok_len"),
+        )
+    )
+
+
+_TEXT_TABLE_ORACLE = """
+WITH t AS (
+  SELECT doc_id, list_slice(string_split(text, ' '), 1, 5) AS l FROM documents
+)
+SELECT doc_id, CAST(generate_subscripts(l, 1) AS BIGINT) AS pos,
+       unnest(l) AS tok, CAST(length(unnest(l)) AS BIGINT) AS tok_len
+FROM t
+"""
+
+def f_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 analog (gzip/zstd member decode, storage/storage.go:77-118):
+    compress → decompress → identity. The oracle is the source table
+    itself (same pattern as src_tar_roundtrip): DuckDB never sees the
+    codec, it just asserts the round-trip returned every byte. Per-codec
+    size accounting + corrupt-blob handling stay in tests/test_compress.py."""
+    from etl_spark.functions import compress
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.element_at(
+            F.array(F.lit("gzip"), F.lit("zlib"), F.lit("zstd"), F.lit("none")),
+            (F.col("doc_id") % 4 + 1).cast("int"),
+        ).alias("codec"),
+    )
+    blobs = compress.compress_content(docs, content_col="text")
+    decoded = compress.decompress_content(blobs, blob_col="blob")
+    return decoded.where(~F.col("decode_error")).select(
+        "doc_id", "codec", F.col("decoded").alias("text")
+    )
+
+
+def src_tar_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 analog (GCS tar scan, storage/storage.go:139-199): pack docs
+    into deterministic tar blobs (10 docs/archive), scan members back
+    out as a 1→N UDTF. Oracle = the documents table itself — the
+    round-trip must be the identity."""
+    from etl_spark.sources import archive
+
+    docs = _read(spark, sf_dir, "documents").select(
+        (F.col("doc_id") / 10).cast("long").alias("archive_id"),
+        F.format_string("doc_%06d.txt", F.col("doc_id").cast("int")).alias("member"),
+        "doc_id", "text",
+    )
+    tars = archive.pack_tar(docs, "archive_id", "member", "text")
+    members = archive.scan_tar(tars)
+    return members.select(
+        F.regexp_extract("member_name", r"doc_(\d+)\.txt", 1)
+        .cast("long").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+
+
+_TAR_ROUNDTRIP_ORACLE = """
+SELECT doc_id, coalesce(text, '') AS text FROM documents
+"""
+
+_COMPRESS_ROUNDTRIP_ORACLE = """
+SELECT doc_id,
+       CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                       WHEN 2 THEN 'zstd' ELSE 'none' END AS codec,
+       coalesce(text, '') AS text
+FROM documents
+"""
+
+def src_sidestream_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidestream web100 text-table format, driver-checked end-to-end
+    (parser/ss.go:63-160): lineitem rows are rendered into K:/C: wire
+    text (legacy var names, so the tcp-kis rename table is exercised),
+    grouped into per-file blobs, then parsed back by the REAL parser —
+    the oracle derives the same typed fields directly from lineitem, so
+    any header/canonicalization/arity/IP/StartTimeStamp bug mismatches."""
+    from etl_spark.sources import sidestream
+
+    li = _read(spark, sf_dir, "lineitem")
+    s = lambda c: c.cast("long").cast("string")  # noqa: E731
+    local_ip = F.concat_ws(
+        ".", s(F.col("l_orderkey") % 256), s(F.col("l_partkey") % 256),
+        s(F.col("l_suppkey") % 256), s(F.col("l_linenumber") * 7 % 256),
+    )
+    remote_ip = F.concat_ws(
+        ".", s(F.col("l_partkey") % 256), s(F.col("l_suppkey") % 256),
+        s(F.col("l_orderkey") % 256), s(F.col("l_linenumber") * 11 % 256),
+    )
+    line = F.concat_ws(
+        " ", F.lit("C:"), s(F.col("l_orderkey")), F.lit("2017-02-03-12:00:03Z"),
+        local_ip, s(F.col("l_partkey") % 65536), remote_ip,
+        s(F.col("l_suppkey") % 65536), s(F.col("l_orderkey")),
+        s(F.col("l_linenumber") * 1000), s(F.col("l_partkey") % 500),
+        s(F.col("l_linenumber")), s(F.col("l_suppkey")),
+    )
+    header = ("K: cid PollTime LocalAddress LocalPort RemAddress RemPort "
+              "StartTimeSec StartTimeUsec SampledRTT PktsOut DataBytesOut")
+    files = (
+        li.select((F.col("l_orderkey") % 8).alias("fid"),
+                  F.struct(F.col("l_orderkey"), F.col("l_linenumber"),
+                           line.alias("ln")).alias("rec"))
+        .groupBy("fid")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("rec")), lambda x: x["ln"]),
+            "\n").alias("body"))
+        .select(
+            F.concat(F.lit("20170203T00:00:00Z_ALL"), F.col("fid").cast("string"),
+                     F.lit(".web100")).alias("member_name"),
+            F.concat(F.lit(header), F.lit("\n"), F.col("body")).alias("content"),
+        )
+    )
+    out = sidestream.parse_sidestream(files)
+    return out.where(~F.col("corrupted")).select(
+        "test_name", "log_time", "cid", "local_ip", "local_port",
+        "remote_ip", "remote_port", "local_af", "start_time_stamp",
+        "sample_rtt",
+        F.element_at("snap", "SegsOut").alias("segs_out"),
+        F.element_at("snap", "HCDataOctetsOut").alias("hc_octets_out"),
+    )
+
+
+_SIDESTREAM_ORACLE = """
+SELECT
+  '20170203T00:00:00Z_ALL' || CAST(l_orderkey % 8 AS VARCHAR) || '.web100' AS test_name,
+  CAST(1486080000 AS BIGINT) AS log_time,
+  CAST(l_orderkey AS BIGINT) AS cid,
+  CAST(l_orderkey % 256 AS VARCHAR) || '.' || CAST(l_partkey % 256 AS VARCHAR)
+    || '.' || CAST(l_suppkey % 256 AS VARCHAR) || '.' || CAST(l_linenumber * 7 % 256 AS VARCHAR) AS local_ip,
+  CAST(l_partkey % 65536 AS BIGINT) AS local_port,
+  CAST(l_partkey % 256 AS VARCHAR) || '.' || CAST(l_suppkey % 256 AS VARCHAR)
+    || '.' || CAST(l_orderkey % 256 AS VARCHAR) || '.' || CAST(l_linenumber * 11 % 256 AS VARCHAR) AS remote_ip,
+  CAST(l_suppkey % 65536 AS BIGINT) AS remote_port,
+  CAST(2 AS INTEGER) AS local_af,
+  CAST(l_orderkey * 1000000 + l_linenumber * 1000 AS BIGINT) AS start_time_stamp,
+  CAST(l_partkey % 500 AS BIGINT) AS sample_rtt,
+  CAST(l_linenumber AS VARCHAR) AS segs_out,
+  CAST(l_suppkey AS VARCHAR) AS hc_octets_out
+FROM lineitem
+"""
+
+
+def src_paris_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paris-traceroute legacy text format, driver-checked end-to-end
+    (parser/pt.go:774-920): lineitem rows are rendered into real
+    single-flow traceroute text (one chain per file), parsed back by
+    the REAL tree-building parser, hops exploded JVM-side. The oracle
+    derives the reversed hop chain (hops[0] = final hop, source =
+    previous node, root sourced at the server IP) directly from
+    lineitem windows."""
+    from etl_spark.sources import paris as pt
+
+    li = _read(spark, sf_dir, "lineitem")
+    s = lambda c: c.cast("long").cast("string")  # noqa: E731
+    g = F.col("l_orderkey") % 512
+    ip = F.concat_ws(
+        ".", s(F.col("l_orderkey") % 223 + 1), s(F.col("l_partkey") % 256),
+        s(F.col("l_suppkey") % 256), s(F.col("l_linenumber") * 3 % 256),
+    )
+    rtt = ((F.col("l_partkey") % 10000) / F.lit(1000.0)).cast("string")
+    line = F.concat(
+        F.lit(" 1  P(6, 6) h"), ip, F.lit(" ("), ip, F.lit(")  "),
+        rtt, F.lit(" ms"),
+    )
+    server = F.concat(F.lit("10.0."), F.expr("CAST((l_orderkey % 512) DIV 256 AS STRING)"),
+                      F.lit("."), F.expr("CAST((l_orderkey % 512) % 256 AS STRING)"))
+    files = (
+        li.select(
+            g.alias("g"), server.alias("server"),
+            F.struct(F.col("l_orderkey"), F.col("l_linenumber"),
+                     F.col("l_partkey"), F.col("l_suppkey"),
+                     line.alias("ln"), ip.alias("ip")).alias("rec"),
+        )
+        .groupBy("g", "server")
+        .agg(F.array_sort(F.collect_list("rec")).alias("arr"))
+        .select(
+            F.concat(F.lit("20170320T23:53:10Z-g"), F.col("g").cast("string"),
+                     F.lit(".paris")).alias("member_name"),
+            F.concat(
+                F.lit("traceroute [("), F.col("server"), F.lit(":33456) -> ("),
+                F.element_at("arr", -1)["ip"], F.lit(":33457)], protocol tcp, "
+                "algo exhaustive, duration 3 s\n"),
+                F.array_join(F.transform("arr", lambda x: x["ln"]), "\n"),
+            ).alias("content"),
+        )
+    )
+    hops = pt.explode_hops(pt.parse_paris(files))
+    return hops.select(
+        "test_name", "log_time", "source_ip", "dest_ip",
+        F.col("hop_idx").cast("int").alias("hop_idx"),
+        "hop_src_ip", "hop_src_hostname", "hop_dst_ip",
+        F.element_at("rtt", 1).alias("rtt_ms"),
+    )
+
+
+_PARIS_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey % 512 AS g,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY l_orderkey % 512) AS cnt,
+         CAST(l_orderkey % 223 + 1 AS VARCHAR) || '.' ||
+           CAST(l_partkey % 256 AS VARCHAR) || '.' ||
+           CAST(l_suppkey % 256 AS VARCHAR) || '.' ||
+           CAST(l_linenumber * 3 % 256 AS VARCHAR) AS ip,
+         CAST(l_partkey % 10000 AS DOUBLE) / 1000 AS rtt
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey % 512
+               ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+),
+c AS (
+  SELECT g, rn, cnt, ip, rtt,
+         lag(ip) OVER (PARTITION BY g ORDER BY rn) AS pip,
+         first_value(ip) OVER (PARTITION BY g ORDER BY rn DESC) AS dest
+  FROM b
+)
+SELECT '20170320T23:53:10Z-g' || CAST(g AS VARCHAR) || '.paris' AS test_name,
+       CAST(1490053990 AS BIGINT) AS log_time,
+       '10.0.' || CAST(g // 256 AS VARCHAR) || '.' || CAST(g % 256 AS VARCHAR) AS source_ip,
+       dest AS dest_ip,
+       CAST(cnt - rn AS INTEGER) AS hop_idx,
+       coalesce(pip, '10.0.' || CAST(g // 256 AS VARCHAR) || '.'
+                 || CAST(g % 256 AS VARCHAR)) AS hop_src_ip,
+       CASE WHEN pip IS NULL THEN '' ELSE 'h' || pip END AS hop_src_hostname,
+       ip AS hop_dst_ip,
+       rtt AS rtt_ms
+FROM c
+"""
+
+
+def src_tcpinfo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tcpinfo netlink format, driver-checked end-to-end
+    (parser/tcpinfo.go:114-196): events rows are rendered into REAL
+    .jsonl.zst connection files (struct.pack'd 72-byte inet_diag_msg +
+    tcp_info attribute, zstd-framed), parsed back by the real parser
+    (pyarrow-zstd + ABI decode + 10:1 thinning), and the oracle derives
+    every output — sock 4-tuple, final-snapshot counters, thinned
+    count — directly from events in SQL."""
+    import base64 as _b64
+    import json as _json
+    import struct as _struct
+    from datetime import datetime, timezone
+
+    import pandas as _pd
+
+    from etl_spark.functions.compress import _compress_one
+    from etl_spark.sources import tcpinfo as ti
+
+    ev = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("ts_l"),
+    )
+
+    def render(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+        u = int(key[0])
+        pdf = pdf.sort_values(["ts_l", "event_id"], kind="mergesort")
+        sport, dport = u % 60000 + 1024, (u * 7) % 60000 + 1024
+        src = bytes([10, u % 200, u % 250, u % 251]) + b"\x00" * 12
+        dst = bytes([172, 16 + u % 16, u % 256, (u * 3) % 256]) + b"\x00" * 12
+        lines = [_json.dumps({"Metadata": {
+            "UUID": f"conn-{u}", "Sequence": 0,
+            "StartTime": "2024-01-01T00:00:00Z"}})]
+        for ts_l, eid in zip(pdf["ts_l"], pdf["event_id"]):
+            eid = int(eid)
+            state = eid % 12 + 1
+            idm = (bytes([2, state, 0, 0])
+                   + _struct.pack(">HH", sport, dport) + src + dst
+                   + _struct.pack("<I", 1)
+                   + _struct.pack("<Q", (u << 16) | 7)
+                   + b"\x00" * 20)
+            info = bytearray(128)
+            _struct.pack_into("<I", info, 68, eid % 100000)        # rtt
+            _struct.pack_into("<Q", info, 104, eid * 17)           # bytes_acked
+            attrs = [None, None,
+                     _b64.b64encode(bytes(info)).decode()]
+            iso = datetime.fromtimestamp(int(ts_l), tz=timezone.utc).strftime(
+                "%Y-%m-%dT%H:%M:%SZ")
+            lines.append(_json.dumps({"Timestamp": iso,
+                                      "RawIDM": _b64.b64encode(idm).decode(),
+                                      "Attributes": attrs}))
+        blob = _compress_one(("\n".join(lines) + "\n").encode(), "zstd")
+        return _pd.DataFrame({"member_name": [f"conn-{u}.00000.jsonl.zst"],
+                              "content": [blob]})
+
+    files = ev.groupBy("user_id").applyInPandas(
+        render, schema="member_name string, content binary")
+    out = ti.parse_tcpinfo(files).where(~F.col("corrupted"))
+    return out.select(
+        "uuid",
+        F.col("n_snaps").cast("long").alias("n_snaps"),
+        F.size("snapshots").cast("long").alias("n_thinned"),
+        F.col("sock_id.sport").alias("sport"),
+        F.col("sock_id.dport").alias("dport"),
+        F.col("sock_id.src_ip").alias("src_ip"),
+        F.col("sock_id.dst_ip").alias("dst_ip"),
+        F.col("sock_id.state").alias("state"),
+        F.col("final_snapshot.timestamp_ms").alias("final_ts_ms"),
+        F.col("final_snapshot.rtt").alias("final_rtt"),
+        F.col("final_snapshot.bytes_acked").alias("final_bytes_acked"),
+    )
+
+
+_TCPINFO_ORACLE = """
+WITH b AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l,
+         row_number() OVER w AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY floor(epoch(ts)), event_id)
+)
+SELECT 'conn-' || CAST(user_id AS VARCHAR) AS uuid,
+       cnt AS n_snaps,
+       (cnt + 9) // 10 + CASE WHEN cnt % 10 <> 0 THEN 1 ELSE 0 END AS n_thinned,
+       CAST(user_id % 60000 + 1024 AS INTEGER) AS sport,
+       CAST((user_id * 7) % 60000 + 1024 AS INTEGER) AS dport,
+       '10.' || CAST(user_id % 200 AS VARCHAR) || '.'
+         || CAST(user_id % 250 AS VARCHAR) || '.'
+         || CAST(user_id % 251 AS VARCHAR) AS src_ip,
+       '172.' || CAST(16 + user_id % 16 AS VARCHAR) || '.'
+         || CAST(user_id % 256 AS VARCHAR) || '.'
+         || CAST((user_id * 3) % 256 AS VARCHAR) AS dst_ip,
+       CAST(event_id % 12 + 1 AS INTEGER) AS state,
+       ts_l * 1000 AS final_ts_ms,
+       CAST(event_id % 100000 AS BIGINT) AS final_rtt,
+       CAST(event_id * 17 AS BIGINT) AS final_bytes_acked
+FROM b WHERE rn = cnt
+"""
+
+
+def src_snaplog_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """web100 snaplog BINARY format, driver-checked end-to-end
+    (web100/web100.go:419-497): lineitem rows are rendered into real
+    snaplog files — text header whose /read section declares the record
+    layout (legacy names exercise the tcp-kis renames; a ``_``-prefixed
+    field exercises deprecation skip; an INTEGER field exercises the
+    signed >= 0x7FFFFFFF wrap), binary conn spec, fixed-length records
+    — then parsed back by the strided-numpy parser. The oracle derives
+    every decoded value directly from lineitem."""
+    import struct as _struct
+
+    import pandas as _pd
+
+    from etl_spark.sources import snaplog as sl
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 32).alias("g"),
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    )
+    HEADER_FIELDS = ("/read\n"
+                     "PktsOut 0 3 4\n"        # COUNTER32 → SegsOut
+                     "DataBytesOut 4 7 8\n"   # COUNTER64 → HCDataOctetsOut
+                     "LocalAddress 12 2 4\n"  # ADDR_IPV4
+                     "SampledRTT 16 4 4\n"    # GAUGE32 → SampleRTT
+                     "State 20 0 4\n"         # INTEGER (signed wrap)
+                     "_gone 24 5 4\n"         # deprecated → skipped
+                     "\n")
+
+    def render(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+        g = int(key[0])
+        pdf = pdf.sort_values(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+            kind="mergesort")
+        head = ("2.5.27 202401010000 net100\n\n/spec\n\n" + HEADER_FIELDS
+                + "/tune\n").encode()
+        head += b"\x00----End-Of-Header---- -1 -1\n"
+        head += _struct.pack("<I", 1704067200)
+        head += b"read" + b"\x00" * 28
+        # conn spec: dst_port, pad, dst_addr, src_port, pad, src_addr
+        head += _struct.pack("<H", (g * 13) % 65536) + b"\x00\x00"
+        head += bytes([172, 16, g % 256, 1])
+        head += _struct.pack("<H", (g * 29) % 65536) + b"\x00\x00"
+        head += bytes([10, 0, g % 256, 2])
+        recs = []
+        for ok, ln, pk, sk in zip(pdf["l_orderkey"], pdf["l_linenumber"],
+                                  pdf["l_partkey"], pdf["l_suppkey"]):
+            ok, ln, pk, sk = int(ok), int(ln), int(pk), int(sk)
+            body = _struct.pack("<I", ln)
+            body += _struct.pack("<Q", sk * 1001)
+            body += bytes([ok % 223 + 1, pk % 256, sk % 256, ln * 3 % 256])
+            body += _struct.pack("<I", pk % 500000)
+            body += _struct.pack("<i", (pk % 7) - 3)
+            body += b"\x00" * 4
+            recs.append(b"----Begin-Snap-Data----\n" + body)
+        blob = head + b"".join(recs)
+        return _pd.DataFrame(
+            {"member_name": [f"20240101T00:00:00Z_g{g}.snaplog"],
+             "content": [blob]})
+
+    files = li.groupBy("g").applyInPandas(
+        render, schema="member_name string, content binary")
+    out = sl.parse_snaplogs(files, every=1).where(~F.col("corrupted"))
+    return out.select(
+        "test_name", "snap_idx", "log_time",
+        "local_ip", "local_port", "remote_ip", "remote_port",
+        F.element_at("integers", "SegsOut").alias("segs_out"),
+        F.element_at("integers", "HCDataOctetsOut").alias("hc_octets_out"),
+        F.element_at("integers", "SampleRTT").alias("sample_rtt"),
+        F.element_at("integers", "State").alias("state"),
+        F.element_at("strings", "LocalAddress").alias("snap_local_ip"),
+    )
+
+
+_SNAPLOG_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey % 32 AS g,
+         row_number() OVER w - 1 AS snap_idx,
+         l_orderkey AS ok, l_linenumber AS ln, l_partkey AS pk, l_suppkey AS sk
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey % 32
+               ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+)
+SELECT '20240101T00:00:00Z_g' || CAST(g AS VARCHAR) || '.snaplog' AS test_name,
+       CAST(snap_idx AS BIGINT) AS snap_idx,
+       CAST(1704067200 AS BIGINT) AS log_time,
+       '10.0.' || CAST(g % 256 AS VARCHAR) || '.2' AS local_ip,
+       CAST((g * 29) % 65536 AS BIGINT) AS local_port,
+       '172.16.' || CAST(g % 256 AS VARCHAR) || '.1' AS remote_ip,
+       CAST((g * 13) % 65536 AS BIGINT) AS remote_port,
+       CAST(ln AS BIGINT) AS segs_out,
+       CAST(sk * 1001 AS BIGINT) AS hc_octets_out,
+       CAST(pk % 500000 AS BIGINT) AS sample_rtt,
+       CAST(pk % 7 - 3 AS BIGINT) AS state,
+       CAST(ok % 223 + 1 AS VARCHAR) || '.' || CAST(pk % 256 AS VARCHAR)
+         || '.' || CAST(sk % 256 AS VARCHAR) || '.'
+         || CAST(ln * 3 % 256 AS VARCHAR) AS snap_local_ip
+FROM b
+"""
+
+
+def src_disco_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISCO switch format, driver-checked end-to-end (parser/disco.go:
+    61-127): events are rendered into concatenated-JSON switch records
+    (one record per user, several records per file), parsed back by the
+    REAL parser, bins exploded JVM-side. The oracle derives the typed
+    bins directly — including the overlap-bin trim (each record's last
+    sample is dropped)."""
+    from etl_spark.sources import disco
+
+    ev = _read(spark, sf_dir, "events")
+    ts_l = F.col("ts").cast("timestamp").cast("long")
+    frag = F.concat(
+        F.lit('{"timestamp": '), ts_l.cast("string"),
+        F.lit(', "value": '), F.round("value", 3).cast("string"), F.lit("}"),
+    )
+    recs = (
+        ev.select("user_id", F.struct(ts_l.alias("t"), F.col("event_id"),
+                                      frag.alias("fr")).alias("rec"))
+        .groupBy("user_id")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("rec")), lambda x: x["fr"]),
+            ", ").alias("samples"))
+        .select(
+            "user_id",
+            F.concat(
+                F.lit('{"sample": ['), F.col("samples"),
+                F.lit('], "metric": "switch.octets.local.rx", "hostname": "mlab'),
+                F.col("user_id").cast("string"),
+                F.lit('", "experiment": "s1"}'),
+            ).alias("rec_json"),
+        )
+    )
+    files = (
+        recs.select((F.col("user_id") % 10).alias("fid"),
+                    F.struct(F.col("user_id"), F.col("rec_json").alias("rj")).alias("r"))
+        .groupBy("fid")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list("r")), lambda x: x["rj"]),
+            "\n").alias("content"))
+        .select(
+            F.concat(F.lit("f"), F.col("fid").cast("string"),
+                     F.lit("-switch.json")).alias("member_name"),
+            F.col("content").cast("binary").alias("content"),
+        )
+    )
+    stats = disco.parse_disco(files)
+    return disco.explode_samples(stats).select(
+        "test_id", "metric", "hostname", "bin_idx", "timestamp",
+        F.round("value", 3).alias("value"),
+    )
+
+
+_DISCO_ORACLE = """
+WITH b AS (
+  -- floor(): Spark's timestamp→long cast truncates, DuckDB's rounds;
+  -- the truncated value is also the sample sort key
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_l, event_id,
+         round(value, 3) AS v,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY floor(epoch(ts)), event_id) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS cnt
+  FROM events
+)
+SELECT 'f' || CAST(user_id % 10 AS VARCHAR) || '-switch.json' AS test_id,
+       'switch.octets.local.rx' AS metric,
+       'mlab' || CAST(user_id AS VARCHAR) AS hostname,
+       CAST(rn - 1 AS INTEGER) AS bin_idx,
+       ts_l AS timestamp,
+       round(v, 3) AS value
+FROM b WHERE rn < cnt
+"""
+
+
+def f_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C6 analog (fixed-offset binary decode, web100/web100.go:218-277):
+    pack events into 24-byte little-endian records, then decode the
+    whole Arrow batch with one numpy.frombuffer reinterpret. Oracle =
+    the source columns — the wire round-trip must be bit-exact."""
+    from etl_spark.sources import archive
+
+    ev = _read(spark, sf_dir, "events")
+    decoded = archive.decode_records(archive.pack_records(ev))
+    return decoded.select(
+        "event_id", "user_id", F.round("value", 6).alias("value")
+    )
+
+
+_BINARY_DECODE_ORACLE = """
+SELECT event_id, user_id, round(value, 6) AS value FROM events
+"""
+
+def src_ndt_results_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDT5 / NDT7 / annotation result JSON, driver-checked end-to-end
+    (parser/ndt7_result.go:70-175, ndt5_result.go:60-115,
+    annotation.go:73-110): each events row is rendered into one result
+    file of its kind (event_id%3), a deterministic fraction corrupted
+    (event_id%17==0), then parsed back by the REAL pure-JVM from_json
+    parsers — ndt7's element_at(-1) summary arithmetic (mean throughput
+    = 8·bytes/elapsed, min RTT seconds, loss = retrans/sent) included.
+    The oracle re-derives every output value directly from events."""
+    from etl_spark.sources import ndt_results
+
+    ev = _read(spark, sf_dir, "events")
+    ts_s = F.date_format(F.col("ts").cast("timestamp"), "yyyy-MM-dd HH:mm:ss")
+    eid = F.col("event_id")
+    kind = eid % 3
+    corrupt = eid % 17 == 0
+    server_ip = F.concat(F.lit("10.0."), (F.col("user_id") % 200).cast("string"), F.lit(".1"))
+    client_ip = F.concat(F.lit("172.16."), (eid % 200).cast("string"), F.lit(".2"))
+
+    # --- ndt7: two ServerMeasurements; the LAST one carries the truth
+    ba = (eid * 997 % 10000000 + 1000).cast("long")
+    br = (eid * 641 % 10000000 + 1000).cast("long")
+    bs = (ba + eid % 1000 + 1).cast("long")
+    rt = (eid % 500).cast("long")
+    et = (F.lit(10000000) + eid % 1000).cast("long")
+    mr = (eid % 100000 + 1).cast("long")
+
+    def tcp(scale):
+        return F.struct(
+            (ba * scale).alias("BytesAcked"), (br * scale).alias("BytesReceived"),
+            (bs * scale).alias("BytesSent"), (rt * scale).alias("BytesRetrans"),
+            (et * scale).alias("ElapsedTime"), (mr * scale).alias("MinRTT"),
+            (mr * scale * 2).alias("RTT"),
+        )
+
+    meas = F.array(
+        F.struct(tcp(F.lit(2)).alias("TCPInfo")),  # decoy: wrong if not last
+        F.struct(tcp(F.lit(1)).alias("TCPInfo")),
+    )
+    arch = F.struct(
+        F.concat(F.lit("u7-"), eid.cast("string")).alias("UUID"),
+        ts_s.alias("StartTime"),
+        meas.alias("ServerMeasurements"),
+    )
+    is_down = F.col("user_id") % 2 == 0
+    ndt7_json = F.to_json(F.struct(
+        server_ip.alias("ServerIP"), client_ip.alias("ClientIP"),
+        F.when(is_down, arch).alias("Download"),
+        F.when(~is_down, arch).alias("Upload"),
+    ))
+
+    # --- ndt5: C2S/S2C mean throughputs + control UUID/protocol
+    ndt5_json = F.to_json(F.struct(
+        server_ip.alias("ServerIP"), client_ip.alias("ClientIP"),
+        ts_s.alias("StartTime"),
+        F.struct(
+            F.concat(F.lit("u5-"), eid.cast("string")).alias("UUID"),
+            F.lit("WSS").alias("Protocol"),
+        ).alias("Control"),
+        F.struct(F.round(F.col("value"), 3).alias("MeanThroughputMbps")).alias("C2S"),
+        F.struct(F.round(F.col("value") * 2, 3).alias("MeanThroughputMbps")).alias("S2C"),
+    ))
+
+    # --- annotation: geo/ASN enrichment row
+    ann_json = F.to_json(F.struct(
+        F.concat(F.lit("ann-"), eid.cast("string")).alias("UUID"),
+        ts_s.alias("Timestamp"),
+        F.struct(
+            F.concat(F.lit("abc0"), (F.col("user_id") % 10).cast("string")).alias("Site"),
+            F.struct(
+                F.concat(F.lit("City"), (F.col("user_id") % 50).cast("string")).alias("City"),
+            ).alias("Geo"),
+            F.struct((F.col("user_id") % 1000 + 100).cast("long").alias("ASNumber")).alias("Network"),
+        ).alias("Server"),
+        F.struct(
+            F.struct(
+                F.concat(F.lit("C"), (eid % 26).cast("string")).alias("CountryCode"),
+                F.round(F.col("value"), 2).alias("Latitude"),
+            ).alias("Geo"),
+            F.struct((eid % 5000 + 1).cast("long").alias("ASNumber")).alias("Network"),
+        ).alias("Client"),
+    ))
+
+    content = F.when(corrupt, F.lit('{"broken')).otherwise(
+        F.when(kind == 0, ndt7_json).when(kind == 1, ndt5_json).otherwise(ann_json)
+    )
+    prefix = F.when(kind == 0, F.lit("ndt7")).when(kind == 1, F.lit("ndt5")).otherwise(F.lit("ann"))
+    files = ev.select(
+        F.concat(prefix, F.lit("-"), eid.cast("string"), F.lit(".json")).alias("member_name"),
+        content.alias("content"),
+        kind.alias("__kind"),
+    )
+
+    n7 = ndt_results.parse_ndt7(files.where(F.col("__kind") == 0))
+    n7o = n7.select(
+        "test_name", F.lit("ndt7").alias("kind"), F.col("id").alias("uuid"),
+        F.col("a")["test_time"].cast("long").alias("t_epoch"),
+        F.round(F.col("a")["mean_throughput_mbps"], 6).alias("m1"),
+        F.round(F.col("a")["min_rtt"], 9).alias("m2"),
+        F.round(F.col("a")["loss_rate"], 6).alias("m3"),
+        F.concat(F.col("direction"), F.lit(":"), F.col("server_ip")).alias("txt"),
+        "corrupted",
+    )
+    n5 = ndt_results.parse_ndt5(files.where(F.col("__kind") == 1))
+    n5o = n5.select(
+        "test_name", F.lit("ndt5").alias("kind"),
+        F.col("control_uuid").alias("uuid"),
+        F.col("start_time").cast("long").alias("t_epoch"),
+        F.col("s2c_mbps").alias("m1"), F.col("c2s_mbps").alias("m2"),
+        F.lit(None).cast("double").alias("m3"),
+        F.concat(F.col("protocol"), F.lit(":"), F.col("server_ip")).alias("txt"),
+        "corrupted",
+    )
+    an = ndt_results.parse_annotation(files.where(F.col("__kind") == 2))
+    ano = an.select(
+        "test_name", F.lit("annotation").alias("kind"), "uuid",
+        F.col("ts").cast("long").alias("t_epoch"),
+        F.col("client_lat").alias("m1"),
+        F.col("server_asn").cast("double").alias("m2"),
+        F.col("client_asn").cast("double").alias("m3"),
+        F.concat(F.col("server_site"), F.lit(":"), F.col("client_country")).alias("txt"),
+        "corrupted",
+    )
+    return n7o.unionByName(n5o).unionByName(ano)
+
+
+_NDT_RESULTS_ORACLE = """
+WITH e AS (
+  SELECT user_id, event_id AS eid, value,
+         CAST(floor(epoch(ts)) AS BIGINT) AS tse,
+         event_id % 3 AS kind,
+         event_id % 17 = 0 AS corrupt,
+         '10.0.' || CAST(user_id % 200 AS VARCHAR) || '.1' AS server_ip,
+         event_id * 997 % 10000000 + 1000 AS ba,
+         event_id * 641 % 10000000 + 1000 AS br,
+         event_id * 997 % 10000000 + 1000 + event_id % 1000 + 1 AS bs,
+         event_id % 500 AS rt,
+         10000000 + event_id % 1000 AS et,
+         event_id % 100000 + 1 AS mr
+  FROM events
+)
+SELECT 'ndt7-' || CAST(eid AS VARCHAR) || '.json' AS test_name,
+       'ndt7' AS kind,
+       CASE WHEN corrupt THEN NULL ELSE 'u7-' || CAST(eid AS VARCHAR) END AS uuid,
+       CASE WHEN corrupt THEN NULL ELSE tse END AS t_epoch,
+       CASE WHEN corrupt THEN 0.0
+            ELSE round(CASE WHEN user_id % 2 = 0 THEN 8.0 * ba / et
+                            ELSE 8.0 * br / et END, 6) END AS m1,
+       CASE WHEN corrupt THEN 0.0 ELSE round(mr / 1000000.0, 9) END AS m2,
+       CASE WHEN corrupt THEN 0.0
+            ELSE round(CASE WHEN user_id % 2 = 0
+                            THEN CAST(rt AS DOUBLE) / bs ELSE 0.0 END, 6)
+       END AS m3,
+       CASE WHEN corrupt THEN NULL
+            ELSE (CASE WHEN user_id % 2 = 0 THEN 'download' ELSE 'upload' END)
+                 || ':' || server_ip END AS txt,
+       corrupt AS corrupted
+FROM e WHERE kind = 0
+UNION ALL
+SELECT 'ndt5-' || CAST(eid AS VARCHAR) || '.json' AS test_name,
+       'ndt5' AS kind,
+       CASE WHEN corrupt THEN NULL ELSE 'u5-' || CAST(eid AS VARCHAR) END AS uuid,
+       CASE WHEN corrupt THEN NULL ELSE tse END AS t_epoch,
+       CASE WHEN corrupt THEN NULL ELSE round(value * 2, 3) END AS m1,
+       CASE WHEN corrupt THEN NULL ELSE round(value, 3) END AS m2,
+       CAST(NULL AS DOUBLE) AS m3,
+       CASE WHEN corrupt THEN NULL ELSE 'WSS:' || server_ip END AS txt,
+       corrupt AS corrupted
+FROM e WHERE kind = 1
+UNION ALL
+SELECT 'ann-' || CAST(eid AS VARCHAR) || '.json' AS test_name,
+       'annotation' AS kind,
+       CASE WHEN corrupt THEN NULL ELSE 'ann-' || CAST(eid AS VARCHAR) END AS uuid,
+       CASE WHEN corrupt THEN NULL ELSE tse END AS t_epoch,
+       CASE WHEN corrupt THEN NULL ELSE round(value, 2) END AS m1,
+       CASE WHEN corrupt THEN NULL
+            ELSE CAST(user_id % 1000 + 100 AS DOUBLE) END AS m2,
+       CASE WHEN corrupt THEN NULL ELSE CAST(eid % 5000 + 1 AS DOUBLE) END AS m3,
+       CASE WHEN corrupt THEN NULL
+            ELSE 'abc0' || CAST(user_id % 10 AS VARCHAR)
+                 || ':C' || CAST(eid % 26 AS VARCHAR) END AS txt,
+       corrupt AS corrupted
+FROM e WHERE kind = 2
+"""
+
+
+def ndt_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship NDT output surface: per-snaplog
+    snapshot deltas[] (changed-fields-only vs the previous snapshot,
+    constant-field removal, Duration-only skip, 2800-snapshot cap,
+    is_last tag — parser/ndt.go:401-462, web100/web100.go:570-588),
+    flattened to one row per changed field so DuckDB can re-derive it.
+    lineitem rows are rendered into REAL binary snaplogs whose fields
+    are chosen to exercise every rule: Duration changes every snapshot
+    (so some snapshots are Duration-only → skipped), State/SegsOut
+    change intermittently, LocalAddress varies but is constant-deleted,
+    PeerAddress exercises the string-delta path. The nested deltas[]
+    row fused with .meta metadata is tests/test_ndt_deltas.py."""
+    import struct as _struct
+
+    import pandas as _pd
+
+    from etl_spark.operators import ndt_deltas as ndtd
+    from etl_spark.sources import snaplog as sl
+
+    li = _read(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 32).alias("g"),
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+    )
+    HEADER_FIELDS = ("/read\n"
+                     "Duration 0 4 4\n"       # GAUGE32 — changes every snap
+                     "State 4 0 4\n"          # INTEGER — intermittent
+                     "PktsOut 8 3 4\n"        # COUNTER32 → SegsOut rename
+                     "LocalAddress 12 2 4\n"  # ADDR_IPV4 — constant-deleted
+                     "PeerAddress 16 2 4\n"   # ADDR_IPV4 — string deltas
+                     "\n")
+
+    def render(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+        g = int(key[0])
+        pdf = pdf.sort_values(
+            ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"],
+            kind="mergesort")
+        head = ("2.5.27 202401010000 net100\n\n/spec\n\n" + HEADER_FIELDS
+                + "/tune\n").encode()
+        head += b"\x00----End-Of-Header---- -1 -1\n"
+        head += _struct.pack("<I", 1704067200)
+        head += b"read" + b"\x00" * 28
+        head += _struct.pack("<H", (g * 13) % 65536) + b"\x00\x00"
+        head += bytes([172, 16, g % 256, 1])
+        head += _struct.pack("<H", (g * 29) % 65536) + b"\x00\x00"
+        head += bytes([10, 0, g % 256, 2])
+        recs = []
+        for rn, (ln, pk, sk) in enumerate(zip(pdf["l_linenumber"],
+                                              pdf["l_partkey"],
+                                              pdf["l_suppkey"])):
+            ln, pk, sk = int(ln), int(pk), int(sk)
+            body = _struct.pack("<I", rn)               # Duration
+            body += _struct.pack("<i", pk % 3)          # State
+            body += _struct.pack("<I", ln % 5)          # PktsOut→SegsOut
+            body += bytes([10, 0, g % 256, 2])          # LocalAddress (const)
+            body += bytes([192, 168, sk % 4, 1])        # PeerAddress
+            recs.append(b"----Begin-Snap-Data----\n" + body)
+        blob = head + b"".join(recs)
+        return _pd.DataFrame(
+            {"member_name": [f"20240101T00:00:00Z_d{g}.snaplog"],
+             "content": [blob]})
+
+    files = li.groupBy("g").applyInPandas(
+        render, schema="member_name string, content binary")
+    parsed = sl.parse_snaplogs(files, every=1)
+    return ndtd.flatten_deltas(ndtd.snaplog_deltas(parsed))
+
+
+_NDT_DELTAS_ORACLE = """
+WITH b AS (
+  SELECT l_orderkey % 32 AS g,
+         row_number() OVER w - 1 AS rn,
+         l_partkey % 3 AS state, l_linenumber % 5 AS segs,
+         l_suppkey % 4 AS peer4
+  FROM lineitem
+  WINDOW w AS (PARTITION BY l_orderkey % 32
+               ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey)
+),
+c AS (
+  SELECT g, rn, state, segs, peer4,
+         (rn = 0 OR state <> lag(state) OVER w2) AS c_state,
+         (rn = 0 OR segs <> lag(segs) OVER w2) AS c_segs,
+         (rn = 0 OR peer4 <> lag(peer4) OVER w2) AS c_peer
+  FROM b WHERE rn < 2800
+  WINDOW w2 AS (PARTITION BY g ORDER BY rn)
+),
+k AS (
+  SELECT g, rn, state, segs, peer4, c_state, c_segs, c_peer,
+         row_number() OVER (PARTITION BY g ORDER BY rn) - 1 AS delta_index,
+         count(*) OVER (PARTITION BY g) AS n_keep
+  FROM c WHERE c_state OR c_segs OR c_peer
+),
+f AS (
+  SELECT g, rn, delta_index, n_keep, 'Duration' AS field,
+         CAST(rn AS BIGINT) AS value_long, CAST(NULL AS VARCHAR) AS value_str
+  FROM k
+  UNION ALL
+  SELECT g, rn, delta_index, n_keep, 'State',
+         CAST(state AS BIGINT), NULL FROM k WHERE c_state
+  UNION ALL
+  SELECT g, rn, delta_index, n_keep, 'SegsOut',
+         CAST(segs AS BIGINT), NULL FROM k WHERE c_segs
+  UNION ALL
+  SELECT g, rn, delta_index, n_keep, 'PeerAddress', NULL,
+         '192.168.' || CAST(peer4 AS VARCHAR) || '.1' FROM k WHERE c_peer
+)
+SELECT '20240101T00:00:00Z_d' || CAST(g AS VARCHAR) || '.snaplog' AS test_name,
+       CAST(rn AS BIGINT) AS snapshot_num,
+       CAST(delta_index AS BIGINT) AS delta_index,
+       delta_index = n_keep - 1 AS is_last,
+       field, value_long, value_str
+FROM f
+"""

@@ -92,7 +92,10 @@ def parse_ndt7(files: DataFrame, name_col: str = "member_name",
         .alias("direction"),
         j["ServerIP"].alias("server_ip"),
         j["ClientIP"].alias("client_ip"),
-        j.isNull().alias("corrupted"),
+        # PERMISSIVE from_json yields a struct of nulls (not a null
+        # struct) on malformed JSON — a result without its archival
+        # UUID is corrupt, same as the reference's unmarshal error
+        (j.isNull() | arch["UUID"].isNull()).alias("corrupted"),
     )
 
 
@@ -135,7 +138,7 @@ def parse_ndt5(files: DataFrame, name_col: str = "member_name",
         F.to_timestamp(j["StartTime"]).alias("start_time"),
         j["S2C"]["MeanThroughputMbps"].alias("s2c_mbps"),
         j["C2S"]["MeanThroughputMbps"].alias("c2s_mbps"),
-        j.isNull().alias("corrupted"),
+        (j.isNull() | j["Control"]["UUID"].isNull()).alias("corrupted"),
     )
 
 

@@ -95,3 +95,24 @@ def test_lsh_leaves_nothing_cached(spark):
         simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.25).count()
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+def test_lww_variants_agree(spark):
+    """All three LWW physical plans (hash-agg max_by, salted two-phase,
+    window rank) produce byte-identical winners — cdc_lww's driver row
+    (salted plan) therefore vouches for the others."""
+    from etl_spark import gen
+    from etl_spark.operators.dedup import (
+        lww_latest,
+        lww_latest_salted,
+        lww_latest_window,
+    )
+
+    ev = gen.synthetic_events(spark, 2000, n_repos=20, seed=67)
+    cols = ["repo", "path", "seq", "op", "commit", "content"]
+    state = lambda df: sorted(  # noqa: E731
+        tuple(r) for r in df.select(*cols).collect()
+    )
+    a = state(lww_latest(ev))
+    assert a == state(lww_latest_salted(ev))
+    assert a == state(lww_latest_window(ev))

@@ -82,7 +82,10 @@ def test_feature_extraction_normalized(spark):
         assert np.linalg.norm(v) == pytest.approx(1.0, abs=1e-5)
 
 
-def test_decode_real_is_marked_stub(spark):
-    media = mm.synth_media(spark, 1)
-    with pytest.raises(NotImplementedError, match="decode"):
-        mm.decode_real(media)
+def test_decode_real_rejects_smf(spark):
+    # decode_real handles REAL formats (PNG/WAV, tests/test_codecs.py);
+    # SMF payloads are not real media and must come back valid=false,
+    # not be mis-parsed
+    media = mm.synth_media(spark, 8)
+    out = mm.decode_real(media).collect()
+    assert len(out) == 8 and all(not r.valid for r in out)

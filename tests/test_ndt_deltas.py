@@ -1,0 +1,121 @@
+"""NDT web100 deltas[] composition vs the reference's REAL snaplog.
+
+Parity targets (parser/ndt.go:401-462 getDeltas + web100/web100.go:
+570-588 SnapshotDeltas): first snapshot emits all fields, later ones
+changed-fields-only, the 9 connection-constant fields deleted from
+every delta, Duration-only deltas skipped, snapshot_num/delta_index/
+is_last tags, 2800-snapshot cap — exercised on the reference's own
+checked-in c2s snaplog (142 fields, ~2100 snapshots) and fused with
+its .meta file via the filename-timestamp group key.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators.ndt_deltas import (
+    CONSTANT_FIELDS,
+    compose_ndt_rows,
+    flatten_deltas,
+    snaplog_deltas,
+)
+from etl_spark.sources import snaplog as sl
+
+REF_DIR = "/root/reference/parser/testdata"
+C2S = f"{REF_DIR}/20170509T13:45:13.590210000Z_eb.measurementlab.net:48716.c2s_snaplog"
+META = f"{REF_DIR}/20170509T13:45:13.590210000Z_eb.measurementlab.net:53000.meta"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(C2S), reason="reference testdata not mounted"
+)
+
+
+def _members(spark, paths):
+    rows = []
+    for p in paths:
+        with open(p, "rb") as f:
+            rows.append((os.path.basename(p), bytearray(f.read())))
+    return spark.createDataFrame(rows, "member_name string, content binary")
+
+
+def _expected_deltas(cap=2800):
+    """Independent (numpy/python) re-derivation of getDeltas over the
+    decoded snapshots — what the Spark plan must reproduce."""
+    with open(C2S, "rb") as f:
+        slog = sl.parse_snaplog(f.read())
+    n = min(slog.snap_count, cap)
+    ints, strs = sl.decode_snapshots(slog)
+    names_i = [k for k in ints if k not in CONSTANT_FIELDS]
+    names_s = [k for k in strs if k not in CONSTANT_FIELDS]
+    out = []  # (snapshot_num, {field: value})
+    for i in range(n):
+        delta = {}
+        for k in names_i:
+            v = int(ints[k][i])
+            if i == 0 or v != int(ints[k][i - 1]):
+                delta[k] = v
+        for k in names_s:
+            v = strs[k][i]
+            if i == 0 or v != strs[k][i - 1]:
+                if v is not None:
+                    delta[k] = v
+        if len(delta) == 1 and "Duration" in delta:
+            continue
+        out.append((i, delta))
+    return out
+
+
+def test_deltas_match_reference_semantics(spark):
+    exp = _expected_deltas()
+    members = _members(spark, [C2S])
+    parsed = sl.parse_snaplogs(members, every=1)
+    got = snaplog_deltas(parsed).collect()
+    got.sort(key=lambda r: r.snapshot_num)
+    assert len(got) == len(exp)
+    for j, (r, (snap_i, delta)) in enumerate(zip(got, exp)):
+        assert r.snapshot_num == snap_i
+        assert r.delta_index == j
+        assert r.is_last == (j == len(exp) - 1)
+        merged = dict(r.d_ints) | dict(r.d_strs)
+        assert merged == delta, f"delta mismatch at snapshot {snap_i}"
+    # constant fields never leak into a delta
+    flat = flatten_deltas(snaplog_deltas(parsed))
+    leaked = flat.where(F.col("field").isin(*CONSTANT_FIELDS)).count()
+    assert leaked == 0
+    # first delta is the (near-)full snapshot: all non-constant int
+    # fields present
+    first = dict(got[0].d_ints)
+    assert len(first) >= 100  # 112 integers minus constants
+
+
+def test_snapshot_cap(spark):
+    members = _members(spark, [C2S])
+    parsed = sl.parse_snaplogs(members, every=1)
+    capped = snaplog_deltas(parsed, cap=100).collect()
+    assert max(r.snapshot_num for r in capped) < 100
+    exp = _expected_deltas(cap=100)
+    assert len(capped) == len(exp)
+
+
+def test_composed_row_fuses_meta(spark):
+    from etl_spark.sources.ndt_meta import parse_meta
+
+    members = _members(spark, [C2S])
+    meta = parse_meta(_members(spark, [META]))
+    row = compose_ndt_rows(members, meta=meta).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_snapshots == 2125 or r.n_snapshots > 2000
+    assert r.n_deltas == len(_expected_deltas())
+    assert r.deltas[0].delta_index == 0 and r.deltas[-1].is_last
+    # deltas[] sorted by snapshot_num and internally consistent
+    nums = [d.snapshot_num for d in r.deltas]
+    assert nums == sorted(nums)
+    # the .meta connection spec rode in on the shared group key
+    assert r.meta is not None and r.meta.test_name.endswith(".meta")
+    assert r.group_key == r.test_name.split("Z", 1)[0] + "Z"
+    # connection spec from the binary header survived composition
+    assert r.local_port > 0 and r.remote_port > 0
