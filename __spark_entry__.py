@@ -71,7 +71,6 @@ from etl_spark.queries.embed import (
 )
 from etl_spark.queries.rel import (
     _ASOF_ORACLE,
-    _COGROUP_ORACLE,
     _GROUP_COJOIN_ORACLE,
     _NATION_REVENUE_ORACLE,
     _Q1_ORACLE,
@@ -107,7 +106,6 @@ from etl_spark.queries.streams import (
     _W_CHANGE_POINTS_ORACLE,
     _W_JSON_PROPS_ORACLE,
     _W_LAG_DELTA_ORACLE,
-    _W_SESSION_SUMMARY_ORACLE,
     _W_THIN_ORACLE,
     _WINDOWED_COUNTS_ORACLE,
     agg_rollup,
@@ -136,9 +134,7 @@ from etl_spark.queries.wire import (
     _SNAPLOG_ORACLE,
     _TAR_ROUNDTRIP_ORACLE,
     _TCPINFO_ORACLE,
-    f_binary_decode,
     f_compress_roundtrip,
-    f_text_table_decode,
     ndt_deltas,
     src_disco_decode,
     src_ndt_results_decode,

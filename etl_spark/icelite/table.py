@@ -49,6 +49,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterable, Sequence
@@ -442,14 +443,19 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         for pdf in batches:
             out_rows = []
             for spec_json in pdf["spec"]:
+                t0 = time.monotonic()
                 spec = json.loads(spec_json)
                 total = sum(nb for _p, _s, _k, nb in spec["files"])
                 row = (_compact_chunked if total > chunk_bytes
                        else _compact_small)(spec, pa)
                 if row is not None:
-                    out_rows.append(row)
+                    # task_sec lets the caller separate kernel time from
+                    # scheduling/commit overhead when judging scaling
+                    out_rows.append(row + (time.monotonic() - t0,))
             yield pd.DataFrame(
-                out_rows, columns=["bucket", "rel_path", "rows", "bytes", "kind"]
+                out_rows,
+                columns=["bucket", "rel_path", "rows", "bytes", "kind",
+                         "task_sec"],
             )
 
     return run
@@ -463,6 +469,9 @@ class IceliteTable:
         self.path = path
         self.meta_path = os.path.join(path, META_DIR)
         self.data_path = os.path.join(path, DATA_DIR)
+        # per-bucket kernel seconds of the most recent compact() on
+        # this handle, largest first (diagnostics only, not state)
+        self.last_compact_task_secs: list[float] = []
 
     # -- catalog ------------------------------------------------------------
 
@@ -1166,9 +1175,44 @@ class IceliteTable:
             "max_delta_files_per_bucket": max(per_bucket.values(), default=0),
         }
 
+    def compaction_candidates(self, min_delta_ratio: float = 0.0,
+                              min_delta_files: int = 1) -> list[dict]:
+        """Per-bucket maintenance stats: which buckets carry deltas and
+        how much. At 100 TB compaction is an amortized background task —
+        a maintenance loop reads this (manifest-only, no data scan) and
+        compacts the worst offenders first instead of rewriting the
+        table."""
+        snap = self.snapshot()
+        by_bucket: dict[int, dict] = {}
+        for f_ in snap.files:
+            st = by_bucket.setdefault(
+                f_.bucket,
+                {"bucket": f_.bucket, "delta_files": 0, "delta_bytes": 0,
+                 "base_bytes": 0},
+            )
+            if f_.kind == "delta":
+                st["delta_files"] += 1
+                st["delta_bytes"] += f_.bytes
+            else:
+                st["base_bytes"] += f_.bytes
+        out = []
+        for st in by_bucket.values():
+            if st["delta_files"] < min_delta_files:
+                continue
+            ratio = st["delta_bytes"] / max(st["base_bytes"], 1)
+            if st["base_bytes"] > 0 and ratio < min_delta_ratio:
+                continue
+            st["delta_ratio"] = round(ratio, 4)
+            out.append(st)
+        out.sort(key=lambda s: -s["delta_bytes"])
+        return out
+
     def compact(self, properties: dict | None = None,
                 drop_tombstones_below_seq: int | None = None,
-                chunk_bytes: int = 1 << 30) -> Snapshot:
+                chunk_bytes: int = 1 << 30,
+                min_delta_ratio: float = 0.0,
+                min_delta_files: int = 1,
+                max_buckets: int | None = None) -> Snapshot:
         """Fold each bucket's delta files into ONE fresh file of
         resolved LWW state. Logical state is unchanged — compaction
         commutes with replay even under concurrent out-of-order
@@ -1191,7 +1235,27 @@ class IceliteTable:
         snap = self.snapshot()
         if not any(f_.kind == "delta" for f_ in snap.files):
             return snap
-        touched = sorted({f_.bucket for f_ in snap.files if f_.kind == "delta"})
+        if min_delta_ratio > 0.0 or min_delta_files > 1 or max_buckets:
+            # Targeted maintenance pass: compact only the buckets whose
+            # delta debt clears the thresholds, worst offenders first.
+            # At 100 TB this is the normal mode — a background loop
+            # amortizes compaction instead of rewriting the table; the
+            # rebase-retry commit below already scopes the consumed set
+            # to the touched buckets, so untouched buckets are kept
+            # verbatim and racing appends still commute.
+            cand = self.compaction_candidates(
+                min_delta_ratio=min_delta_ratio,
+                min_delta_files=min_delta_files,
+            )
+            if max_buckets is not None:
+                cand = cand[:max_buckets]
+            touched = sorted(c["bucket"] for c in cand)
+            if not touched:
+                return snap
+        else:
+            touched = sorted(
+                {f_.bucket for f_ in snap.files if f_.kind == "delta"}
+            )
         rel = f"s{uuid.uuid4().hex[:12]}"
         out_root = os.path.join(self.data_path, rel)
         os.makedirs(out_root, exist_ok=True)
@@ -1213,9 +1277,16 @@ class IceliteTable:
             .repartition(len(specs))
             .mapInPandas(
                 kernel,
-                "bucket int, rel_path string, rows long, bytes long, kind string",
+                "bucket int, rel_path string, rows long, bytes long, "
+                "kind string, task_sec double",
             )
             .collect()
+        )
+        # Kernel-only per-bucket seconds (excludes Spark scheduling and
+        # the commit): the scaling harness reads this to tell true
+        # kernel scaling from fixed per-job overhead.
+        self.last_compact_task_secs = sorted(
+            (float(r["task_sec"]) for r in stats), reverse=True
         )
         # losing speculative/retried attempts wrote attempt-suffixed
         # files not present in the collected stats — sweep them

@@ -508,3 +508,58 @@ def test_chunked_compaction_dedupes_redelivered_rows(spark, tbl_dir):
         .where(F.col("count") > 1).count()
     )
     assert dupes == 0
+
+
+def test_targeted_compaction_worst_bucket_first(spark, tbl_dir):
+    """Maintenance-loop mode: compaction_candidates ranks buckets by
+    delta debt (manifest-only, no data scan) and compact(max_buckets=N)
+    folds only the worst offenders, leaving the rest untouched. At
+    100 TB this is the normal mode — compaction is amortized background
+    work, never a full-table rewrite."""
+    t = make(spark, tbl_dir, n_buckets=4)
+    # seed every bucket with a base file
+    t.append(df(spark, [(f"r{i}", f"p{i}", i, i) for i in range(1, 40)]))
+    # pile delta debt onto whichever bucket holds key ("r1","p1"):
+    # 5 delta commits for that one key vs 1 for everything else
+    seq = 100
+    for _ in range(5):
+        seq += 1
+        t.append_delta(_updf(spark, [("r1", "p1", seq, seq, "update")]))
+    seq += 1
+    t.append_delta(
+        _updf(spark, [(f"r{i}", f"p{i}", 1000 + i, seq + i, "update")
+                      for i in range(2, 40)])
+    )
+    cand = t.compaction_candidates()
+    assert cand, "every delta-bearing bucket is a candidate by default"
+    # ranked by delta_bytes descending; the r1 bucket has 5 delta files
+    worst = cand[0]
+    assert worst["delta_files"] >= 5
+    assert cand == sorted(cand, key=lambda c: -c["delta_bytes"])
+    # min_delta_files filter prunes the light buckets
+    heavy = t.compaction_candidates(min_delta_files=5)
+    assert [c["bucket"] for c in heavy] == [worst["bucket"]]
+
+    state = lambda tt: sorted(tuple(r) for r in tt.read().collect())  # noqa: E731
+    before = state(t)
+    before_stats = t.delta_stats()
+    snap = t.compact(max_buckets=1, min_delta_files=5)
+    assert state(t) == before  # logical state unchanged
+    after_stats = t.delta_stats()
+    # only the worst bucket was folded: its 5 delta files collapsed,
+    # the other buckets' delta files are byte-identical survivors
+    assert after_stats["delta_files"] <= before_stats["delta_files"] - 4
+    per_worst = [f_ for f_ in snap.files
+                 if f_.bucket == worst["bucket"] and f_.kind == "delta"]
+    assert len(per_worst) <= 1
+    # kernel timing diagnostics cover exactly the touched buckets
+    assert len(t.last_compact_task_secs) == 1
+    assert all(s >= 0 for s in t.last_compact_task_secs)
+    # thresholds that nothing clears -> no-op commit-free return
+    v = t.current_version()
+    t.compact(min_delta_files=99)
+    assert t.current_version() == v
+    # a later full compact folds the remainder and state still holds
+    t.compact(drop_tombstones_below_seq=10_000)
+    assert t.delta_stats()["delta_files"] == 0
+    assert state(t) == before
