@@ -1,0 +1,155 @@
+"""Adaptive admission control (streaming/ratelimit.py): AIMD cap
+dynamics, token-bucket pacing math, and the adaptive replay loop's
+state-equivalence with plain replay (reference pushback analogs:
+bq/insert.go:417-480, active/throttle.go:10-81)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from etl_spark import gen
+from etl_spark.operators.apply import create_lineage, create_target, replay
+from etl_spark.streaming.ratelimit import (
+    AimdController,
+    EpochFeedback,
+    RateBudget,
+    adaptive_replay,
+)
+
+
+def ctl(**kw):
+    base = dict(cap=1000, min_cap=100, max_cap=4000, slo_sec=10.0,
+                increase_step=100)
+    base.update(kw)
+    return AimdController(**base)
+
+
+def test_aimd_additive_increase_to_max():
+    c = ctl()
+    for _ in range(50):
+        c.record(EpochFeedback(events=1000, wall_sec=1.0))
+    assert c.cap == 4000  # clamped at max_cap
+    assert c.breaches == 0
+
+
+def test_aimd_multiplicative_decrease_and_floor():
+    c = ctl()
+    c.record(EpochFeedback(events=1000, wall_sec=99.0))  # SLO breach
+    assert c.cap == 500
+    for _ in range(10):
+        c.record(EpochFeedback(events=500, wall_sec=99.0))
+    assert c.cap == 100  # clamped at min_cap
+    assert c.breaches == 11
+
+
+def test_aimd_breach_signals():
+    c = ctl(max_retries=2, max_rejected_frac=0.1)
+    assert not c.breached(EpochFeedback(1000, 1.0, commit_retries=2,
+                                        rejected_frac=0.1))
+    assert c.breached(EpochFeedback(1000, 1.0, commit_retries=3))
+    assert c.breached(EpochFeedback(1000, 1.0, rejected_frac=0.2))
+    assert c.breached(EpochFeedback(1000, 99.0))
+
+
+def test_aimd_sawtooth_converges_around_sustainable_cap():
+    """Deterministic pushback model: epochs above 2000 events breach.
+    The cap must sawtooth within a band around 2000, not oscillate to
+    the rails — the same converge-under-quota behavior the reference's
+    penalty-box retry loop produces."""
+    c = ctl()
+    for _ in range(100):
+        wall = 99.0 if c.cap > 2000 else 1.0
+        c.record(EpochFeedback(events=c.cap, wall_sec=wall))
+    tail = [cap for cap, _ in c.history[-20:]]
+    assert all(1000 <= cap <= 2100 for cap in tail)
+    assert any(b for _, b in c.history)  # it did probe and get cut
+
+
+def test_aimd_validates_config():
+    with pytest.raises(ValueError):
+        ctl(min_cap=0)
+    with pytest.raises(ValueError):
+        ctl(cap=9999)  # cap > max_cap
+    with pytest.raises(ValueError):
+        ctl(decrease_factor=1.0)
+
+
+def test_rate_budget_burst_then_pace():
+    b = RateBudget(events_per_sec=100.0, burst_sec=2.0)
+    # burst capacity = 200 events: free
+    assert b.throttle_sec(200, now_sec=0.0) == 0.0
+    # next 100 events are fully over budget -> 1s of pacing
+    assert b.throttle_sec(100, now_sec=0.0) == pytest.approx(1.0)
+    # after 3s the bucket refilled 300 (clamped to 200): free again
+    assert b.throttle_sec(150, now_sec=3.0) == 0.0
+    assert b.throttle_sec(100, now_sec=3.0) == pytest.approx(0.5)
+
+
+def test_rate_budget_refill_is_clamped_to_burst():
+    b = RateBudget(events_per_sec=10.0, burst_sec=1.0)
+    assert b.throttle_sec(10, now_sec=0.0) == 0.0
+    # a long idle gap must not bank unlimited tokens
+    assert b.throttle_sec(30, now_sec=1000.0) == pytest.approx(2.0)
+
+
+def test_adaptive_replay_backs_off_and_matches_plain_replay(
+        spark, tbl_dir, monkeypatch):
+    """Fake clock makes every epoch larger than 600 events breach the
+    SLO: the admission cap must shrink under pushback and grow back
+    while the final table state stays byte-identical to a fixed-size
+    replay (adaptation moves epoch boundaries, never applied state)."""
+    ev = gen.synthetic_events(spark, 3000, n_repos=40, paths_per_repo=30,
+                              seed=7)
+    t_ad = create_target(spark, os.path.join(tbl_dir, "a"), n_buckets=8)
+    l_ad = create_lineage(spark, os.path.join(tbl_dir, "al"))
+    t_pl = create_target(spark, os.path.join(tbl_dir, "b"), n_buckets=8)
+
+    ticks = {"t": 0.0, "slept": []}
+
+    def clock():
+        return ticks["t"]
+
+    c = AimdController(cap=1200, min_cap=150, max_cap=1200, slo_sec=5.0,
+                       increase_step=150)
+    from etl_spark.operators.apply import apply_epoch as orig_apply
+
+    def clocked_apply(*a, **kw):
+        st = orig_apply(*a, **kw)
+        # pushback model: >600 admitted events -> wall 10s, else 1s
+        ticks["t"] += 10.0 if st.events_in > 600 else 1.0
+        return st
+
+    monkeypatch.setattr(
+        "etl_spark.streaming.ratelimit.apply_epoch", clocked_apply
+    )
+    stats = adaptive_replay(
+        spark, ev, t_ad, l_ad, controller=c,
+        budget=RateBudget(events_per_sec=10_000.0, burst_sec=0.01),
+        clock=clock, sleep=lambda s: ticks["slept"].append(s),
+    )
+
+    assert all(s.invariant_ok() for s in stats)
+    assert c.breaches >= 1  # the 1200-event opener breached
+    caps = [cap for cap, _ in c.history]
+    assert min(caps) < 1200  # it backed off
+    assert caps[-1] > min(caps)  # and probed back up on healthy epochs
+    # pacing fired: burst is tiny, so some epoch paid a sleep
+    assert ticks["slept"] and all(s > 0 for s in ticks["slept"])
+
+    replay(spark, ev, t_pl, None, epoch_size=1000)
+    state = lambda t: sorted(  # noqa: E731
+        tuple(r) for r in t.read()
+        .select("repo", "path", "commit", "lang", "content_sha256",
+                "last_seq").collect()
+    )
+    assert state(t_ad) == state(t_pl)
+
+
+def test_adaptive_replay_empty_stream(spark, tbl_dir):
+    ev = gen.synthetic_events(spark, 500, n_repos=10, seed=3).limit(0)
+    t = create_target(spark, os.path.join(tbl_dir, "t"), n_buckets=4)
+    c = ctl()
+    assert adaptive_replay(spark, ev, t, None, controller=c) == []
+    assert c.history == []
