@@ -139,3 +139,65 @@ def run_to_completion(spark: SparkSession, cfg: TailerConfig, timeout_s: int = 6
     if q.isActive:
         q.stop()
         raise TimeoutError(f"tailer did not drain within {timeout_s}s")
+
+
+def drain_adaptive(
+    spark: SparkSession,
+    cfg: TailerConfig,
+    controller,
+    events_per_file: int,
+    timeout_s: int = 600,
+    max_rounds: int = 100,
+    clock=None,
+) -> int:
+    """Drain the WAL in successive ``availableNow`` passes whose
+    ``maxFilesPerTrigger`` follows an
+    :class:`~etl_spark.streaming.ratelimit.AimdController`.
+
+    Structured Streaming fixes maxFilesPerTrigger for a query's
+    lifetime, so adaptation restarts the query between passes — cheap
+    here because the checkpoint carries all offset state: each pass
+    resumes exactly where the last stopped, and epoch_id = prefix:
+    batch_id keeps redelivery idempotent across restarts (T2). The
+    controller's event cap maps to files via ``events_per_file`` (the
+    WAL's chunk size). This is the streaming face of the reference's
+    quota pushback (bq/insert.go:417-480): sustained slow batches
+    shrink the per-pass file budget geometrically; healthy passes probe
+    it back up. Returns the number of drain passes run.
+    """
+    import time as _time
+
+    clock = clock or _time.monotonic
+    rounds = 0
+    while rounds < max_rounds:
+        files_cap = max(1, controller.cap // max(1, events_per_file))
+        pass_cfg = TailerConfig(**{**cfg.__dict__,
+                                   "max_files_per_trigger": files_cap})
+        before = _progress_batches(cfg.checkpoint_dir)
+        t0 = clock()
+        run_to_completion(spark, pass_cfg, timeout_s=timeout_s)
+        wall = clock() - t0
+        after = _progress_batches(cfg.checkpoint_dir)
+        rounds += 1
+        if after == before:
+            break  # nothing new was available — fully drained
+        from etl_spark.streaming.ratelimit import EpochFeedback
+
+        # one availableNow pass may run several triggers; feed back the
+        # mean per-trigger wall so the SLO stays a per-epoch bound
+        n_batches = max(1, after - before)
+        controller.record(EpochFeedback(
+            events=files_cap * events_per_file * n_batches,
+            wall_sec=wall / n_batches,
+        ))
+    return rounds
+
+
+def _progress_batches(checkpoint_dir: str) -> int:
+    """Highest committed batch id in the checkpoint (−1 if none) —
+    offset bookkeeping is observable without a running query."""
+    commits = os.path.join(checkpoint_dir, "commits")
+    if not os.path.isdir(commits):
+        return -1
+    ids = [int(f) for f in os.listdir(commits) if f.isdigit()]
+    return max(ids, default=-1)

@@ -98,14 +98,30 @@ def cmd_compact(args) -> int:
     """Fold MoR deltas. Winning deletes are retained as tombstones
     unless --final-below-seq asserts the low watermark (no event with a
     lower seq can still arrive), which allows physically dropping
-    them."""
+    them. --max-buckets/--min-delta-files/--min-delta-ratio turn this
+    into the amortized maintenance pass (worst delta-debt buckets
+    first); --dry-run prints the candidate ranking without touching
+    the table."""
     from etl_spark.icelite.table import IceliteTable
 
     spark = _spark(args)
     t = IceliteTable.load(spark, args.target)
+    cand = t.compaction_candidates(
+        min_delta_ratio=getattr(args, "min_delta_ratio", 0.0),
+        min_delta_files=getattr(args, "min_delta_files", 1),
+    )
+    if getattr(args, "dry_run", False):
+        print(json.dumps({"candidates": cand}))
+        return 0
     before = t.delta_stats()
-    t.compact(drop_tombstones_below_seq=getattr(args, "final_below_seq", None))
-    print(json.dumps({"before": before, "after": t.delta_stats()}))
+    t.compact(
+        drop_tombstones_below_seq=getattr(args, "final_below_seq", None),
+        min_delta_ratio=getattr(args, "min_delta_ratio", 0.0),
+        min_delta_files=getattr(args, "min_delta_files", 1),
+        max_buckets=getattr(args, "max_buckets", None),
+    )
+    print(json.dumps({"candidates": len(cand), "before": before,
+                      "after": t.delta_stats()}))
     return 0
 
 
@@ -217,6 +233,12 @@ def main() -> int:
     p.add_argument("--final-below-seq", type=int, default=None,
                    help="low watermark: drop delete tombstones below this seq")
     p.add_argument("--target", required=True)
+    p.add_argument("--max-buckets", type=int, default=None,
+                   help="maintenance mode: compact only the N worst buckets")
+    p.add_argument("--min-delta-files", type=int, default=1)
+    p.add_argument("--min-delta-ratio", type=float, default=0.0)
+    p.add_argument("--dry-run", action="store_true",
+                   help="print the candidate ranking, change nothing")
 
     p = sub.add_parser("split")
     p.add_argument("--target", required=True)

@@ -35,6 +35,10 @@ def test_cli_lifecycle(spark, tbl_dir, capsys):
         == 0
     )
     assert cli.cmd_split(_ns(target=t, factor=2)) == 0
+    # maintenance pass first: rank candidates (dry run), then fold only
+    # the two worst buckets
+    assert cli.cmd_compact(_ns(target=t, dry_run=True)) == 0
+    assert cli.cmd_compact(_ns(target=t, max_buckets=2)) == 0
     # full replay done → everything below any future seq is final
     assert cli.cmd_compact(_ns(target=t, final_below_seq=1 << 60)) == 0
     assert cli.cmd_expire(_ns(target=t, keep_last=1, vacuum=True)) == 0
@@ -44,4 +48,9 @@ def test_cli_lifecycle(spark, tbl_dir, capsys):
     assert out[-1]["ok"] is True          # verify: replay-equality holds
     assert out[-2]["expired_snapshots"] >= 1
     assert out[-3]["after"]["delta_files"] == 0  # compaction folded deltas
-    assert out[-4]["n_buckets_after"] == 16     # split doubled 8 → 16
+    # targeted pass shrank delta debt without touching the rest
+    assert out[-4]["after"]["delta_files"] < out[-4]["before"]["delta_files"]
+    # dry run ranked candidates by delta_bytes and changed nothing
+    dry = out[-5]["candidates"]
+    assert dry and dry == sorted(dry, key=lambda c: -c["delta_bytes"])
+    assert out[-6]["n_buckets_after"] == 16     # split doubled 8 → 16

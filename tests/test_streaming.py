@@ -99,3 +99,44 @@ def test_stream_fresh_checkpoint_redelivery_is_noop(spark, tbl_dir):
     run_to_completion(spark, cfg2)
     assert final_state(tgt) == state
     assert tgt.current_version() == version  # every epoch skipped
+
+
+def test_adaptive_drain_adapts_across_waves(spark, tbl_dir):
+    """drain_adaptive: successive availableNow passes re-apply the AIMD
+    cap as maxFilesPerTrigger. Wave 1 drains in 1-file batches (small
+    opening cap); healthy feedback grows the cap so wave 2 drains in
+    fewer, larger batches; state equals one-shot batch replay."""
+    from etl_spark.streaming.ratelimit import AimdController
+    from etl_spark.streaming.stream import drain_adaptive
+
+    ev = gen.synthetic_events(spark, 3000, n_repos=30, seed=77)
+    seq_mid = 1500
+    wave1 = ev.where(f"seq <= {seq_mid}")
+    events_dir = os.path.join(tbl_dir, "wal")
+    n1 = write_event_chunks(wave1, events_dir, chunk_size=250)
+    assert n1 >= 4
+
+    cfg = mk_cfg(tbl_dir, events_dir)
+    tgt = create_target(spark, cfg.target_path, n_buckets=8)
+    lin = create_lineage(spark, cfg.lineage_path)
+    # cap 250 events / 250-event files -> 1 file per trigger initially;
+    # SLO is huge so every pass is healthy and the cap grows
+    c = AimdController(cap=250, min_cap=250, max_cap=2000, slo_sec=1e9,
+                       increase_step=500)
+    rounds1 = drain_adaptive(spark, cfg, c, events_per_file=250)
+    assert rounds1 >= 2  # >=1 productive pass + the no-progress stop
+    batches_w1 = lin.read().select("epoch_id").distinct().count()
+    assert batches_w1 == n1  # opening cap = 1 file per micro-batch
+    assert c.cap > 250  # healthy feedback probed the cap up
+
+    n2 = write_event_chunks(ev.where(f"seq > {seq_mid}"), events_dir,
+                            chunk_size=250)
+    drain_adaptive(spark, cfg, c, events_per_file=250)
+    batches_total = lin.read().select("epoch_id").distinct().count()
+    # wave 2's grown cap packs multiple files per micro-batch
+    assert batches_total - batches_w1 < n2
+
+    t2 = create_target(spark, os.path.join(tbl_dir, "batch_target"),
+                       n_buckets=8)
+    replay(spark, ev, t2, None, epoch_size=500)
+    assert final_state(tgt) == final_state(t2)
