@@ -200,3 +200,198 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cosine") >= min_cosine)
     )
+
+
+# -- IVF (inverted-file) index ---------------------------------------------
+#
+# The second scale path the LLM-pipeline brief names alongside LSH: a
+# coarse quantizer (k-means centroids) partitions the corpus into
+# cells; a query probes only its ``nprobe`` nearest cells and re-ranks
+# exactly. Unlike LSH, the cells adapt to the data distribution, so
+# recall at equal candidate volume is higher for clustered corpora.
+#
+# 100 TB shape: centroids are k×d driver-side METADATA (a few KB —
+# the only thing that ever leaves the cluster); training runs on a
+# hash-ranked sample; assignment is one narrow JVM-side map over the
+# corpus (write ivf_cell once, partition the table by it); a query
+# then touches nprobe partitions instead of the corpus. Every stage is
+# built-in expressions in whole-stage codegen — no Python in any
+# per-row path. Determinism: greedy k-center init (no RNG), fixed
+# Lloyd iteration count, first-match argmax tie-break, centroids
+# rounded to 6 dp each update (absorbs float summation-order jitter).
+
+
+def _centroids_lit(centroids: list[list[float]]):
+    return F.array(*[
+        F.array(*[F.lit(float(v)) for v in c]) for c in centroids
+    ])
+
+
+def _cell_sims(vec_col, centroids: list[list[float]]):
+    """array<double> of cosine similarity to each centroid (JVM-side)."""
+    return F.transform(
+        _centroids_lit(centroids),
+        lambda c: F.round(cosine_similarity_col(vec_col, c), 9),
+    )
+
+
+def _argmax_cell(vec_col, centroids: list[list[float]]):
+    sims = _cell_sims(vec_col, centroids)
+    # array_position is 1-based and returns the FIRST match — ties
+    # break to the lowest cell id, deterministically
+    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+
+
+def ivf_train(
+    embeddings: DataFrame,
+    n_clusters: int = 8,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_rows: int = 10_000,
+) -> list[list[float]]:
+    """Deterministic Lloyd k-means over a hash-ranked sample; returns
+    driver-side centroids (k×d floats — bounded metadata, the one
+    permitted collect).
+
+    Init: deterministic greedy farthest-point (k-center) — seed is the
+    min-md5(id) row, then each next seed is the sample row farthest
+    (min-cosine to any chosen centroid, tie-break on id) from the
+    current set. No RNG state, and seeds spread across the corpus's
+    clusters, which is what IVF recall lives on. Each Lloyd iteration
+    assigns the sample to its max-cosine centroid JVM-side, then
+    recomputes per-cell per-dimension means with one posexplode +
+    groupBy (k·d result rows). Empty cells keep their previous
+    centroid."""
+    sample = (
+        embeddings.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+            F.md5(F.col(id_col).cast("string")).alias("h"),
+        )
+        .orderBy("h")
+        .limit(train_rows)
+        .select("id", "vec")
+    )
+    seed = sample.orderBy(F.md5(F.col("id").cast("string"))).limit(1).collect()
+    if not seed:
+        return []
+    centroids = [[round(float(v), 6) for v in seed[0]["vec"]]]
+    while len(centroids) < n_clusters:
+        far = (
+            sample.select(
+                "id", "vec",
+                F.array_max(_cell_sims(F.col("vec"), centroids)).alias("best"),
+            )
+            .orderBy(F.col("best").asc(), F.col("id").asc())
+            .limit(1)
+            .collect()
+        )
+        nxt_c = [round(float(v), 6) for v in far[0]["vec"]]
+        if nxt_c in centroids:
+            break  # fewer distinct points than clusters
+        centroids.append(nxt_c)
+    n_clusters = len(centroids)
+    for _ in range(n_iters):
+        assigned = sample.select(
+            _argmax_cell(F.col("vec"), centroids).alias("cell"),
+            F.posexplode(F.col("vec")).alias("pos", "val"),
+        )
+        means = (
+            assigned.groupBy("cell", "pos")
+            .agg(F.avg(F.col("val").cast("double")).alias("m"))
+            .collect()  # bounded: exactly k*d rows
+        )
+        nxt = [list(c) for c in centroids]
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+        for cell, dims in by_cell.items():
+            nxt[cell] = [
+                round(dims[p], 6) for p in range(len(centroids[cell]))
+            ]
+        centroids = nxt
+    return centroids
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Corpus rows + their ``ivf_cell``. At scale, write the table
+    partitioned by this column once; queries prune to nprobe cells."""
+    return embeddings.withColumn(
+        "ivf_cell", _argmax_cell(F.col(vec_col), centroids)
+    )
+
+
+def cosine_topk_ivf(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    n_iters: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """Approximate top-k via IVF: probe the ``nprobe`` max-cosine cells
+    per query, exact re-rank inside them. ``nprobe == n_clusters``
+    degenerates to exact brute force (every cell probed) — the
+    equality tests pin that identity against
+    :func:`cosine_topk_bruteforce`."""
+    if centroids is None:
+        centroids = ivf_train(
+            embeddings, n_clusters, n_iters, id_col, vec_col
+        )
+    nprobe = min(nprobe, len(centroids))
+    c = ivf_assign(embeddings, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        "ivf_cell",
+    )
+    # nprobe nearest cells per query: sort struct(-sim, cell) — the
+    # cell id breaks exact similarity ties deterministically
+    probes = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"),
+        F.explode(
+            F.transform(
+                F.slice(
+                    F.array_sort(
+                        F.zip_with(
+                            _cell_sims(F.col(vec_col), centroids),
+                            F.sequence(
+                                F.lit(0), F.lit(len(centroids) - 1)
+                            ),
+                            lambda s, i: F.struct(
+                                (-s).alias("negsim"), i.alias("cell")
+                            ),
+                        )
+                    ),
+                    1, nprobe,
+                ),
+                lambda t: t["cell"],
+            )
+        ).alias("ivf_cell"),
+    )
+    scored = (
+        c.join(F.broadcast(probes), "ivf_cell")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

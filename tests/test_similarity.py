@@ -56,3 +56,81 @@ def test_embedding_near_dup_pairs_symmetric_determinism(spark):
     b = similarity.embedding_near_dup_pairs(emb, dim=64, min_cosine=0.5).collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     assert all(r.id_a < r.id_b for r in a)
+
+
+def test_ivf_assign_partitions_corpus(spark):
+    emb = _emb(spark)
+    cents = similarity.ivf_train(emb, n_clusters=8, n_iters=3)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+    assigned = similarity.ivf_assign(emb, cents)
+    # every row lands in exactly one valid cell; no cell is empty on
+    # this clustered corpus
+    cells = assigned.groupBy("ivf_cell").count().collect()
+    assert assigned.count() == emb.count()
+    assert all(0 <= r.ivf_cell < 8 for r in cells)
+    assert sum(r["count"] for r in cells) == emb.count()
+
+
+def test_ivf_train_is_deterministic(spark):
+    emb = _emb(spark)
+    a = similarity.ivf_train(emb, n_clusters=6, n_iters=3)
+    b = similarity.ivf_train(emb, n_clusters=6, n_iters=3)
+    assert a == b
+
+
+def test_ivf_full_probe_equals_bruteforce(spark):
+    """nprobe == n_clusters probes every cell, so the candidate set is
+    the whole corpus and IVF must be BYTE-IDENTICAL to brute force —
+    the exactness anchor for the approximate path."""
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 10)
+    exact = sorted(
+        tuple(r) for r in similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in similarity.cosine_topk_ivf(
+            emb, q, k=5, n_clusters=6, n_iters=3, nprobe=6
+        ).collect()
+    )
+    assert full == exact
+
+
+def test_ivf_recall_and_subset_property(spark):
+    emb = _emb(spark)
+    q = emb.where(F.col("vec_id") < 20)
+    exact = similarity.cosine_topk_bruteforce(emb, q, k=5).collect()
+    approx = similarity.cosine_topk_ivf(
+        emb, q, k=5, n_clusters=8, n_iters=3, nprobe=3
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+    # every returned score is the true cosine (subset of exact ranking)
+    truth = {
+        (r.query_id, r.neighbor_id): r.cosine
+        for r in similarity.cosine_topk_bruteforce(emb, q, k=500).collect()
+    }
+    for r in approx:
+        assert abs(truth[(r.query_id, r.neighbor_id)] - r.cosine) < 1e-9
+    # more probes never lose neighbors found with fewer (monotone)
+    wider = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk_ivf(
+            emb, q, k=5, n_clusters=8, n_iters=3, nprobe=6
+        ).collect()
+    }
+    assert len(exact_set & wider) >= len(exact_set & approx_set)
+
+
+def test_ivf_plan_is_pure_jvm(spark):
+    """Train, assign, and search are all built-in expressions — the
+    per-row path must contain zero Python eval nodes (north rule)."""
+    emb = _emb(spark)
+    cents = similarity.ivf_train(emb, n_clusters=4, n_iters=1)
+    q = emb.where(F.col("vec_id") < 2)
+    df = similarity.cosine_topk_ivf(emb, q, k=3, nprobe=2, centroids=cents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert similarity.ivf_assign(emb, cents).count() == emb.count()
