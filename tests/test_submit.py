@@ -1,0 +1,71 @@
+"""North-rule packaging clause: the engine ships as
+``spark-submit --py-files etl_spark.zip jobs/run.py`` (SURVEY §3.4,
+reference analog: one etl_worker binary with subcommands). This test
+runs the real spark-submit binary from a scratch directory where the
+repo itself is NOT importable — the zip must supply the package — and
+drives init → apply → verify end-to-end."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
+
+
+def _zip_package(dest: str) -> str:
+    zpath = os.path.join(dest, "etl_spark.zip")
+    pkg = os.path.join(REPO, "etl_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    p = os.path.join(root, f)
+                    z.write(p, os.path.relpath(p, REPO))
+    return zpath
+
+
+@pytest.mark.skipif(not os.path.exists(SPARK_SUBMIT),
+                    reason="spark-submit not on PATH")
+def test_spark_submit_py_files_lifecycle(spark, tmp_path):
+    """The zip is the ONLY source of etl_spark: run.py is copied next
+    to it in tmp_path, so its repo-root sys.path insert points at a
+    directory with no package."""
+    work = str(tmp_path)
+    zpath = _zip_package(work)
+    runner = os.path.join(work, "run.py")
+    shutil.copy(os.path.join(REPO, "jobs", "run.py"), runner)
+
+    ev_dir = os.path.join(work, "events")
+    from etl_spark import gen
+    gen.synthetic_events(spark, 1500, n_repos=12, seed=13).write.parquet(ev_dir)
+
+    env = {**os.environ,
+           "PYSPARK_PYTHON": sys.executable,
+           "PYSPARK_DRIVER_PYTHON": sys.executable}
+
+    def submit(*args):
+        r = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zpath,
+             runner, *args],
+            capture_output=True, text=True, timeout=300, cwd=work, env=env,
+        )
+        assert r.returncode == 0, r.stderr[-1500:]
+        lines = [l for l in r.stdout.splitlines() if l.startswith("{")]
+        return json.loads(lines[-1]) if lines else {}
+
+    t, lin = os.path.join(work, "t"), os.path.join(work, "l")
+    submit("init", "--target", t, "--lineage", lin, "--buckets", "8")
+    submit("apply", "--events", ev_dir, "--target", t, "--lineage", lin,
+           "--epoch-size", "600")
+    out = submit("verify", "--events", ev_dir, "--target", t)
+    assert out["ok"] is True
