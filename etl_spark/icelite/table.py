@@ -94,9 +94,13 @@ class DataFile:
     bytes: int
     schema_id: int  # index into snapshot["schemas"]
     kind: str = "base"  # "base" | "delta" (merge-on-read row file)
+    # per-column [min, max] bounds harvested from the parquet footer at
+    # manifest time (Iceberg's lower/upper_bounds analog). Optional and
+    # advisory: a file with no entry for a column is never pruned.
+    stats: dict | None = None
 
     def to_json(self) -> dict:
-        return {
+        d = {
             "path": self.path,
             "bucket": self.bucket,
             "rows": self.rows,
@@ -104,11 +108,15 @@ class DataFile:
             "schema_id": self.schema_id,
             "kind": self.kind,
         }
+        if self.stats:
+            d["stats"] = self.stats
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
         return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"],
-                        d["schema_id"], d.get("kind", "base"))
+                        d["schema_id"], d.get("kind", "base"),
+                        d.get("stats"))
 
 
 @dataclass
@@ -162,6 +170,51 @@ def bucket_expr(key_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def _footer_bounds(meta) -> dict | None:
+    """Per-column [min, max] from the parquet footer the manifest pass
+    already read — zero extra IO (the reference's BigQuery ingest gets
+    the same numbers from its row-stats accounting, row/row.go:42-100).
+
+    Only JSON-safe scalar types are kept (int/float/bool and strings
+    ≤64 chars — a truncated string max would be an UNSOUND upper bound,
+    so long strings drop the column instead). Columns missing
+    statistics in any row group are dropped: absent stats must mean
+    "cannot prune", never "prune"."""
+    bounds: dict[str, list] = {}
+    dead: set[str] = set()
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name or name in dead:  # nested: skip
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                dead.add(name)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    dead.add(name)
+                    continue
+            if not isinstance(mn, (int, float, str, bool)) or (
+                isinstance(mn, str) and (len(mn) > 64 or len(mx) > 64)
+            ):
+                dead.add(name)
+                continue
+            if name in bounds:
+                bounds[name][0] = min(bounds[name][0], mn)
+                bounds[name][1] = max(bounds[name][1], mx)
+            else:
+                bounds[name] = [mn, mx]
+    for name in dead:
+        bounds.pop(name, None)
+    return bounds or None
+
+
 def _collect_datafiles(
     data_root: str, rel_dir: str, schema_id: int, kind: str = "base"
 ) -> list[DataFile]:
@@ -196,6 +249,7 @@ def _collect_datafiles(
             bytes=os.path.getsize(fp),
             schema_id=schema_id,
             kind=kind,
+            stats=_footer_bounds(meta),
         )
 
     if len(targets) <= 4:
@@ -639,6 +693,55 @@ class IceliteTable:
         if not paths:
             return self.spark.createDataFrame([], snap.current_schema)
         return self.spark.read.schema(snap.current_schema).parquet(*paths)
+
+    def files_in_range(self, col: str, lo=None, hi=None,
+                       version: int | None = None) -> list[DataFile]:
+        """Manifest-only file pruning on the per-file [min, max] bounds
+        (no data IO). A file without bounds for ``col`` is KEPT —
+        absent stats mean "cannot prune", never "prune"."""
+        out = []
+        for f_ in self.snapshot(version).files:
+            b = (f_.stats or {}).get(col)
+            if b is not None:
+                if lo is not None and b[1] < lo:
+                    continue
+                if hi is not None and b[0] > hi:
+                    continue
+            out.append(f_)
+        return out
+
+    def read_range(self, col: str, lo=None, hi=None,
+                   version: int | None = None) -> DataFrame:
+        """Range scan over an APPEND-ONLY table with manifest-level
+        file pruning: only files whose footer [min, max] for ``col``
+        overlaps [lo, hi] are opened, then the exact residual filter
+        applies. This is what makes seq/time-window reads of the
+        lineage/manifest/WAL tables O(window), not O(table), at 100 TB
+        — the same numbers Iceberg keeps as lower/upper_bounds.
+
+        Keyed merge-on-read tables refuse: pruning delta files BEFORE
+        per-key LWW resolution could drop a key's true winner and
+        resurrect a stale row, so range filters there must run on
+        ``read()`` output instead (Catalyst still prunes row groups via
+        the same parquet stats)."""
+        snap = self.snapshot(version)
+        if snap.key_cols:
+            raise ValueError(
+                "read_range is append-only-table pruning; on a keyed "
+                "MoR table filter read() output instead"
+            )
+        files = self.files_in_range(col, lo, hi, version)
+        schema = snap.current_schema
+        if not files:
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.schema(schema).parquet(
+            *[os.path.join(self.data_path, f_.path) for f_ in files]
+        )
+        if lo is not None:
+            df = df.where(F.col(col) >= lo)
+        if hi is not None:
+            df = df.where(F.col(col) <= hi)
+        return df
 
     # -- epoch bookkeeping ---------------------------------------------------
 

@@ -563,3 +563,46 @@ def test_targeted_compaction_worst_bucket_first(spark, tbl_dir):
     t.compact(drop_tombstones_below_seq=10_000)
     assert t.delta_stats()["delta_files"] == 0
     assert state(t) == before
+
+
+def test_read_range_prunes_files_by_footer_bounds(spark, tbl_dir):
+    """Manifest min/max pruning: appends with disjoint seq ranges must
+    let a range scan open only the overlapping files (no data IO for
+    the rest), with exact results; long-string columns carry no bounds
+    (a truncated max would be unsound); keyed MoR tables refuse."""
+    sch = T.StructType([
+        T.StructField("seq", T.LongType(), False),
+        T.StructField("name", T.StringType(), True),
+        T.StructField("big", T.StringType(), True),
+    ])
+    t = IceliteTable.create(spark, os.path.join(tbl_dir, "t"), sch,
+                            key_cols=(), n_buckets=1)
+    for c in range(4):
+        rows = [(c * 100 + i, f"n{c}", "x" * 100) for i in range(100)]
+        t.append(spark.createDataFrame(rows, sch).coalesce(1),
+                 epoch_id=f"e{c}")
+    snap = t.snapshot()
+    assert len(snap.files) == 4
+    for f_ in snap.files:
+        assert f_.stats["seq"] == [f_.stats["seq"][0],
+                                   f_.stats["seq"][0] + 99]
+        assert "name" in f_.stats
+        assert "big" not in f_.stats  # >64-char strings drop the column
+    # prune: [150, 249] overlaps exactly two files
+    pruned = t.files_in_range("seq", 150, 249)
+    assert len(pruned) == 2
+    got = sorted(r.seq for r in t.read_range("seq", 150, 249).collect())
+    assert got == list(range(150, 250))
+    # unbounded sides
+    assert len(t.files_in_range("seq", lo=300)) == 1
+    assert t.read_range("seq", lo=300).count() == 100
+    # absent stats are never a reason to prune
+    assert len(t.files_in_range("nosuchcol", 0, 1)) == 4
+    # manifest round-trip preserved bounds through JSON
+    t2 = IceliteTable.load(spark, t.path)
+    assert len(t2.files_in_range("seq", 0, 99)) == 1
+
+    keyed = make(spark, os.path.join(tbl_dir, "k"))
+    keyed.append(df(spark, [("r1", "a", 1, 1)]))
+    with pytest.raises(ValueError, match="append-only"):
+        keyed.read_range("last_seq", 0, 10)
