@@ -33,9 +33,11 @@ from etl_spark import gen
 from etl_spark.functions import parsing
 from etl_spark.operators import relational
 from etl_spark.queries.cdc import (
+    _CDC_CHANGELOG_ORACLE,
     _CDC_FINGERPRINT_ORACLE,
     _CDC_LWW_ORACLE,
     _CDC_OP_STATS_ORACLE,
+    cdc_changelog,
     cdc_events,
     cdc_final_state,
     cdc_fingerprint,
@@ -94,7 +96,6 @@ from etl_spark.queries.scalars import (
     f_size_guard,
 )
 from etl_spark.queries.streams import (
-    _BASE64_ORACLE,
     _HIER_ROLLUP_ORACLE,
     _LEAD_DISCARD_ORACLE,
     _MONOTONE_ORACLE,
@@ -109,7 +110,6 @@ from etl_spark.queries.streams import (
     _W_THIN_ORACLE,
     _WINDOWED_COUNTS_ORACLE,
     agg_rollup,
-    base64_roundtrip,
     set_ops,
     value_percentiles,
     w_change_points,
@@ -163,6 +163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_final_state": cdc_final_state,
         "cdc_fingerprint": cdc_fingerprint,
         "cdc_op_stats": cdc_op_stats,
+        "cdc_changelog": cdc_changelog,
         # ordered-stream window operators
         "w_lag_delta": w_lag_delta,
         "w_change_points": w_change_points,
@@ -184,7 +185,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops": set_ops,
         "value_percentiles": value_percentiles,
         "agg_rollup": agg_rollup,
-        "base64_roundtrip": base64_roundtrip,
         # real wire-format sources (render-and-parse, all end-to-end)
         "src_tar_roundtrip": src_tar_roundtrip,
         "src_sidestream_decode": src_sidestream_decode,
@@ -226,6 +226,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_final_state": gen.final_state_sql("duckdb"),
         "cdc_fingerprint": _CDC_FINGERPRINT_ORACLE.format(events=ev),
         "cdc_op_stats": _CDC_OP_STATS_ORACLE.format(events=ev),
+        "cdc_changelog": _CDC_CHANGELOG_ORACLE.format(events=ev),
         "w_lag_delta": _W_LAG_DELTA_ORACLE,
         "w_change_points": _W_CHANGE_POINTS_ORACLE,
         "w_thin": _W_THIN_ORACLE,
@@ -244,7 +245,6 @@ def oracle_sql() -> dict[str, str]:
         "set_ops": _SET_OPS_ORACLE,
         "value_percentiles": _PERCENTILES_ORACLE,
         "agg_rollup": _ROLLUP_ORACLE,
-        "base64_roundtrip": _BASE64_ORACLE,
         "src_tar_roundtrip": _TAR_ROUNDTRIP_ORACLE,
         "src_sidestream_decode": _SIDESTREAM_ORACLE,
         "src_disco_decode": _DISCO_ORACLE,

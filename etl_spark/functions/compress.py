@@ -11,6 +11,8 @@ round-trip tested in tests/test_compress.py.
 
 from __future__ import annotations
 
+import base64
+import binascii
 import gzip
 import zlib
 from typing import Iterator
@@ -39,7 +41,7 @@ def _pa_zstd():
         raise NotImplementedError("no zstd codec available")
     return pa
 
-CODECS = ("gzip", "zlib", "zstd", "none")
+CODECS = ("gzip", "zlib", "zstd", "b64", "none")
 
 
 def _compress_one(data: bytes, codec: str) -> bytes:
@@ -47,6 +49,12 @@ def _compress_one(data: bytes, codec: str) -> bytes:
         return gzip.compress(data, mtime=0)  # mtime=0 → deterministic
     if codec == "zlib":
         return zlib.compress(data)
+    if codec == "b64":
+        # content-ENCODING rather than compression, but the same
+        # transparent-blob contract (C11: base64 filename/content
+        # decode, etl/globals.go:327-342); canonical RFC 4648, no
+        # line wrap — byte-equal to DuckDB's to_base64
+        return base64.b64encode(data)
     if codec == "zstd":
         if _ZSTD is not None:
             return _ZSTD.ZstdCompressor().compress(data)
@@ -66,6 +74,8 @@ def _decompress_one(data: bytes, codec: str) -> bytes | None:
             return gzip.decompress(data)
         if codec == "zlib":
             return zlib.decompress(data)
+        if codec == "b64":
+            return base64.b64decode(data, validate=True)
         if codec == "zstd":
             if _ZSTD is not None:
                 return _ZSTD.ZstdDecompressor().decompress(data)
@@ -78,7 +88,7 @@ def _decompress_one(data: bytes, codec: str) -> bytes | None:
         if codec == "none":
             return data
         return None
-    except (OSError, zlib.error):
+    except (OSError, zlib.error, binascii.Error, ValueError):
         return None  # corrupt blob → NULL, counted upstream, never fatal
 
 

@@ -743,6 +743,128 @@ class IceliteTable:
             df = df.where(F.col(col) <= hi)
         return df
 
+    def changes_between(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change-data-feed read: the NET per-key difference between two
+        snapshots as typed change rows — data columns plus
+        ``_change_type`` ∈ {insert, delete, update_preimage,
+        update_postimage} (Delta CDF / Iceberg changelog-scan analog).
+        This closes the CDC loop: the engine ingests a change stream
+        into the table, and downstream consumers sync incrementally by
+        reading a change stream back OUT of it instead of re-scanning
+        final state.
+
+        Scale shape (the part that matters at 100 TB): manifests alone
+        decide what is read. Only buckets with added/removed files are
+        opened at all; a bucket that was merely appended to is further
+        restricted to the keys present in its NEW files (a column-pruned
+        key scan of just the added files + left-semi join), so per-epoch
+        diffs cost O(touched buckets) IO and O(changed keys) shuffle —
+        never O(table). A rewritten bucket (compaction/split moved
+        files) is diffed whole; unchanged keys there compare equal and
+        emit nothing, so maintenance never fabricates changes. Under
+        LWW, a key's resolved row is uniquely determined by
+        ``last_seq`` (the winnow guard forbids same-seq divergence), so
+        equality of ``last_seq`` is the exact no-change test — no
+        payload comparison needed."""
+        to_v = self.current_version() if to_version is None else to_version
+        snap_old = self.snapshot(from_version)
+        snap_new = self.snapshot(to_v)
+        schema = snap_new.current_schema
+        out_schema = T.StructType(
+            schema.fields + [T.StructField("_change_type", T.StringType(), False)]
+        )
+        if to_v == from_version:
+            return self.spark.createDataFrame([], out_schema)
+
+        if not snap_new.key_cols:
+            # append-only table: every incremental row IS an insert
+            return self.read_incremental(from_version, to_v).withColumn(
+                "_change_type", F.lit("insert")
+            )
+
+        keys = list(snap_new.key_cols)
+        if list(snap_old.key_cols) != keys:
+            raise ValueError("key columns differ between snapshots")
+        if "last_seq" not in [f_.name for f_ in schema.fields]:
+            raise ValueError("changes_between requires a last_seq column")
+
+        old_by_path = {f_.path: f_ for f_ in snap_old.files}
+        new_by_path = {f_.path: f_ for f_ in snap_new.files}
+        added = [f_ for p, f_ in new_by_path.items() if p not in old_by_path]
+        removed = [f_ for p, f_ in old_by_path.items() if p not in new_by_path]
+        if not added and not removed:
+            return self.spark.createDataFrame([], out_schema)
+
+        olds: list[DataFrame] = []
+        news: list[DataFrame] = []
+        if snap_old.n_buckets != snap_new.n_buckets:
+            # bucket ids are incomparable across a split — full diff
+            olds.append(self.read(version=from_version))
+            news.append(self.read(version=to_v))
+        else:
+            rewritten = {f_.bucket for f_ in removed}
+            append_only = {f_.bucket for f_ in added} - rewritten
+            if append_only:
+                key_schema = T.StructType([schema[k] for k in keys])
+                new_keys = self._read_file_group(
+                    snap_new,
+                    [f_ for f_ in added if f_.bucket in append_only],
+                    key_schema, with_op=False,
+                ).dropDuplicates(keys)
+                olds.append(
+                    self.read(version=from_version, buckets=append_only)
+                    .join(new_keys, keys, "left_semi")
+                )
+                news.append(
+                    self.read(version=to_v, buckets=append_only)
+                    .join(new_keys, keys, "left_semi")
+                )
+            if rewritten:
+                olds.append(self.read(version=from_version, buckets=rewritten))
+                news.append(self.read(version=to_v, buckets=rewritten))
+
+        def _union(parts: list[DataFrame]) -> DataFrame:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            return out
+
+        def _cast_up(df: DataFrame) -> DataFrame:
+            # old snapshots may predate added columns: null-fill them
+            have = set(df.columns)
+            return df.select(*[
+                F.col(f_.name).cast(f_.dataType).alias(f_.name)
+                if f_.name in have
+                else F.lit(None).cast(f_.dataType).alias(f_.name)
+                for f_ in schema.fields
+            ])
+
+        data_cols = [f_.name for f_ in schema.fields]
+        o = _cast_up(_union(olds)).select(
+            *keys, F.struct(*data_cols).alias("__o"))
+        n = _cast_up(_union(news)).select(
+            *keys, F.struct(*data_cols).alias("__n"))
+        j = o.join(n, keys, "full_outer")
+
+        def entry(ctype: str, side: str):
+            return F.struct(
+                F.lit(ctype).alias("t"), F.col(side).alias("p"))
+
+        changes = (
+            F.when(F.col("__n").isNull(), F.array(entry("delete", "__o")))
+            .when(F.col("__o").isNull(), F.array(entry("insert", "__n")))
+            .when(
+                F.col("__o.last_seq") != F.col("__n.last_seq"),
+                F.array(entry("update_preimage", "__o"),
+                        entry("update_postimage", "__n")),
+            )  # equal last_seq → NULL array → explode emits nothing
+        )
+        return j.select(F.explode(changes).alias("__e")).select(
+            "__e.p.*", F.col("__e.t").alias("_change_type")
+        )
+
     # -- epoch bookkeeping ---------------------------------------------------
 
     def has_epoch(self, epoch_id: str) -> bool:

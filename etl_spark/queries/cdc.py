@@ -64,6 +64,69 @@ def cdc_op_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed round trip: replay the first half of the stream
+    (by seq) into icelite, snapshot, replay the rest, then read the NET
+    per-key change set back out with ``changes_between`` — insert /
+    delete / update pre+post rows. Proves the engine can emit an exact
+    incremental sync feed from the table it maintains, not just final
+    state. The oracle rebuilds both resolved states in DuckDB and
+    diffs them relationally."""
+    ev = gen.derived_events(spark, sf_dir)
+    cut = ev.agg(F.floor(F.max("seq") / 2).cast("long")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="icelite_cdf_")
+    tgt = create_target(spark, f"{tmp}/target", n_buckets=32)
+    lin = create_lineage(spark, f"{tmp}/lineage")
+    replay(spark, ev.where(F.col("seq") <= cut), tgt, lin, epoch_size=1 << 60)
+    v1 = tgt.current_version()
+    replay(spark, ev.where(F.col("seq") > cut), tgt, lin, epoch_size=1 << 60)
+    return tgt.changes_between(v1).select(
+        "repo", "path", "last_seq", "commit", "lang", "content_sha256",
+        F.col("_change_type").alias("change_type"),
+    )
+
+
+_CDC_CHANGELOG_ORACLE = """
+WITH events AS ({events}),
+cut AS (SELECT max(seq) // 2 AS c FROM events),
+old_state AS (
+  SELECT repo, path, seq AS last_seq, commit, lang,
+         sha256(content) AS content_sha256
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY seq DESC) AS rn
+    FROM events WHERE seq <= (SELECT c FROM cut)
+  ) WHERE rn = 1 AND op <> 'delete'
+),
+new_state AS (
+  SELECT repo, path, seq AS last_seq, commit, lang,
+         sha256(content) AS content_sha256
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY repo, path
+                                 ORDER BY seq DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND op <> 'delete'
+)
+SELECT n.repo, n.path, n.last_seq, n.commit, n.lang, n.content_sha256,
+       'insert' AS change_type
+FROM new_state n ANTI JOIN old_state o USING (repo, path)
+UNION ALL
+SELECT o.repo, o.path, o.last_seq, o.commit, o.lang, o.content_sha256,
+       'delete' AS change_type
+FROM old_state o ANTI JOIN new_state n USING (repo, path)
+UNION ALL
+SELECT o.repo, o.path, o.last_seq, o.commit, o.lang, o.content_sha256,
+       'update_preimage' AS change_type
+FROM old_state o JOIN new_state n USING (repo, path)
+WHERE o.last_seq <> n.last_seq
+UNION ALL
+SELECT n.repo, n.path, n.last_seq, n.commit, n.lang, n.content_sha256,
+       'update_postimage' AS change_type
+FROM old_state o JOIN new_state n USING (repo, path)
+WHERE o.last_seq <> n.last_seq
+"""
+
+
 _CDC_LWW_ORACLE = """
 WITH events AS ({events}),
 ranked AS (

@@ -135,28 +135,6 @@ FROM events GROUP BY event_type
 """
 
 
-def base64_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C11 analog (base64 filename decode, etl/globals.go:327-342)."""
-    docs = _read(spark, sf_dir, "documents")
-    # Spark's base64 is MIME (76-char lines, \r\n); strip to canonical
-    b64 = F.regexp_replace(F.base64(F.col("text").cast("binary")), "[\\r\\n]", "")
-    return docs.select(
-        "doc_id",
-        F.length(b64).cast("long").alias("b64_len"),
-        F.substring(b64, 1, 24).alias("b64_prefix"),
-        (F.unbase64(b64).cast("string") == F.col("text")).alias("roundtrip_ok"),
-    )
-
-
-_BASE64_ORACLE = """
-SELECT doc_id,
-       length(to_base64(encode(text))) AS b64_len,
-       substr(to_base64(encode(text)), 1, 24) AS b64_prefix,
-       (decode(from_base64(to_base64(encode(text)))) = text) AS roundtrip_ok
-FROM documents
-"""
-
-
 def w_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T7 analog: gap-based sessionization (batch window form of the
     applyInPandasWithState streaming operator in streaming/sessions.py;

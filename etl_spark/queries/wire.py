@@ -36,25 +36,32 @@ FROM t
 """
 
 def f_compress_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S2 analog (gzip/zstd member decode, storage/storage.go:77-118):
-    compress → decompress → identity. The oracle is the source table
-    itself (same pattern as src_tar_roundtrip): DuckDB never sees the
-    codec, it just asserts the round-trip returned every byte. Per-codec
-    size accounting + corrupt-blob handling stay in tests/test_compress.py."""
+    """S2+C11 analog (gzip/zstd member decode storage/storage.go:77-118;
+    base64 decode etl/globals.go:327-342): encode → decode → identity
+    over five codecs. The oracle is the source table itself (same
+    pattern as src_tar_roundtrip) — except base64, where the blob is
+    ASCII and DuckDB recomputes the prefix with its OWN to_base64, a
+    true cross-engine check of the encoded bytes, not just the
+    round-trip. Per-codec size accounting + corrupt-blob handling stay
+    in tests/test_compress.py."""
     from etl_spark.functions import compress
 
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id",
         F.coalesce(F.col("text"), F.lit("")).alias("text"),
         F.element_at(
-            F.array(F.lit("gzip"), F.lit("zlib"), F.lit("zstd"), F.lit("none")),
-            (F.col("doc_id") % 4 + 1).cast("int"),
+            F.array(F.lit("gzip"), F.lit("zlib"), F.lit("zstd"),
+                    F.lit("b64"), F.lit("none")),
+            (F.col("doc_id") % 5 + 1).cast("int"),
         ).alias("codec"),
     )
     blobs = compress.compress_content(docs, content_col="text")
     decoded = compress.decompress_content(blobs, blob_col="blob")
     return decoded.where(~F.col("decode_error")).select(
-        "doc_id", "codec", F.col("decoded").alias("text")
+        "doc_id", "codec", F.col("decoded").alias("text"),
+        F.when(F.col("codec") == "b64",
+               F.substring(F.col("blob").cast("string"), 1, 24)
+               ).alias("b64_prefix"),
     )
 
 
@@ -85,9 +92,13 @@ SELECT doc_id, coalesce(text, '') AS text FROM documents
 
 _COMPRESS_ROUNDTRIP_ORACLE = """
 SELECT doc_id,
-       CASE doc_id % 4 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
-                       WHEN 2 THEN 'zstd' ELSE 'none' END AS codec,
-       coalesce(text, '') AS text
+       CASE doc_id % 5 WHEN 0 THEN 'gzip' WHEN 1 THEN 'zlib'
+                       WHEN 2 THEN 'zstd' WHEN 3 THEN 'b64'
+                       ELSE 'none' END AS codec,
+       coalesce(text, '') AS text,
+       CASE WHEN doc_id % 5 = 3
+            THEN substr(to_base64(encode(coalesce(text, ''))), 1, 24)
+       END AS b64_prefix
 FROM documents
 """
 

@@ -606,3 +606,98 @@ def test_read_range_prunes_files_by_footer_bounds(spark, tbl_dir):
     keyed.append(df(spark, [("r1", "a", 1, 1)]))
     with pytest.raises(ValueError, match="append-only"):
         keyed.read_range("last_seq", 0, 10)
+
+
+def test_changes_between_basic(spark, tbl_dir):
+    """CDF read: net diff between two versions emits typed change rows
+    with exact pre/post payloads, and only touched buckets are ever
+    scanned (manifest-level pruning, asserted on the physical plan's
+    input files)."""
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [
+        ("r1", "a", 1, 1, "insert"), ("r2", "b", 2, 2, "insert"),
+        ("r3", "c", 3, 3, "insert"),
+    ]))
+    v1 = t.current_version()
+    t.append_delta(_updf(spark, [
+        ("r2", "b", 22, 10, "update"), ("r3", "c", None, 11, "delete"),
+        ("r4", "d", 4, 12, "insert"),
+    ]))
+    ch = t.changes_between(v1)
+    got = sorted((r.repo, r.path, r.last_seq, r._change_type)
+                 for r in ch.collect())
+    assert got == sorted([
+        ("r4", "d", 12, "insert"),
+        ("r3", "c", 3, "delete"),
+        ("r2", "b", 2, "update_preimage"),
+        ("r2", "b", 10, "update_postimage"),
+    ])
+    upd = {r._change_type: r.v for r in ch.where("repo='r2'").collect()}
+    assert upd == {"update_preimage": 2, "update_postimage": 22}
+    # scan scope: every file the plan touches is in a changed bucket
+    old_paths = {f.path for f in t.snapshot(v1).files}
+    touched = {f.bucket for f in t.snapshot().files if f.path not in old_paths}
+    by_suffix = {f.path: f.bucket for f in t.snapshot().files + t.snapshot(v1).files}
+    for p in ch.inputFiles():
+        matches = [b for rel, b in by_suffix.items() if p.endswith(rel)]
+        assert matches and all(b in touched for b in matches), p
+    # same-version diff is empty; 0→v1 is inserts only
+    assert t.changes_between(v1, v1).count() == 0
+    first = t.changes_between(0, v1)
+    assert first.count() == 3
+    assert {r._change_type for r in first.collect()} == {"insert"}
+
+
+def test_changes_between_maintenance_fabricates_nothing(spark, tbl_dir):
+    """A stale (losing-LWW) event, a compaction, and a bucket split all
+    commit new versions — but the resolved state is unchanged, so the
+    changelog across them must be EMPTY (split crosses the
+    n_buckets-differ full-diff path)."""
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [
+        ("r1", "a", 1, 5, "insert"), ("r2", "b", 2, 6, "insert"),
+    ]))
+    v1 = t.current_version()
+    t.append_delta(_updf(spark, [("r1", "a", 99, 3, "update")]))  # stale: loses
+    assert t.changes_between(v1).count() == 0
+    t.compact()
+    assert t.changes_between(v1).count() == 0
+    t.split_buckets(factor=2)
+    assert t.snapshot().n_buckets != t.snapshot(v1).n_buckets
+    assert t.changes_between(v1).count() == 0
+    # and a real update AFTER the split is still reported exactly once
+    v2 = t.current_version()
+    t.append_delta(_updf(spark, [("r2", "b", 20, 9, "update")]))
+    got = sorted((r.repo, r.last_seq, r._change_type)
+                 for r in t.changes_between(v1).collect())
+    assert got == [("r2", 6, "update_preimage"), ("r2", 9, "update_postimage")]
+    assert t.changes_between(v2).count() == 2
+
+
+def test_changes_between_schema_evolution(spark, tbl_dir):
+    """A column added between the two versions: preimage rows are
+    null-filled for it, postimage rows carry the value."""
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    v1 = t.current_version()
+    new = T.StructType(SCHEMA.fields + [T.StructField("extra", T.StringType(), True)])
+    t.evolve_schema(new)
+    up2 = T.StructType(new.fields + [T.StructField("op", T.StringType(), False)])
+    t.append_delta(spark.createDataFrame([("r1", "a", 11, 7, "x", "update")], up2))
+    rows = {r._change_type: r for r in t.changes_between(v1).collect()}
+    assert set(rows) == {"update_preimage", "update_postimage"}
+    assert rows["update_preimage"].extra is None
+    assert rows["update_preimage"].v == 1
+    assert rows["update_postimage"].extra == "x"
+    assert rows["update_postimage"].v == 11
+
+
+def test_changes_between_keyless_is_insert_stream(spark, tbl_dir):
+    sch = T.StructType([T.StructField("seq", T.LongType(), False)])
+    t = IceliteTable.create(spark, os.path.join(tbl_dir, "t"), sch,
+                            key_cols=(), n_buckets=1)
+    t.append(spark.createDataFrame([(1,), (2,)], sch))
+    v1 = t.current_version()
+    t.append(spark.createDataFrame([(3,)], sch))
+    got = [(r.seq, r._change_type) for r in t.changes_between(v1).collect()]
+    assert got == [(3, "insert")]
