@@ -111,12 +111,19 @@ def bench_queries() -> dict:
     replay(spark, syn.where(f"seq < {n_syn // 6}"), tgt12, lin12,
            epoch_size=1 << 60, epoch_prefix="syn_warm")
     timings["cdc_apply_synthetic_warmup"] = round(time.time() - t0, 3)
+    v_warm = tgt12.current_version()
     n_timed = n_syn - n_syn // 6
     t0 = time.time()
     replay(spark, syn.where(f"seq >= {n_syn // 6}"), tgt12, lin12,
            epoch_size=1 << 60, epoch_prefix="syn")
     timings["cdc_apply_synthetic_10M"] = round(time.time() - t0, 3)
     syn_events_per_sec = round(n_timed / timings["cdc_apply_synthetic_10M"], 1)
+    # change-data-feed read-back over the same 12M-event table: net
+    # per-key diff between the post-warmup snapshot and final state
+    # (manifest-pruned to touched buckets + changed keys)
+    t0 = time.time()
+    n_changes = tgt12.changes_between(v_warm).count()
+    timings["cdc_changelog_12M"] = round(time.time() - t0, 3)
     import shutil
     shutil.rmtree(tmp12, ignore_errors=True)
 
@@ -133,6 +140,7 @@ def bench_queries() -> dict:
         "events_per_sec": events_per_sec,
         "synthetic_events": n_timed,
         "synthetic_events_per_sec": syn_events_per_sec,
+        "changelog_rows": n_changes,
     }
     # attach the last `--scaling` result (the north-rule evidence) so a
     # single JSON line carries both query timings and N→4N efficiency
