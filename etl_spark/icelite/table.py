@@ -865,6 +865,32 @@ class IceliteTable:
             "__e.p.*", F.col("__e.t").alias("_change_type")
         )
 
+    def read_keys(self, keys: Sequence[tuple]) -> DataFrame:
+        """Point lookup: current resolved state of an explicit key set,
+        opening ONLY the hash buckets those keys live in. The key list
+        is hashed with the same ``bucket_expr`` the writers use (one
+        tiny Spark job over len(keys) rows — xxhash64 must come from
+        the JVM so driver and data agree), the bucket set prunes the
+        manifest, and a broadcast left-semi join selects the rows. At
+        100 TB a k-key lookup reads k/n_buckets of the table at worst
+        — the serving-path analog of the MERGE's touched-bucket rule."""
+        snap = self.snapshot()
+        if not snap.key_cols:
+            raise ValueError("read_keys requires a keyed table")
+        if not keys:
+            return self.spark.createDataFrame([], snap.current_schema)
+        key_cols = list(snap.key_cols)
+        key_schema = T.StructType([snap.current_schema[k] for k in key_cols])
+        kdf = self.spark.createDataFrame(list(keys), key_schema)
+        buckets = {
+            r.b for r in kdf.select(
+                bucket_expr(key_cols, snap.n_buckets).alias("b")
+            ).distinct().collect()
+        }
+        return self.read(buckets=buckets).join(
+            F.broadcast(kdf), key_cols, "left_semi"
+        )
+
     # -- epoch bookkeeping ---------------------------------------------------
 
     def has_epoch(self, epoch_id: str) -> bool:

@@ -701,3 +701,66 @@ def test_changes_between_keyless_is_insert_stream(spark, tbl_dir):
     t.append(spark.createDataFrame([(3,)], sch))
     got = [(r.seq, r._change_type) for r in t.changes_between(v1).collect()]
     assert got == [(3, "insert")]
+
+
+def test_read_keys_point_lookup_prunes_buckets(spark, tbl_dir):
+    """Point lookups open only the requested keys' hash buckets and
+    return exactly the resolved rows for those keys."""
+    t = make(spark, tbl_dir, n_buckets=8)
+    rows = [(f"r{i}", "a", i, i + 1) for i in range(16)]
+    t.append_delta(_updf(spark, [(*r, "insert") for r in rows]))
+    t.append_delta(_updf(spark, [("r3", "a", 999, 100, "update"),
+                                 ("r5", "a", None, 101, "delete")]))
+    got = sorted((r.repo, r.v) for r in
+                 t.read_keys([("r3", "a"), ("r5", "a"), ("r7", "a"),
+                              ("zz", "nope")]).collect())
+    assert got == [("r3", 999), ("r7", 7)]  # r5 deleted, zz absent
+    # pruning: the lookup's scan must touch a strict subset of buckets
+    want = {("r3", "a"), ("r5", "a"), ("r7", "a"), ("zz", "nope")}
+    from etl_spark.icelite.table import bucket_expr as be
+    kdf = spark.createDataFrame(sorted(want), ["repo", "path"])
+    kb = {r.b for r in kdf.select(be(("repo", "path"), 8).alias("b")).collect()}
+    by_suffix = {f.path: f.bucket for f in t.snapshot().files}
+    for p in t.read_keys(sorted(want)).inputFiles():
+        matches = [b for rel, b in by_suffix.items() if p.endswith(rel)]
+        assert matches and all(b in kb for b in matches), p
+    assert t.read_keys([]).count() == 0
+    keyless = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "kl"),
+        T.StructType([T.StructField("x", T.LongType(), True)]), key_cols=())
+    with pytest.raises(ValueError, match="keyed"):
+        keyless.read_keys([(1,)])
+
+
+def test_changefeed_cursor_at_least_once(spark, tbl_dir):
+    """poll never advances; advance is explicit, atomic, and
+    monotone; an expired cursor fails loudly instead of returning a
+    partial diff."""
+    from etl_spark.icelite.changefeed import ChangeFeedCursor, CursorExpired
+
+    t = make(spark, tbl_dir)
+    cur = ChangeFeedCursor(t, os.path.join(tbl_dir, "consumer.json"))
+    assert cur.poll() is None  # empty table, nothing to consume
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert"),
+                                 ("r2", "b", 2, 2, "insert")]))
+    ch, v = cur.poll()
+    assert {r._change_type for r in ch.collect()} == {"insert"}
+    assert ch.count() == 2
+    # crash before advance → identical redelivery
+    ch2, v2 = cur.poll()
+    assert v2 == v and ch2.count() == 2
+    cur.advance(v)
+    assert cur.poll() is None  # fully caught up
+    t.append_delta(_updf(spark, [("r1", "a", 11, 9, "update")]))
+    ch3, v3 = cur.poll()
+    assert sorted(r._change_type for r in ch3.collect()) == [
+        "update_postimage", "update_preimage"]
+    with pytest.raises(ValueError, match="rewind"):
+        cur.advance(v3 - 2)
+    cur.advance(v3)
+    # retention passes the cursor by → loud resync error
+    for i in range(6):
+        t.append_delta(_updf(spark, [("r9", f"p{i}", i, 20 + i, "insert")]))
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(CursorExpired):
+        cur.poll()
