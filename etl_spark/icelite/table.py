@@ -311,7 +311,8 @@ def _backoff_sleep(attempt: int, base: float = 0.05, cap: float = 2.0) -> None:
 def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
                     key_cols: Sequence[str],
                     drop_tombstones_below_seq: int | None = None,
-                    chunk_bytes: int = 1 << 30):
+                    chunk_bytes: int = 1 << 30,
+                    cluster_by: Sequence[str] | None = None):
     """Per-bucket compaction task body (runs inside mapInPandas).
 
     Input: spec rows {bucket, files: [[path, schema_id, kind, bytes]]}.
@@ -344,6 +345,7 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
     keys = list(key_cols)
     current = T.StructType.fromJson(json.loads(schema_jsons[-1]))
     RANK = ["last_seq", "__is_base"]
+    cluster = list(cluster_by) if cluster_by else None
 
     def _resolve(df):
         """LWW winners of a frame: rank = (last_seq, is_base) — base
@@ -401,6 +403,11 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         df, has_tombstones = _apply_tombstone_policy(_resolve(df))
         if len(df) == 0:
             return None
+        if cluster:
+            # clustering: one full sort per bucket task (bounded by the
+            # small-path size cutoff) → tight row-group AND manifest
+            # bounds on the sort columns
+            df = df.sort_values(cluster, kind="mergesort")
         out_fields = list(current.fields)
         if has_tombstones:
             out_fields.append(T.StructField("__op", T.StringType(), True))
@@ -411,7 +418,8 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         rel_path, fp = _out_path(spec["bucket"])
         pq.write_table(table, fp, compression="snappy")
         return (spec["bucket"], rel_path, len(table), os.path.getsize(fp),
-                "delta" if has_tombstones else "base")
+                "delta" if has_tombstones else "base",
+                json.dumps(_footer_bounds(pq.ParquetFile(fp).metadata)))
 
     def _compact_chunked(spec, pa):
         narrow = keys + ["last_seq", "__op"]
@@ -474,6 +482,13 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
                     if len(keep) == 0:
                         continue
                     emitted[wid] = True
+                    if cluster:
+                        # chunked path streams row groups — a full-file
+                        # sort would break the bounded-memory contract,
+                        # so cluster each written chunk instead: parquet
+                        # stats are per row group, so within-chunk order
+                        # still tightens row-group pruning
+                        keep = keep.sort_values(cluster, kind="mergesort")
                     writer.write_table(
                         pa.Table.from_arrays(_arrays(keep, out_fields, pa),
                                              schema=arrow_schema)
@@ -482,7 +497,8 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         finally:
             writer.close()
         return (spec["bucket"], rel_path, rows, os.path.getsize(fp),
-                "delta" if has_tombstones else "base")
+                "delta" if has_tombstones else "base",
+                json.dumps(_footer_bounds(pq.ParquetFile(fp).metadata)))
 
     def run(batches):
         import pyarrow as pa
@@ -509,7 +525,7 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
             yield pd.DataFrame(
                 out_rows,
                 columns=["bucket", "rel_path", "rows", "bytes", "kind",
-                         "task_sec"],
+                         "stats_json", "task_sec"],
             )
 
     return run
@@ -1463,7 +1479,8 @@ class IceliteTable:
                 chunk_bytes: int = 1 << 30,
                 min_delta_ratio: float = 0.0,
                 min_delta_files: int = 1,
-                max_buckets: int | None = None) -> Snapshot:
+                max_buckets: int | None = None,
+                cluster_by: Sequence[str] | None = None) -> Snapshot:
         """Fold each bucket's delta files into ONE fresh file of
         resolved LWW state. Logical state is unchanged — compaction
         commutes with replay even under concurrent out-of-order
@@ -1482,7 +1499,16 @@ class IceliteTable:
         stats. No groupBy, no exchange, scales linearly to
         min(cores, touched buckets). (A groupBy-based compaction would
         re-shuffle the whole table — the largest avoidable shuffle in
-        the engine.)"""
+        the engine.)
+
+        ``cluster_by`` sorts each bucket's output on the given columns
+        (Iceberg's rewrite-with-sort-order): parquet row-group stats
+        and the manifest footer bounds become tight on those columns,
+        so post-compaction range reads prune at both file and
+        row-group level. The chunked (big-bucket) path clusters per
+        written chunk instead of per file, preserving its bounded
+        memory. Compacted files re-harvest their footer bounds
+        executor-side, so pruning metadata survives compaction."""
         snap = self.snapshot()
         if not any(f_.kind == "delta" for f_ in snap.files):
             return snap
@@ -1522,6 +1548,7 @@ class IceliteTable:
             self.data_path, out_root, snap.schemas, snap.key_cols,
             drop_tombstones_below_seq=drop_tombstones_below_seq,
             chunk_bytes=chunk_bytes,
+            cluster_by=cluster_by,
         )
         stats = (
             self.spark.createDataFrame(specs, "bucket int, spec string")
@@ -1529,7 +1556,7 @@ class IceliteTable:
             .mapInPandas(
                 kernel,
                 "bucket int, rel_path string, rows long, bytes long, "
-                "kind string, task_sec double",
+                "kind string, stats_json string, task_sec double",
             )
             .collect()
         )
@@ -1555,6 +1582,7 @@ class IceliteTable:
                 bytes=r["bytes"],
                 schema_id=len(snap.schemas) - 1,
                 kind=r["kind"],
+                stats=json.loads(r["stats_json"]) if r["stats_json"] else None,
             )
             for r in stats
         ]

@@ -114,11 +114,13 @@ def cmd_compact(args) -> int:
         print(json.dumps({"candidates": cand}))
         return 0
     before = t.delta_stats()
+    cluster = getattr(args, "cluster_by", None)
     t.compact(
         drop_tombstones_below_seq=getattr(args, "final_below_seq", None),
         min_delta_ratio=getattr(args, "min_delta_ratio", 0.0),
         min_delta_files=getattr(args, "min_delta_files", 1),
         max_buckets=getattr(args, "max_buckets", None),
+        cluster_by=cluster.split(",") if cluster else None,
     )
     print(json.dumps({"candidates": len(cand), "before": before,
                       "after": t.delta_stats()}))
@@ -239,6 +241,9 @@ def main() -> int:
     p.add_argument("--min-delta-ratio", type=float, default=0.0)
     p.add_argument("--dry-run", action="store_true",
                    help="print the candidate ranking, change nothing")
+    p.add_argument("--cluster-by", default=None,
+                   help="comma-separated sort columns for compacted "
+                        "output (tight row-group/manifest bounds)")
 
     p = sub.add_parser("split")
     p.add_argument("--target", required=True)

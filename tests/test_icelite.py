@@ -764,3 +764,46 @@ def test_changefeed_cursor_at_least_once(spark, tbl_dir):
     t.expire_snapshots(keep_last=2)
     with pytest.raises(CursorExpired):
         cur.poll()
+
+
+def test_compact_cluster_by_sorts_and_keeps_bounds(spark, tbl_dir):
+    """cluster_by sorts each compacted bucket's file on the given
+    columns, state is unchanged, and compacted files RE-harvest their
+    manifest footer bounds (pruning metadata must survive compaction)."""
+    import pyarrow.parquet as pq_
+
+    t = make(spark, tbl_dir, n_buckets=2)
+    rows = [(f"r{i % 5}", f"p{i}", (i * 37) % 100, i + 1, "insert")
+            for i in range(60)]
+    t.append_delta(_updf(spark, rows))
+    t.append_delta(_updf(spark, [("r1", "p1", 7, 100, "update")]))
+    state = sorted(tuple(r) for r in t.read().collect())
+    t.compact(cluster_by=["v"])
+    assert sorted(tuple(r) for r in t.read().collect()) == state
+    snap = t.snapshot()
+    assert all(f.kind == "base" for f in snap.files)
+    for f in snap.files:
+        vals = pq_.read_table(
+            os.path.join(t.data_path, f.path), columns=["v"]
+        )["v"].to_pylist()
+        assert vals == sorted(vals)  # clustered within the file
+        assert f.stats and "v" in f.stats  # bounds survived compaction
+        assert f.stats["v"] == [min(vals), max(vals)]
+    # manifest-only pruning works on the compacted keyed table
+    lo = max(f.stats["v"][0] for f in snap.files)
+    hi = min(f.stats["v"][1] for f in snap.files)
+    assert 0 < len(t.files_in_range("v", hi + 1)) <= len(snap.files)
+
+
+def test_compact_chunked_clusters_within_chunks(spark, tbl_dir):
+    """The big-bucket streaming path clusters each written chunk (not
+    the whole file — bounded memory), and still carries bounds."""
+    t = make(spark, tbl_dir, n_buckets=1)
+    rows = [("r", f"p{i}", (i * 53) % 1000, i + 1, "insert")
+            for i in range(5000)]
+    t.append_delta(_updf(spark, rows))
+    state = sorted(tuple(r) for r in t.read().collect())
+    t.compact(cluster_by=["v"], chunk_bytes=1)  # force chunked path
+    assert sorted(tuple(r) for r in t.read().collect()) == state
+    f = t.snapshot().files[0]
+    assert f.stats and f.stats["v"] == [0, 999]
