@@ -35,6 +35,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from etl_spark.icelite.table import IceliteTable
 
@@ -89,3 +90,51 @@ class ChangeFeedCursor:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self.cursor_path)  # atomic on POSIX
+
+    def replicate(self, dst: IceliteTable) -> dict | None:
+        """One replication step: poll the source's change feed, apply
+        it to ``dst``, advance. Looping this gives an exactly-once
+        incremental table replica (cross-region copy / downstream mart
+        — the lake analog of the reference pushing parsed rows on to
+        BigQuery) without ever re-reading the source's full state.
+
+        Exactly-once from two idempotencies composed: the batch is the
+        deterministic net diff between two immutable snapshots, and it
+        lands in ``dst`` under ``epoch_id=cdf:<version>`` — a crash
+        after the apply but before ``advance`` redelivers the same
+        batch, which ``dst``'s epoch ledger skips. Deletes re-apply at
+        the TOMBSTONE's seq (``_commit_seq``): the replica's LWW guard
+        needs strictly-newer, and the pre-image seq would tie and lose.
+        A delete whose tombstone was already expired at the source
+        falls back to pre-image seq + 1 — sound for a replica only this
+        feed writes, because any later real event outranks the real
+        tombstone, which outranks pre+1.
+
+        Scale: the apply is ``append_delta`` (merge-on-read) — cost per
+        step is O(changed keys), never a base rewrite."""
+        out = self.poll()
+        if out is None:
+            return None
+        ch, v = out
+        if not self.table.snapshot().key_cols:
+            # keyless source: the feed is pure inserts
+            dst.append(ch.drop("_change_type", "_commit_seq"),
+                       epoch_id=f"cdf:{v}")
+            self.advance(v)
+            return {"version": v, "source": self.table.path}
+        ups = (
+            ch.where(F.col("_change_type") != "update_preimage")
+            .withColumn(
+                "op",
+                F.when(F.col("_change_type") == "delete", F.lit("delete"))
+                .otherwise(F.lit("insert")),
+            )
+            .withColumn(
+                "last_seq",
+                F.coalesce(F.col("_commit_seq"), F.col("last_seq") + 1),
+            )
+            .drop("_change_type", "_commit_seq")
+        )
+        dst.append_delta(ups, epoch_id=f"cdf:{v}")
+        self.advance(v)
+        return {"version": v, "source": self.table.path}

@@ -649,6 +649,7 @@ class IceliteTable:
         version: int | None = None,
         buckets: Iterable[int] | None = None,
         resolve: bool = True,
+        keep_deletes: bool = False,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a bucket subset.
 
@@ -657,7 +658,10 @@ class IceliteTable:
         (SURVEY.md §1.6). If merge-on-read delta files are present and
         ``resolve``, per-key LWW resolution runs at read time: max
         last_seq wins (base wins seq ties, matching the CoW seq guard),
-        a winning delete removes the key."""
+        a winning delete removes the key. ``keep_deletes`` retains
+        winning tombstones instead (rows keep their ``__op`` column) —
+        the tombstone-visible view the change feed needs to report a
+        delete's commit position."""
         snap = self.snapshot(version)
         schema = snap.current_schema
         files = snap.files
@@ -678,8 +682,15 @@ class IceliteTable:
             )
         has_delta = any(f_.kind == "delta" for f_ in files)
         if not has_delta:
-            out = self._read_file_group(snap, files, schema, with_op=False)
-            return out if out is not None else self.spark.createDataFrame([], schema)
+            out = self._read_file_group(snap, files, schema,
+                                        with_op=keep_deletes)
+            if out is not None:
+                return out
+            if keep_deletes:
+                schema = T.StructType(
+                    schema.fields + [T.StructField("__op", T.StringType(), True)]
+                )
+            return self.spark.createDataFrame([], schema)
         all_rows = self._read_file_group(snap, files, schema, with_op=True)
         seq_col = "last_seq" if "last_seq" in [f_.name for f_ in schema.fields] else None
         if seq_col is None:
@@ -695,6 +706,8 @@ class IceliteTable:
             .agg(F.max_by(payload, rank).alias("__r"))
             .select("__r.*")
         )
+        if keep_deletes:
+            return winners
         return winners.where(F.col("__op") != "delete").select(*data_cols)
 
     def incremental_files(self, from_version: int, to_version: int | None = None) -> list[str]:
@@ -771,6 +784,16 @@ class IceliteTable:
         reading a change stream back OUT of it instead of re-scanning
         final state.
 
+        Every row also carries ``_commit_seq`` — the NEW side's winning
+        sequence (for a delete, the TOMBSTONE's seq, read from the
+        tombstone-visible view; null on preimage rows). This is the
+        row-level analog of Delta CDF's ``_commit_version`` and what a
+        replicator needs: a delete re-applied downstream must carry a
+        seq STRICTLY newer than the replica's stored row or the LWW
+        guard correctly ignores it. If a tombstone was already
+        physically dropped (compaction past the consumer's watermark),
+        the delete row falls back to ``_commit_seq`` null.
+
         Scale shape (the part that matters at 100 TB): manifests alone
         decide what is read. Only buckets with added/removed files are
         opened at all; a bucket that was merely appended to is further
@@ -789,15 +812,19 @@ class IceliteTable:
         snap_new = self.snapshot(to_v)
         schema = snap_new.current_schema
         out_schema = T.StructType(
-            schema.fields + [T.StructField("_change_type", T.StringType(), False)]
+            schema.fields
+            + [T.StructField("_change_type", T.StringType(), False),
+               T.StructField("_commit_seq", T.LongType(), True)]
         )
         if to_v == from_version:
             return self.spark.createDataFrame([], out_schema)
 
         if not snap_new.key_cols:
             # append-only table: every incremental row IS an insert
-            return self.read_incremental(from_version, to_v).withColumn(
-                "_change_type", F.lit("insert")
+            return (
+                self.read_incremental(from_version, to_v)
+                .withColumn("_change_type", F.lit("insert"))
+                .withColumn("_commit_seq", F.lit(None).cast("long"))
             )
 
         keys = list(snap_new.key_cols)
@@ -818,7 +845,7 @@ class IceliteTable:
         if snap_old.n_buckets != snap_new.n_buckets:
             # bucket ids are incomparable across a split — full diff
             olds.append(self.read(version=from_version))
-            news.append(self.read(version=to_v))
+            news.append(self.read(version=to_v, keep_deletes=True))
         else:
             rewritten = {f_.bucket for f_ in removed}
             append_only = {f_.bucket for f_ in added} - rewritten
@@ -834,12 +861,14 @@ class IceliteTable:
                     .join(new_keys, keys, "left_semi")
                 )
                 news.append(
-                    self.read(version=to_v, buckets=append_only)
+                    self.read(version=to_v, buckets=append_only,
+                              keep_deletes=True)
                     .join(new_keys, keys, "left_semi")
                 )
             if rewritten:
                 olds.append(self.read(version=from_version, buckets=rewritten))
-                news.append(self.read(version=to_v, buckets=rewritten))
+                news.append(self.read(version=to_v, buckets=rewritten,
+                                      keep_deletes=True))
 
         def _union(parts: list[DataFrame]) -> DataFrame:
             out = parts[0]
@@ -860,25 +889,42 @@ class IceliteTable:
         data_cols = [f_.name for f_ in schema.fields]
         o = _cast_up(_union(olds)).select(
             *keys, F.struct(*data_cols).alias("__o"))
-        n = _cast_up(_union(news)).select(
-            *keys, F.struct(*data_cols).alias("__n"))
+        # new side is the tombstone-visible view: data cols + __op
+        n = _union(news).select(
+            *keys, F.struct(*data_cols).alias("__n"), F.col("__op").alias("__nop"))
         j = o.join(n, keys, "full_outer")
 
-        def entry(ctype: str, side: str):
+        def entry(ctype: str, side: str, commit_seq):
             return F.struct(
-                F.lit(ctype).alias("t"), F.col(side).alias("p"))
+                F.lit(ctype).alias("t"), F.col(side).alias("p"),
+                commit_seq.cast("long").alias("cs"))
 
+        n_seq = F.col("__n.last_seq")
+        none = F.lit(None)
         changes = (
-            F.when(F.col("__n").isNull(), F.array(entry("delete", "__o")))
-            .when(F.col("__o").isNull(), F.array(entry("insert", "__n")))
+            # key gone from the new side entirely: its tombstone was
+            # already physically dropped (compaction past the
+            # watermark) — still a delete, but the commit position is
+            # no longer known
+            F.when(F.col("__nop").isNull() & F.col("__o").isNotNull(),
+                   F.array(entry("delete", "__o", none)))
+            .when(F.col("__nop") == "delete",
+                  # winning tombstone: delete with pre-image payload at
+                  # the tombstone's commit position; a tombstone for a
+                  # key never visible before emits nothing
+                  F.when(F.col("__o").isNotNull(),
+                         F.array(entry("delete", "__o", n_seq))))
+            .when(F.col("__o").isNull(),
+                  F.array(entry("insert", "__n", n_seq)))
             .when(
-                F.col("__o.last_seq") != F.col("__n.last_seq"),
-                F.array(entry("update_preimage", "__o"),
-                        entry("update_postimage", "__n")),
+                F.col("__o.last_seq") != n_seq,
+                F.array(entry("update_preimage", "__o", none),
+                        entry("update_postimage", "__n", n_seq)),
             )  # equal last_seq → NULL array → explode emits nothing
         )
         return j.select(F.explode(changes).alias("__e")).select(
-            "__e.p.*", F.col("__e.t").alias("_change_type")
+            "__e.p.*", F.col("__e.t").alias("_change_type"),
+            F.col("__e.cs").alias("_commit_seq"),
         )
 
     def read_keys(self, keys: Sequence[tuple]) -> DataFrame:

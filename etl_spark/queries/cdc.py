@@ -83,6 +83,7 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tgt.changes_between(v1).select(
         "repo", "path", "last_seq", "commit", "lang", "content_sha256",
         F.col("_change_type").alias("change_type"),
+        F.col("_commit_seq").alias("commit_seq"),
     )
 
 
@@ -98,30 +99,35 @@ old_state AS (
     FROM events WHERE seq <= (SELECT c FROM cut)
   ) WHERE rn = 1 AND op <> 'delete'
 ),
-new_state AS (
-  SELECT repo, path, seq AS last_seq, commit, lang,
+new_winner AS (
+  SELECT repo, path, seq, op, commit, lang,
          sha256(content) AS content_sha256
   FROM (
     SELECT *, row_number() OVER (PARTITION BY repo, path
                                  ORDER BY seq DESC) AS rn
     FROM events
-  ) WHERE rn = 1 AND op <> 'delete'
+  ) WHERE rn = 1
+),
+new_state AS (
+  SELECT repo, path, seq AS last_seq, commit, lang, content_sha256
+  FROM new_winner WHERE op <> 'delete'
 )
 SELECT n.repo, n.path, n.last_seq, n.commit, n.lang, n.content_sha256,
-       'insert' AS change_type
+       'insert' AS change_type, n.last_seq AS commit_seq
 FROM new_state n ANTI JOIN old_state o USING (repo, path)
 UNION ALL
 SELECT o.repo, o.path, o.last_seq, o.commit, o.lang, o.content_sha256,
-       'delete' AS change_type
-FROM old_state o ANTI JOIN new_state n USING (repo, path)
+       'delete' AS change_type, w.seq AS commit_seq
+FROM old_state o JOIN new_winner w USING (repo, path)
+WHERE w.op = 'delete'
 UNION ALL
 SELECT o.repo, o.path, o.last_seq, o.commit, o.lang, o.content_sha256,
-       'update_preimage' AS change_type
+       'update_preimage' AS change_type, CAST(NULL AS BIGINT) AS commit_seq
 FROM old_state o JOIN new_state n USING (repo, path)
 WHERE o.last_seq <> n.last_seq
 UNION ALL
 SELECT n.repo, n.path, n.last_seq, n.commit, n.lang, n.content_sha256,
-       'update_postimage' AS change_type
+       'update_postimage' AS change_type, n.last_seq AS commit_seq
 FROM old_state o JOIN new_state n USING (repo, path)
 WHERE o.last_seq <> n.last_seq
 """

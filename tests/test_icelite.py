@@ -807,3 +807,57 @@ def test_compact_chunked_clusters_within_chunks(spark, tbl_dir):
     assert sorted(tuple(r) for r in t.read().collect()) == state
     f = t.snapshot().files[0]
     assert f.stats and f.stats["v"] == [0, 999]
+
+
+def test_changefeed_replicate_mirrors_source(spark, tbl_dir):
+    """replicate() keeps a second table converged with the source
+    through inserts/updates/deletes, survives a crash between apply
+    and cursor advance (epoch ledger absorbs the redelivery), and
+    still propagates a delete whose tombstone the source already
+    expired (pre-image seq + 1 fallback)."""
+    from etl_spark.icelite.changefeed import ChangeFeedCursor
+
+    src = make(spark, tbl_dir)
+    dst = IceliteTable.create(spark, os.path.join(tbl_dir, "replica"),
+                              SCHEMA, key_cols=("repo", "path"), n_buckets=4)
+    cur = ChangeFeedCursor(src, os.path.join(tbl_dir, "repl_cursor.json"))
+    state = lambda t: sorted(tuple(r) for r in t.read().collect())  # noqa: E731
+
+    src.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert"),
+                                   ("r2", "b", 2, 2, "insert")]))
+    assert cur.replicate(dst) is not None
+    assert state(dst) == state(src)
+
+    # update + delete in one epoch; crash between apply and advance
+    src.append_delta(_updf(spark, [("r1", "a", 11, 9, "update"),
+                                   ("r2", "b", None, 10, "delete")]))
+    orig_advance, calls = cur.advance, {"n": 0}
+
+    def flaky(v):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("crash before cursor commit")
+        orig_advance(v)
+
+    cur.advance = flaky
+    with pytest.raises(RuntimeError, match="crash"):
+        cur.replicate(dst)
+    dv = dst.current_version()
+    cur.replicate(dst)  # redelivery: epoch ledger skips the re-apply
+    assert dst.current_version() == dv
+    assert state(dst) == state(src) == [("r1", "a", 11, 9)]
+    # the replicated delete really is a tombstone at the source's seq
+    raw = dst.read(keep_deletes=True).where("repo='r2'").collect()
+    assert [(r["__op"], r.last_seq) for r in raw] == [("delete", 10)]
+
+    # delete whose tombstone the source expires before the poll
+    src.append_delta(_updf(spark, [("r3", "c", 3, 20, "insert")]))
+    assert cur.replicate(dst) is not None
+    src.append_delta(_updf(spark, [("r3", "c", None, 21, "delete")]))
+    src.compact(drop_tombstones_below_seq=1 << 40)  # tombstone gone
+    assert not any(
+        r["__op"] == "delete"
+        for r in src.read(keep_deletes=True).collect()
+    )
+    cur.replicate(dst)
+    assert state(dst) == state(src) == [("r1", "a", 11, 9)]
