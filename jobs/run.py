@@ -12,6 +12,8 @@ Commands:
   compact  --target T [--final-below-seq N]           fold MoR deltas
   split    --target T [--factor 2]                    grow bucket count
   expire   --target T [--keep-last N] [--vacuum]      snapshot expiry
+  mirror   --source S --replica R --cursor C          change-feed replica
+           [--init] [--follow] [--interval-sec 5]
   status   --target T [--lineage L]                   snapshot/epoch info
   verify   --events E --target T                      replay-equality check
 
@@ -153,6 +155,43 @@ def cmd_expire(args) -> int:
     return 0
 
 
+def cmd_mirror(args) -> int:
+    """Incremental table replication over the change feed: poll the
+    source's changes since the durable cursor, apply them to the
+    replica (exactly-once via the replica's epoch ledger), advance.
+    One step per invocation by default; --follow loops with a poll
+    interval, like stream --follow. --init creates the replica with
+    the source's current schema/key layout."""
+    import time as _time
+
+    from etl_spark.icelite.changefeed import ChangeFeedCursor
+    from etl_spark.icelite.table import IceliteTable
+
+    spark = _spark(args)
+    src = IceliteTable.load(spark, args.source)
+    if args.init and not IceliteTable.exists(args.replica):
+        s = src.snapshot()
+        IceliteTable.create(spark, args.replica, s.current_schema,
+                            key_cols=s.key_cols, n_buckets=s.n_buckets)
+    dst = IceliteTable.load(spark, args.replica)
+    cur = ChangeFeedCursor(src, args.cursor)
+    steps = 0
+    while True:
+        out = cur.replicate(dst)
+        if out is not None:
+            steps += 1
+            print(json.dumps({**out, "replica_version": dst.current_version()}),
+                  flush=True)
+        if not args.follow:
+            break
+        if out is None:
+            _time.sleep(args.interval_sec)
+    if steps == 0:
+        print(json.dumps({"caught_up": True,
+                          "cursor_version": cur.position()}))
+    return 0
+
+
 def cmd_status(args) -> int:
     from etl_spark.icelite.table import IceliteTable
 
@@ -254,6 +293,16 @@ def main() -> int:
     p.add_argument("--keep-last", type=int, default=5)
     p.add_argument("--vacuum", action="store_true")
 
+    p = sub.add_parser("mirror")
+    p.add_argument("--source", required=True)
+    p.add_argument("--replica", required=True)
+    p.add_argument("--cursor", required=True,
+                   help="durable consumer-offset file for this replica")
+    p.add_argument("--init", action="store_true",
+                   help="create the replica from the source layout")
+    p.add_argument("--follow", action="store_true")
+    p.add_argument("--interval-sec", type=float, default=5.0)
+
     p = sub.add_parser("status")
     p.add_argument("--target", required=True)
     p.add_argument("--lineage", default=None)
@@ -266,6 +315,7 @@ def main() -> int:
     return {
         "init": cmd_init, "apply": cmd_apply, "stream": cmd_stream,
         "compact": cmd_compact, "split": cmd_split, "expire": cmd_expire,
+        "mirror": cmd_mirror,
         "status": cmd_status, "verify": cmd_verify,
     }[args.cmd](args)
 

@@ -54,3 +54,27 @@ def test_cli_lifecycle(spark, tbl_dir, capsys):
     dry = out[-5]["candidates"]
     assert dry and dry == sorted(dry, key=lambda c: -c["delta_bytes"])
     assert out[-6]["n_buckets_after"] == 16     # split doubled 8 → 16
+
+
+def test_cli_mirror(spark, tbl_dir, capsys):
+    """mirror: change-feed replication end-to-end through the CLI —
+    init from source layout, two incremental steps, caught-up no-op."""
+    events_dir = os.path.join(tbl_dir, "events")
+    gen.synthetic_events(spark, 3000, n_repos=12, seed=7).write.parquet(events_dir)
+    t, lin = os.path.join(tbl_dir, "t"), os.path.join(tbl_dir, "l")
+    r, cur = os.path.join(tbl_dir, "replica"), os.path.join(tbl_dir, "cur.json")
+
+    assert cli.cmd_init(_ns(target=t, lineage=lin, buckets=8)) == 0
+    assert cli.cmd_apply(_ns(events=events_dir, target=t, lineage=lin,
+                             epoch_size=1500, merge_mode="delta")) == 0
+    assert cli.cmd_mirror(_ns(source=t, replica=r, cursor=cur,
+                              init=True, follow=False, interval_sec=0)) == 0
+    # replica verifies against the same event log as the source
+    assert cli.cmd_verify(_ns(events=events_dir, target=r)) == 0
+    # caught up → no-op step
+    assert cli.cmd_mirror(_ns(source=t, replica=r, cursor=cur,
+                              init=False, follow=False, interval_sec=0)) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+           if l.startswith("{")]
+    assert out[-1]["caught_up"] is True
+    assert out[-2]["ok"] is True
