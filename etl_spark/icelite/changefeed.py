@@ -116,6 +116,13 @@ class ChangeFeedCursor:
         if out is None:
             return None
         ch, v = out
+        # schema evolution rides the feed: change rows arrive in the
+        # source's CURRENT schema, so evolve the replica first (add /
+        # widen only — evolve_schema rejects anything else) or the
+        # delta writer would silently drop the new columns
+        src_schema = self.table.snapshot(v).current_schema
+        if dst.snapshot().current_schema.json() != src_schema.json():
+            dst.evolve_schema(src_schema)
         if not self.table.snapshot().key_cols:
             # keyless source: the feed is pure inserts
             dst.append(ch.drop("_change_type", "_commit_seq"),

@@ -861,3 +861,31 @@ def test_changefeed_replicate_mirrors_source(spark, tbl_dir):
     )
     cur.replicate(dst)
     assert state(dst) == state(src) == [("r1", "a", 11, 9)]
+
+
+def test_changefeed_replicate_schema_evolution(spark, tbl_dir):
+    """A column added at the source mid-stream rides the feed: the
+    replica evolves before the batch applies, new values land, old
+    rows are null-filled."""
+    from etl_spark.icelite.changefeed import ChangeFeedCursor
+
+    src = make(spark, tbl_dir)
+    dst = IceliteTable.create(spark, os.path.join(tbl_dir, "replica"),
+                              SCHEMA, key_cols=("repo", "path"), n_buckets=4)
+    cur = ChangeFeedCursor(src, os.path.join(tbl_dir, "c.json"))
+    src.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert"),
+                                   ("r2", "b", 2, 2, "insert")]))
+    cur.replicate(dst)
+
+    v2 = T.StructType(SCHEMA.fields + [T.StructField("extra", T.StringType(), True)])
+    src.evolve_schema(v2)
+    up2 = T.StructType(v2.fields + [T.StructField("op", T.StringType(), False)])
+    src.append_delta(spark.createDataFrame(
+        [("r1", "a", 11, 9, "x", "update")], up2))
+    cur.replicate(dst)
+
+    assert dst.snapshot().current_schema.json() == v2.json()
+    got = {r.repo: (r.v, r.extra) for r in dst.read().collect()}
+    assert got == {"r1": (11, "x"), "r2": (2, None)}
+    assert sorted(tuple(r) for r in dst.read().collect()) == \
+        sorted(tuple(r) for r in src.read().collect())

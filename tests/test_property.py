@@ -89,3 +89,60 @@ def test_lww_replay_matches_oracle(spark, tbl_dir, rows):
         for r in exp_df.itertuples(index=False)
     )
     assert got == exp
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(event_batches(), st.integers(min_value=0, max_value=2))
+def test_changefeed_reconstructs_any_version_pair(spark, tbl_dir, rows,
+                                                  compact_after):
+    """CDF soundness property: for ANY committed version pair v1<v2 —
+    across arbitrary op interleavings, rejected garbage, and a
+    compaction injected at a random point — replaying
+    changes_between(v1, v2) onto state(v1) must reproduce state(v2)
+    exactly. This is the contract a downstream consumer relies on."""
+    _counter[0] += 1
+    tgt = create_target(
+        spark, os.path.join(tbl_dir, f"cdf{_counter[0]}"), n_buckets=4
+    )
+    n = len(rows)
+    cuts = sorted({0, max(1, n // 3), max(2, 2 * n // 3), n})
+    versions = [tgt.current_version()]
+    for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
+        sl = [r for r in rows if lo <= r[0] < hi]
+        if not sl:
+            continue
+        ev = spark.createDataFrame(sl, EV_DDL).withColumn(
+            "event_time", F.timestamp_seconds(F.col("seq"))
+        )
+        apply_epoch(spark, ev, tgt, None, epoch_id=f"p{i}",
+                    max_reject_frac=1.0)
+        if i == compact_after:
+            tgt.compact()
+        versions.append(tgt.current_version())
+
+    def state(v):
+        return {
+            (r.repo, r.path): (r.commit, r.content_sha256, r.last_seq)
+            for r in tgt.read(version=v).collect()
+        }
+
+    for v1 in versions:
+        for v2 in versions:
+            if v1 >= v2:
+                continue
+            rebuilt = dict(state(v1))
+            for r in tgt.changes_between(v1, v2).collect():
+                k = (r.repo, r.path)
+                if r._change_type == "delete":
+                    rebuilt.pop(k, None)
+                elif r._change_type != "update_preimage":
+                    rebuilt[k] = (r.commit, r.content_sha256, r.last_seq)
+            assert rebuilt == state(v2), (v1, v2)
