@@ -795,18 +795,20 @@ class IceliteTable:
         the delete row falls back to ``_commit_seq`` null.
 
         Scale shape (the part that matters at 100 TB): manifests alone
-        decide what is read. Only buckets with added/removed files are
-        opened at all; a bucket that was merely appended to is further
-        restricted to the keys present in its NEW files (a column-pruned
-        key scan of just the added files + left-semi join), so per-epoch
-        diffs cost O(touched buckets) IO and O(changed keys) shuffle —
-        never O(table). A rewritten bucket (compaction/split moved
-        files) is diffed whole; unchanged keys there compare equal and
-        emit nothing, so maintenance never fabricates changes. Under
-        LWW, a key's resolved row is uniquely determined by
-        ``last_seq`` (the winnow guard forbids same-seq divergence), so
-        equality of ``last_seq`` is the exact no-change test — no
-        payload comparison needed."""
+        decide what is read — only buckets with added/removed files are
+        opened at all — and the whole diff is ONE scan + ONE shuffle.
+        Each touched file is tagged ``in_old``/``in_new`` from the two
+        manifests (an appended-to bucket's old files are a subset of
+        its new files, so shared files are read ONCE and feed both
+        sides), and a single groupBy resolves both versions' winners
+        with flag-filtered ``max_by`` — no self-join of two resolved
+        reads, no second exchange. A rewritten bucket (compaction/split
+        moved files) flows through the same plan with disjoint flags;
+        unchanged keys there compare equal and emit nothing, so
+        maintenance never fabricates changes. Under LWW, a key's
+        resolved row is uniquely determined by ``last_seq`` (the winnow
+        guard forbids same-seq divergence), so equality of ``last_seq``
+        is the exact no-change test — no payload comparison needed."""
         to_v = self.current_version() if to_version is None else to_version
         snap_old = self.snapshot(from_version)
         snap_new = self.snapshot(to_v)
@@ -833,66 +835,79 @@ class IceliteTable:
         if "last_seq" not in [f_.name for f_ in schema.fields]:
             raise ValueError("changes_between requires a last_seq column")
 
-        old_by_path = {f_.path: f_ for f_ in snap_old.files}
-        new_by_path = {f_.path: f_ for f_ in snap_new.files}
-        added = [f_ for p, f_ in new_by_path.items() if p not in old_by_path]
-        removed = [f_ for p, f_ in old_by_path.items() if p not in new_by_path]
+        old_paths = {f_.path for f_ in snap_old.files}
+        new_paths = {f_.path for f_ in snap_new.files}
+        added = [f_ for f_ in snap_new.files if f_.path not in old_paths]
+        removed = [f_ for f_ in snap_old.files if f_.path not in new_paths]
         if not added and not removed:
             return self.spark.createDataFrame([], out_schema)
 
-        olds: list[DataFrame] = []
-        news: list[DataFrame] = []
+        # one file list, two membership flags; shared files read ONCE
         if snap_old.n_buckets != snap_new.n_buckets:
-            # bucket ids are incomparable across a split — full diff
-            olds.append(self.read(version=from_version))
-            news.append(self.read(version=to_v, keep_deletes=True))
+            touched = None  # bucket ids incomparable across a split
         else:
-            rewritten = {f_.bucket for f_ in removed}
-            append_only = {f_.bucket for f_ in added} - rewritten
-            if append_only:
-                key_schema = T.StructType([schema[k] for k in keys])
-                new_keys = self._read_file_group(
-                    snap_new,
-                    [f_ for f_ in added if f_.bucket in append_only],
-                    key_schema, with_op=False,
-                ).dropDuplicates(keys)
-                olds.append(
-                    self.read(version=from_version, buckets=append_only)
-                    .join(new_keys, keys, "left_semi")
-                )
-                news.append(
-                    self.read(version=to_v, buckets=append_only,
-                              keep_deletes=True)
-                    .join(new_keys, keys, "left_semi")
-                )
-            if rewritten:
-                olds.append(self.read(version=from_version, buckets=rewritten))
-                news.append(self.read(version=to_v, buckets=rewritten,
-                                      keep_deletes=True))
+            touched = ({f_.bucket for f_ in added}
+                       | {f_.bucket for f_ in removed})
+        flagged: dict[str, tuple[DataFile, bool, bool]] = {}
+        for f_ in snap_old.files:
+            if touched is None or f_.bucket in touched:
+                flagged[f_.path] = (f_, True, f_.path in new_paths)
+        for f_ in snap_new.files:
+            if (touched is None or f_.bucket in touched) \
+                    and f_.path not in flagged:
+                flagged[f_.path] = (f_, False, True)
 
-        def _union(parts: list[DataFrame]) -> DataFrame:
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-            return out
-
-        def _cast_up(df: DataFrame) -> DataFrame:
-            # old snapshots may predate added columns: null-fill them
-            have = set(df.columns)
-            return df.select(*[
+        # group by (written schema, kind, flags); cast each group up to
+        # the current schema (old snapshots may predate added columns)
+        groups: dict[tuple[int, str, bool, bool], list[str]] = {}
+        for f_, fo, fn in flagged.values():
+            groups.setdefault((f_.schema_id, f_.kind, fo, fn), []).append(
+                os.path.join(self.data_path, f_.path))
+        data_cols = [f_.name for f_ in schema.fields]
+        parts: list[DataFrame] = []
+        for (sid, kind, fo, fn), paths in groups.items():
+            file_schema = snap_new.schema_at(sid)
+            if kind == "delta":
+                file_schema = T.StructType(
+                    file_schema.fields
+                    + [T.StructField("__op", T.StringType(), True)])
+            df = self.spark.read.schema(file_schema).parquet(*paths)
+            have = {f2.name for f2 in df.schema.fields}
+            cols = [
                 F.col(f_.name).cast(f_.dataType).alias(f_.name)
                 if f_.name in have
                 else F.lit(None).cast(f_.dataType).alias(f_.name)
                 for f_ in schema.fields
-            ])
+            ]
+            cols.append((F.col("__op") if kind == "delta"
+                         else F.lit("base")).alias("__op"))
+            cols.append(F.lit(fo).alias("__fo"))
+            cols.append(F.lit(fn).alias("__fn"))
+            parts.append(df.select(*cols))
+        all_rows = parts[0]
+        for p in parts[1:]:
+            all_rows = all_rows.unionByName(p)
 
-        data_cols = [f_.name for f_ in schema.fields]
-        o = _cast_up(_union(olds)).select(
-            *keys, F.struct(*data_cols).alias("__o"))
-        # new side is the tombstone-visible view: data cols + __op
-        n = _union(news).select(
-            *keys, F.struct(*data_cols).alias("__n"), F.col("__op").alias("__nop"))
-        j = o.join(n, keys, "full_outer")
+        # ONE shuffle: both versions' winners from flag-filtered max_by
+        rank = F.struct(
+            F.col("last_seq"),
+            F.when(F.col("__op") == "base", F.lit(1)).otherwise(F.lit(0)))
+        pay = F.struct(*data_cols, F.col("__op"))
+        fo, fn = F.col("__fo"), F.col("__fn")
+        agg = all_rows.groupBy(*keys).agg(
+            F.max_by(F.when(fo, pay), F.when(fo, rank)).alias("__ow"),
+            F.max_by(F.when(fn, pay), F.when(fn, rank)).alias("__nw"),
+        )
+        # old side is the VISIBLE state (winning tombstone = absent);
+        # new side stays tombstone-visible so deletes carry their seq
+        o_vis = F.col("__ow").isNotNull() & (F.col("__ow.__op") != "delete")
+        sub = lambda w: F.struct(  # noqa: E731
+            *[F.col(f"{w}.{c}").alias(c) for c in data_cols])
+        j = agg.select(
+            F.when(o_vis, sub("__ow")).alias("__o"),
+            F.when(F.col("__nw").isNotNull(), sub("__nw")).alias("__n"),
+            F.col("__nw.__op").alias("__nop"),
+        )
 
         def entry(ctype: str, side: str, commit_seq):
             return F.struct(
@@ -914,7 +929,10 @@ class IceliteTable:
                   # key never visible before emits nothing
                   F.when(F.col("__o").isNotNull(),
                          F.array(entry("delete", "__o", n_seq))))
-            .when(F.col("__o").isNull(),
+            # ghost keys (old winner was itself a tombstone, and the
+            # new side dropped every trace) have BOTH sides null — the
+            # not-null guard keeps them from fabricating a null insert
+            .when(F.col("__o").isNull() & F.col("__n").isNotNull(),
                   F.array(entry("insert", "__n", n_seq)))
             .when(
                 F.col("__o.last_seq") != n_seq,
