@@ -1,0 +1,136 @@
+"""Incremental view maintenance over the change feed.
+
+A 100 TB table's aggregates (per-repo row counts, bytes, per-language
+totals — the reference's row-stats accounting, row/row.go:42-100, but
+as a QUERYABLE table instead of in-process counters) cannot be
+recomputed by full scan on every epoch. ``RollupView`` maintains a
+keyed aggregate table from ``changes_between`` deltas instead:
+
+- The feed's pre/post images make additive maintenance EXACT: an
+  insert contributes +1/+x to its group, a delete −1/−x, and an update
+  that MOVES a row between groups contributes −1/−x to the old group
+  and +1/+x to the new one (the preimage row carries the old group).
+- Each refresh is one small job over the change batch plus a
+  bucket-pruned read of ONLY the touched groups (``read_matching``) —
+  cost O(changed groups), never O(rollup) and never O(source).
+- Exactly-once composes the same way as replication: the delta batch
+  is a pure function of two immutable snapshots and lands under
+  ``epoch_id=ivm:<version>`` with ``last_seq = source version`` (the
+  LWW guard makes stale re-application a no-op); the cursor advances
+  only after the merge commits.
+- A group whose count reaches zero is deleted, so the rollup's key set
+  is exactly the live groups. A count that would go NEGATIVE aborts
+  the refresh before anything commits — that can only mean the rollup
+  and feed diverged (e.g. the rollup was edited out-of-band), and
+  silently absorbing it would corrupt every later answer.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.icelite.changefeed import ChangeFeedCursor
+from etl_spark.icelite.table import IceliteTable
+
+_ADDS = ("insert", "update_postimage")
+
+
+class RollupDiverged(Exception):
+    """A maintenance delta would drive a group count negative — the
+    rollup no longer matches the feed; rebuild it from a full read."""
+
+
+class RollupView:
+    def __init__(self, source: IceliteTable, rollup: IceliteTable,
+                 cursor_path: str, group_cols: Sequence[str],
+                 sum_cols: Sequence[str] = ()):
+        self.source = source
+        self.rollup = rollup
+        self.cursor = ChangeFeedCursor(source, cursor_path)
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols)
+
+    @staticmethod
+    def create(spark: SparkSession, source: IceliteTable, path: str,
+               cursor_path: str, group_cols: Sequence[str],
+               sum_cols: Sequence[str] = (), n_buckets: int = 16
+               ) -> "RollupView":
+        """Create the rollup table keyed by ``group_cols``: a row per
+        live group with ``n`` (count), one ``sum_<col>`` per measure
+        (integral sources widen to long, floating to double), and
+        ``last_seq`` = the source version that last touched it."""
+        src_schema = source.snapshot().current_schema
+        fields = [T.StructField(g, src_schema[g].dataType, False)
+                  for g in group_cols]
+        fields.append(T.StructField("n", T.LongType(), False))
+        for c in sum_cols:
+            t = src_schema[c].dataType.typeName()
+            out = T.DoubleType() if t in ("float", "double") else T.LongType()
+            fields.append(T.StructField(f"sum_{c}", out, True))
+        fields.append(T.StructField("last_seq", T.LongType(), False))
+        rollup = IceliteTable.create(
+            spark, path, T.StructType(fields),
+            key_cols=tuple(group_cols), n_buckets=n_buckets,
+        )
+        return RollupView(source, rollup, cursor_path, group_cols, sum_cols)
+
+    def read(self) -> DataFrame:
+        return self.rollup.read().drop("last_seq")
+
+    def refresh(self) -> dict | None:
+        """One maintenance step: poll the feed, fold the deltas into
+        the rollup, advance. Returns None when caught up."""
+        out = self.cursor.poll()
+        if out is None:
+            return None
+        ch, v = out
+        epoch = f"ivm:{v}"
+        if self.rollup.has_epoch(epoch):
+            # crash-retry: the merge already committed, only the cursor
+            # advance was lost. This check MUST precede the divergence
+            # gate — recomputing deltas against the post-merge rollup
+            # would read as a spurious negative count.
+            self.cursor.advance(v)
+            return {"version": v, "rollup": self.rollup.path,
+                    "redelivered": True}
+        sign = F.when(F.col("_change_type").isin(*_ADDS), F.lit(1)) \
+            .otherwise(F.lit(-1))
+        aggs = [F.sum(sign).cast("long").alias("__d_n")]
+        rollup_schema = self.rollup.snapshot().current_schema
+        for c in self.sum_cols:
+            out_t = rollup_schema[f"sum_{c}"].dataType
+            aggs.append(
+                F.sum(sign.cast(out_t) * F.coalesce(F.col(c).cast(out_t),
+                                                    F.lit(0).cast(out_t)))
+                .alias(f"__d_sum_{c}"))
+        deltas = ch.groupBy(*self.group_cols).agg(*aggs)
+
+        cur = self.rollup.read_matching(deltas.select(*self.group_cols))
+        j = cur.join(deltas, self.group_cols, "full_outer")
+        n_new = (F.coalesce(F.col("n"), F.lit(0))
+                 + F.coalesce(F.col("__d_n"), F.lit(0)))
+        cols = [*self.group_cols, n_new.alias("n")]
+        for c in self.sum_cols:
+            cols.append(
+                (F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                 + F.coalesce(F.col(f"__d_sum_{c}"), F.lit(0)))
+                .alias(f"sum_{c}"))
+        cols.append(F.lit(v).cast("long").alias("last_seq"))
+        cols.append(F.when(n_new == 0, F.lit("delete"))
+                    .otherwise(F.lit("insert")).alias("op"))
+        updates = j.select(*cols)
+        # the divergence gate must run BEFORE the merge commits; the
+        # count is over changed groups only, so this is a small job
+        if updates.where(F.col("n") < 0).limit(1).count() > 0:
+            raise RollupDiverged(
+                f"delta to v{v} drives a group count negative; the "
+                f"rollup at {self.rollup.path} no longer matches the "
+                f"feed — rebuild it from a full read"
+            )
+        self.rollup.merge_lww(updates, epoch_id=epoch)
+        self.cursor.advance(v)
+        return {"version": v, "rollup": self.rollup.path}

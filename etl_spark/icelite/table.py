@@ -947,26 +947,39 @@ class IceliteTable:
 
     def read_keys(self, keys: Sequence[tuple]) -> DataFrame:
         """Point lookup: current resolved state of an explicit key set,
-        opening ONLY the hash buckets those keys live in. The key list
-        is hashed with the same ``bucket_expr`` the writers use (one
-        tiny Spark job over len(keys) rows — xxhash64 must come from
-        the JVM so driver and data agree), the bucket set prunes the
-        manifest, and a broadcast left-semi join selects the rows. At
-        100 TB a k-key lookup reads k/n_buckets of the table at worst
-        — the serving-path analog of the MERGE's touched-bucket rule."""
+        opening ONLY the hash buckets those keys live in. At 100 TB a
+        k-key lookup reads k/n_buckets of the table at worst — the
+        serving-path analog of the MERGE's touched-bucket rule."""
         snap = self.snapshot()
         if not snap.key_cols:
             raise ValueError("read_keys requires a keyed table")
         if not keys:
             return self.spark.createDataFrame([], snap.current_schema)
+        key_schema = T.StructType(
+            [snap.current_schema[k] for k in snap.key_cols])
+        return self.read_matching(
+            self.spark.createDataFrame(list(keys), key_schema))
+
+    def read_matching(self, keys_df: DataFrame) -> DataFrame:
+        """Resolved rows whose key appears in ``keys_df`` (any frame
+        carrying the key columns). The keys are hashed with the same
+        ``bucket_expr`` the writers use (one tiny job — xxhash64 must
+        come from the JVM so driver and data agree), the bucket set
+        prunes the manifest, and a broadcast left-semi join selects the
+        rows. Callers pass small key sets (point lookups, a change
+        batch's touched groups); the collect is bounded by n_buckets."""
+        snap = self.snapshot()
+        if not snap.key_cols:
+            raise ValueError("read_matching requires a keyed table")
         key_cols = list(snap.key_cols)
-        key_schema = T.StructType([snap.current_schema[k] for k in key_cols])
-        kdf = self.spark.createDataFrame(list(keys), key_schema)
+        kdf = keys_df.select(*key_cols).dropDuplicates(key_cols)
         buckets = {
             r.b for r in kdf.select(
                 bucket_expr(key_cols, snap.n_buckets).alias("b")
             ).distinct().collect()
         }
+        if not buckets:
+            return self.spark.createDataFrame([], snap.current_schema)
         return self.read(buckets=buckets).join(
             F.broadcast(kdf), key_cols, "left_semi"
         )

@@ -889,3 +889,73 @@ def test_changefeed_replicate_schema_evolution(spark, tbl_dir):
     assert got == {"r1": (11, "x"), "r2": (2, None)}
     assert sorted(tuple(r) for r in dst.read().collect()) == \
         sorted(tuple(r) for r in src.read().collect())
+
+
+def test_rollup_view_incremental_maintenance(spark, tbl_dir):
+    """RollupView tracks groupBy(full table) exactly through inserts,
+    deletes, and group-MOVING updates (pre/post images hit both
+    groups), survives crash-retry, and aborts loudly on divergence."""
+    from etl_spark.icelite.rollup import RollupDiverged, RollupView
+
+    sch = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    up = T.StructType(sch.fields + [T.StructField("op", T.StringType(), False)])
+    src = IceliteTable.create(spark, os.path.join(tbl_dir, "s"), sch,
+                              key_cols=("repo", "path"), n_buckets=4)
+    view = RollupView.create(
+        spark, src, os.path.join(tbl_dir, "agg"),
+        os.path.join(tbl_dir, "agg_cursor.json"),
+        group_cols=["lang"], sum_cols=["v"], n_buckets=4)
+
+    def check():
+        got = sorted(tuple(r) for r in view.read().collect())
+        exp = sorted(tuple(r) for r in src.read().groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.coalesce("v", F.lit(0))).alias("sum_v"),
+        ).collect())
+        assert got == exp, (got, exp)
+
+    src.append_delta(spark.createDataFrame(
+        [("r1", "a", "py", 1, 1, "insert"), ("r2", "b", "py", 2, 2, "insert"),
+         ("r3", "c", "go", 3, 3, "insert")], up))
+    assert view.refresh() is not None
+    check()
+    assert view.refresh() is None  # caught up
+
+    # group-moving update (py → go), a delete, a new group
+    src.append_delta(spark.createDataFrame(
+        [("r1", "a", "go", 10, 9, "update"), ("r2", "b", None, None, 10, "delete"),
+         ("r4", "d", "rs", 4, 11, "insert")], up))
+    # crash between merge and cursor advance → retry converges
+    orig, calls = view.cursor.advance, {"n": 0}
+
+    def flaky(v):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            raise RuntimeError("crash")
+        orig(v)
+
+    view.cursor.advance = flaky
+    with pytest.raises(RuntimeError, match="crash"):
+        view.refresh()
+    rv = view.rollup.current_version()
+    view.refresh()
+    assert view.rollup.current_version() == rv  # epoch ledger absorbed it
+    check()
+    # 'py' count went 2 → 0: the group row must be GONE, not zero
+    assert view.read().where("lang = 'py'").count() == 0
+
+    # divergence gate: zero out a group out-of-band, then delete in it
+    bad = spark.createDataFrame([("go", 0, 0, 10**9, "insert")],
+                                view.rollup.snapshot().current_schema.add(
+                                    "op", T.StringType()))
+    view.rollup.merge_lww(bad)
+    src.append_delta(spark.createDataFrame(
+        [("r3", "c", None, None, 20, "delete")], up))
+    with pytest.raises(RollupDiverged):
+        view.refresh()
