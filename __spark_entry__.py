@@ -37,12 +37,14 @@ from etl_spark.queries.cdc import (
     _CDC_FINGERPRINT_ORACLE,
     _CDC_LWW_ORACLE,
     _CDC_OP_STATS_ORACLE,
+    _CDC_ROLLUP_ORACLE,
     cdc_changelog,
     cdc_events,
     cdc_final_state,
     cdc_fingerprint,
     cdc_lww,
     cdc_op_stats,
+    cdc_rollup,
 )
 from etl_spark.queries.docs import (
     _DEDUP_EXACT_ORACLE,
@@ -83,12 +85,12 @@ from etl_spark.queries.rel import (
 )
 from etl_spark.queries.scalars import (
     _IP_ORACLE,
-    _JSON_REPAIR_ORACLE,
-    _JSONL_ORACLE,
+    _JSON_OPS_ORACLE,
     _JSONL_SINK_ORACLE,
     _ROUTE_ORACLE,
     _SIZE_GUARD_ORACLE,
     f_ip_tools,
+    f_json_ops,
     f_json_repair,
     f_jsonl_decode,
     f_jsonl_sink_roundtrip,
@@ -164,6 +166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_fingerprint": cdc_fingerprint,
         "cdc_op_stats": cdc_op_stats,
         "cdc_changelog": cdc_changelog,
+        "cdc_rollup": cdc_rollup,
         # ordered-stream window operators
         "w_lag_delta": w_lag_delta,
         "w_change_points": w_change_points,
@@ -196,8 +199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ndt_deltas": ndt_deltas,
         # scalar functions / sinks
         "f_route_paths": f_route_paths,
-        "f_jsonl_decode": f_jsonl_decode,
-        "f_json_repair": f_json_repair,
+        "f_json_ops": f_json_ops,
         "f_ip_tools": f_ip_tools,
         "f_size_guard": f_size_guard,
         "f_compress_roundtrip": f_compress_roundtrip,
@@ -227,6 +229,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_fingerprint": _CDC_FINGERPRINT_ORACLE.format(events=ev),
         "cdc_op_stats": _CDC_OP_STATS_ORACLE.format(events=ev),
         "cdc_changelog": _CDC_CHANGELOG_ORACLE.format(events=ev),
+        "cdc_rollup": _CDC_ROLLUP_ORACLE.format(events=ev),
         "w_lag_delta": _W_LAG_DELTA_ORACLE,
         "w_change_points": _W_CHANGE_POINTS_ORACLE,
         "w_thin": _W_THIN_ORACLE,
@@ -254,8 +257,7 @@ def oracle_sql() -> dict[str, str]:
         "src_ndt_results_decode": _NDT_RESULTS_ORACLE,
         "ndt_deltas": _NDT_DELTAS_ORACLE,
         "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
-        "f_jsonl_decode": _JSONL_ORACLE,
-        "f_json_repair": _JSON_REPAIR_ORACLE,
+        "f_json_ops": _JSON_OPS_ORACLE,
         "f_ip_tools": _IP_ORACLE,
         "f_size_guard": _SIZE_GUARD_ORACLE.format(events=ev),
         "f_compress_roundtrip": _COMPRESS_ROUNDTRIP_ORACLE,

@@ -133,6 +133,44 @@ WHERE o.last_seq <> n.last_seq
 """
 
 
+def cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance, driver-proven end-to-end: replay
+    the stream in two halves, refresh a per-lang RollupView from the
+    change feed after EACH half, and return the rollup. It matches the
+    oracle (DuckDB's groupBy of the full final state) only if the
+    additive delta path — pre/post images, group moves, zero-count
+    deletion — is exact across both refreshes."""
+    from etl_spark.icelite.rollup import RollupView
+
+    ev = gen.derived_events(spark, sf_dir)
+    cut = ev.agg(F.floor(F.max("seq") / 2).cast("long")).collect()[0][0]
+    tmp = tempfile.mkdtemp(prefix="icelite_ivm_")
+    tgt = create_target(spark, f"{tmp}/target", n_buckets=32)
+    lin = create_lineage(spark, f"{tmp}/lineage")
+    view = RollupView.create(
+        spark, tgt, f"{tmp}/agg", f"{tmp}/agg_cursor.json",
+        group_cols=["lang"], sum_cols=["schema_version"])
+    replay(spark, ev.where(F.col("seq") <= cut), tgt, lin, epoch_size=1 << 60)
+    view.refresh()
+    replay(spark, ev.where(F.col("seq") > cut), tgt, lin, epoch_size=1 << 60)
+    view.refresh()
+    return view.read()
+
+
+_CDC_ROLLUP_ORACLE = """
+WITH events AS ({events}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path
+                               ORDER BY seq DESC) AS rn
+  FROM events
+)
+SELECT lang, count(*) AS n,
+       CAST(sum(schema_version) AS BIGINT) AS sum_schema_version
+FROM ranked WHERE rn = 1 AND op <> 'delete'
+GROUP BY lang
+"""
+
+
 _CDC_LWW_ORACLE = """
 WITH events AS ({events}),
 ranked AS (

@@ -81,6 +81,38 @@ def f_json_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def f_json_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4+C5 in one driver row (registry consolidation — the driver
+    checks 50 queries): the JSONL multi-record decode and the
+    malformed-JSON repair paths, unioned into a uniform
+    (kind, grp, n, sum_k) shape. Both per-op variants stay as module
+    functions with their own oracles, pinned by pytest."""
+    a = f_jsonl_decode(spark, sf_dir).select(
+        F.lit("jsonl").alias("kind"),
+        F.col("user_id").cast("string").alias("grp"),
+        F.col("n_records").alias("n"), "sum_k",
+    )
+    b = f_json_repair(spark, sf_dir).select(
+        F.lit("repair").alias("kind"),
+        F.col("event_type").cast("string").alias("grp"),
+        F.col("n_parsed").alias("n"), "sum_k",
+    )
+    return a.unionByName(b)
+
+
+_JSON_OPS_ORACLE = """
+SELECT 'jsonl' AS kind, CAST(user_id AS VARCHAR) AS grp,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY user_id
+UNION ALL
+SELECT 'repair' AS kind, CAST(event_type AS VARCHAR) AS grp,
+       count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
 def f_ip_tools(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F3/C9 analog: synthesize IPs (some malformed), validate/convert/
     classify, aggregate per first octet."""

@@ -56,3 +56,21 @@ def test_entry_smoke(spark):
     df = entry.entry(spark)
     assert df.count() > 0
     assert set(df.columns) == {"repo", "path", "commit", "lang", "content_sha256"}
+
+
+_VARIANT_ORACLES = {
+    # consolidated behind f_json_ops in the 50-slot registry; the
+    # standalone paths keep their own oracle proof here
+    "f_jsonl_decode": "_JSONL_ORACLE",
+    "f_json_repair": "_JSON_REPAIR_ORACLE",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_VARIANT_ORACLES))
+def test_consolidated_variant_matches_oracle(spark, name):
+    from etl_spark.queries import scalars
+
+    fn = getattr(scalars, name)
+    sql = getattr(scalars, _VARIANT_ORACLES[name])
+    res = compare_query(spark, SF_TINY, fn(spark, SF_TINY), sql)
+    assert res["ok"], {k: v for k, v in res.items() if k != "sample_diff"}
