@@ -1,0 +1,47 @@
+"""Compaction-scaling probe: same delta table, compact at N and 4N with
+per-task kernel seconds. Distinguishes straggler-bound skew (max task ~
+wall@4N) from scheduling overhead from host noise."""
+import json, os, shutil, subprocess, sys, tempfile, time
+
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+
+def build(shared):
+    from etl_spark import gen
+    from etl_spark.operators.apply import create_lineage, create_target, apply_epoch
+    from etl_spark.session import get_spark
+    spark = get_spark(cores=16, shuffle_partitions=32)
+    tgt = create_target(spark, f"{shared}/master/target", n_buckets=64)
+    lin = create_lineage(spark, f"{shared}/master/lineage")
+    off = 0
+    for i, sz in enumerate((12_000_000, 12_000_000)):
+        ev = gen.synthetic_events(spark, sz, n_repos=2000, paths_per_repo=500,
+                                  seed=42, skew=3.0, start_seq=off,
+                                  num_partitions=128)
+        apply_epoch(spark, ev, tgt, lin, epoch_id=f"p{i}")
+        off += sz
+    spark.stop()
+
+def compact_once(cores, shared, rep):
+    from etl_spark.icelite.table import IceliteTable
+    from etl_spark.session import get_spark
+    work = f"{shared}/work_{cores}_{rep}"
+    shutil.copytree(f"{shared}/master/target", f"{work}/target")
+    spark = get_spark(cores=cores, shuffle_partitions=cores * 2)
+    t = IceliteTable.load(spark, f"{work}/target")
+    t0 = time.time()
+    t.compact()
+    wall = time.time() - t0
+    ks = t.last_compact_task_secs
+    spark.stop()
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps({"cores": cores, "wall": round(wall, 2),
+                      "kernel_sum": round(sum(ks), 2),
+                      "kernel_max": round(max(ks), 2),
+                      "top5": [round(x, 2) for x in ks[:5]],
+                      "n_tasks": len(ks)}), flush=True)
+
+if __name__ == "__main__":
+    if sys.argv[1] == "build":
+        build(sys.argv[2])
+    else:
+        compact_once(int(sys.argv[1]), sys.argv[2], sys.argv[3])

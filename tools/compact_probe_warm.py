@@ -1,0 +1,22 @@
+"""Warm-session probe: compact two copies of the same table in ONE
+session — the second timing excludes JVM/python-worker spin-up."""
+import json, shutil, sys, time
+sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+from etl_spark.icelite.table import IceliteTable
+from etl_spark.session import get_spark
+
+cores, shared = int(sys.argv[1]), sys.argv[2]
+for rep in (1, 2):
+    shutil.copytree(f"{shared}/master/target", f"{shared}/w{cores}_{rep}/target")
+spark = get_spark(cores=cores, shuffle_partitions=cores * 2)
+for rep in (1, 2):
+    t = IceliteTable.load(spark, f"{shared}/w{cores}_{rep}/target")
+    t0 = time.time()
+    t.compact()
+    wall = time.time() - t0
+    ks = t.last_compact_task_secs
+    print(json.dumps({"cores": cores, "rep": rep, "wall": round(wall, 2),
+                      "kernel_sum": round(sum(ks), 2),
+                      "kernel_max": round(max(ks), 2)}), flush=True)
+    shutil.rmtree(f"{shared}/w{cores}_{rep}", ignore_errors=True)
+spark.stop()
