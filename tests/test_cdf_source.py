@@ -93,3 +93,49 @@ def test_cdf_stream_schema_and_keyless_refusal(spark, tbl_dir):
     with pytest.raises(Exception, match="keyed"):
         spark.readStream.format("icelite_cdf").option(
             "path", keyless.path).load().schema
+
+
+def test_cdf_stream_composes_with_windowed_aggregation(spark, tbl_dir):
+    """The point of a native source: the feed composes with the full
+    Structured Streaming surface. A windowed count over the change
+    stream's postimages must equal the batch equivalent."""
+    sch = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("event_time", T.TimestampType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    up = T.StructType(sch.fields + [T.StructField("op", T.StringType(), False)])
+    t = IceliteTable.create(spark, os.path.join(tbl_dir, "tw"), sch,
+                            key_cols=("repo", "path"), n_buckets=2)
+    rows = [(f"r{i}", "f", ["py", "go"][i % 2],
+             F.lit(None), 1 + i, "insert") for i in range(8)]
+    df = spark.createDataFrame(
+        [(r[0], r[1], r[2], None, r[4], r[5]) for r in rows], up
+    ).withColumn("event_time",
+                 F.to_timestamp(F.lit("2026-01-15 12:00:00"))
+                 + F.make_interval(hours=F.col("last_seq")))
+    t.append_delta(df.select(*[f.name for f in up.fields]))
+    spark.dataSource.register(IceliteChangeFeed)
+    q = (
+        spark.readStream.format("icelite_cdf").option("path", t.path).load()
+        .where(F.col("_change_type").isin("insert", "update_postimage"))
+        .withWatermark("event_time", "1 hour")
+        .groupBy(F.window("event_time", "6 hours"), "lang")
+        .count()
+        .writeStream.format("memory").queryName("cdf_windowed")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(tbl_dir, "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted((r.window.start.isoformat(), r.lang, r["count"])
+                 for r in spark.sql("select * from cdf_windowed").collect())
+    exp = sorted(
+        (r.window.start.isoformat(), r.lang, r["count"])
+        for r in t.changes_between(0)
+        .where(F.col("_change_type").isin("insert", "update_postimage"))
+        .groupBy(F.window("event_time", "6 hours"), "lang").count().collect())
+    assert got == exp and len(got) >= 2
