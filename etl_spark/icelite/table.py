@@ -176,10 +176,13 @@ def _footer_bounds(meta) -> dict | None:
     the same numbers from its row-stats accounting, row/row.go:42-100).
 
     Only JSON-safe scalar types are kept (int/float/bool and strings
-    ≤64 chars — a truncated string max would be an UNSOUND upper bound,
-    so long strings drop the column instead). Columns missing
-    statistics in any row group are dropped: absent stats must mean
-    "cannot prune", never "prune"."""
+    ≤24 chars — a truncated string max would be an UNSOUND upper bound,
+    so longer strings drop the column instead; the cap also keeps
+    hash-shaped columns like md5 commits / sha256 digests, whose
+    bounds nothing can prune on, from bloating the manifest — at 280k
+    files per snapshot every retained column costs ~20 MB of manifest).
+    Columns missing statistics in any row group are dropped: absent
+    stats must mean "cannot prune", never "prune"."""
     bounds: dict[str, list] = {}
     dead: set[str] = set()
     for rg in range(meta.num_row_groups):
@@ -201,7 +204,7 @@ def _footer_bounds(meta) -> dict | None:
                     dead.add(name)
                     continue
             if not isinstance(mn, (int, float, str, bool)) or (
-                isinstance(mn, str) and (len(mn) > 64 or len(mx) > 64)
+                isinstance(mn, str) and (len(mn) > 24 or len(mx) > 24)
             ):
                 dead.add(name)
                 continue

@@ -14,6 +14,8 @@ Commands:
   expire   --target T [--keep-last N] [--vacuum]      snapshot expiry
   mirror   --source S --replica R --cursor C          change-feed replica
            [--init] [--follow] [--interval-sec 5]
+  rollup   --source S --view V --cursor C             incremental aggregate
+           --group-cols g1,g2 [--sum-cols m1] [--init] [--follow]
   status   --target T [--lineage L]                   snapshot/epoch info
   verify   --events E --target T                      replay-equality check
 
@@ -192,6 +194,42 @@ def cmd_mirror(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """Incrementally-maintained aggregate table over the source's
+    change feed (incremental view maintenance): --init creates the
+    rollup keyed by --group-cols; each invocation folds the changes
+    since the durable cursor, exactly-once."""
+    import time as _time
+
+    from etl_spark.icelite.rollup import RollupView
+    from etl_spark.icelite.table import IceliteTable
+
+    spark = _spark(args)
+    src = IceliteTable.load(spark, args.source)
+    groups = args.group_cols.split(",")
+    sums = args.sum_cols.split(",") if args.sum_cols else []
+    if args.init and not IceliteTable.exists(args.view):
+        view = RollupView.create(spark, src, args.view, args.cursor,
+                                 group_cols=groups, sum_cols=sums)
+    else:
+        view = RollupView(src, IceliteTable.load(spark, args.view),
+                          args.cursor, groups, sums)
+    steps = 0
+    while True:
+        out = view.refresh()
+        if out is not None:
+            steps += 1
+            print(json.dumps(out), flush=True)
+        if not args.follow:
+            break
+        if out is None:
+            _time.sleep(args.interval_sec)
+    if steps == 0:
+        print(json.dumps({"caught_up": True,
+                          "cursor_version": view.cursor.position()}))
+    return 0
+
+
 def cmd_status(args) -> int:
     from etl_spark.icelite.table import IceliteTable
 
@@ -303,6 +341,18 @@ def main() -> int:
     p.add_argument("--follow", action="store_true")
     p.add_argument("--interval-sec", type=float, default=5.0)
 
+    p = sub.add_parser("rollup")
+    p.add_argument("--source", required=True)
+    p.add_argument("--view", required=True)
+    p.add_argument("--cursor", required=True)
+    p.add_argument("--group-cols", required=True,
+                   help="comma-separated grouping columns")
+    p.add_argument("--sum-cols", default="",
+                   help="comma-separated measure columns (sum_<col>)")
+    p.add_argument("--init", action="store_true")
+    p.add_argument("--follow", action="store_true")
+    p.add_argument("--interval-sec", type=float, default=5.0)
+
     p = sub.add_parser("status")
     p.add_argument("--target", required=True)
     p.add_argument("--lineage", default=None)
@@ -315,7 +365,7 @@ def main() -> int:
     return {
         "init": cmd_init, "apply": cmd_apply, "stream": cmd_stream,
         "compact": cmd_compact, "split": cmd_split, "expire": cmd_expire,
-        "mirror": cmd_mirror,
+        "mirror": cmd_mirror, "rollup": cmd_rollup,
         "status": cmd_status, "verify": cmd_verify,
     }[args.cmd](args)
 

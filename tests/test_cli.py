@@ -78,3 +78,32 @@ def test_cli_mirror(spark, tbl_dir, capsys):
            if l.startswith("{")]
     assert out[-1]["caught_up"] is True
     assert out[-2]["ok"] is True
+
+
+def test_cli_rollup(spark, tbl_dir, capsys):
+    """rollup: incremental aggregate maintenance through the CLI."""
+    events_dir = os.path.join(tbl_dir, "events")
+    gen.synthetic_events(spark, 2000, n_repos=10, seed=3).write.parquet(events_dir)
+    t, lin = os.path.join(tbl_dir, "t"), os.path.join(tbl_dir, "l")
+    v, cur = os.path.join(tbl_dir, "view"), os.path.join(tbl_dir, "vc.json")
+
+    assert cli.cmd_init(_ns(target=t, lineage=lin, buckets=4)) == 0
+    assert cli.cmd_apply(_ns(events=events_dir, target=t, lineage=lin,
+                             epoch_size=1000, merge_mode="delta")) == 0
+    assert cli.cmd_rollup(_ns(source=t, view=v, cursor=cur, init=True,
+                              group_cols="lang", sum_cols="",
+                              follow=False, interval_sec=0)) == 0
+    assert cli.cmd_rollup(_ns(source=t, view=v, cursor=cur, init=False,
+                              group_cols="lang", sum_cols="",
+                              follow=False, interval_sec=0)) == 0
+    out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
+           if l.startswith("{")]
+    assert out[-1]["caught_up"] is True
+
+    from etl_spark.icelite.table import IceliteTable
+    got = sorted((r.lang, r.n) for r in
+                 IceliteTable.load(spark, v).read().select("lang", "n").collect())
+    exp = sorted((r.lang, r["count"]) for r in
+                 IceliteTable.load(spark, t).read()
+                 .groupBy("lang").count().collect())
+    assert got == exp and got

@@ -587,7 +587,7 @@ def test_read_range_prunes_files_by_footer_bounds(spark, tbl_dir):
         assert f_.stats["seq"] == [f_.stats["seq"][0],
                                    f_.stats["seq"][0] + 99]
         assert "name" in f_.stats
-        assert "big" not in f_.stats  # >64-char strings drop the column
+        assert "big" not in f_.stats  # >24-char strings drop the column
     # prune: [150, 249] overlaps exactly two files
     pruned = t.files_in_range("seq", 150, 249)
     assert len(pruned) == 2
