@@ -91,8 +91,6 @@ from etl_spark.queries.scalars import (
     _SIZE_GUARD_ORACLE,
     f_ip_tools,
     f_json_ops,
-    f_json_repair,
-    f_jsonl_decode,
     f_jsonl_sink_roundtrip,
     f_route_paths,
     f_size_guard,

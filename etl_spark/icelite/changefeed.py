@@ -78,6 +78,22 @@ class ChangeFeedCursor:
             ) from None
         return self.table.changes_between(pos, current), current
 
+    def fast_forward_from(self, dst: IceliteTable, prefix: str) -> None:
+        """Re-sync the cursor from the DESTINATION's committed consumer
+        epochs (``<prefix><version>``). This must run before every poll
+        of an apply-then-advance consumer: if the process died after
+        the destination commit but before ``advance``, and the source
+        committed again in between, the next poll's target version —
+        and therefore its epoch id — has MOVED, so the destination's
+        epoch ledger alone cannot recognize the redelivery and the
+        already-applied window would be applied twice. The destination's
+        own ledger records exactly which source version was last
+        consumed; trusting it closes the window."""
+        done = [int(e[len(prefix):]) for e in dst.committed_epochs()
+                if e.startswith(prefix)]
+        if done and max(done) > self.position():
+            self.advance(max(done))
+
     def advance(self, version: int) -> None:
         """Atomically commit the cursor to ``version``. Refuses to move
         backwards (a stale worker must not rewind a newer consumer)."""
@@ -112,6 +128,7 @@ class ChangeFeedCursor:
 
         Scale: the apply is ``append_delta`` (merge-on-read) — cost per
         step is O(changed keys), never a base rewrite."""
+        self.fast_forward_from(dst, "cdf:")
         out = self.poll()
         if out is None:
             return None

@@ -64,7 +64,10 @@ class RollupView:
         (integral sources widen to long, floating to double), and
         ``last_seq`` = the source version that last touched it."""
         src_schema = source.snapshot().current_schema
-        fields = [T.StructField(g, src_schema[g].dataType, False)
+        # group cols mirror the source's nullability: a NULL group is a
+        # legitimate group (the feed joins are null-safe end to end)
+        fields = [T.StructField(g, src_schema[g].dataType,
+                                src_schema[g].nullable)
                   for g in group_cols]
         fields.append(T.StructField("n", T.LongType(), False))
         for c in sum_cols:
@@ -83,20 +86,20 @@ class RollupView:
 
     def refresh(self) -> dict | None:
         """One maintenance step: poll the feed, fold the deltas into
-        the rollup, advance. Returns None when caught up."""
+        the rollup, advance. Returns None when caught up.
+
+        Crash recovery re-syncs the cursor from the rollup's own
+        committed ``ivm:*`` epochs BEFORE polling: if the process died
+        after the merge but before ``advance`` and the source committed
+        again in between, the next poll's window — and its epoch id —
+        has moved, so the ledger alone cannot catch the redelivery and
+        the already-folded window would double-count (positive
+        double-counts never trip the n<0 gate)."""
+        self.cursor.fast_forward_from(self.rollup, "ivm:")
         out = self.cursor.poll()
         if out is None:
             return None
         ch, v = out
-        epoch = f"ivm:{v}"
-        if self.rollup.has_epoch(epoch):
-            # crash-retry: the merge already committed, only the cursor
-            # advance was lost. This check MUST precede the divergence
-            # gate — recomputing deltas against the post-merge rollup
-            # would read as a spurious negative count.
-            self.cursor.advance(v)
-            return {"version": v, "rollup": self.rollup.path,
-                    "redelivered": True}
         sign = F.when(F.col("_change_type").isin(*_ADDS), F.lit(1)) \
             .otherwise(F.lit(-1))
         aggs = [F.sum(sign).cast("long").alias("__d_n")]
@@ -107,30 +110,37 @@ class RollupView:
                 F.sum(sign.cast(out_t) * F.coalesce(F.col(c).cast(out_t),
                                                     F.lit(0).cast(out_t)))
                 .alias(f"__d_sum_{c}"))
-        deltas = ch.groupBy(*self.group_cols).agg(*aggs)
-
-        cur = self.rollup.read_matching(deltas.select(*self.group_cols))
-        j = cur.join(deltas, self.group_cols, "full_outer")
-        n_new = (F.coalesce(F.col("n"), F.lit(0))
-                 + F.coalesce(F.col("__d_n"), F.lit(0)))
-        cols = [*self.group_cols, n_new.alias("n")]
-        for c in self.sum_cols:
-            cols.append(
-                (F.coalesce(F.col(f"sum_{c}"), F.lit(0))
-                 + F.coalesce(F.col(f"__d_sum_{c}"), F.lit(0)))
-                .alias(f"sum_{c}"))
-        cols.append(F.lit(v).cast("long").alias("last_seq"))
-        cols.append(F.when(n_new == 0, F.lit("delete"))
-                    .otherwise(F.lit("insert")).alias("op"))
-        updates = j.select(*cols)
-        # the divergence gate must run BEFORE the merge commits; the
-        # count is over changed groups only, so this is a small job
-        if updates.where(F.col("n") < 0).limit(1).count() > 0:
-            raise RollupDiverged(
-                f"delta to v{v} drives a group count negative; the "
-                f"rollup at {self.rollup.path} no longer matches the "
-                f"feed — rebuild it from a full read"
-            )
-        self.rollup.merge_lww(updates, epoch_id=epoch)
-        self.cursor.advance(v)
+        # persist: the deltas feed three downstream jobs (touched-bucket
+        # collect, divergence gate, merge write) — without it each one
+        # re-runs the whole change-feed scan + shuffle
+        deltas = ch.groupBy(*self.group_cols).agg(*aggs).persist()
+        try:
+            cur = self.rollup.read_matching(
+                deltas.select(*self.group_cols))
+            j = cur.join(deltas, self.group_cols, "full_outer")
+            n_new = (F.coalesce(F.col("n"), F.lit(0))
+                     + F.coalesce(F.col("__d_n"), F.lit(0)))
+            cols = [*self.group_cols, n_new.alias("n")]
+            for c in self.sum_cols:
+                cols.append(
+                    (F.coalesce(F.col(f"sum_{c}"), F.lit(0))
+                     + F.coalesce(F.col(f"__d_sum_{c}"), F.lit(0)))
+                    .alias(f"sum_{c}"))
+            cols.append(F.lit(v).cast("long").alias("last_seq"))
+            cols.append(F.when(n_new == 0, F.lit("delete"))
+                        .otherwise(F.lit("insert")).alias("op"))
+            updates = j.select(*cols)
+            # the divergence gate must run BEFORE the merge commits;
+            # the count is over changed groups only — a small job
+            if updates.where(F.col("n") < 0).limit(1).count() > 0:
+                raise RollupDiverged(
+                    f"delta to v{v} drives a group count negative; the "
+                    f"rollup at {self.rollup.path} no longer matches "
+                    f"the feed — rebuild it from a full read"
+                )
+            self.rollup.merge_lww(updates, epoch_id=f"ivm:{v}",
+                                  null_safe=True)
+            self.cursor.advance(v)
+        finally:
+            deltas.unpersist()
         return {"version": v, "rollup": self.rollup.path}

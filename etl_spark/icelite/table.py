@@ -170,6 +170,35 @@ def bucket_expr(key_cols: Sequence[str], n_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n_buckets)).cast("int")
 
 
+def diff_file_flags(
+    snap_old: "Snapshot", snap_new: "Snapshot"
+) -> dict[str, tuple["DataFile", bool, bool]]:
+    """path → (file, in_old, in_new) for every file in a bucket touched
+    between the two snapshots (ALL buckets when n_buckets differ — a
+    split makes bucket ids incomparable). The shared planning step of
+    the change feed: both ``changes_between`` and the streaming
+    ``icelite_cdf`` source derive their read set from this map, so the
+    bucket-pruning rules cannot drift apart."""
+    old_paths = {f.path for f in snap_old.files}
+    new_paths = {f.path for f in snap_new.files}
+    if snap_old.n_buckets != snap_new.n_buckets:
+        touched = None
+    else:
+        touched = ({f.bucket for f in snap_new.files
+                    if f.path not in old_paths}
+                   | {f.bucket for f in snap_old.files
+                      if f.path not in new_paths})
+    flagged: dict[str, tuple[DataFile, bool, bool]] = {}
+    for f in snap_old.files:
+        if touched is None or f.bucket in touched:
+            flagged[f.path] = (f, True, f.path in new_paths)
+    for f in snap_new.files:
+        if (touched is None or f.bucket in touched) \
+                and f.path not in flagged:
+            flagged[f.path] = (f, False, True)
+    return flagged
+
+
 def _footer_bounds(meta) -> dict | None:
     """Per-column [min, max] from the parquet footer the manifest pass
     already read — zero extra IO (the reference's BigQuery ingest gets
@@ -838,27 +867,10 @@ class IceliteTable:
         if "last_seq" not in [f_.name for f_ in schema.fields]:
             raise ValueError("changes_between requires a last_seq column")
 
-        old_paths = {f_.path for f_ in snap_old.files}
-        new_paths = {f_.path for f_ in snap_new.files}
-        added = [f_ for f_ in snap_new.files if f_.path not in old_paths]
-        removed = [f_ for f_ in snap_old.files if f_.path not in new_paths]
-        if not added and not removed:
-            return self.spark.createDataFrame([], out_schema)
-
         # one file list, two membership flags; shared files read ONCE
-        if snap_old.n_buckets != snap_new.n_buckets:
-            touched = None  # bucket ids incomparable across a split
-        else:
-            touched = ({f_.bucket for f_ in added}
-                       | {f_.bucket for f_ in removed})
-        flagged: dict[str, tuple[DataFile, bool, bool]] = {}
-        for f_ in snap_old.files:
-            if touched is None or f_.bucket in touched:
-                flagged[f_.path] = (f_, True, f_.path in new_paths)
-        for f_ in snap_new.files:
-            if (touched is None or f_.bucket in touched) \
-                    and f_.path not in flagged:
-                flagged[f_.path] = (f_, False, True)
+        flagged = diff_file_flags(snap_old, snap_new)
+        if all(fo and fn for _f, fo, fn in flagged.values()):
+            return self.spark.createDataFrame([], out_schema)
 
         # group by (written schema, kind, flags); cast each group up to
         # the current schema (old snapshots may predate added columns)
@@ -983,8 +995,12 @@ class IceliteTable:
         }
         if not buckets:
             return self.spark.createDataFrame([], snap.current_schema)
-        return self.read(buckets=buckets).join(
-            F.broadcast(kdf), key_cols, "left_semi"
+        base = self.read(buckets=buckets)
+        # null-safe: a NULL key value must match its stored row
+        return base.join(
+            F.broadcast(kdf),
+            [base[k].eqNullSafe(kdf[k]) for k in key_cols],
+            "left_semi",
         )
 
     # -- epoch bookkeeping ---------------------------------------------------
@@ -1226,6 +1242,7 @@ class IceliteTable:
         seq_col: str = "last_seq",
         epoch_id: str | None = None,
         properties: dict | None = None,
+        null_safe: bool = False,
     ) -> Snapshot:
         """Copy-on-write MERGE with last-writer-wins semantics.
 
@@ -1274,10 +1291,16 @@ class IceliteTable:
             F.col(op_col).alias("__u_op"),
             F.col("__bucket").alias("__u_bucket"),
         )
+        # null_safe: callers whose key values may legitimately be NULL
+        # (e.g. a rollup grouped on a nullable column) need <=> matching
+        # — plain equality never matches NULL and would fork a fresh
+        # row per merge instead of updating the existing one
+        def keq(k):
+            t, u = F.col(f"t.{k}"), F.col(f"__u_{k}")
+            return t.eqNullSafe(u) if null_safe else t == u
+
         joined = base.alias("t").join(
-            upd_named,
-            on=[F.col(f"t.{k}") == F.col(f"__u_{k}") for k in key_cols],
-            how="full_outer",
+            upd_named, on=[keq(k) for k in key_cols], how="full_outer",
         )
         u_present = F.col("__u_op").isNotNull()
         t_present = F.col(f"t.{seq_col}").isNotNull()
@@ -1590,6 +1613,13 @@ class IceliteTable:
         memory. Compacted files re-harvest their footer bounds
         executor-side, so pruning metadata survives compaction."""
         snap = self.snapshot()
+        if cluster_by:
+            have = {f_.name for f_ in snap.current_schema.fields}
+            bad = [c for c in cluster_by if c not in have]
+            if bad:
+                # fail driver-side, not as an opaque KeyError inside an
+                # executor task after the scan already ran
+                raise ValueError(f"cluster_by columns not in schema: {bad}")
         if not any(f_.kind == "delta" for f_ in snap.files):
             return snap
         if min_delta_ratio > 0.0 or min_delta_files > 1 or max_buckets:

@@ -42,7 +42,12 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
-from etl_spark.icelite.table import META_DIR, Snapshot, _arrow_type
+from etl_spark.icelite.table import (
+    META_DIR,
+    Snapshot,
+    _arrow_type,
+    diff_file_flags,
+)
 
 _ADD = ("insert", "update_postimage")
 
@@ -63,7 +68,7 @@ class _BucketDiff(InputPartition):
     def __init__(self, bucket: int, files: list, key_cols: list,
                  schema_json: str, data_path: str):
         self.bucket = bucket
-        self.files = files  # [(rel_path, schema_json, kind, in_old, in_new)]
+        self.files = files  # [(rel_path, kind, in_old, in_new)]
         self.key_cols = key_cols
         self.schema_json = schema_json
         self.data_path = data_path
@@ -115,27 +120,12 @@ class _CdfStreamReader(DataSourceStreamReader):
             return []
         snap_old, snap_new = _snapshot(self.path, v1), _snapshot(self.path, v2)
         keys = list(snap_new.key_cols)
-        old_paths = {f.path for f in snap_old.files}
-        new_paths = {f.path for f in snap_new.files}
-        if snap_old.n_buckets != snap_new.n_buckets:
-            touched = None  # split: bucket ids incomparable → all buckets
-        else:
-            touched = ({f.bucket for f in snap_new.files
-                        if f.path not in old_paths}
-                       | {f.bucket for f in snap_old.files
-                          if f.path not in new_paths})
-        flagged: dict[str, list] = {}
-        for f in snap_old.files:
-            if touched is None or f.bucket in touched:
-                flagged[f.path] = [f, True, f.path in new_paths]
-        for f in snap_new.files:
-            if (touched is None or f.bucket in touched) \
-                    and f.path not in flagged:
-                flagged[f.path] = [f, False, True]
+        # same planning step as changes_between — shared helper so the
+        # bucket-pruning rules cannot drift between batch and streaming
         by_bucket: dict[int, list] = {}
-        for f, fo, fn in flagged.values():
+        for f, fo, fn in diff_file_flags(snap_old, snap_new).values():
             by_bucket.setdefault(f.bucket, []).append(
-                (f.path, snap_new.schemas[f.schema_id], f.kind, fo, fn))
+                (f.path, f.kind, fo, fn))
         data_path = os.path.join(self.path, "data")
         return [
             _BucketDiff(b, files, keys, snap_new.schemas[-1], data_path)
@@ -154,22 +144,25 @@ class _CdfStreamReader(DataSourceStreamReader):
         keys = partition.key_cols
         RANK = ["last_seq", "__is_base"]
 
+        # each file is read ONCE even when it feeds both sides (an
+        # appended-to bucket's old files are a subset of its new files)
+        frames: dict[str, "pd.DataFrame"] = {}
+        for rel, kind, _fo, _fn in partition.files:
+            df = pq.read_table(
+                os.path.join(partition.data_path, rel)).to_pandas()
+            if kind != "delta":
+                df["__op"] = "base"
+            for c in data_cols:  # schema evolution: null-fill
+                if c not in df.columns:
+                    df[c] = None
+            frames[rel] = df[data_cols + ["__op"]]
+
         def load(flag_idx: int) -> "pd.DataFrame | None":
-            frames = []
-            for rel, _sj, kind, fo, fn in partition.files:
-                if not (fo if flag_idx == 0 else fn):
-                    continue
-                df = pq.read_table(
-                    os.path.join(partition.data_path, rel)).to_pandas()
-                if kind != "delta":
-                    df["__op"] = "base"
-                for c in data_cols:  # schema evolution: null-fill
-                    if c not in df.columns:
-                        df[c] = None
-                frames.append(df[data_cols + ["__op"]])
-            if not frames:
+            part = [frames[rel] for rel, _k, fo, fn in partition.files
+                    if (fo if flag_idx == 0 else fn)]
+            if not part:
                 return None
-            df = pd.concat(frames, ignore_index=True, sort=False)
+            df = pd.concat(part, ignore_index=True, sort=False)
             df["__is_base"] = (df["__op"] == "base").astype("int8")
             return df.sort_values(RANK, kind="mergesort").drop_duplicates(
                 subset=keys, keep="last")

@@ -959,3 +959,104 @@ def test_rollup_view_incremental_maintenance(spark, tbl_dir):
         [("r3", "c", None, None, 20, "delete")], up))
     with pytest.raises(RollupDiverged):
         view.refresh()
+
+
+def test_rollup_crash_with_source_advance_does_not_double_count(spark, tbl_dir):
+    """The review-found moving-window bug: crash after merge but before
+    cursor advance, THEN the source commits again. The next refresh's
+    poll window (and epoch id) has moved, so the ledger alone can't
+    catch the redelivery — the cursor must re-sync from the rollup's
+    committed ivm:* epochs or the first window double-counts."""
+    from etl_spark.icelite.rollup import RollupView
+
+    sch = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    up = T.StructType(sch.fields + [T.StructField("op", T.StringType(), False)])
+    src = IceliteTable.create(spark, os.path.join(tbl_dir, "s"), sch,
+                              key_cols=("repo", "path"), n_buckets=2)
+    view = RollupView.create(spark, src, os.path.join(tbl_dir, "agg"),
+                             os.path.join(tbl_dir, "c.json"),
+                             group_cols=["lang"])
+    src.append_delta(spark.createDataFrame(
+        [("r1", "a", "py", 1, "insert")], up))
+    view.refresh()
+    src.append_delta(spark.createDataFrame(
+        [("r2", "b", "py", 2, "insert"), ("r3", "c", "py", 3, "insert")], up))
+    view.cursor.advance = lambda v: (_ for _ in ()).throw(
+        RuntimeError("crash"))
+    with pytest.raises(RuntimeError, match="crash"):
+        view.refresh()  # merge committed, cursor NOT advanced
+    del view.cursor.advance  # restore the real method
+    # source moves on before the retry → the poll window shifts
+    src.append_delta(spark.createDataFrame(
+        [("r4", "d", "py", 4, "insert")], up))
+    while view.refresh() is not None:
+        pass
+    got = {r.lang: r.n for r in view.read().collect()}
+    assert got == {"py": 4}  # not 7: the crashed window folded once
+
+
+def test_keyless_replicate_crash_with_source_advance(spark, tbl_dir):
+    """Same moving-window bug on the keyless replication path, where
+    there is no LWW idempotence to hide behind: redelivered inserts
+    would land twice forever."""
+    from etl_spark.icelite.changefeed import ChangeFeedCursor
+
+    sch = T.StructType([T.StructField("x", T.LongType(), False)])
+    src = IceliteTable.create(spark, os.path.join(tbl_dir, "s"), sch,
+                              key_cols=())
+    dst = IceliteTable.create(spark, os.path.join(tbl_dir, "d"), sch,
+                              key_cols=())
+    cur = ChangeFeedCursor(src, os.path.join(tbl_dir, "c.json"))
+    src.append(spark.createDataFrame([(1,), (2,)], sch))
+    cur.replicate(dst)
+    src.append(spark.createDataFrame([(3,)], sch))
+    cur.advance = lambda v: (_ for _ in ()).throw(RuntimeError("crash"))
+    with pytest.raises(RuntimeError, match="crash"):
+        cur.replicate(dst)
+    del cur.advance
+    src.append(spark.createDataFrame([(4,)], sch))
+    while cur.replicate(dst) is not None:
+        pass
+    assert sorted(r.x for r in dst.read().collect()) == [1, 2, 3, 4]
+
+
+def test_rollup_null_group_values(spark, tbl_dir):
+    """NULL is a legitimate group: the feed joins are null-safe end to
+    end, so null-group counts track groupBy(full table) exactly instead
+    of forking a fresh row per refresh."""
+    from etl_spark.icelite.rollup import RollupView
+
+    sch = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("lang", T.StringType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    up = T.StructType(sch.fields + [T.StructField("op", T.StringType(), False)])
+    src = IceliteTable.create(spark, os.path.join(tbl_dir, "s"), sch,
+                              key_cols=("repo", "path"), n_buckets=2)
+    view = RollupView.create(spark, src, os.path.join(tbl_dir, "agg"),
+                             os.path.join(tbl_dir, "c.json"),
+                             group_cols=["lang"])
+
+    def check():
+        got = sorted(((r.lang or "~"), r.n) for r in view.read().collect())
+        exp = sorted(((r.lang or "~"), r["count"]) for r in
+                     src.read().groupBy("lang").count().collect())
+        assert got == exp, (got, exp)
+
+    src.append_delta(spark.createDataFrame(
+        [("r1", "a", None, 1, "insert"), ("r2", "b", "py", 2, "insert")], up))
+    view.refresh()
+    check()
+    src.append_delta(spark.createDataFrame(
+        [("r3", "c", None, 3, "insert"),
+         ("r1", "a", None, 4, "delete")], up))
+    view.refresh()
+    check()
+    assert view.read().where("lang is null").collect()[0].n == 1
