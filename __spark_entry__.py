@@ -30,13 +30,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_spark import gen
-from etl_spark.functions import parsing
 from etl_spark.operators import relational
 from etl_spark.queries.cdc import (
     _CDC_CHANGELOG_ORACLE,
     _CDC_FINGERPRINT_ORACLE,
     _CDC_LWW_ORACLE,
     _CDC_OP_STATS_ORACLE,
+    _CDC_PATCH_APPLY_ORACLE,
     _CDC_ROLLUP_ORACLE,
     cdc_changelog,
     cdc_events,
@@ -44,9 +44,11 @@ from etl_spark.queries.cdc import (
     cdc_fingerprint,
     cdc_lww,
     cdc_op_stats,
+    cdc_patch_apply,
     cdc_rollup,
 )
 from etl_spark.queries.docs import (
+    _CODE_SCAN_ORACLE,
     _DEDUP_EXACT_ORACLE,
     _MINHASH_LSH_ORACLE,
     _NGRAM_JACCARD_ORACLE,
@@ -56,6 +58,7 @@ from etl_spark.queries.docs import (
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
+    doc_code_scan,
     doc_quality,
     doc_text_features,
 )
@@ -84,16 +87,12 @@ from etl_spark.queries.rel import (
     j_range_join,
 )
 from etl_spark.queries.scalars import (
-    _IP_ORACLE,
     _JSON_OPS_ORACLE,
     _JSONL_SINK_ORACLE,
-    _ROUTE_ORACLE,
-    _SIZE_GUARD_ORACLE,
-    f_ip_tools,
+    _scalar_suite_oracle,
     f_json_ops,
     f_jsonl_sink_roundtrip,
-    f_route_paths,
-    f_size_guard,
+    f_scalar_suite,
 )
 from etl_spark.queries.streams import (
     _HIER_ROLLUP_ORACLE,
@@ -165,6 +164,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_op_stats": cdc_op_stats,
         "cdc_changelog": cdc_changelog,
         "cdc_rollup": cdc_rollup,
+        "cdc_patch_apply": cdc_patch_apply,
         # ordered-stream window operators
         "w_lag_delta": w_lag_delta,
         "w_change_points": w_change_points,
@@ -196,14 +196,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "src_ndt_results_decode": src_ndt_results_decode,
         "ndt_deltas": ndt_deltas,
         # scalar functions / sinks
-        "f_route_paths": f_route_paths,
+        "f_scalar_suite": f_scalar_suite,
         "f_json_ops": f_json_ops,
-        "f_ip_tools": f_ip_tools,
-        "f_size_guard": f_size_guard,
         "f_compress_roundtrip": f_compress_roundtrip,
         "f_jsonl_sink_roundtrip": f_jsonl_sink_roundtrip,
         # documents / dedup
         "doc_text_features": doc_text_features,
+        "doc_code_scan": doc_code_scan,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
@@ -228,6 +227,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_op_stats": _CDC_OP_STATS_ORACLE.format(events=ev),
         "cdc_changelog": _CDC_CHANGELOG_ORACLE.format(events=ev),
         "cdc_rollup": _CDC_ROLLUP_ORACLE.format(events=ev),
+        "cdc_patch_apply": _CDC_PATCH_APPLY_ORACLE.format(events=ev),
         "w_lag_delta": _W_LAG_DELTA_ORACLE,
         "w_change_points": _W_CHANGE_POINTS_ORACLE,
         "w_thin": _W_THIN_ORACLE,
@@ -254,13 +254,12 @@ def oracle_sql() -> dict[str, str]:
         "src_snaplog_decode": _SNAPLOG_ORACLE,
         "src_ndt_results_decode": _NDT_RESULTS_ORACLE,
         "ndt_deltas": _NDT_DELTAS_ORACLE,
-        "f_route_paths": _ROUTE_ORACLE.format(re=parsing.PATH_RE),
+        "f_scalar_suite": _scalar_suite_oracle(ev),
         "f_json_ops": _JSON_OPS_ORACLE,
-        "f_ip_tools": _IP_ORACLE,
-        "f_size_guard": _SIZE_GUARD_ORACLE.format(events=ev),
         "f_compress_roundtrip": _COMPRESS_ROUNDTRIP_ORACLE,
         "f_jsonl_sink_roundtrip": _JSONL_SINK_ORACLE,
         "doc_text_features": _doc_features_oracle(),
+        "doc_code_scan": _CODE_SCAN_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,

@@ -83,3 +83,65 @@ def lww_latest_window(
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def patch_fold(
+    df: DataFrame,
+    key_cols: Sequence[str] = ("repo", "path"),
+    seq_col: str = "seq",
+    op_col: str = "op",
+    patch_cols: Sequence[str] = ("lang", "content"),
+    carry_cols: Sequence[str] = ("commit",),
+) -> DataFrame:
+    """Column-level partial-update (patch) fold — final live row per key.
+
+    Real binlogs (MySQL minimal row image, Debezium ``op:u`` with
+    unchanged-toast columns elided, Mongo ``$set`` oplogs) carry UPDATE
+    events that set only the columns that changed; a NULL patch column
+    means "untouched", not "set to NULL". LWW max-by over full rows is
+    wrong for such streams — the winner may hold NULLs for columns whose
+    latest value arrived in an earlier patch. The correct fold is
+    per-COLUMN last-setter-wins bounded by the key's lifecycle:
+
+    - alive  ⇔  the latest full-image event (insert|delete) is insert
+    - column c = value from the max-seq event that SETS c
+
+    Because an insert sets every column and a delete ends the lifetime,
+    the unconditional per-column ``max_by(c, seq) FILTER (c IS NOT
+    NULL)`` already respects lifecycle boundaries: any patch older than
+    the latest insert loses to it on seq, and patches addressed to a
+    dead key are discarded with the key. That collapses the whole fold
+    into ONE map-side-combined hash aggregation — one shuffle on the
+    key, identical in cost to plain LWW, no second "find the boundary
+    then re-join" pass. (Reference analog: the snapshot-delta fold of
+    web100/web100.go:570-588 keeps only changed fields per snapshot;
+    this is the inverse operation — reassembling the full row from
+    changed-fields-only events.)
+
+    Patch events addressed to a never-inserted key have no full-image
+    anchor and are dropped (a patch cannot create a row).
+    """
+    seq = F.col(seq_col)
+    op = F.col(op_col)
+    full_image = op.isin("insert", "delete")
+    aggs = [
+        F.max(seq).alias("last_seq"),
+        F.expr(
+            f"max_by({op_col}, {seq_col}) "
+            f"FILTER (WHERE {op_col} IN ('insert','delete'))"
+        ).alias("__lifecycle"),
+    ]
+    for c in carry_cols:
+        aggs.append(F.max_by(F.col(c), seq).alias(c))
+    for c in patch_cols:
+        aggs.append(
+            F.expr(
+                f"max_by({c}, {seq_col}) FILTER (WHERE {c} IS NOT NULL)"
+            ).alias(c)
+        )
+    return (
+        df.groupBy(*key_cols)
+        .agg(*aggs)
+        .where(F.col("__lifecycle") == "insert")
+        .drop("__lifecycle")
+    )

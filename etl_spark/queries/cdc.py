@@ -193,3 +193,53 @@ SELECT op, count(*) AS n, min(seq) AS min_seq, max(seq) AS max_seq,
        coalesce(CAST(sum(length(content)) AS BIGINT), 0) AS content_bytes
 FROM events GROUP BY op
 """
+
+
+def cdc_patch_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level partial-update CDC (MySQL minimal row image /
+    Debezium elided-column analog): re-render the derived stream's
+    'update' events as PATCHES that set only some payload columns
+    (content-only when seq%3=1's complement … deterministic per seq),
+    then fold to final live rows with operators/dedup.patch_fold —
+    ONE map-side-combined hash aggregation, same shuffle cost as plain
+    LWW. The oracle replays the identical patch semantics with
+    FILTERed arg_max per column."""
+    from etl_spark.operators.dedup import patch_fold
+
+    ev = gen.derived_events(spark, sf_dir)
+    is_upd = F.col("op") == "update"
+    patched = ev.select(
+        "seq",
+        F.when(is_upd, F.lit("patch")).otherwise(F.col("op")).alias("op"),
+        "repo", "path", "commit",
+        F.when(is_upd & (F.col("seq") % 3 == 0), F.lit(None).cast("string"))
+        .otherwise(F.col("lang")).alias("lang"),
+        F.when(is_upd & (F.col("seq") % 3 == 1), F.lit(None).cast("string"))
+        .otherwise(F.col("content")).alias("content"),
+    )
+    out = patch_fold(patched)
+    return out.select(
+        "repo", "path", "last_seq", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+
+
+_CDC_PATCH_APPLY_ORACLE = """
+WITH ev AS ({events}),
+patched AS (
+  SELECT seq,
+         CASE WHEN op = 'update' THEN 'patch' ELSE op END AS op,
+         repo, path, commit,
+         CASE WHEN op = 'update' AND seq % 3 = 0 THEN NULL ELSE lang END AS lang,
+         CASE WHEN op = 'update' AND seq % 3 = 1 THEN NULL ELSE content END AS content
+  FROM ev
+)
+SELECT repo, path,
+       max(seq) AS last_seq,
+       arg_max(commit, seq) AS commit,
+       arg_max(lang, seq) FILTER (WHERE lang IS NOT NULL) AS lang,
+       sha256(arg_max(content, seq) FILTER (WHERE content IS NOT NULL)) AS content_sha256
+FROM patched
+GROUP BY repo, path
+HAVING arg_max(op, seq) FILTER (WHERE op IN ('insert','delete')) = 'insert'
+"""

@@ -259,3 +259,63 @@ def f_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JSONL_SINK_ORACLE = """
 SELECT doc_id, text, lang, source, n_chars FROM documents
 """
+
+
+def f_scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F3/F6/S3/C9 in one driver row (registry consolidation — the
+    driver checks 50 queries): path routing, IPv4 tooling and the
+    oversize guard, unioned into a uniform (kind, g1, g2, n, m1, m2)
+    shape. The per-op variants stay as module functions with their own
+    oracles, pinned by pytest."""
+    a = f_route_paths(spark, sf_dir).select(
+        F.lit("route").alias("kind"),
+        F.concat(
+            F.coalesce(F.col("experiment"), F.lit("")), F.lit("|"),
+            F.coalesce(F.col("suffix"), F.lit("")),
+        ).alias("g1"),
+        F.col("valid").cast("string").alias("g2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("min_mm").cast("long").alias("m1"),
+        F.col("max_dd").cast("long").alias("m2"),
+    )
+    b = f_ip_tools(spark, sf_dir).select(
+        F.lit("ip").alias("kind"),
+        F.col("valid").cast("string").alias("g1"),
+        F.col("is_private").cast("string").alias("g2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_ip_int").cast("long").alias("m1"),
+        F.col("max_oct1").cast("long").alias("m2"),
+    )
+    c = f_size_guard(spark, sf_dir).select(
+        F.lit("size").alias("kind"),
+        F.col("oversize").cast("string").alias("g1"),
+        F.col("size_bucket").cast("string").alias("g2"),
+        F.col("n").cast("long").alias("n"),
+        F.col("min_len").cast("long").alias("m1"),
+        F.col("max_len").cast("long").alias("m2"),
+    )
+    return a.unionByName(b).unionByName(c)
+
+
+def _scalar_suite_oracle(events_sql: str) -> str:
+    """Compose the three per-op oracles into the suite's uniform shape.
+    DuckDB allows WITH inside a parenthesized subquery, so each
+    existing oracle embeds unchanged."""
+    route = _ROUTE_ORACLE.format(re=parsing.PATH_RE)
+    ip = _IP_ORACLE
+    size = _SIZE_GUARD_ORACLE.format(events=events_sql)
+    return f"""
+SELECT 'route' AS kind,
+       coalesce(experiment, '') || '|' || coalesce(suffix, '') AS g1,
+       CAST(valid AS VARCHAR) AS g2, n,
+       CAST(min_mm AS BIGINT) AS m1, CAST(max_dd AS BIGINT) AS m2
+FROM ({route})
+UNION ALL
+SELECT 'ip', CAST(valid AS VARCHAR), CAST(is_private AS VARCHAR), n,
+       sum_ip_int, max_oct1
+FROM ({ip})
+UNION ALL
+SELECT 'size', CAST(oversize AS VARCHAR), CAST(size_bucket AS VARCHAR), n,
+       CAST(min_len AS BIGINT), CAST(max_len AS BIGINT)
+FROM ({size})
+"""

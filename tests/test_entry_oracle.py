@@ -59,18 +59,27 @@ def test_entry_smoke(spark):
 
 
 _VARIANT_ORACLES = {
-    # consolidated behind f_json_ops in the 50-slot registry; the
-    # standalone paths keep their own oracle proof here
+    # consolidated behind f_json_ops / f_scalar_suite in the 50-slot
+    # registry; the standalone paths keep their own oracle proof here
     "f_jsonl_decode": "_JSONL_ORACLE",
     "f_json_repair": "_JSON_REPAIR_ORACLE",
+    "f_route_paths": "_ROUTE_ORACLE",
+    "f_ip_tools": "_IP_ORACLE",
+    "f_size_guard": "_SIZE_GUARD_ORACLE",
 }
 
 
 @pytest.mark.parametrize("name", sorted(_VARIANT_ORACLES))
 def test_consolidated_variant_matches_oracle(spark, name):
+    from etl_spark import gen
+    from etl_spark.functions import parsing
     from etl_spark.queries import scalars
 
     fn = getattr(scalars, name)
     sql = getattr(scalars, _VARIANT_ORACLES[name])
+    if "{events}" in sql:
+        sql = sql.format(events=gen.derived_events_sql("duckdb"))
+    if "{re}" in sql:
+        sql = sql.format(re=parsing.PATH_RE)
     res = compare_query(spark, SF_TINY, fn(spark, SF_TINY), sql)
     assert res["ok"], {k: v for k, v in res.items() if k != "sample_diff"}

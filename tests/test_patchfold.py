@@ -1,0 +1,92 @@
+"""Column-level partial-update (patch) fold semantics.
+
+A patch event sets only non-NULL payload columns; the fold must
+reassemble the full live row per key (operators/dedup.patch_fold).
+These pin the lifecycle rules the one-aggregation plan relies on.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from etl_spark.operators.dedup import patch_fold
+
+SCHEMA = (
+    "seq long, op string, repo string, path string, commit string, "
+    "lang string, content string"
+)
+
+
+def _fold(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {
+        (r["repo"], r["path"]): r.asDict()
+        for r in patch_fold(df).collect()
+    }
+
+
+def test_patch_columns_merge_independently(spark):
+    out = _fold(spark, [
+        (1, "insert", "r", "a", "c1", "py", "v1"),
+        (2, "patch", "r", "a", "c2", None, "v2"),   # content only
+        (3, "patch", "r", "a", "c3", "go", None),   # lang only
+    ])
+    row = out[("r", "a")]
+    assert row["content"] == "v2"      # latest content setter is seq 2
+    assert row["lang"] == "go"         # latest lang setter is seq 3
+    assert row["commit"] == "c3"       # last touching event
+    assert row["last_seq"] == 3
+
+
+def test_patch_to_dead_key_is_dropped(spark):
+    out = _fold(spark, [
+        (1, "insert", "r", "a", "c1", "py", "v1"),
+        (2, "delete", "r", "a", "c2", None, None),
+        (3, "patch", "r", "a", "c3", "go", "v3"),  # patches a dead row
+    ])
+    assert ("r", "a") not in out
+
+
+def test_reinsert_resets_stale_patches(spark):
+    out = _fold(spark, [
+        (1, "insert", "r", "a", "c1", "py", "v1"),
+        (2, "patch", "r", "a", "c2", "go", None),
+        (3, "delete", "r", "a", "c3", None, None),
+        (4, "insert", "r", "a", "c4", "md", "v4"),
+    ])
+    row = out[("r", "a")]
+    # the pre-delete patch (seq 2) must NOT leak into the new lifetime
+    assert row["lang"] == "md" and row["content"] == "v4"
+    assert row["commit"] == "c4" and row["last_seq"] == 4
+
+
+def test_patch_after_reinsert_applies(spark):
+    out = _fold(spark, [
+        (1, "insert", "r", "a", "c1", "py", "v1"),
+        (2, "delete", "r", "a", "c2", None, None),
+        (3, "insert", "r", "a", "c3", "md", "v3"),
+        (4, "patch", "r", "a", "c4", None, "v4"),
+    ])
+    row = out[("r", "a")]
+    assert row["content"] == "v4" and row["lang"] == "md"
+
+
+def test_patch_without_insert_cannot_create_row(spark):
+    out = _fold(spark, [
+        (1, "patch", "r", "ghost", "c1", "py", "v1"),
+        (2, "insert", "r", "b", "c2", "go", "v2"),
+    ])
+    assert ("r", "ghost") not in out
+    assert out[("r", "b")]["content"] == "v2"
+
+
+def test_single_aggregation_plan(spark):
+    """The fold must stay ONE hash aggregation (one shuffle) — no
+    boundary re-join, no window sort."""
+    df = spark.createDataFrame(
+        [(1, "insert", "r", "a", "c", "py", "v")], SCHEMA
+    )
+    plan = patch_fold(df)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert plan.count("Exchange") == 0  # logical plan: single Aggregate
+    assert plan.count("Aggregate") == 1
