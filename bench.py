@@ -173,6 +173,7 @@ def apply_worker(cores: int, n_events: int, epochs: int, shared_dir: str) -> Non
     compaction scaling separately (it runs amortized, not per-epoch,
     at steady state)."""
     from etl_spark import gen
+    from etl_spark.icelite.table import IceliteTable
     from etl_spark.operators.apply import create_lineage, create_target, apply_epoch
     from etl_spark.session import get_spark
 
@@ -212,6 +213,22 @@ def apply_worker(cores: int, n_events: int, epochs: int, shared_dir: str) -> Non
     t0 = time.time()
     changelog_rows = tgt.changes_between(v_warm).count()
     changelog_time = time.time() - t0
+    # warm the COMPACTION path before timing it, exactly as the apply
+    # path gets warmup epochs: the compact kernel is a different Python
+    # worker function (pyarrow resolve, not the winnow mapInArrow) and
+    # its FIRST full-size invocation runs ~2.5x slower per task
+    # (worker-side allocator/Arrow-pool growth + import/JIT — measured:
+    # kernel_sum 33.6s cold vs 11.9s on an identical copy immediately
+    # after; a small-table warmup does NOT absorb it). Compacting an
+    # identical throwaway COPY first (tools/compact_probe_warm.py
+    # protocol, analyzed in BENCH/BASELINE.md) makes the timed number
+    # measure steady-state compaction — the realistic regime for a
+    # maintenance pass that runs continuously at 100 TB.
+    import shutil as _shutil
+    warm_copy = os.path.join(tmp, "warm_compact")
+    _shutil.copytree(tgt.path, warm_copy)
+    IceliteTable.load(spark, warm_copy).compact()
+    _shutil.rmtree(warm_copy, ignore_errors=True)
     t0 = time.time()
     tgt.compact()
     compact_time = time.time() - t0
