@@ -571,6 +571,9 @@ class IceliteTable:
         self.path = path
         self.meta_path = os.path.join(path, META_DIR)
         self.data_path = os.path.join(path, DATA_DIR)
+        # set on handles returned by branch(): commits go to the branch
+        # meta dir; data files share the main table's data dir
+        self.branch_name: str | None = None
         # per-bucket kernel seconds of the most recent compact() on
         # this handle, largest first (diagnostics only, not state)
         self.last_compact_task_secs: list[float] = []
@@ -1481,7 +1484,12 @@ class IceliteTable:
         snapshot manifests and delete data files referenced ONLY by the
         expired ones (Iceberg's expire_snapshots). Time travel is
         limited to retained versions afterwards. Single-maintainer op —
-        run it like compaction, not concurrently with itself."""
+        run it like compaction, not concurrently with itself. Files
+        still referenced by a live branch are never deleted."""
+        if self.branch_name is not None:
+            # a branch chain shares data files with main: expiring from
+            # the branch's view could delete files main still references
+            raise ValueError("run maintenance on the main table handle")
         versions = sorted(
             int(f[1:-5])
             for f in os.listdir(self.meta_path)
@@ -1494,6 +1502,7 @@ class IceliteTable:
         referenced = {
             f_.path for v in keep for f_ in self.snapshot(v).files
         }
+        referenced |= self._branch_referenced_files()
         doomed = {
             f_.path for v in expire for f_ in self.snapshot(v).files
         } - referenced
@@ -1507,9 +1516,12 @@ class IceliteTable:
 
     def vacuum_orphans(self) -> dict:
         """Delete data files on disk referenced by NO retained snapshot
-        (debris from aborted/crashed writes). NEVER run while a writer
-        may hold staged-but-uncommitted files — same contract as
-        Iceberg's remove_orphan_files."""
+        (debris from aborted/crashed writes, and staged files of DROPPED
+        branches). NEVER run while a writer may hold
+        staged-but-uncommitted files — same contract as Iceberg's
+        remove_orphan_files. Live branches' files are retained."""
+        if self.branch_name is not None:
+            raise ValueError("run maintenance on the main table handle")
         versions = sorted(
             int(f[1:-5])
             for f in os.listdir(self.meta_path)
@@ -1517,7 +1529,7 @@ class IceliteTable:
         )
         referenced = {
             f_.path for v in versions for f_ in self.snapshot(v).files
-        }
+        } | self._branch_referenced_files()
         deleted = 0
         for root, _dirs, files in os.walk(self.data_path, topdown=False):
             for fn in files:
@@ -1528,6 +1540,121 @@ class IceliteTable:
             if root != self.data_path and not os.listdir(root):
                 os.rmdir(root)
         return {"deleted_files": deleted}
+
+    # -- branches: write-audit-publish (Iceberg WAP analog) ------------------
+    #
+    # A branch is a named, independently-advancing snapshot chain forked
+    # from a main version: `meta/branch-<name>/v*.json` + a fork marker.
+    # Branch handles share the main table's DATA directory — only the
+    # metadata chain diverges — so staging an epoch on a branch costs
+    # exactly what committing it to main would, and publishing moves no
+    # bytes. The WAP loop for CDC ingest: apply_epoch(branch) → run
+    # audit/invariant queries against branch.read() → publish_branch()
+    # makes the audited state visible to main readers in ONE atomic
+    # O_EXCL metadata write — or drop_branch() discards it without main
+    # readers ever seeing a row. Epoch idempotency composes: the fork
+    # copies main's epoch ledger, so a redelivered epoch short-circuits
+    # on the branch, and publish carries the union ledger back to main.
+
+    def _branch_dir(self, name: str) -> str:
+        return os.path.join(
+            os.path.join(self.path, META_DIR), f"branch-{name}"
+        )
+
+    def _branch_referenced_files(self) -> set[str]:
+        """Data files referenced by any live branch's snapshots."""
+        refs: set[str] = set()
+        for name in self.list_branches():
+            b = self.branch(name)
+            for f in os.listdir(b.meta_path):
+                if f.startswith("v") and f.endswith(".json"):
+                    refs |= {f_.path for f_ in b.snapshot(int(f[1:-5])).files}
+        return refs
+
+    def list_branches(self) -> list[str]:
+        meta = os.path.join(self.path, META_DIR)
+        if not os.path.isdir(meta):
+            return []
+        return sorted(
+            d[len("branch-"):]
+            for d in os.listdir(meta)
+            if d.startswith("branch-")
+            and os.path.isdir(os.path.join(meta, d))
+        )
+
+    def create_branch(self, name: str,
+                      from_version: int | None = None) -> "IceliteTable":
+        """Fork a branch from a main snapshot (default: current). The
+        directory create is exclusive — two racing creators of the same
+        name: one wins, one gets FileExistsError."""
+        if self.branch_name is not None:
+            raise ValueError("cannot branch from a branch handle")
+        if not name or not all(c.isalnum() or c in "_-" for c in name):
+            raise ValueError(f"invalid branch name: {name!r}")
+        snap = self.snapshot(from_version)
+        bdir = self._branch_dir(name)
+        os.makedirs(bdir, exist_ok=False)
+        _atomic_write_json(
+            os.path.join(bdir, "fork.json"),
+            {"name": name, "fork_version": snap.version},
+        )
+        _atomic_write_json(
+            os.path.join(bdir, f"v{snap.version}.json"), snap.to_json()
+        )
+        return self.branch(name)
+
+    def branch(self, name: str) -> "IceliteTable":
+        """Handle whose commits land on the branch chain; reads, writes,
+        apply_epoch, compact and time travel all work unchanged."""
+        bdir = self._branch_dir(name)
+        if not os.path.isdir(bdir):
+            raise NoSuchTable(f"{self.path}@{name}")
+        h = IceliteTable(self.spark, self.path)
+        h.meta_path = bdir
+        h.branch_name = name
+        return h
+
+    def publish_branch(self, name: str) -> Snapshot:
+        """Atomically fast-forward main to the branch head. Requires
+        main to still be at the fork version (fast-forward condition) —
+        if any other writer advanced main meanwhile, raise
+        CommitConflict instead of silently merging divergent file sets;
+        the caller re-stages against a fresh fork. The publish itself is
+        one O_EXCL version-file write, so it also loses cleanly to a
+        racing main commit."""
+        bdir = self._branch_dir(name)
+        with open(os.path.join(bdir, "fork.json")) as f:
+            fork = json.load(f)
+        head = self.branch(name).snapshot()
+        cur = self.current_version()
+        if cur != fork["fork_version"]:
+            raise CommitConflict(
+                f"main advanced past the fork (v{fork['fork_version']} → "
+                f"v{cur}) while branch {name!r} was staged; re-fork and "
+                f"re-stage"
+            )
+        if head.version == fork["fork_version"]:
+            return self.snapshot()  # nothing staged — publish is a no-op
+        new = Snapshot(
+            version=cur + 1,
+            schemas=head.schemas,
+            n_buckets=head.n_buckets,
+            key_cols=head.key_cols,
+            files=head.files,
+            properties={**head.properties,
+                        "published_branch": name},
+            epochs=head.epochs,
+        )
+        _atomic_write_json(self._version_file(new.version), new.to_json())
+        return new
+
+    def drop_branch(self, name: str) -> None:
+        """Discard a branch. Its staged-only data files become orphans;
+        the next vacuum_orphans() reclaims them."""
+        bdir = self._branch_dir(name)
+        if not os.path.isdir(bdir):
+            raise NoSuchTable(f"{self.path}@{name}")
+        shutil.rmtree(bdir)
 
     def delta_stats(self) -> dict:
         """Read-amplification stats for the compaction policy."""

@@ -1,0 +1,170 @@
+"""Write-audit-publish branches: staged commits are invisible to main
+readers until an atomic fast-forward publish (Iceberg WAP analog)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_spark.icelite.table import CommitConflict, IceliteTable, NoSuchTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ]
+)
+
+
+def make(spark, tbl_dir, n_buckets=4):
+    return IceliteTable.create(
+        spark, os.path.join(tbl_dir, "t"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=n_buckets,
+    )
+
+
+def _updf(spark, rows):
+    up = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType(), False)])
+    return spark.createDataFrame(rows, up)
+
+
+def _state(t, version=None):
+    return sorted((r.repo, r.path, r.v) for r in t.read(version=version).collect())
+
+
+def test_wap_stage_audit_publish(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    v_before = t.current_version()
+
+    b = t.create_branch("wap")
+    b.append_delta(_updf(spark, [("r1", "a", 10, 2, "update"),
+                                 ("r2", "b", 5, 3, "insert")]))
+    # audit: visible on the branch, invisible on main
+    assert _state(b) == [("r1", "a", 10), ("r2", "b", 5)]
+    assert _state(t) == [("r1", "a", 1)]
+    assert t.current_version() == v_before
+
+    t.publish_branch("wap")
+    assert _state(t) == [("r1", "a", 10), ("r2", "b", 5)]
+    assert t.current_version() == v_before + 1
+    # pre-publish time travel on main is untouched
+    assert _state(t, version=v_before) == [("r1", "a", 1)]
+
+
+def test_publish_requires_fast_forward(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    b = t.create_branch("stale")
+    b.append_delta(_updf(spark, [("r2", "b", 2, 2, "insert")]))
+    # main advances while the branch is staged → publish must refuse
+    t.append_delta(_updf(spark, [("r3", "c", 3, 3, "insert")]))
+    with pytest.raises(CommitConflict, match="re-fork"):
+        t.publish_branch("stale")
+    # main state untouched by the failed publish
+    assert _state(t) == [("r1", "a", 1), ("r3", "c", 3)]
+
+
+def test_drop_branch_discards_and_vacuum_reclaims(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    b = t.create_branch("discard")
+    b.append_delta(_updf(spark, [("rX", "x", 9, 9, "insert")]))
+    staged = t._branch_referenced_files() - {
+        f_.path for f_ in t.snapshot().files
+    }
+    assert staged  # the branch really has branch-only data files
+    # live branch protects its staged parquet from vacuum (the sweep
+    # still removes .crc/_SUCCESS sidecar debris — that's expected)
+    t.vacuum_orphans()
+    assert all(os.path.exists(os.path.join(t.data_path, p)) for p in staged)
+    assert _state(b) == [("r1", "a", 1), ("rX", "x", 9)]
+    t.drop_branch("discard")
+    assert t.list_branches() == []
+    t.vacuum_orphans()
+    assert not any(
+        os.path.exists(os.path.join(t.data_path, p)) for p in staged
+    )
+    assert _state(t) == [("r1", "a", 1)]
+    with pytest.raises(NoSuchTable):
+        t.branch("discard")
+
+
+def test_branch_epoch_idempotency_carries_through(spark, tbl_dir):
+    from etl_spark.operators.apply import apply_epoch
+
+    t = make(spark, tbl_dir)
+    ev_schema = (
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string"
+    )
+    ev = spark.createDataFrame(
+        [(1, "insert", "r1", "a", "c1", "py", "x"),
+         (2, "insert", "r2", "b", "c2", "go", "y")], ev_schema)
+    tgt = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "cdc"),
+        T.StructType([
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content_sha256", T.StringType(), True),
+            T.StructField("last_seq", T.LongType(), False),
+        ]),
+        key_cols=("repo", "path"), n_buckets=4,
+    )
+    apply_epoch(spark, ev, tgt, None, epoch_id="e1")
+    b = tgt.create_branch("wap")
+    # redelivery of a main-committed epoch short-circuits ON THE BRANCH
+    st = apply_epoch(spark, ev, b, None, epoch_id="e1")
+    assert st.skipped
+    ev2 = spark.createDataFrame(
+        [(3, "update", "r1", "a", "c3", "py", "z")], ev_schema)
+    apply_epoch(spark, ev2, b, None, epoch_id="e2")
+    tgt.publish_branch("wap")
+    # the union epoch ledger came back to main: e2 redelivery skips
+    st2 = apply_epoch(spark, ev2, tgt, None, epoch_id="e2")
+    assert st2.skipped
+    rows = {(r.repo, r.path): r.commit for r in tgt.read().collect()}
+    assert rows == {("r1", "a"): "c3", ("r2", "b"): "c2"}
+
+
+def test_publish_loses_cleanly_to_racing_main_commit(spark, tbl_dir):
+    """Even if the FF check passes, the O_EXCL version write must lose
+    to a main commit that lands in between."""
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    b = t.create_branch("race")
+    b.append_delta(_updf(spark, [("r2", "b", 2, 2, "insert")]))
+    # simulate the interleaving: another writer takes the next version
+    # slot after our FF check would have passed
+    nxt = t.current_version() + 1
+    snap = t.snapshot()
+    from etl_spark.icelite.table import Snapshot, _atomic_write_json
+    sneak = Snapshot(version=nxt, schemas=snap.schemas,
+                     n_buckets=snap.n_buckets, key_cols=snap.key_cols,
+                     files=snap.files, properties=snap.properties,
+                     epochs=snap.epochs)
+    _atomic_write_json(t._version_file(nxt), sneak.to_json())
+    with pytest.raises(CommitConflict):
+        t.publish_branch("race")
+
+
+def test_maintenance_guards_on_branch_handles(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    b = t.create_branch("m")
+    with pytest.raises(ValueError, match="main table handle"):
+        b.vacuum_orphans()
+    with pytest.raises(ValueError, match="main table handle"):
+        b.expire_snapshots(keep_last=1)
+    # expire on MAIN keeps files a live branch still references
+    b.append_delta(_updf(spark, [("r9", "z", 9, 9, "insert")]))
+    for i in range(6):
+        t.append_delta(_updf(spark, [("r1", "a", 100 + i, 100 + i, "update")]))
+    t.expire_snapshots(keep_last=1)
+    assert _state(b) == [("r1", "a", 1), ("r9", "z", 9)]
