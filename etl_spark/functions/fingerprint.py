@@ -224,6 +224,17 @@ def winnow_write_kernel(delta_schema_json: str, out_root: str,
             fp = os.path.join(out_root, rel_path)
             os.makedirs(os.path.dirname(fp), exist_ok=True)
             pq.write_table(out, fp, compression="snappy")
+            if "__khash" in sub.column_names:
+                # key-bloom sidecar for point-lookup file skipping: the
+                # JVM key hash is already in the batch, so the filter is
+                # a vectorized by-product of the write (icelite/bloom.py)
+                from etl_spark.icelite.bloom import build as _bloom_build
+
+                kh = sub["__khash"].combine_chunks().to_numpy(
+                    zero_copy_only=False
+                )
+                with open(fp + ".bloom", "wb") as bf:
+                    bf.write(_bloom_build(kh))
             mm = pc.min_max(sub["last_seq"])
             yield pa.RecordBatch.from_pydict(
                 {

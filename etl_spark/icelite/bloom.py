@@ -1,0 +1,77 @@
+"""Per-file key bloom-filter sidecars for point-lookup file skipping.
+
+Within a bucket, a point lookup must open every delta file stacked
+since the last compaction — unless a file can prove the key is absent.
+Parquet's own bloom filters would be the natural home (Iceberg relies
+on them), but pyarrow cannot read them back, so the filter lives in a
+tiny ``<datafile>.bloom`` sidecar written by the same kernel task that
+wrote the data file.
+
+The filter is built over the JVM-computed ``xxhash64(key_cols)``
+(``__khash``, the exact hash ``bucket_expr`` buckets by), which makes
+the whole pipeline vectorized: the kernel gets the hashes for free in
+its Arrow batch, and the reader recomputes them for the probe keys
+with one tiny JVM job — no Python-side string hashing anywhere.
+
+Soundness: a bloom filter has no false negatives, so "no probe key may
+be present" is a proof the file cannot contribute those keys' rows and
+LWW resolution over the surviving file subset returns the same winners
+for the probed keys. A false positive only fails to prune (reads a
+file it didn't need). Files without a sidecar are never pruned.
+
+Sizing: 10 bits/key rounded up to a power of two, k=7 probes → ~1%
+false positives; a 16k-row delta file costs a ~20 KB sidecar (~0.1% of
+the data file). Sidecars are advisory debris from the manifest's view:
+they are swept/expired together with their data file and never read
+unless the manifest entry says one exists.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_MAGIC = b"KBF1"
+_HEADER = struct.Struct("<4sQI")  # magic, m (bits), k (probes)
+
+
+def _probe_idx(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
+    """(n, k) bit positions via double hashing of the 64-bit key hash.
+
+    xxhash64 avalanches fully, so its 32-bit halves act as independent
+    hashes; forcing h2 odd makes the probe stride a unit in Z/m (m is a
+    power of two), so the k probes never collapse onto one position.
+    """
+    h = hashes.astype(np.int64).view(np.uint64)
+    h1 = h & np.uint64(0xFFFFFFFF)
+    h2 = (h >> np.uint64(32)) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(
+        np.int64
+    )
+
+
+def build(hashes, bits_per_key: int = 10, k: int = 7) -> bytes:
+    """Serialize a bloom filter over int64 key hashes."""
+    h = np.asarray(hashes, dtype=np.int64)
+    n = max(len(h), 1)
+    m = 1 << max(6, int(n * bits_per_key - 1).bit_length())
+    bits = np.zeros(m, dtype=bool)
+    if len(h):
+        bits[_probe_idx(h, m, k).ravel()] = True
+    return _HEADER.pack(_MAGIC, m, k) + np.packbits(bits).tobytes()
+
+
+def may_contain_any(blob: bytes, hashes) -> bool:
+    """True unless the filter proves NONE of the hashes is present."""
+    magic, m, k = _HEADER.unpack_from(blob)
+    if magic != _MAGIC:  # unknown format: never prune
+        return True
+    h = np.asarray(hashes, dtype=np.int64)
+    if not len(h):
+        return False
+    bits = np.unpackbits(
+        np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size), count=m
+    ).astype(bool)
+    return bool(bits[_probe_idx(h, m, k)].all(axis=1).any())

@@ -98,6 +98,9 @@ class DataFile:
     # manifest time (Iceberg's lower/upper_bounds analog). Optional and
     # advisory: a file with no entry for a column is never pruned.
     stats: dict | None = None
+    # relative path of a key-bloom sidecar (icelite/bloom.py) written by
+    # the same task as the data file; None = never prune this file
+    bloom: str | None = None
 
     def to_json(self) -> dict:
         d = {
@@ -110,13 +113,15 @@ class DataFile:
         }
         if self.stats:
             d["stats"] = self.stats
+        if self.bloom:
+            d["bloom"] = self.bloom
         return d
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
         return DataFile(d["path"], d["bucket"], d["rows"], d["bytes"],
                         d["schema_id"], d.get("kind", "base"),
-                        d.get("stats"))
+                        d.get("stats"), d.get("bloom"))
 
 
 @dataclass
@@ -158,6 +163,12 @@ class Snapshot:
             properties=d.get("properties", {}),
             epochs=d.get("epochs", []),
         )
+
+
+def _with_sidecars(paths: set[str]) -> set[str]:
+    """A data file's key-bloom sidecar (``<path>.bloom``) lives and dies
+    with it: maintenance treats the pair as one unit."""
+    return paths | {p + ".bloom" for p in paths}
 
 
 def bucket_expr(key_cols: Sequence[str], n_buckets: int):
@@ -685,6 +696,7 @@ class IceliteTable:
         buckets: Iterable[int] | None = None,
         resolve: bool = True,
         keep_deletes: bool = False,
+        file_filter=None,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a bucket subset.
 
@@ -703,6 +715,11 @@ class IceliteTable:
         if buckets is not None:
             bset = set(buckets)
             files = [f_ for f_ in files if f_.bucket in bset]
+        if file_filter is not None:
+            # caller-proven exclusions only (e.g. read_matching's bloom
+            # "key definitely absent" proof) — resolution over the
+            # surviving subset must be equivalent FOR THE CALLER'S KEYS
+            files = [f_ for f_ in files if file_filter(f_)]
         if not files:
             return self.spark.createDataFrame([], schema)
         if not resolve:
@@ -991,14 +1008,40 @@ class IceliteTable:
             raise ValueError("read_matching requires a keyed table")
         key_cols = list(snap.key_cols)
         kdf = keys_df.select(*key_cols).dropDuplicates(key_cols)
-        buckets = {
-            r.b for r in kdf.select(
-                bucket_expr(key_cols, snap.n_buckets).alias("b")
-            ).distinct().collect()
-        }
+        # one tiny JVM job yields xxhash64 per key — the bucket (pmod)
+        # AND the bloom probe hash come from the same collect
+        khashes = [
+            r.h for r in kdf.select(
+                F.xxhash64(*[F.col(c) for c in key_cols]).alias("h")
+            ).collect()
+        ]
+        by_bucket: dict[int, list[int]] = {}
+        for h in khashes:
+            by_bucket.setdefault(h % snap.n_buckets, []).append(h)
+        buckets = set(by_bucket)
         if not buckets:
             return self.spark.createDataFrame([], snap.current_schema)
-        base = self.read(buckets=buckets)
+
+        from etl_spark.icelite import bloom as _bloom
+
+        def keep(f_: DataFile) -> bool:
+            # skip a file only on the sidecar's proof that NO probe key
+            # can be present (no false negatives → LWW over the kept
+            # subset is exact for the probed keys); anything unexpected
+            # (no sidecar, unreadable, unknown format) means read it
+            if f_.bloom is None:
+                return True
+            hs = by_bucket.get(f_.bucket)
+            if not hs:
+                return True
+            try:
+                with open(os.path.join(self.data_path, f_.bloom), "rb") as bf:
+                    blob = bf.read()
+            except OSError:
+                return True
+            return _bloom.may_contain_any(blob, hs)
+
+        base = self.read(buckets=buckets, file_filter=keep)
         # null-safe: a NULL key value must match its stored row
         return base.join(
             F.broadcast(kdf),
@@ -1453,6 +1496,10 @@ class IceliteTable:
         snap = self.snapshot()
         if epoch_id is not None and epoch_id in snap.epochs:
             return snap
+        def _sidecar(rel_path: str) -> str | None:
+            p = os.path.join(rel, rel_path) + ".bloom"
+            return p if os.path.exists(os.path.join(self.data_path, p)) else None
+
         new_files = [
             DataFile(
                 path=os.path.join(rel, r["rel_path"]),
@@ -1461,6 +1508,7 @@ class IceliteTable:
                 bytes=int(r["bytes"]),
                 schema_id=len(snap.schemas) - 1,
                 kind="delta",
+                bloom=_sidecar(r["rel_path"]),
             )
             for r in stats_rows
         ]
@@ -1470,6 +1518,7 @@ class IceliteTable:
         # files would leak disk forever (expire_snapshots only deletes
         # what a manifest once referenced). O(n_buckets) directory walk.
         keep = {os.path.join(rel, r["rel_path"]) for r in stats_rows}
+        keep |= {f_.bloom for f_ in new_files if f_.bloom}
         staged_root = os.path.join(self.data_path, rel)
         for dirpath, _dirs, fnames in os.walk(staged_root):
             for fn in fnames:
@@ -1499,13 +1548,12 @@ class IceliteTable:
         if not expire:
             return {"expired_snapshots": 0, "deleted_files": 0}
         keep = versions[-keep_last:]
-        referenced = {
+        referenced = _with_sidecars({
             f_.path for v in keep for f_ in self.snapshot(v).files
-        }
-        referenced |= self._branch_referenced_files()
-        doomed = {
+        } | self._branch_referenced_files())
+        doomed = _with_sidecars({
             f_.path for v in expire for f_ in self.snapshot(v).files
-        } - referenced
+        }) - referenced
         for rel in doomed:
             p = os.path.join(self.data_path, rel)
             if os.path.exists(p):
@@ -1527,9 +1575,10 @@ class IceliteTable:
             for f in os.listdir(self.meta_path)
             if f.startswith("v") and f.endswith(".json")
         )
-        referenced = {
-            f_.path for v in versions for f_ in self.snapshot(v).files
-        } | self._branch_referenced_files()
+        referenced = _with_sidecars(
+            {f_.path for v in versions for f_ in self.snapshot(v).files}
+            | self._branch_referenced_files()
+        )
         deleted = 0
         for root, _dirs, files in os.walk(self.data_path, topdown=False):
             for fn in files:

@@ -1,0 +1,110 @@
+"""Key-bloom sidecars: unit behavior + point-lookup file skipping
+within a bucket (the delta-stack case bucket pruning cannot help)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import types as T
+
+from etl_spark.icelite import bloom
+from etl_spark.icelite.table import IceliteTable
+from etl_spark.operators.apply import apply_epoch
+
+EV_SCHEMA = (
+    "seq long, op string, repo string, path string, commit string, "
+    "lang string, content string"
+)
+
+
+def test_bloom_no_false_negatives_and_low_fp():
+    rng = np.random.default_rng(7)
+    members = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+    blob = bloom.build(members)
+    # every member (probed one at a time) must hit
+    for h in members[:200]:
+        assert bloom.may_contain_any(blob, [int(h)])
+    # non-members: ~1% fp budget, allow generous slack
+    others = rng.integers(-(2**62), 2**62, size=2000, dtype=np.int64)
+    others = np.setdiff1d(others, members)
+    fp = sum(bloom.may_contain_any(blob, [int(h)]) for h in others)
+    assert fp < len(others) * 0.05
+    # any-semantics: one member among misses → True
+    assert bloom.may_contain_any(blob, [int(others[0]), int(members[0])])
+    # empty probe set can never match; empty filter never matches
+    assert not bloom.may_contain_any(blob, [])
+    assert not bloom.may_contain_any(bloom.build([]), [123])
+    # unknown magic: never prune
+    assert bloom.may_contain_any(b"XXXX" + blob[4:], [123])
+
+
+def _target(spark, path, n_buckets=1):
+    return IceliteTable.create(
+        spark, path,
+        T.StructType([
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content_sha256", T.StringType(), True),
+            T.StructField("last_seq", T.LongType(), False),
+        ]),
+        key_cols=("repo", "path"), n_buckets=n_buckets,
+    )
+
+
+def _events(spark, prefix, lo, n):
+    rows = [
+        (lo + i, "insert", f"{prefix}{i}", "p", f"c{lo + i}", "py", f"x{i}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def test_point_lookup_skips_bloom_negative_files(spark, tbl_dir):
+    # ONE bucket: bucket pruning is useless by construction; only the
+    # per-file bloom can keep the lookup from opening every delta file
+    t = _target(spark, os.path.join(tbl_dir, "t"), n_buckets=1)
+    apply_epoch(spark, _events(spark, "a", 1, 50), t, None, epoch_id="e1")
+    files_e1 = {f_.path for f_ in t.snapshot().files}
+    apply_epoch(spark, _events(spark, "b", 1001, 50), t, None, epoch_id="e2")
+    snap = t.snapshot()
+    deltas = [f_ for f_ in snap.files if f_.kind == "delta"]
+    assert len(deltas) == 2 and all(f_.bloom for f_ in deltas)
+    assert all(
+        os.path.exists(os.path.join(t.data_path, f_.bloom)) for f_ in deltas
+    )
+
+    # lookup of an epoch-2 key must not open epoch 1's file
+    df = t.read_keys([("b7", "p")])
+    assert [(r.repo, r.commit) for r in df.collect()] == [("b7", "c1008")]
+    opened = df.inputFiles()
+    assert not any(any(p.endswith(rel) for rel in files_e1) for p in opened)
+    assert len(opened) == 1
+
+    # a key from each epoch → both files open, both rows exact
+    both = t.read_keys([("a3", "p"), ("b3", "p")])
+    assert sorted((r.repo, r.commit) for r in both.collect()) == [
+        ("a3", "c4"), ("b3", "c1004")]
+    assert len(both.inputFiles()) == 2
+
+    # absent key: bloom may prune everything; result is simply empty
+    assert t.read_keys([("zz", "nope")]).count() == 0
+
+
+def test_bloom_sidecars_follow_maintenance(spark, tbl_dir):
+    t = _target(spark, os.path.join(tbl_dir, "m"), n_buckets=1)
+    apply_epoch(spark, _events(spark, "a", 1, 20), t, None, epoch_id="e1")
+    sidecars = [f_.bloom for f_ in t.snapshot().files if f_.bloom]
+    assert sidecars
+    # compaction folds the delta away; its sidecar becomes an orphan
+    # and vacuum reclaims it with the data file
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t.vacuum_orphans()
+    assert not any(
+        os.path.exists(os.path.join(t.data_path, p)) for p in sidecars
+    )
+    # state intact after the full maintenance cycle
+    assert t.read().count() == 20
