@@ -133,6 +133,11 @@ class Snapshot:
     files: list[DataFile]
     properties: dict[str, Any] = field(default_factory=dict)
     epochs: list[str] = field(default_factory=list)
+    # commit wall time (epoch seconds) and the operation that produced
+    # this snapshot — Iceberg's snapshot summary analog; 0.0/"" on
+    # manifests written before these fields existed
+    ts: float = 0.0
+    operation: str = ""
 
     @property
     def current_schema(self) -> T.StructType:
@@ -150,6 +155,8 @@ class Snapshot:
             "files": [f.to_json() for f in self.files],
             "properties": self.properties,
             "epochs": self.epochs,
+            "ts": self.ts,
+            "operation": self.operation,
         }
 
     @staticmethod
@@ -162,6 +169,8 @@ class Snapshot:
             files=[DataFile.from_json(f) for f in d["files"]],
             properties=d.get("properties", {}),
             epochs=d.get("epochs", []),
+            ts=d.get("ts", 0.0),
+            operation=d.get("operation", ""),
         )
 
 
@@ -610,6 +619,8 @@ class IceliteTable:
             key_cols=list(key_cols),
             files=[],
             properties=properties or {},
+            ts=time.time(),
+            operation="create",
         )
         _atomic_write_json(t._version_file(0), snap.to_json())
         return t
@@ -697,6 +708,8 @@ class IceliteTable:
         resolve: bool = True,
         keep_deletes: bool = False,
         file_filter=None,
+        as_of: float | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a bucket subset.
 
@@ -708,7 +721,18 @@ class IceliteTable:
         a winning delete removes the key. ``keep_deletes`` retains
         winning tombstones instead (rows keep their ``__op`` column) —
         the tombstone-visible view the change feed needs to report a
-        delete's commit position."""
+        delete's commit position.
+
+        Time travel: exactly one of ``version`` (snapshot number),
+        ``as_of`` (epoch seconds — newest snapshot committed at or
+        before that instant), or ``tag`` (named immutable snapshot,
+        see ``create_tag``) may be given."""
+        if sum(x is not None for x in (version, as_of, tag)) > 1:
+            raise ValueError("version, as_of and tag are mutually exclusive")
+        if as_of is not None:
+            version = self.version_as_of(as_of)
+        elif tag is not None:
+            version = self.tag_version(tag)
         snap = self.snapshot(version)
         schema = snap.current_schema
         files = snap.files
@@ -1057,6 +1081,128 @@ class IceliteTable:
     def committed_epochs(self) -> list[str]:
         return list(self.snapshot().epochs)
 
+    # -- metadata tables / time travel / tags ---------------------------------
+    #
+    # Iceberg's `<table>.history` / `<table>.files` metadata tables and
+    # named refs, as DataFrames. These read ONLY the manifest JSONs —
+    # O(retained versions) driver work, no data IO, no Spark job until
+    # the caller acts on the result — so they stay cheap at any table
+    # size (manifest growth is already bounded by expire_snapshots and
+    # property tombstoning).
+
+    def _retained_versions(self) -> list[int]:
+        return sorted(
+            int(f[1:-5])
+            for f in os.listdir(self.meta_path)
+            if f.startswith("v") and f.endswith(".json")
+        )
+
+    def history(self) -> DataFrame:
+        """One row per retained snapshot: commit time, the operation
+        that produced it, and file/row/byte/epoch totals (the audit
+        view an operator greps when asking "what happened to this
+        table and when")."""
+        rows = []
+        for v in self._retained_versions():
+            s = self.snapshot(v)
+            deltas = sum(1 for f_ in s.files if f_.kind == "delta")
+            rows.append((
+                s.version,
+                float(s.ts) if s.ts else None,
+                s.operation or None,
+                len(s.files), deltas,
+                sum(f_.rows for f_ in s.files),
+                sum(f_.bytes for f_ in s.files),
+                len(s.epochs), s.n_buckets, len(s.schemas) - 1,
+            ))
+        df = self.spark.createDataFrame(
+            rows,
+            "version int, committed_at double, operation string, "
+            "n_files int, n_delta_files int, total_rows long, "
+            "total_bytes long, n_epochs int, n_buckets int, schema_id int",
+        )
+        return df.withColumn(
+            "committed_at", F.timestamp_seconds(F.col("committed_at"))
+        )
+
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """One row per data file of a snapshot (Iceberg's `files`
+        metadata table): physical layout, per-file stats presence and
+        bloom-sidecar presence — the input to compaction/skew triage."""
+        snap = self.snapshot(version)
+        rows = [(
+            f_.path, f_.bucket, f_.kind, f_.rows, f_.bytes, f_.schema_id,
+            f_.bloom is not None,
+            json.dumps(f_.stats, sort_keys=True) if f_.stats else None,
+        ) for f_ in snap.files]
+        return self.spark.createDataFrame(
+            rows,
+            "path string, bucket int, kind string, rows long, bytes long, "
+            "schema_id int, has_bloom boolean, stats_json string",
+        )
+
+    def version_as_of(self, ts: float) -> int:
+        """Newest retained snapshot committed at or before ``ts``
+        (epoch seconds). Raises if every retained snapshot is newer —
+        never silently reads a state that did not exist at ``ts``."""
+        best = None
+        for v in self._retained_versions():
+            s = self.snapshot(v)
+            if s.ts and s.ts <= ts and (best is None or v > best):
+                best = v
+        if best is None:
+            raise NoSuchTable(
+                f"{self.path}: no retained snapshot committed at or "
+                f"before ts={ts}"
+            )
+        return best
+
+    def _tag_file(self, name: str) -> str:
+        return os.path.join(self.meta_path, f"tag-{name}.json")
+
+    def create_tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under an immutable name (Iceberg tag).
+        O_EXCL create — a tag can never be reassigned, so a reader
+        holding the name always sees the same bytes; racing creators of
+        one name: one wins, one gets FileExistsError. Tagged snapshots
+        and their files survive expire_snapshots."""
+        if self.branch_name is not None:
+            raise ValueError("tags live on the main table handle")
+        if not name or not all(c.isalnum() or c in "_-." for c in name):
+            raise ValueError(f"invalid tag name: {name!r}")
+        snap = self.snapshot(version)
+        fd = os.open(self._tag_file(name),
+                     os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
+        with os.fdopen(fd, "w") as f:
+            json.dump({"name": name, "version": snap.version,
+                       "ts": time.time()}, f)
+        return snap.version
+
+    def list_tags(self) -> dict[str, int]:
+        if not os.path.isdir(self.meta_path):
+            return {}
+        out: dict[str, int] = {}
+        for fn in os.listdir(self.meta_path):
+            if fn.startswith("tag-") and fn.endswith(".json"):
+                with open(os.path.join(self.meta_path, fn)) as f:
+                    d = json.load(f)
+                out[d["name"]] = d["version"]
+        return out
+
+    def tag_version(self, name: str) -> int:
+        try:
+            with open(self._tag_file(name)) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            raise NoSuchTable(f"{self.path} tag {name!r}") from None
+
+    def drop_tag(self, name: str) -> None:
+        """Release the pin; the snapshot becomes expirable again."""
+        try:
+            os.unlink(self._tag_file(name))
+        except FileNotFoundError:
+            raise NoSuchTable(f"{self.path} tag {name!r}") from None
+
     # -- commits ------------------------------------------------------------
 
     def _commit(
@@ -1067,6 +1213,7 @@ class IceliteTable:
         epoch_id: str | None,
         properties: dict | None,
         n_buckets: int | None = None,
+        operation: str = "append",
     ) -> Snapshot:
         new = Snapshot(
             version=base.version + 1,
@@ -1084,6 +1231,8 @@ class IceliteTable:
                 if v is not None
             },
             epochs=base.epochs + ([epoch_id] if epoch_id else []),
+            ts=time.time(),
+            operation=operation,
         )
         _atomic_write_json(self._version_file(new.version), new.to_json())
         return new
@@ -1249,7 +1398,8 @@ class IceliteTable:
         schema = snap.current_schema
         new_files = self._write_datafiles(_cast_to(df, schema), schema, len(snap.schemas) - 1,
                                           bucketed=bool(snap.key_cols))
-        return self._commit(snap, new_files, snap.schemas, epoch_id, properties)
+        return self._commit(snap, new_files, snap.schemas, epoch_id, properties,
+                            operation="overwrite")
 
     def evolve_schema(self, new_schema: T.StructType) -> Snapshot:
         """Add-column / widening evolution. Existing files are untouched.
@@ -1277,6 +1427,7 @@ class IceliteTable:
         return self._commit(
             snap, snap.files, snap.schemas + [new_schema.json()], None,
             {"schema_evolved_at_version": snap.version + 1},
+            operation="evolve-schema",
         )
 
     # -- MERGE --------------------------------------------------------------
@@ -1323,7 +1474,8 @@ class IceliteTable:
             r["__bucket"] for r in upd.select("__bucket").distinct().collect()
         )
         if not touched:
-            return self._commit(snap, snap.files, snap.schemas, epoch_id, properties)
+            return self._commit(snap, snap.files, snap.schemas, epoch_id,
+                                properties, operation="merge")
 
         base = self.read(buckets=touched).withColumn(
             "__bucket", bucket_expr(key_cols, snap.n_buckets)
@@ -1366,7 +1518,8 @@ class IceliteTable:
         tset = set(touched)
         kept = [f_ for f_ in snap.files if f_.bucket not in tset]
         # new_files may include empty buckets only if data landed there; fine
-        return self._commit(snap, kept + new_files, snap.schemas, epoch_id, properties)
+        return self._commit(snap, kept + new_files, snap.schemas, epoch_id,
+                            properties, operation="merge")
 
     # -- merge-on-read (delta) path -----------------------------------------
 
@@ -1539,15 +1692,13 @@ class IceliteTable:
             # a branch chain shares data files with main: expiring from
             # the branch's view could delete files main still references
             raise ValueError("run maintenance on the main table handle")
-        versions = sorted(
-            int(f[1:-5])
-            for f in os.listdir(self.meta_path)
-            if f.startswith("v") and f.endswith(".json")
-        )
-        expire = versions[:-keep_last] if keep_last > 0 else []
+        versions = self._retained_versions()
+        tagged = set(self.list_tags().values())
+        expire = [v for v in (versions[:-keep_last] if keep_last > 0 else [])
+                  if v not in tagged]
         if not expire:
             return {"expired_snapshots": 0, "deleted_files": 0}
-        keep = versions[-keep_last:]
+        keep = [v for v in versions if v not in expire]
         referenced = _with_sidecars({
             f_.path for v in keep for f_ in self.snapshot(v).files
         } | self._branch_referenced_files())
@@ -1570,11 +1721,7 @@ class IceliteTable:
         remove_orphan_files. Live branches' files are retained."""
         if self.branch_name is not None:
             raise ValueError("run maintenance on the main table handle")
-        versions = sorted(
-            int(f[1:-5])
-            for f in os.listdir(self.meta_path)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        versions = self._retained_versions()
         referenced = _with_sidecars(
             {f_.path for v in versions for f_ in self.snapshot(v).files}
             | self._branch_referenced_files()
@@ -1693,6 +1840,8 @@ class IceliteTable:
             properties={**head.properties,
                         "published_branch": name},
             epochs=head.epochs,
+            ts=time.time(),
+            operation="publish-branch",
         )
         _atomic_write_json(self._version_file(new.version), new.to_json())
         return new
@@ -1895,6 +2044,7 @@ class IceliteTable:
                     cur, kept + new_files, cur.schemas, None,
                     {**(properties or {}),
                      "compacted_at_version": cur.version + 1},
+                    operation="compact",
                 )
             except CommitConflict as e:
                 last = e
@@ -1942,7 +2092,8 @@ class IceliteTable:
         if not snap.files:
             return self._commit(snap, [], snap.schemas, None,
                                 {"split_at_version": snap.version + 1},
-                                n_buckets=snap.n_buckets * factor)
+                                n_buckets=snap.n_buckets * factor,
+                                operation="split-buckets")
         new_n = snap.n_buckets * factor
         schema = snap.current_schema
         raw = self.read(resolve=False)  # base+delta union with __op
@@ -1968,4 +2119,5 @@ class IceliteTable:
             snap, new_files, snap.schemas, None,
             {"split_at_version": snap.version + 1},
             n_buckets=new_n,
+            operation="split-buckets",
         )

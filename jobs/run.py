@@ -250,6 +250,27 @@ def cmd_status(args) -> int:
     return 0
 
 
+def cmd_history(args) -> int:
+    """One JSON line per retained snapshot — commit time, operation,
+    totals (the table's audit log; `icelite.history()` as a CLI)."""
+    from etl_spark.icelite.table import IceliteTable
+
+    spark = _spark(args)
+    t = IceliteTable.load(spark, args.target)
+    for r in t.history().orderBy("version").collect():
+        print(json.dumps({
+            "version": r.version,
+            "committed_at": str(r.committed_at) if r.committed_at else None,
+            "operation": r.operation,
+            "files": r.n_files, "delta_files": r.n_delta_files,
+            "rows": r.total_rows, "bytes": r.total_bytes,
+            "epochs": r.n_epochs, "buckets": r.n_buckets,
+        }))
+    for name, v in sorted(t.list_tags().items()):
+        print(json.dumps({"tag": name, "version": v}))
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Replay-equality audit: recompute LWW final state from the full
     event log and diff it against the live table (the reference's
@@ -361,12 +382,15 @@ def main() -> int:
     p.add_argument("--events", required=True)
     p.add_argument("--target", required=True)
 
+    p = sub.add_parser("history")
+    p.add_argument("--target", required=True)
+
     args = ap.parse_args()
     return {
         "init": cmd_init, "apply": cmd_apply, "stream": cmd_stream,
         "compact": cmd_compact, "split": cmd_split, "expire": cmd_expire,
         "mirror": cmd_mirror, "rollup": cmd_rollup,
-        "status": cmd_status, "verify": cmd_verify,
+        "status": cmd_status, "verify": cmd_verify, "history": cmd_history,
     }[args.cmd](args)
 
 

@@ -43,8 +43,14 @@ def test_cli_lifecycle(spark, tbl_dir, capsys):
     assert cli.cmd_compact(_ns(target=t, final_below_seq=1 << 60)) == 0
     assert cli.cmd_expire(_ns(target=t, keep_last=1, vacuum=True)) == 0
     assert cli.cmd_verify(_ns(events=events_dir, target=t)) == 0
+    assert cli.cmd_history(_ns(target=t)) == 0
     out = [json.loads(l) for l in capsys.readouterr().out.strip().splitlines()
            if l.startswith("{")]
+    # history: one line per retained snapshot, expire kept only the head
+    hist = [o for o in out if "operation" in o]
+    assert len(hist) == 1 and hist[0]["operation"] == "compact"
+    assert hist[0]["delta_files"] == 0 and hist[0]["rows"] > 0
+    out = [o for o in out if "operation" not in o]
     assert out[-1]["ok"] is True          # verify: replay-equality holds
     assert out[-2]["expired_snapshots"] >= 1
     assert out[-3]["after"]["delta_files"] == 0  # compaction folded deltas

@@ -106,14 +106,14 @@ def test_compaction_rebases_over_racing_append(spark, tbl_dir, monkeypatch):
     orig = IceliteTable._commit
     fired = {"v": False}
 
-    def hooked(self, base, files, schemas, epoch_id, properties):
+    def hooked(self, base, files, schemas, epoch_id, properties, **kw):
         if not fired["v"] and self is tgt:
             fired["v"] = True  # racing append wins the version race
             ev2 = gen.synthetic_events(spark, 300, n_repos=10, seed=3,
                                        start_seq=500)
             apply_epoch(spark, ev2, other, None, epoch_id="e2",
                         compact_max_delta_files=10_000)
-        return orig(self, base, files, schemas, epoch_id, properties)
+        return orig(self, base, files, schemas, epoch_id, properties, **kw)
 
     monkeypatch.setattr(IceliteTable, "_commit", hooked)
     tgt.compact()
@@ -152,11 +152,11 @@ def test_compaction_aborts_when_read_set_rewritten(spark, tbl_dir, monkeypatch):
     orig = IceliteTable._commit
     fired = {"v": False}
 
-    def hooked(self, base, files, schemas, epoch_id, properties):
+    def hooked(self, base, files, schemas, epoch_id, properties, **kw):
         if not fired["v"] and self is tgt:
             fired["v"] = True
             other.compact()  # the WINNER rewrites the read set first
-        return orig(self, base, files, schemas, epoch_id, properties)
+        return orig(self, base, files, schemas, epoch_id, properties, **kw)
 
     monkeypatch.setattr(IceliteTable, "_commit", hooked)
     with pytest.raises(CommitConflict, match="read set was rewritten"):

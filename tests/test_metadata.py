@@ -1,0 +1,125 @@
+"""Metadata tables, timestamp time travel, and immutable snapshot tags
+(Iceberg's history/files metadata tables and named refs)."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_spark.icelite.table import IceliteTable, NoSuchTable
+from etl_spark.operators.apply import apply_epoch
+
+EV_SCHEMA = (
+    "seq long, op string, repo string, path string, commit string, "
+    "lang string, content string"
+)
+
+
+def _target(spark, path, n_buckets=4):
+    return IceliteTable.create(
+        spark, path,
+        T.StructType([
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("path", T.StringType(), False),
+            T.StructField("commit", T.StringType(), True),
+            T.StructField("lang", T.StringType(), True),
+            T.StructField("content_sha256", T.StringType(), True),
+            T.StructField("last_seq", T.LongType(), False),
+        ]),
+        key_cols=("repo", "path"), n_buckets=n_buckets,
+    )
+
+
+def _events(spark, prefix, lo, n):
+    rows = [
+        (lo + i, "insert", f"{prefix}{i}", "p", f"c{lo + i}", "py", f"x{i}")
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, EV_SCHEMA)
+
+
+def test_history_records_operations_and_totals(spark, tbl_dir):
+    t = _target(spark, os.path.join(tbl_dir, "h"))
+    apply_epoch(spark, _events(spark, "a", 1, 30), t, None, epoch_id="e1")
+    apply_epoch(spark, _events(spark, "b", 101, 30), t, None, epoch_id="e2")
+    t.compact()
+    hist = t.history().orderBy("version").collect()
+    assert [r.version for r in hist] == [0, 1, 2, 3, 4]
+    assert [r.operation for r in hist] == [
+        "create", "evolve-schema", "append", "append", "compact"]
+    # commit times are set and non-decreasing
+    ts = [r.committed_at for r in hist]
+    assert all(x is not None for x in ts) and ts == sorted(ts)
+    assert [r.n_epochs for r in hist] == [0, 0, 1, 2, 2]
+    assert hist[0].total_rows == 0 and hist[-1].total_rows == 60
+    # compaction folded the deltas away
+    assert hist[3].n_delta_files > 0 and hist[-1].n_delta_files == 0
+
+    f = t.files_df().collect()
+    assert len(f) == hist[-1].n_files
+    assert all(r.kind == "base" and r.rows > 0 and r.bytes > 0 for r in f)
+    # delta files carry bloom sidecars; compacted bases do not
+    f1 = t.files_df(version=1).collect()
+    assert all(r.has_bloom for r in f1 if r.kind == "delta")
+
+
+def test_version_as_of_resolves_commit_instants(spark, tbl_dir):
+    t = _target(spark, os.path.join(tbl_dir, "a"))
+    apply_epoch(spark, _events(spark, "a", 1, 10), t, None, epoch_id="e1")
+    time.sleep(0.02)
+    mid = time.time()
+    time.sleep(0.02)
+    apply_epoch(spark, _events(spark, "b", 101, 10), t, None, epoch_id="e2")
+    assert t.version_as_of(mid) == 2  # create, evolve-schema, append
+    assert t.read(as_of=mid).count() == 10
+    assert t.read(as_of=time.time()).count() == 20
+    # before the table existed: loud, never an empty guess
+    with pytest.raises(NoSuchTable):
+        t.version_as_of(t.snapshot(0).ts - 1.0)
+    with pytest.raises(ValueError):
+        t.read(version=1, as_of=mid)
+
+
+def test_tags_pin_snapshots_through_expiry(spark, tbl_dir):
+    t = _target(spark, os.path.join(tbl_dir, "t"))
+    apply_epoch(spark, _events(spark, "a", 1, 10), t, None, epoch_id="e1")
+    v = t.create_tag("audited")
+    assert v == 2 and t.list_tags() == {"audited": 2}
+    # immutable: re-pointing the same name is refused
+    with pytest.raises(FileExistsError):
+        t.create_tag("audited")
+
+    apply_epoch(spark, _events(spark, "b", 101, 10), t, None, epoch_id="e2")
+    t.compact()
+    for i in range(3, 9):
+        apply_epoch(spark, _events(spark, "c", 1000 * i, 5), t, None,
+                    epoch_id=f"e{i}")
+    tagged_files = {f_.path for f_ in t.snapshot(2).files}
+    res = t.expire_snapshots(keep_last=2)
+    assert res["expired_snapshots"] > 0
+    # the tagged snapshot, its manifest, and its files all survive
+    assert t.tag_version("audited") == 2
+    tagged = t.read(tag="audited")
+    assert tagged.count() == 10
+    assert all(
+        os.path.exists(os.path.join(t.data_path, p)) for p in tagged_files
+    )
+    # untagged old versions are gone
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(3)
+
+    # releasing the pin makes it expirable again
+    t.drop_tag("audited")
+    with pytest.raises(NoSuchTable):
+        t.tag_version("audited")
+    t.expire_snapshots(keep_last=2)
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(2)
+    t.vacuum_orphans()
+    assert not any(
+        os.path.exists(os.path.join(t.data_path, p)) for p in tagged_files
+    )
+    assert t.read().count() > 0
