@@ -1203,6 +1203,46 @@ class IceliteTable:
         except FileNotFoundError:
             raise NoSuchTable(f"{self.path} tag {name!r}") from None
 
+    def rollback(self, version: int) -> Snapshot:
+        """Restore an earlier snapshot's state as a NEW commit (Iceberg
+        rollback): file set, schema list, properties AND epoch ledger
+        all revert, history is preserved. Metadata-only — no data IO,
+        no files deleted (the rolled-back versions' files stay on disk
+        until expire/vacuum, so a rollback is itself reversible by
+        rolling "back" to the bad head). Reverting the epoch ledger is
+        what makes this compose with exactly-once: epochs committed
+        after ``version`` are forgotten, so redelivering the stream
+        re-applies exactly those epochs (minus whichever bad one the
+        operator withholds or fixes) and converges as any replay does.
+        Optimistic commit like append: loses cleanly to a racing
+        writer."""
+        old = self.snapshot(version)  # raises if expired/unknown
+        for attempt in range(10):
+            _backoff_sleep(attempt)
+            cur = self.snapshot()
+            if cur.version == version:
+                return cur  # already there — nothing to undo
+            try:
+                new = Snapshot(
+                    version=cur.version + 1,
+                    schemas=old.schemas,
+                    n_buckets=old.n_buckets,
+                    key_cols=old.key_cols,
+                    files=old.files,
+                    properties={**old.properties,
+                                "rolled_back_to": version},
+                    epochs=old.epochs,
+                    ts=time.time(),
+                    operation="rollback",
+                )
+                _atomic_write_json(
+                    self._version_file(new.version), new.to_json()
+                )
+                return new
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"rollback lost 10 races on {self.path}")
+
     # -- commits ------------------------------------------------------------
 
     def _commit(

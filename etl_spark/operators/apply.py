@@ -28,6 +28,7 @@ events, which carry no data), ``rejected`` = validation failures.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.accumulators import AccumulatorParam
@@ -114,6 +115,52 @@ def _updates_frame(valid: DataFrame, target_schema: T.StructType) -> DataFrame:
     return winners.select(*sel, F.col("op"))
 
 
+def _quarantine_dir(qroot: str, epoch_id: str) -> str:
+    # Hadoop Path treats ':' in a child segment as a URI scheme and '/'
+    # as a separator — sanitize to a charset every filesystem accepts,
+    # with a short digest so distinct epoch ids can never collide
+    safe = "".join(
+        c if c.isalnum() or c in "._-" else "_" for c in epoch_id
+    )
+    if safe != epoch_id:
+        import hashlib
+        safe += "-" + hashlib.md5(epoch_id.encode()).hexdigest()[:8]
+    return os.path.join(qroot, safe)
+
+
+def _write_quarantine(events: DataFrame, qroot: str, epoch_id: str) -> None:
+    """Dead-letter the epoch's rejected events to ``<qroot>/<epoch>/``
+    with a reason column (bad_op | null_key — the same JVM predicate
+    the accounting metrics use, so counts agree by construction).
+    Overwrite-per-epoch makes redelivery idempotent; callers invoke
+    this ONLY when the epoch observed rejects, so the happy path never
+    pays the extra scan. Rejects above the quality gate abort the
+    epoch instead — quarantine holds the sub-gate tail that was
+    previously counted and then silently dropped."""
+    bad_op = ~F.col("op").isin(*schemas.VALID_OPS)
+    invalid = bad_op
+    for k in schemas.KEY_COLS:
+        invalid = invalid | F.col(k).isNull()
+    (
+        events.where(invalid)
+        .withColumn(
+            "reject_reason",
+            F.when(bad_op, F.lit("bad_op")).otherwise(F.lit("null_key")),
+        )
+        .withColumn("quarantined_epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        .parquet(_quarantine_dir(qroot, epoch_id))
+    )
+
+
+def read_quarantine(spark: SparkSession, qroot: str) -> DataFrame:
+    """All dead-lettered events with their reject reason and epoch —
+    the triage/requeue surface after an upstream producer is fixed."""
+    return (
+        spark.read.option("recursiveFileLookup", "true").parquet(qroot)
+    )
+
+
 def apply_epoch(
     spark: SparkSession,
     events: DataFrame,
@@ -126,6 +173,7 @@ def apply_epoch(
     compact_max_delta_files: int = 16,
     dedup_mode: str = "winnow",
     winseq_broadcast: bool = True,
+    quarantine: str | None = None,
 ) -> ApplyStats:
     """Apply one epoch of change events. Idempotent per epoch_id.
 
@@ -167,10 +215,20 @@ def apply_epoch(
     All modes produce the identical logical state (asserted in tests);
     compaction commutes with replay."""
     if target.has_epoch(epoch_id):
-        # redelivered epoch: complete a possibly-missing lineage append,
-        # then no-op (crash-between-commits recovery).
+        # redelivered epoch: complete a possibly-missing lineage append
+        # and quarantine write, then no-op (crash-between-commits
+        # recovery). The epoch:<id> props survive exactly until the
+        # lineage append lands, which is also the window in which the
+        # quarantine write can have been lost — so props-present is the
+        # only case needing the backfill check.
+        props = target.snapshot().properties.get(f"epoch:{epoch_id}", {})
+        if (
+            quarantine is not None
+            and int(props.get("rejected") or 0) > 0
+            and not os.path.exists(_quarantine_dir(quarantine, epoch_id))
+        ):
+            _write_quarantine(events, quarantine, epoch_id)
         if lineage is not None and not lineage.has_epoch(epoch_id):
-            props = target.snapshot().properties.get(f"epoch:{epoch_id}", {})
             rows = [tuple(r) for r in props.get("lineage_rows", [])]
             lineage.append_rows_local(rows, epoch_id=epoch_id)
         return ApplyStats(epoch_id, 0, 0, 0, 0, None, skipped=True)
@@ -472,6 +530,11 @@ def apply_epoch(
             raise ValueError(f"unknown merge_mode {merge_mode!r}")
 
     deduped = events_in - rejected - applied
+    # dead-letter BEFORE the lineage append: lineage-committed implies
+    # quarantine-written, so the redelivery backfill above only ever
+    # needs to look while the epoch props are still alive
+    if quarantine is not None and rejected > 0:
+        _write_quarantine(events, quarantine, epoch_id)
     if lineage is not None:
         lineage.append_rows_local(lineage_rows, epoch_id=epoch_id)
     stats = ApplyStats(
@@ -525,6 +588,7 @@ def replay(
     ledger: SchemaLedger | None = None,
     epoch_prefix: str = "replay",
     merge_mode: str = "delta",
+    quarantine: str | None = None,
 ) -> list[ApplyStats]:
     """Batch replay of a bounded stream in seq-ordered epochs.
 
@@ -547,7 +611,7 @@ def replay(
             apply_epoch(
                 spark, chunk, target, lineage,
                 epoch_id=f"{epoch_prefix}:{lo}", ledger=ledger,
-                merge_mode=merge_mode,
+                merge_mode=merge_mode, quarantine=quarantine,
             )
         )
         lo = hi

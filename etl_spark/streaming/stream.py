@@ -49,6 +49,8 @@ class TailerConfig:
     max_reject_frac: float = 0.10
     schema_version: int = 1
     ledger: SchemaLedger | None = field(default=None)
+    # dead-letter dir for sub-gate rejects (None = count-and-drop)
+    quarantine: str | None = None
 
     def event_schema(self):
         return schemas.events_schema(self.schema_version)
@@ -101,6 +103,7 @@ def _foreach_batch(cfg: TailerConfig):
             epoch_id=f"{cfg.epoch_prefix}:{batch_id}",
             ledger=cfg.ledger,
             max_reject_frac=cfg.max_reject_frac,
+            quarantine=cfg.quarantine,
         )
 
     return handle

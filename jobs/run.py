@@ -66,6 +66,7 @@ def cmd_apply(args) -> int:
     stats = replay(
         spark, events, target, lineage,
         epoch_size=args.epoch_size, merge_mode=args.merge_mode,
+        quarantine=getattr(args, "quarantine", None),
     )
     for s in stats:
         print(json.dumps(s.__dict__))
@@ -271,6 +272,22 @@ def cmd_history(args) -> int:
     return 0
 
 
+def cmd_rollback(args) -> int:
+    """Restore an earlier snapshot as a new commit (state, schema AND
+    epoch ledger revert — redelivery then re-applies the undone
+    epochs). Metadata-only and itself reversible until expire."""
+    from etl_spark.icelite.table import IceliteTable
+
+    spark = _spark(args)
+    t = IceliteTable.load(spark, args.target)
+    snap = t.rollback(args.to_version)
+    print(json.dumps({
+        "version": snap.version, "rolled_back_to": args.to_version,
+        "rows": sum(f.rows for f in snap.files), "epochs": len(snap.epochs),
+    }))
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Replay-equality audit: recompute LWW final state from the full
     event log and diff it against the live table (the reference's
@@ -319,6 +336,8 @@ def main() -> int:
     p.add_argument("--lineage", default=None)
     p.add_argument("--epoch-size", type=int, default=1 << 60)
     p.add_argument("--merge-mode", default="delta", choices=["delta", "cow"])
+    p.add_argument("--quarantine", default=None,
+                   help="dead-letter dir for sub-gate rejected events")
 
     p = sub.add_parser("stream")
     p.add_argument("--wal", required=True)
@@ -385,12 +404,17 @@ def main() -> int:
     p = sub.add_parser("history")
     p.add_argument("--target", required=True)
 
+    p = sub.add_parser("rollback")
+    p.add_argument("--target", required=True)
+    p.add_argument("--to-version", type=int, required=True)
+
     args = ap.parse_args()
     return {
         "init": cmd_init, "apply": cmd_apply, "stream": cmd_stream,
         "compact": cmd_compact, "split": cmd_split, "expire": cmd_expire,
         "mirror": cmd_mirror, "rollup": cmd_rollup,
         "status": cmd_status, "verify": cmd_verify, "history": cmd_history,
+        "rollback": cmd_rollback,
     }[args.cmd](args)
 
 

@@ -123,3 +123,27 @@ def test_tags_pin_snapshots_through_expiry(spark, tbl_dir):
         os.path.exists(os.path.join(t.data_path, p)) for p in tagged_files
     )
     assert t.read().count() > 0
+
+
+def test_rollback_restores_state_and_epoch_ledger(spark, tbl_dir):
+    t = _target(spark, os.path.join(tbl_dir, "r"))
+    apply_epoch(spark, _events(spark, "a", 1, 20), t, None, epoch_id="e1")
+    v_good = t.current_version()
+    state_good = sorted(tuple(r) for r in t.read().collect())
+    apply_epoch(spark, _events(spark, "b", 101, 20), t, None, epoch_id="e2")
+    state_both = sorted(tuple(r) for r in t.read().collect())
+
+    snap = t.rollback(v_good)
+    assert snap.operation == "rollback"
+    assert sorted(tuple(r) for r in t.read().collect()) == state_good
+    # the bad epoch is forgotten → redelivery re-applies, not skips
+    assert not t.has_epoch("e2") and t.has_epoch("e1")
+    s = apply_epoch(spark, _events(spark, "b", 101, 20), t, None,
+                    epoch_id="e2")
+    assert not s.skipped
+    assert sorted(tuple(r) for r in t.read().collect()) == state_both
+    # history keeps the whole story, including the rollback commit
+    ops = [r.operation for r in t.history().orderBy("version").collect()]
+    assert "rollback" in ops
+    # rollback to the current head is a no-op
+    assert t.rollback(t.current_version()).version == t.current_version()

@@ -1,0 +1,95 @@
+"""Dead-letter quarantine for sub-gate rejected events: rejects are
+persisted with reasons instead of count-and-drop, idempotently under
+redelivery, including the crash-between-commits backfill window."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from etl_spark import gen
+from etl_spark.operators.apply import (
+    apply_epoch,
+    create_lineage,
+    create_target,
+    read_quarantine,
+    replay,
+)
+
+
+def _fresh(spark, tbl_dir):
+    tgt = create_target(spark, os.path.join(tbl_dir, "t"), n_buckets=8)
+    lin = create_lineage(spark, os.path.join(tbl_dir, "l"))
+    return tgt, lin
+
+
+def test_quarantine_captures_rejects_with_reasons(spark, tbl_dir):
+    ev = gen.synthetic_events(spark, 1000, n_repos=20, seed=23,
+                              corrupt_frac=0.05)
+    tgt, lin = _fresh(spark, tbl_dir)
+    q = os.path.join(tbl_dir, "q")
+    s = apply_epoch(spark, ev, tgt, lin, epoch_id="e1", quarantine=q)
+    assert s.rejected > 0
+    dead = read_quarantine(spark, q)
+    # quarantine row count == the accounting's reject count (same JVM
+    # predicate on both sides)
+    assert dead.count() == s.rejected
+    reasons = {r.reject_reason for r in
+               dead.select("reject_reason").distinct().collect()}
+    assert reasons == {"bad_op"}  # corrupt_frac only forges bad ops
+    assert dead.where(F.col("quarantined_epoch") == "e1").count() == s.rejected
+    # original event columns ride along for triage/requeue
+    assert {"seq", "op", "repo", "path"} <= set(dead.columns)
+    # the rejected rows are really the invalid ones
+    assert dead.where(F.col("op") == "bogus").count() == s.rejected
+
+
+def test_quarantine_idempotent_and_happy_path_writes_nothing(spark, tbl_dir):
+    tgt, lin = _fresh(spark, tbl_dir)
+    q = os.path.join(tbl_dir, "q")
+    clean = gen.synthetic_events(spark, 500, n_repos=10, seed=7)
+    apply_epoch(spark, clean, tgt, lin, epoch_id="clean", quarantine=q)
+    assert not os.path.exists(q)  # zero rejects → zero IO, no dir
+
+    bad = gen.synthetic_events(spark, 500, n_repos=10, seed=9,
+                               corrupt_frac=0.1, start_seq=10_000)
+    s = apply_epoch(spark, bad, tgt, lin, epoch_id="bad", quarantine=q)
+    v = tgt.current_version()
+    # redelivery: no new table version, quarantine not duplicated
+    s2 = apply_epoch(spark, bad, tgt, lin, epoch_id="bad", quarantine=q)
+    assert s2.skipped and tgt.current_version() == v
+    assert read_quarantine(spark, q).count() == s.rejected
+
+
+def test_redelivery_backfills_lost_quarantine(spark, tbl_dir):
+    """Crash window: target committed, quarantine write lost. The
+    epoch props still carry rejected>0 (lineage has not pruned them),
+    so the redelivery path rewrites the quarantine dir."""
+    tgt, lin = _fresh(spark, tbl_dir)
+    q = os.path.join(tbl_dir, "q")
+    bad = gen.synthetic_events(spark, 500, n_repos=10, seed=9,
+                               corrupt_frac=0.06)
+    s = apply_epoch(spark, bad, tgt, lin, epoch_id="bad", quarantine=q)
+    shutil.rmtree(q)  # simulate the lost write
+    s2 = apply_epoch(spark, bad, tgt, lin, epoch_id="bad", quarantine=q)
+    assert s2.skipped
+    assert read_quarantine(spark, q).count() == s.rejected
+
+
+def test_replay_threads_quarantine_through_epochs(spark, tbl_dir):
+    tgt, lin = _fresh(spark, tbl_dir)
+    q = os.path.join(tbl_dir, "q")
+    ev = gen.synthetic_events(spark, 2000, n_repos=25, seed=47,
+                              corrupt_frac=0.07)
+    stats = replay(spark, ev, tgt, lin, epoch_size=600, quarantine=q)
+    total_rej = sum(s.rejected for s in stats)
+    assert total_rej > 0
+    dead = read_quarantine(spark, q)
+    assert dead.count() == total_rej
+    # per-epoch counts line up with per-epoch accounting
+    got = {r.quarantined_epoch: r.n for r in
+           dead.groupBy("quarantined_epoch").agg(F.count("*").alias("n"))
+           .collect()}
+    assert got == {s.epoch_id: s.rejected for s in stats if s.rejected}
