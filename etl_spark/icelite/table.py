@@ -710,6 +710,7 @@ class IceliteTable:
         file_filter=None,
         as_of: float | None = None,
         tag: str | None = None,
+        columns: Sequence[str] | None = None,
     ) -> DataFrame:
         """Read a snapshot, optionally pruned to a bucket subset.
 
@@ -726,7 +727,16 @@ class IceliteTable:
         Time travel: exactly one of ``version`` (snapshot number),
         ``as_of`` (epoch seconds — newest snapshot committed at or
         before that instant), or ``tag`` (named immutable snapshot,
-        see ``create_tag``) may be given."""
+        see ``create_tag``) may be given.
+
+        ``columns``: project the read down to these columns. A plain
+        ``.select()`` after a resolved MoR read cannot prune the scan —
+        the LWW resolve materializes ``max_by(struct(<all columns>))``,
+        so Catalyst must read every column of every delta stack.
+        Passing ``columns`` instead shrinks the schema BEFORE the
+        resolve; winners are decided by (key, last_seq, base-flag)
+        alone, so the projected resolve returns exactly the same rows
+        with only the requested columns read from parquet."""
         if sum(x is not None for x in (version, as_of, tag)) > 1:
             raise ValueError("version, as_of and tag are mutually exclusive")
         if as_of is not None:
@@ -735,6 +745,19 @@ class IceliteTable:
             version = self.tag_version(tag)
         snap = self.snapshot(version)
         schema = snap.current_schema
+        out_cols: list[str] | None = None
+        if columns is not None:
+            have = {f_.name for f_ in schema.fields}
+            missing = [c for c in columns if c not in have]
+            if missing:
+                raise ValueError(f"columns not in schema: {missing}")
+            out_cols = list(columns)
+            needed = set(out_cols) | set(snap.key_cols)
+            if "last_seq" in have:
+                needed.add("last_seq")  # the resolve's ranking column
+            schema = T.StructType(
+                [f_ for f_ in schema.fields if f_.name in needed]
+            )
         files = snap.files
         if buckets is not None:
             bset = set(buckets)
@@ -744,29 +767,37 @@ class IceliteTable:
             # "key definitely absent" proof) — resolution over the
             # surviving subset must be equivalent FOR THE CALLER'S KEYS
             files = [f_ for f_ in files if file_filter(f_)]
+        def proj(df: DataFrame, with_op: bool = False) -> DataFrame:
+            # caller-requested projection, in the caller's column order
+            if out_cols is None:
+                return df
+            return df.select(*out_cols, *(["__op"] if with_op else []))
+
         if not files:
-            return self.spark.createDataFrame([], schema)
+            return proj(self.spark.createDataFrame([], schema))
         if not resolve:
             # resolve=False is the RAW view: every committed row, base
             # AND delta, with a __op provenance column ('base' for base
             # rows) — never a silently-stale base-only subset. Callers
             # wanting final state use the default resolve=True.
             out = self._read_file_group(snap, files, schema, with_op=True)
-            return out if out is not None else self.spark.createDataFrame(
+            return proj(out if out is not None else self.spark.createDataFrame(
                 [], T.StructType(schema.fields
                                  + [T.StructField("__op", T.StringType(), True)])
-            )
+            ), with_op=True)
         has_delta = any(f_.kind == "delta" for f_ in files)
         if not has_delta:
             out = self._read_file_group(snap, files, schema,
                                         with_op=keep_deletes)
             if out is not None:
-                return out
+                return proj(out, with_op=keep_deletes)
             if keep_deletes:
                 schema = T.StructType(
                     schema.fields + [T.StructField("__op", T.StringType(), True)]
                 )
-            return self.spark.createDataFrame([], schema)
+                return proj(self.spark.createDataFrame([], schema),
+                            with_op=True)
+            return proj(self.spark.createDataFrame([], schema))
         all_rows = self._read_file_group(snap, files, schema, with_op=True)
         seq_col = "last_seq" if "last_seq" in [f_.name for f_ in schema.fields] else None
         if seq_col is None:
@@ -783,8 +814,10 @@ class IceliteTable:
             .select("__r.*")
         )
         if keep_deletes:
-            return winners
-        return winners.where(F.col("__op") != "delete").select(*data_cols)
+            return proj(winners, with_op=True)
+        return proj(
+            winners.where(F.col("__op") != "delete").select(*data_cols)
+        )
 
     def incremental_files(self, from_version: int, to_version: int | None = None) -> list[str]:
         """Data files added between two snapshots (incremental read)."""

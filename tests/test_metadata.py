@@ -147,3 +147,32 @@ def test_rollback_restores_state_and_epoch_ledger(spark, tbl_dir):
     assert "rollback" in ops
     # rollback to the current head is a no-op
     assert t.rollback(t.current_version()).version == t.current_version()
+
+
+def test_read_columns_prunes_scan_through_mor_resolve(spark, tbl_dir):
+    """A resolved MoR read of 2 columns must not read the other 4 from
+    parquet — `columns=` shrinks the schema BEFORE the LWW resolve
+    (plain .select() after read() cannot: the resolve's
+    max_by(struct(<all>)) pins every column into the scan)."""
+    from etl_spark import plans
+
+    t = _target(spark, os.path.join(tbl_dir, "p"))
+    apply_epoch(spark, _events(spark, "a", 1, 30), t, None, epoch_id="e1")
+    apply_epoch(spark, _events(spark, "b", 101, 30), t, None, epoch_id="e2")
+    assert any(f_.kind == "delta" for f_ in t.snapshot().files)
+
+    narrow = t.read(columns=["repo", "lang"])
+    assert narrow.columns == ["repo", "lang"]
+    schemas_read = plans.read_schemas(narrow)
+    assert schemas_read
+    assert all("content_sha256" not in s and "commit" not in s
+               for s in schemas_read)
+    # same rows as the full resolve, projected
+    full = {(r.repo, r.lang) for r in
+            t.read().select("repo", "lang").collect()}
+    assert {(r.repo, r.lang) for r in narrow.collect()} == full
+    # raw view keeps provenance; unknown columns are loud
+    raw = t.read(resolve=False, columns=["repo"])
+    assert raw.columns == ["repo", "__op"]
+    with pytest.raises(ValueError):
+        t.read(columns=["nope"])
