@@ -115,8 +115,12 @@ class RollupView:
         # re-runs the whole change-feed scan + shuffle
         deltas = ch.groupBy(*self.group_cols).agg(*aggs).persist()
         try:
+            # projected lookup: the merge rebuilds last_seq/op itself,
+            # so only the group keys and running aggregates are read
             cur = self.rollup.read_matching(
-                deltas.select(*self.group_cols))
+                deltas.select(*self.group_cols),
+                columns=[*self.group_cols, "n",
+                         *[f"sum_{c}" for c in self.sum_cols]])
             j = cur.join(deltas, self.group_cols, "full_outer")
             n_new = (F.coalesce(F.col("n"), F.lit(0))
                      + F.coalesce(F.col("__d_n"), F.lit(0)))

@@ -1052,14 +1052,20 @@ class IceliteTable:
         return self.read_matching(
             self.spark.createDataFrame(list(keys), key_schema))
 
-    def read_matching(self, keys_df: DataFrame) -> DataFrame:
+    def read_matching(
+        self, keys_df: DataFrame, columns: Sequence[str] | None = None,
+    ) -> DataFrame:
         """Resolved rows whose key appears in ``keys_df`` (any frame
         carrying the key columns). The keys are hashed with the same
         ``bucket_expr`` the writers use (one tiny job — xxhash64 must
         come from the JVM so driver and data agree), the bucket set
         prunes the manifest, and a broadcast left-semi join selects the
         rows. Callers pass small key sets (point lookups, a change
-        batch's touched groups); the collect is bounded by n_buckets."""
+        batch's touched groups); the collect is bounded by n_buckets.
+
+        ``columns``: same projection-before-resolve as ``read`` — the
+        key columns are always read (the semi-join needs them) but the
+        output carries exactly ``columns``."""
         snap = self.snapshot()
         if not snap.key_cols:
             raise ValueError("read_matching requires a keyed table")
@@ -1076,8 +1082,14 @@ class IceliteTable:
         for h in khashes:
             by_bucket.setdefault(h % snap.n_buckets, []).append(h)
         buckets = set(by_bucket)
+        read_cols = None
+        if columns is not None:
+            # the semi-join needs the keys in the scan; the caller gets
+            # exactly what they asked for
+            read_cols = list(dict.fromkeys([*key_cols, *columns]))
         if not buckets:
-            return self.spark.createDataFrame([], snap.current_schema)
+            empty = self.spark.createDataFrame([], snap.current_schema)
+            return empty.select(*columns) if columns is not None else empty
 
         from etl_spark.icelite import bloom as _bloom
 
@@ -1098,13 +1110,15 @@ class IceliteTable:
                 return True
             return _bloom.may_contain_any(blob, hs)
 
-        base = self.read(buckets=buckets, file_filter=keep)
+        base = self.read(buckets=buckets, file_filter=keep,
+                         columns=read_cols)
         # null-safe: a NULL key value must match its stored row
-        return base.join(
+        out = base.join(
             F.broadcast(kdf),
             [base[k].eqNullSafe(kdf[k]) for k in key_cols],
             "left_semi",
         )
+        return out.select(*columns) if columns is not None else out
 
     # -- epoch bookkeeping ---------------------------------------------------
 

@@ -176,3 +176,18 @@ def test_read_columns_prunes_scan_through_mor_resolve(spark, tbl_dir):
     assert raw.columns == ["repo", "__op"]
     with pytest.raises(ValueError):
         t.read(columns=["nope"])
+
+
+def test_read_matching_columns_projection(spark, tbl_dir):
+    t = _target(spark, os.path.join(tbl_dir, "rm"))
+    apply_epoch(spark, _events(spark, "a", 1, 20), t, None, epoch_id="e1")
+    keys = spark.createDataFrame([("a3", "p"), ("a7", "p")],
+                                 "repo string, path string")
+    got = t.read_matching(keys, columns=["repo", "commit"])
+    assert got.columns == ["repo", "commit"]
+    assert sorted(tuple(r) for r in got.collect()) == [
+        ("a3", "c4"), ("a7", "c8")]
+    # output may even omit the key columns; the semi-join still works
+    only_commit = t.read_matching(keys, columns=["commit"])
+    assert only_commit.columns == ["commit"]
+    assert only_commit.count() == 2
