@@ -1800,12 +1800,20 @@ class IceliteTable:
             os.unlink(self._version_file(v))
         return {"expired_snapshots": len(expire), "deleted_files": len(doomed)}
 
-    def vacuum_orphans(self) -> dict:
+    def vacuum_orphans(self, older_than_s: float = 0.0) -> dict:
         """Delete data files on disk referenced by NO retained snapshot
         (debris from aborted/crashed writes, and staged files of DROPPED
-        branches). NEVER run while a writer may hold
-        staged-but-uncommitted files — same contract as Iceberg's
-        remove_orphan_files. Live branches' files are retained."""
+        branches). Live branches' files are retained.
+
+        ``older_than_s``: only delete orphans whose mtime is at least
+        this old (Iceberg's remove_orphan_files ``older_than``). An
+        unreferenced file can be a write IN FLIGHT — staged delta files
+        exist on disk before their commit — so running with the default
+        0.0 while any writer is active can destroy a commit about to
+        land; with a window comfortably above the longest epoch write
+        (e.g. 3600), vacuum is safe to schedule alongside ingest: a
+        freshly-staged file is always younger than the window, and a
+        true orphan only gets older."""
         if self.branch_name is not None:
             raise ValueError("run maintenance on the main table handle")
         versions = self._retained_versions()
@@ -1813,13 +1821,17 @@ class IceliteTable:
             {f_.path for v in versions for f_ in self.snapshot(v).files}
             | self._branch_referenced_files()
         )
+        cutoff = time.time() - older_than_s
         deleted = 0
         for root, _dirs, files in os.walk(self.data_path, topdown=False):
             for fn in files:
                 fp = os.path.join(root, fn)
-                if os.path.relpath(fp, self.data_path) not in referenced:
-                    os.unlink(fp)
-                    deleted += 1
+                if os.path.relpath(fp, self.data_path) in referenced:
+                    continue
+                if older_than_s > 0 and os.path.getmtime(fp) > cutoff:
+                    continue  # too young to be provably abandoned
+                os.unlink(fp)
+                deleted += 1
             if root != self.data_path and not os.listdir(root):
                 os.rmdir(root)
         return {"deleted_files": deleted}

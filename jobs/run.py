@@ -153,7 +153,8 @@ def cmd_expire(args) -> int:
     t = IceliteTable.load(spark, args.target)
     out = t.expire_snapshots(keep_last=args.keep_last)
     if args.vacuum:
-        out["vacuum"] = t.vacuum_orphans()
+        out["vacuum"] = t.vacuum_orphans(
+            older_than_s=getattr(args, "vacuum_older_than", 0.0))
     print(json.dumps(out))
     return 0
 
@@ -370,6 +371,9 @@ def main() -> int:
     p.add_argument("--target", required=True)
     p.add_argument("--keep-last", type=int, default=5)
     p.add_argument("--vacuum", action="store_true")
+    p.add_argument("--vacuum-older-than", type=float, default=0.0,
+                   help="only delete orphans at least this many seconds "
+                        "old (safe-with-writers window)")
 
     p = sub.add_parser("mirror")
     p.add_argument("--source", required=True)

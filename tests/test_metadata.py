@@ -191,3 +191,21 @@ def test_read_matching_columns_projection(spark, tbl_dir):
     only_commit = t.read_matching(keys, columns=["commit"])
     assert only_commit.columns == ["commit"]
     assert only_commit.count() == 2
+
+
+def test_vacuum_age_window_spares_inflight_files(spark, tbl_dir):
+    """An unreferenced file younger than the window is a possible
+    in-flight write, not a provable orphan — vacuum must leave it."""
+    t = _target(spark, os.path.join(tbl_dir, "v"))
+    apply_epoch(spark, _events(spark, "a", 1, 10), t, None, epoch_id="e1")
+    staged = os.path.join(t.data_path, "inflight", "part-0.parquet")
+    os.makedirs(os.path.dirname(staged))
+    with open(staged, "wb") as f:
+        f.write(b"not yet committed")
+    assert t.vacuum_orphans(older_than_s=3600)["deleted_files"] == 0
+    assert os.path.exists(staged)
+    # age it past the window → now provably abandoned
+    os.utime(staged, (1, 1))
+    assert t.vacuum_orphans(older_than_s=3600)["deleted_files"] == 1
+    assert not os.path.exists(staged)
+    assert t.read().count() == 10
