@@ -75,11 +75,17 @@ def bench_queries() -> dict:
     ev = gen.derived_events(spark, SF_DIR)  # first call writes parquet
     timings["events_derivation"] = round(time.time() - t0, 3)
     n_events = ev.count()
-    tgt = create_target(spark, f"{tmp}/target", n_buckets=64)
-    lin = create_lineage(spark, f"{tmp}/lineage")
-    t0 = time.time()
-    replay(spark, ev, tgt, lin, epoch_size=1 << 60, epoch_prefix="bench")
-    timings["cdc_apply_full"] = round(time.time() - t0, 3)
+    # min-of-2 with a FRESH target per rep (epoch idempotency would
+    # short-circuit a re-replay into the same table); same host-noise
+    # rationale as the query loop below
+    reps = []
+    for r in range(2):
+        tgt = create_target(spark, f"{tmp}/target{r}", n_buckets=64)
+        lin = create_lineage(spark, f"{tmp}/lineage{r}")
+        t0 = time.time()
+        replay(spark, ev, tgt, lin, epoch_size=1 << 60, epoch_prefix="bench")
+        reps.append(time.time() - t0)
+    timings["cdc_apply_full"] = round(min(reps), 3)
     events_per_sec = round(n_events / timings["cdc_apply_full"], 1)
 
     for name in BENCH_QUERIES:
@@ -87,9 +93,16 @@ def bench_queries() -> dict:
         # even where the driver registry consolidated them (r3 trimmed
         # queries() to the driver's 50-slot window)
         fn = qs.get(name) or getattr(entry, name)
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        # min-of-2: these queries are stateless reads, and this host's
+        # throughput swings several-fold in tenancy windows (measured:
+        # the same warm plan 6s-58s across same-day runs) — a single
+        # sample reports the host, not the operator
+        reps = []
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            reps.append(time.time() - t0)
+        timings[name] = round(min(reps), 3)
 
     # engine throughput at a size where fixed per-epoch costs amortize:
     # one 12M-event epoch from a pre-materialized tmpfs changelog (the
@@ -103,27 +116,36 @@ def bench_queries() -> dict:
         num_partitions=128,
     ).write.parquet(f"{tmp12}/events")
     syn = spark.read.parquet(f"{tmp12}/events")
-    tgt12 = create_target(spark, f"{tmp12}/target", n_buckets=64)
-    lin12 = create_lineage(spark, f"{tmp12}/lineage")
-    # warm the apply path (JIT/codegen) on the first sixth, then time a
-    # steady-state epoch on the rest — mirrors the scaling protocol
-    t0 = time.time()
-    replay(spark, syn.where(f"seq < {n_syn // 6}"), tgt12, lin12,
-           epoch_size=1 << 60, epoch_prefix="syn_warm")
-    timings["cdc_apply_synthetic_warmup"] = round(time.time() - t0, 3)
-    v_warm = tgt12.current_version()
+    # min-of-2 full passes (fresh target per rep — idempotency would
+    # skip a same-table re-replay): warm the apply path (JIT/codegen)
+    # on the first sixth, then time a steady-state epoch on the rest —
+    # mirrors the scaling protocol
     n_timed = n_syn - n_syn // 6
-    t0 = time.time()
-    replay(spark, syn.where(f"seq >= {n_syn // 6}"), tgt12, lin12,
-           epoch_size=1 << 60, epoch_prefix="syn")
-    timings["cdc_apply_synthetic_10M"] = round(time.time() - t0, 3)
+    warm_secs, timed_secs = [], []
+    for r in range(2):
+        tgt12 = create_target(spark, f"{tmp12}/target{r}", n_buckets=64)
+        lin12 = create_lineage(spark, f"{tmp12}/lineage{r}")
+        t0 = time.time()
+        replay(spark, syn.where(f"seq < {n_syn // 6}"), tgt12, lin12,
+               epoch_size=1 << 60, epoch_prefix="syn_warm")
+        warm_secs.append(time.time() - t0)
+        v_warm = tgt12.current_version()
+        t0 = time.time()
+        replay(spark, syn.where(f"seq >= {n_syn // 6}"), tgt12, lin12,
+               epoch_size=1 << 60, epoch_prefix="syn")
+        timed_secs.append(time.time() - t0)
+    timings["cdc_apply_synthetic_warmup"] = round(min(warm_secs), 3)
+    timings["cdc_apply_synthetic_10M"] = round(min(timed_secs), 3)
     syn_events_per_sec = round(n_timed / timings["cdc_apply_synthetic_10M"], 1)
     # change-data-feed read-back over the same 12M-event table: net
     # per-key diff between the post-warmup snapshot and final state
     # (manifest-pruned to touched buckets + changed keys)
-    t0 = time.time()
-    n_changes = tgt12.changes_between(v_warm).count()
-    timings["cdc_changelog_12M"] = round(time.time() - t0, 3)
+    ch_secs = []
+    for _ in range(2):  # stateless read — same min-of-2 as the queries
+        t0 = time.time()
+        n_changes = tgt12.changes_between(v_warm).count()
+        ch_secs.append(time.time() - t0)
+    timings["cdc_changelog_12M"] = round(min(ch_secs), 3)
     import shutil
     shutil.rmtree(tmp12, ignore_errors=True)
 
