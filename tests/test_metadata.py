@@ -209,3 +209,25 @@ def test_vacuum_age_window_spares_inflight_files(spark, tbl_dir):
     assert t.vacuum_orphans(older_than_s=3600)["deleted_files"] == 1
     assert not os.path.exists(staged)
     assert t.read().count() == 10
+
+
+def test_rollback_defeats_stale_branch_publish(spark, tbl_dir):
+    """A branch forked before a rollback must not fast-forward onto
+    the rolled-back main: the publish's fork-version check sees main
+    moved (rollback IS a new commit) and refuses."""
+    from etl_spark.icelite.table import CommitConflict
+
+    t = _target(spark, os.path.join(tbl_dir, "rb"))
+    apply_epoch(spark, _events(spark, "a", 1, 10), t, None, epoch_id="e1")
+    v1 = t.current_version()
+    b = t.create_branch("staged")
+    apply_epoch(spark, _events(spark, "b", 101, 10), b, None, epoch_id="e2")
+    apply_epoch(spark, _events(spark, "c", 201, 10), t, None, epoch_id="e3")
+    t.rollback(v1)
+    with pytest.raises(CommitConflict):
+        t.publish_branch("staged")
+    # branch handles get the metadata surface too
+    ops = [r.operation for r in
+           t.branch("staged").history().orderBy("version").collect()]
+    assert ops[-1] == "append"
+    t.drop_branch("staged")
