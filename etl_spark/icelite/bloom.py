@@ -64,14 +64,29 @@ def build(hashes, bits_per_key: int = 10, k: int = 7) -> bytes:
 
 
 def may_contain_any(blob: bytes, hashes) -> bool:
-    """True unless the filter proves NONE of the hashes is present."""
+    """True unless the filter proves NONE of the hashes is present.
+
+    Fail-open on ANY malformed input — wrong magic, short header,
+    truncated payload (np.unpackbits would silently zero-pad missing
+    bytes, turning a torn sidecar into a false "absent" proof), or
+    nonsensical parameters. A sidecar can only ever prune, never
+    suppress, so corruption must degrade to "read the file"."""
+    if len(blob) < _HEADER.size:
+        return True
     magic, m, k = _HEADER.unpack_from(blob)
-    if magic != _MAGIC:  # unknown format: never prune
+    if (
+        magic != _MAGIC
+        or k < 1
+        or m < 8
+        or (m & (m - 1))  # m must be the power of two build() wrote
+        or len(blob) < _HEADER.size + m // 8
+    ):
         return True
     h = np.asarray(hashes, dtype=np.int64)
     if not len(h):
         return False
     bits = np.unpackbits(
-        np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size), count=m
+        np.frombuffer(blob, dtype=np.uint8, offset=_HEADER.size,
+                      count=m // 8), count=m
     ).astype(bool)
     return bool(bits[_probe_idx(h, m, k)].all(axis=1).any())

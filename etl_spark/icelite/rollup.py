@@ -121,10 +121,31 @@ class RollupView:
                 deltas.select(*self.group_cols),
                 columns=[*self.group_cols, "n",
                          *[f"sum_{c}" for c in self.sum_cols]])
-            j = cur.join(deltas, self.group_cols, "full_outer")
+            # null-safe join: a NULL group is a real group (read_matching
+            # and merge_lww already treat it so); plain column-name
+            # equality would fork it into two half-rows — one carrying
+            # the old count, one the delta — and merge both. The delta
+            # side's keys are renamed because cur's plan CONTAINS deltas
+            # (read_matching probes it), so cur[g]/deltas[g] would be an
+            # ambiguous self-join reference.
+            d2 = deltas.select(
+                *[F.col(g).alias(f"__g_{g}") for g in self.group_cols],
+                "__d_n",
+                *[f"__d_sum_{c}" for c in self.sum_cols],
+            )
+            j = cur.join(
+                d2,
+                [F.col(g).eqNullSafe(F.col(f"__g_{g}"))
+                 for g in self.group_cols],
+                "full_outer",
+            )
             n_new = (F.coalesce(F.col("n"), F.lit(0))
                      + F.coalesce(F.col("__d_n"), F.lit(0)))
-            cols = [*self.group_cols, n_new.alias("n")]
+            cols = [
+                *[F.coalesce(F.col(g), F.col(f"__g_{g}")).alias(g)
+                  for g in self.group_cols],
+                n_new.alias("n"),
+            ]
             for c in self.sum_cols:
                 cols.append(
                     (F.coalesce(F.col(f"sum_{c}"), F.lit(0))

@@ -60,6 +60,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 META_DIR = "meta"
+
+# read_matching collects one 8-byte hash per probe key for bucket
+# pruning + bloom probing; past this many keys it degrades to a
+# distinct-bucket collect (bounded by n_buckets) instead
+_PROBE_CAP = 100_000
 DATA_DIR = "data"
 
 
@@ -1061,7 +1066,9 @@ class IceliteTable:
         come from the JVM so driver and data agree), the bucket set
         prunes the manifest, and a broadcast left-semi join selects the
         rows. Callers pass small key sets (point lookups, a change
-        batch's touched groups); the collect is bounded by n_buckets.
+        batch's touched groups); the driver collect is one hash per key
+        up to ``_PROBE_CAP``, degrading to a distinct-bucket collect
+        (bounded by n_buckets) beyond that.
 
         ``columns``: same projection-before-resolve as ``read`` — the
         key columns are always read (the semi-join needs them) but the
@@ -1072,16 +1079,27 @@ class IceliteTable:
         key_cols = list(snap.key_cols)
         kdf = keys_df.select(*key_cols).dropDuplicates(key_cols)
         # one tiny JVM job yields xxhash64 per key — the bucket (pmod)
-        # AND the bloom probe hash come from the same collect
-        khashes = [
-            r.h for r in kdf.select(
-                F.xxhash64(*[F.col(c) for c in key_cols]).alias("h")
-            ).collect()
-        ]
+        # AND the bloom probe hash come from the same collect. The
+        # per-key collect is capped: past _PROBE_CAP keys, fall back to
+        # collecting only the distinct bucket ids (bounded by
+        # n_buckets) and skip bloom probing — a wide lookup reads most
+        # files anyway, and an unbounded driver collect is the worse
+        # failure mode.
+        hdf = kdf.select(
+            F.xxhash64(*[F.col(c) for c in key_cols]).alias("h")
+        )
+        khashes = [r.h for r in hdf.limit(_PROBE_CAP + 1).collect()]
         by_bucket: dict[int, list[int]] = {}
-        for h in khashes:
-            by_bucket.setdefault(h % snap.n_buckets, []).append(h)
-        buckets = set(by_bucket)
+        if len(khashes) > _PROBE_CAP:
+            buckets = {
+                r.b for r in hdf.select(
+                    F.pmod("h", F.lit(snap.n_buckets)).alias("b")
+                ).distinct().collect()
+            }
+        else:
+            for h in khashes:
+                by_bucket.setdefault(h % snap.n_buckets, []).append(h)
+            buckets = set(by_bucket)
         read_cols = None
         if columns is not None:
             # the semi-join needs the keys in the scan; the caller gets
@@ -1106,9 +1124,9 @@ class IceliteTable:
             try:
                 with open(os.path.join(self.data_path, f_.bloom), "rb") as bf:
                     blob = bf.read()
-            except OSError:
+                return _bloom.may_contain_any(blob, hs)
+            except Exception:  # unreadable/corrupt sidecar: never prune
                 return True
-            return _bloom.may_contain_any(blob, hs)
 
         base = self.read(buckets=buckets, file_filter=keep,
                          columns=read_cols)
@@ -1151,7 +1169,10 @@ class IceliteTable:
         table and when")."""
         rows = []
         for v in self._retained_versions():
-            s = self.snapshot(v)
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:
+                continue  # expired by a concurrent maintenance run
             deltas = sum(1 for f_ in s.files if f_.kind == "delta")
             rows.append((
                 s.version,
@@ -1194,7 +1215,10 @@ class IceliteTable:
         never silently reads a state that did not exist at ``ts``."""
         best = None
         for v in self._retained_versions():
-            s = self.snapshot(v)
+            try:
+                s = self.snapshot(v)
+            except FileNotFoundError:
+                continue  # expired by a concurrent maintenance run
             if s.ts and s.ts <= ts and (best is None or v > best):
                 best = v
         if best is None:
@@ -1828,12 +1852,18 @@ class IceliteTable:
                 fp = os.path.join(root, fn)
                 if os.path.relpath(fp, self.data_path) in referenced:
                     continue
-                if older_than_s > 0 and os.path.getmtime(fp) > cutoff:
-                    continue  # too young to be provably abandoned
-                os.unlink(fp)
+                try:
+                    if older_than_s > 0 and os.path.getmtime(fp) > cutoff:
+                        continue  # too young to be provably abandoned
+                    os.unlink(fp)
+                except FileNotFoundError:
+                    continue  # a writer's abort_write raced us — fine
                 deleted += 1
-            if root != self.data_path and not os.listdir(root):
-                os.rmdir(root)
+            try:
+                if root != self.data_path and not os.listdir(root):
+                    os.rmdir(root)
+            except OSError:
+                pass  # vanished or refilled concurrently
         return {"deleted_files": deleted}
 
     # -- branches: write-audit-publish (Iceberg WAP analog) ------------------

@@ -225,8 +225,12 @@ def apply_epoch(
         if (
             quarantine is not None
             and int(props.get("rejected") or 0) > 0
-            and not os.path.exists(_quarantine_dir(quarantine, epoch_id))
+            and not os.path.exists(os.path.join(
+                _quarantine_dir(quarantine, epoch_id), "_SUCCESS"))
         ):
+            # _SUCCESS (Spark's own completion marker), not the dir:
+            # a crash mid-write leaves a partial dir, which must not
+            # suppress the backfill (overwrite is idempotent anyway)
             _write_quarantine(events, quarantine, epoch_id)
         if lineage is not None and not lineage.has_epoch(epoch_id):
             rows = [tuple(r) for r in props.get("lineage_rows", [])]

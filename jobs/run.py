@@ -89,6 +89,7 @@ def cmd_stream(args) -> int:
         lineage_path=args.lineage,
         checkpoint_dir=args.checkpoint,
         max_files_per_trigger=args.max_files,
+        quarantine=getattr(args, "quarantine", None),
     )
     if args.follow:
         q = start_tailer(spark, cfg, available_now=False,
@@ -348,6 +349,8 @@ def main() -> int:
     p.add_argument("--max-files", type=int, default=1)
     p.add_argument("--follow", action="store_true")
     p.add_argument("--interval", default="10 seconds")
+    p.add_argument("--quarantine", default=None,
+                   help="dead-letter dir for sub-gate rejected events")
 
     p = sub.add_parser("compact")
     p.add_argument("--final-below-seq", type=int, default=None,

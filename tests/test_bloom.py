@@ -108,3 +108,24 @@ def test_bloom_sidecars_follow_maintenance(spark, tbl_dir):
     )
     # state intact after the full maintenance cycle
     assert t.read().count() == 20
+
+
+def test_truncated_or_garbage_sidecar_fails_open():
+    """A torn sidecar must never prove absence: np.unpackbits would
+    silently zero-pad a short payload, so explicit length/shape checks
+    have to catch it before the probe."""
+    members = np.arange(1000, dtype=np.int64)
+    blob = bloom.build(members)
+    # every truncation point — header-only, mid-header, mid-payload —
+    # must fail open (True = cannot prune)
+    for cut in (0, 3, 8, 15, 16, len(blob) // 2, len(blob) - 1):
+        assert bloom.may_contain_any(blob[:cut], [int(members[0])])
+        assert bloom.may_contain_any(blob[:cut], [999_999_999])
+    # nonsense parameters fail open too
+    import struct
+    bad_m = struct.pack("<4sQI", b"KBF1", 12345, 7) + blob[16:]  # m not 2^k
+    assert bloom.may_contain_any(bad_m, [123])
+    bad_k = struct.pack("<4sQI", b"KBF1", 1024, 0) + blob[16:]
+    assert bloom.may_contain_any(bad_k, [123])
+    # the intact filter still prunes
+    assert not bloom.may_contain_any(blob, [999_999_999, -12345])

@@ -1060,3 +1060,13 @@ def test_rollup_null_group_values(spark, tbl_dir):
     view.refresh()
     check()
     assert view.read().where("lang is null").collect()[0].n == 1
+    # NONZERO delta against an existing null-group row: a null-unsafe
+    # merge join would fork it into two rows (old n and delta n)
+    # instead of one accumulated row
+    src.append_delta(spark.createDataFrame(
+        [("r4", "d", None, 5, "insert"),
+         ("r5", "e", None, 6, "insert")], up))
+    view.refresh()
+    check()
+    null_rows = view.read().where("lang is null").collect()
+    assert len(null_rows) == 1 and null_rows[0].n == 3

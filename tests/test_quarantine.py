@@ -77,6 +77,18 @@ def test_redelivery_backfills_lost_quarantine(spark, tbl_dir):
     assert s2.skipped
     assert read_quarantine(spark, q).count() == s.rejected
 
+    # partial write (dir exists, no _SUCCESS): must also backfill —
+    # directory existence alone is not a completion proof
+    qdir = os.path.join(q, "bad")
+    success = os.path.join(qdir, "_SUCCESS")
+    for fn in os.listdir(qdir):
+        if fn != "_SUCCESS":
+            os.unlink(os.path.join(qdir, fn))
+    os.unlink(success)
+    apply_epoch(spark, bad, tgt, lin, epoch_id="bad", quarantine=q)
+    assert os.path.exists(success)
+    assert read_quarantine(spark, q).count() == s.rejected
+
 
 def test_replay_threads_quarantine_through_epochs(spark, tbl_dir):
     tgt, lin = _fresh(spark, tbl_dir)
