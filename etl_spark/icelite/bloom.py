@@ -77,6 +77,8 @@ def may_contain_any(blob: bytes, hashes) -> bool:
     if (
         magic != _MAGIC
         or k < 1
+        or k > 64  # build() never writes k>7; a huge k from a corrupt
+        # header would make _probe_idx allocate n*k u64s — fail open
         or m < 8
         or (m & (m - 1))  # m must be the power of two build() wrote
         or len(blob) < _HEADER.size + m // 8

@@ -1242,11 +1242,23 @@ class IceliteTable:
         if not name or not all(c.isalnum() or c in "_-." for c in name):
             raise ValueError(f"invalid tag name: {name!r}")
         snap = self.snapshot(version)
-        fd = os.open(self._tag_file(name),
-                     os.O_WRONLY | os.O_CREAT | os.O_EXCL, 0o644)
-        with os.fdopen(fd, "w") as f:
+        # tmp + fsync + O_EXCL link (the _atomic_write_json pattern): a
+        # crash mid-write can never leave a torn tag-<name>.json that
+        # wedges list_tags()/expire_snapshots(); racing creators still
+        # get exactly-one-winner via the link EEXIST.
+        path = self._tag_file(name)
+        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
             json.dump({"name": name, "version": snap.version,
                        "ts": time.time()}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise FileExistsError(f"tag exists: {name!r}") from None
+        finally:
+            os.unlink(tmp)
         return snap.version
 
     def list_tags(self) -> dict[str, int]:
@@ -1255,8 +1267,15 @@ class IceliteTable:
         out: dict[str, int] = {}
         for fn in os.listdir(self.meta_path):
             if fn.startswith("tag-") and fn.endswith(".json"):
-                with open(os.path.join(self.meta_path, fn)) as f:
-                    d = json.load(f)
+                if ".tmp." in fn:
+                    continue  # in-flight create_tag staging file
+                try:
+                    with open(os.path.join(self.meta_path, fn)) as f:
+                        d = json.load(f)
+                except (json.JSONDecodeError, OSError):
+                    # unparsable tag file (e.g. pre-atomic-write torn
+                    # state): skip rather than wedge expire/read(tag=)
+                    continue
                 out[d["name"]] = d["version"]
         return out
 
@@ -1904,7 +1923,9 @@ class IceliteTable:
             d[len("branch-"):]
             for d in os.listdir(meta)
             if d.startswith("branch-")
+            and ".tmp." not in d
             and os.path.isdir(os.path.join(meta, d))
+            and os.path.isfile(os.path.join(meta, d, "fork.json"))
         )
 
     def create_branch(self, name: str,
@@ -1918,21 +1939,47 @@ class IceliteTable:
             raise ValueError(f"invalid branch name: {name!r}")
         snap = self.snapshot(from_version)
         bdir = self._branch_dir(name)
-        os.makedirs(bdir, exist_ok=False)
+        if os.path.isdir(bdir):
+            if os.path.isfile(os.path.join(bdir, "fork.json")):
+                raise FileExistsError(f"branch exists: {name!r}")
+            # dir without fork.json = torn remnant of a legacy (pre-
+            # staged) create that crashed between makedirs and the
+            # fork.json write — reclaim the name
+            import shutil
+
+            shutil.rmtree(bdir, ignore_errors=True)
+        # stage the fully-formed dir under a temp name, then rename into
+        # place: a crash can only leave a .tmp. dir (ignored by
+        # branch()/list_branches and re-creatable), never a torn branch
+        # dir that blocks the name. rename is the exclusivity point —
+        # the loser's rename onto the winner's non-empty dir fails.
+        tmp = f"{bdir}.tmp.{uuid.uuid4().hex}"
+        os.makedirs(tmp)
         _atomic_write_json(
-            os.path.join(bdir, "fork.json"),
+            os.path.join(tmp, "fork.json"),
             {"name": name, "fork_version": snap.version},
         )
         _atomic_write_json(
-            os.path.join(bdir, f"v{snap.version}.json"), snap.to_json()
+            os.path.join(tmp, f"v{snap.version}.json"), snap.to_json()
         )
+        try:
+            os.rename(tmp, bdir)
+        except OSError:
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise FileExistsError(f"branch exists: {name!r}") from None
         return self.branch(name)
 
     def branch(self, name: str) -> "IceliteTable":
         """Handle whose commits land on the branch chain; reads, writes,
         apply_epoch, compact and time travel all work unchanged."""
         bdir = self._branch_dir(name)
-        if not os.path.isdir(bdir):
+        if not os.path.isdir(bdir) or not os.path.isfile(
+            os.path.join(bdir, "fork.json")
+        ):
+            # a dir without fork.json is a torn pre-rename remnant from
+            # the legacy create path — treat as absent
             raise NoSuchTable(f"{self.path}@{name}")
         h = IceliteTable(self.spark, self.path)
         h.meta_path = bdir

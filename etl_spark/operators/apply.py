@@ -155,7 +155,27 @@ def _write_quarantine(events: DataFrame, qroot: str, epoch_id: str) -> None:
 
 def read_quarantine(spark: SparkSession, qroot: str) -> DataFrame:
     """All dead-lettered events with their reject reason and epoch —
-    the triage/requeue surface after an upstream producer is fixed."""
+    the triage/requeue surface after an upstream producer is fixed.
+
+    A healthy pipeline has never rejected anything, so a missing/empty
+    ``qroot`` is the common case: return an empty frame with the
+    expected schema instead of raising AnalysisException."""
+    import glob as _glob
+
+    has_files = os.path.isdir(qroot) and any(
+        True
+        for _ in _glob.iglob(os.path.join(qroot, "**", "*.parquet"),
+                             recursive=True)
+    )
+    if not has_files:
+        empty = T.StructType(
+            schemas.EVENTS_V2.fields
+            + [
+                T.StructField("reject_reason", T.StringType(), True),
+                T.StructField("quarantined_epoch", T.StringType(), True),
+            ]
+        )
+        return spark.createDataFrame([], empty)
     return (
         spark.read.option("recursiveFileLookup", "true").parquet(qroot)
     )

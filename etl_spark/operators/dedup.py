@@ -122,8 +122,6 @@ def patch_fold(
     anchor and are dropped (a patch cannot create a row).
     """
     seq = F.col(seq_col)
-    op = F.col(op_col)
-    full_image = op.isin("insert", "delete")
     aggs = [
         F.max(seq).alias("last_seq"),
         F.expr(

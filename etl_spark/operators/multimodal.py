@@ -6,12 +6,14 @@ declared output schema, N→M frame explosion (the UDTF shape the
 reference's parsers have — one input blob, many rows, SURVEY.md §2.10),
 and deterministic feature extraction into ``array<float>``.
 
-Real codecs (PIL/libsndfile/ffmpeg) are NOT in this container, so the
-byte-level decode targets SMF ("synthetic media format"), a tiny
-self-describing header we also generate — the decode is genuine binary
-parsing (struct unpack over numpy buffers, the web100 fixed-offset
-precedent, web100/web100.go:218-277), while ``decode_real`` raises
-NotImplementedError behind an import guard as the marked stub.
+Heavy codec libs (PIL/libsndfile/ffmpeg) are NOT in this container, so
+the byte-level decode targets two real formats: SMF ("synthetic media
+format", a tiny self-describing header we also generate — genuine
+binary parsing, struct unpack over numpy buffers, the web100
+fixed-offset precedent, web100/web100.go:218-277) and, via
+``decode_real``, genuine stdlib-implemented PNG (zlib inflate + all 5
+scanline filter types, CRC-checked) and RIFF PCM WAV decoding in
+``operators/codecs.py`` — no stubs remain on this path.
 
 SMF layout (little-endian):
   magic   4 bytes  b"SMF1"

@@ -94,9 +94,11 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = F.lit("2024-01-08")
     early = ev.where(F.col("ts") < cut).select("user_id").distinct()
     late = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+    # each count is one set op — no recomputed intersect inside an
+    # exceptAll (operands are already distinct, so EXCEPT == EXCEPT ALL)
     both = early.intersect(late).count()
-    only_early = early.exceptAll(early.intersect(late)).count()
-    only_late = late.exceptAll(late.intersect(early)).count()
+    only_early = early.subtract(late).count()
+    only_late = late.subtract(early).count()
     return spark.createDataFrame(
         [(both, only_early, only_late)],
         "n_both long, n_only_early long, n_only_late long",

@@ -129,3 +129,19 @@ def test_truncated_or_garbage_sidecar_fails_open():
     assert bloom.may_contain_any(bad_k, [123])
     # the intact filter still prunes
     assert not bloom.may_contain_any(blob, [999_999_999, -12345])
+
+
+def test_huge_k_header_fails_open_without_allocation():
+    """A corrupt-but-well-formed header with absurd k must fail open
+    (True) instead of allocating an n*k probe matrix."""
+    import struct
+    members = np.arange(1000, dtype=np.int64)
+    blob = bloom.build(members)
+    _, m, _ = struct.unpack_from("<4sQI", blob)
+    huge_k = struct.pack("<4sQI", b"KBF1", m, 2**31 - 1) + blob[16:]
+    assert bloom.may_contain_any(huge_k, [123])
+    # boundary: k=64 is still honoured, k=65 fails open
+    k64 = struct.pack("<4sQI", b"KBF1", m, 64) + blob[16:]
+    assert isinstance(bloom.may_contain_any(k64, [123]), bool)
+    k65 = struct.pack("<4sQI", b"KBF1", m, 65) + blob[16:]
+    assert bloom.may_contain_any(k65, [999_999_999])

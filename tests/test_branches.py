@@ -168,3 +168,25 @@ def test_maintenance_guards_on_branch_handles(spark, tbl_dir):
         t.append_delta(_updf(spark, [("r1", "a", 100 + i, 100 + i, "update")]))
     t.expire_snapshots(keep_last=1)
     assert _state(b) == [("r1", "a", 1), ("r9", "z", 9)]
+
+
+def test_torn_branch_dir_is_absent_and_reclaimable(spark, tbl_dir):
+    """A branch dir lacking fork.json (legacy crash between makedirs
+    and the fork write) is treated as absent: invisible to
+    list_branches, NoSuchTable from branch(), and create_branch can
+    reclaim the name."""
+    t = make(spark, tbl_dir)
+    torn = t._branch_dir("wip")
+    os.makedirs(torn)  # no fork.json inside
+    assert "wip" not in t.list_branches()
+    with pytest.raises(NoSuchTable):
+        t.branch("wip")
+    b = t.create_branch("wip")  # reclaims the torn name
+    assert "wip" in t.list_branches()
+    assert b.snapshot().version == t.current_version()
+    # a healthy branch still blocks duplicate creation
+    with pytest.raises(FileExistsError):
+        t.create_branch("wip")
+    # staged-create leaves no .tmp remnants
+    meta = os.path.dirname(torn)
+    assert not [d for d in os.listdir(meta) if ".tmp." in d]

@@ -231,3 +231,25 @@ def test_rollback_defeats_stale_branch_publish(spark, tbl_dir):
            t.branch("staged").history().orderBy("version").collect()]
     assert ops[-1] == "append"
     t.drop_branch("staged")
+
+
+def test_torn_tag_file_skipped_not_wedging(spark, tbl_dir):
+    """A torn/unparsable tag file (pre-atomic-write crash remnant) must
+    not wedge list_tags/expire_snapshots; create_tag's own writes are
+    staged+linked so they can never be torn."""
+    t = _target(spark, os.path.join(tbl_dir, "tt"))
+    apply_epoch(spark, _events(spark, "r", 1, 5), t, None, "e1")
+    t.create_tag("good")
+    # simulate a legacy torn write
+    with open(os.path.join(t.meta_path, "tag-torn.json"), "w") as f:
+        f.write('{"name": "to')
+    tags = t.list_tags()
+    assert tags == {"good": t.current_version()}
+    # expire_snapshots walks tags — must not raise
+    t.expire_snapshots(keep_last=1)
+    # no staging remnants from create_tag
+    assert not [
+        fn for fn in os.listdir(t.meta_path) if ".tmp." in fn
+    ]
+    with pytest.raises(FileExistsError):
+        t.create_tag("good")

@@ -105,3 +105,21 @@ def test_replay_threads_quarantine_through_epochs(spark, tbl_dir):
            dead.groupBy("quarantined_epoch").agg(F.count("*").alias("n"))
            .collect()}
     assert got == {s.epoch_id: s.rejected for s in stats if s.rejected}
+
+
+def test_read_quarantine_empty_is_healthy_not_an_error(spark, tbl_dir):
+    """The healthy-pipeline case — nothing ever rejected — returns an
+    empty frame with the triage schema instead of AnalysisException."""
+    from etl_spark.operators.apply import read_quarantine
+
+    qroot = os.path.join(tbl_dir, "never-created")
+    df = read_quarantine(spark, qroot)
+    assert df.count() == 0
+    cols = set(df.columns)
+    assert {"reject_reason", "quarantined_epoch", "repo", "path",
+            "op", "seq"} <= cols
+    # existing-but-parquet-free dir behaves the same
+    os.makedirs(os.path.join(tbl_dir, "qroot-empty"))
+    assert read_quarantine(
+        spark, os.path.join(tbl_dir, "qroot-empty")
+    ).count() == 0
