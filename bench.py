@@ -93,6 +93,12 @@ def bench_queries() -> dict:
         # even where the driver registry consolidated them (r3 trimmed
         # queries() to the driver's 50-slot window)
         fn = qs.get(name) or getattr(entry, name)
+        # one UNTIMED warm invocation first: wholestage codegen of a
+        # large expression tree is a first-invocation-only cost (~7s
+        # for dedup_minhash_lsh's 64-md5 tree) that min-of-2 cannot
+        # absorb when the host window is noisy — recorded numbers must
+        # measure the operator, not first-run compilation
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         # min-of-2: these queries are stateless reads, and this host's
         # throughput swings several-fold in tenancy windows (measured:
         # the same warm plan 6s-58s across same-day runs) — a single
@@ -231,7 +237,15 @@ def apply_worker(cores: int, n_events: int, epochs: int, shared_dir: str) -> Non
         if i == 1:  # post-warmup snapshot: the change-feed consumer's cursor
             v_warm = tgt.current_version()
     # change-feed scaling: net diff from the post-warmup snapshot to
-    # final state (one scan + one shuffle), timed before maintenance
+    # final state (one scan + one shuffle), timed before maintenance.
+    # One UNTIMED warm pass first — the same treatment the compact and
+    # apply paths get: changes_between is a stateless read, but its
+    # first invocation pays wholestage codegen + Python-worker spin-up
+    # for a plan shape no prior stage compiled, a fixed cost that
+    # dominates a 15-45s job at benchmark size and corrupted the r3
+    # efficiency reading (0.793 measured cold vs the dataflow's true
+    # scaling).
+    tgt.changes_between(v_warm).count()
     t0 = time.time()
     changelog_rows = tgt.changes_between(v_warm).count()
     changelog_time = time.time() - t0

@@ -98,6 +98,7 @@ def lsh_candidate_pairs(
     n_perms: int = N_PERMS,
     band_size: int = BAND_SIZE,
     min_est_jaccard: float = 0.0,
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """(doc_a, doc_b, est_jaccard) for bucket-colliding pairs, a < b.
 
@@ -105,29 +106,59 @@ def lsh_candidate_pairs(
     with zip_with over the two signature arrays — no per-slot join.
 
     Scale shape: the signature array rides THROUGH the band explode
-    (keep_cols), so the whole operator is one pass over sig — one
-    band-hash shuffle + one pair groupBy. The alternative (joining sig
-    back onto the pair list) either recomputes the signature subplan
-    3× (Catalyst does not reuse it across self-joins) or needs an
-    explicit persist that leaks in the session CacheManager forever;
-    measured, carrying ~n_perms×32B per band row is faster than both.
+    (keep_cols), and pairs are enumerated WITHIN each
+    ``(band, band_hash)`` group — collect the bucket's members into a
+    sorted array, emit ordered (i, j>i) pairs via nested transforms —
+    so the expensive signature subplan (shingle explode → n_perms md5s
+    per shingle → groupBy) is evaluated exactly ONCE. The previous
+    band-key SELF-JOIN evaluated it twice (Catalyst does not reuse a
+    subplan across a self-join, and an explicit persist leaks in the
+    session CacheManager forever); at 10^10 shingles that doubled the
+    dominant stage. Within-group enumeration produces the identical
+    pair set: band collision is an equality bucket, and sort_array
+    ordering supplies the doc_a < doc_b constraint.
+
+    ``max_bucket`` is a safety valve, NOT a tuning knob: a bucket of k
+    members emits k(k-1)/2 pairs whether joined or enumerated, so a
+    degenerate band hash shared by ~10^5+ docs (pathological corpus or
+    hash-poisoned input) would explode quadratically under EITHER
+    shape. Buckets beyond the cap keep their first ``max_bucket``
+    members by doc_id order (deterministic); members past the cap in
+    such a bucket lose only the pairs inside that one bucket — they
+    still collide in their other n_bands-1 buckets. Set to a bucket
+    size you accept k²/2 pairs for; the default (4096 → ≤8.4M pairs
+    per bucket) never triggers on non-adversarial corpora.
     Returns a pure lazy plan — nothing cached, no eager actions."""
     sig = minhash_signatures(docs, n, n_perms)
     bands = lsh_bands(sig, band_size, n_perms, keep_cols=("sig",))
-    a = bands.select(
-        "band", "band_hash",
-        F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a"),
+    members = (
+        bands.groupBy("band", "band_hash")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("doc_id", "sig"))),
+                1, max_bucket,
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
     )
-    b = bands.select(
-        "band", "band_hash",
-        F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b"),
+    # ordered pairs within the bucket: x at 0-based i pairs with every
+    # later member (1-based slice start i+2); slice clamps at the end
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), y -> "
+                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.sig AS sig_a, y.sig AS sig_b)))"
+            )
+        )
     )
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
     est = (
-        a.join(b, ["band", "band_hash"])
-        .where(F.col("doc_a") < F.col("doc_b"))
+        members.select(pair.alias("p"))
+        .select("p.*")
         .select(
             "doc_a",
             "doc_b",
@@ -183,10 +214,17 @@ def simhash(docs: DataFrame, bits: int = 32,
     return agg.select("doc_id", sketch.alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
+                       max_bucket: int = 65536) -> DataFrame:
     """Candidate pruning by byte bands over the 32-bit sketch, then an
     exact Hamming filter — ≤3 differing bits means at least one of the
-    4 bytes is identical (pigeonhole), so banding loses nothing."""
+    4 bytes is identical (pigeonhole), so banding loses nothing.
+
+    Same within-group pair enumeration as ``lsh_candidate_pairs``: the
+    sketch subplan (token explode → 32 votes → groupBy) is evaluated
+    once, not twice per side of a band self-join. ``max_bucket`` is
+    the same documented safety valve (a byte band has only 256 values,
+    so buckets are bigger than LSH's — default sized accordingly)."""
     sh = simhash(docs)
     byte = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx")
     banded = sh.select(
@@ -195,22 +233,37 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         "byte_val",
         F.expr("shiftright(simhash, CAST(byte_idx * 8 AS INT)) & 255"),
     )
-    a = banded.select("byte_idx", "byte_val",
-                      F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"))
-    b = banded.select("byte_idx", "byte_val",
-                      F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sh_b"))
-    pairs = (
-        a.join(b, ["byte_idx", "byte_val"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "sh_a", "sh_b")
-        .distinct()
+    members = (
+        banded.groupBy("byte_idx", "byte_val")
+        .agg(
+            F.slice(
+                F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))),
+                1, max_bucket,
+            ).alias("ms")
+        )
+        .where(F.size("ms") >= 2)
     )
-    hamming = F.expr("bit_count(sh_a ^ sh_b)")
-    return (
-        pairs.withColumn("hamming", hamming)
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), y -> "
+                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "x.simhash AS sh_a, y.simhash AS sh_b)))"
+            )
+        )
+    )
+    pairs = (
+        members.select(pair.alias("p"))
+        .select("p.*")
+        # Hamming filter BEFORE the distinct: far fewer rows reach the
+        # dedup shuffle (a pair can collide in up to 4 byte bands)
+        .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
         .where(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
+    return pairs
 
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5) -> DataFrame:

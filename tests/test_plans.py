@@ -133,3 +133,30 @@ def test_asof_join_single_exchange(spark):
     )
     df = asof_join(ev, dim, ("user_id",), "ts", "ts", ("tier",))
     assert plans.count_exchanges(df) == 1
+
+
+def test_lsh_signature_subplan_evaluated_once(spark):
+    """The MinHash signature stage (shingle explode → md5 array →
+    groupBy) must appear exactly once in the physical plan: candidate
+    pairs are enumerated within band groups, not via a band self-join
+    that would re-evaluate the dominant stage twice."""
+    from etl_spark.operators import simdedup
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+    df = simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.25)
+    plan = plans.explain_str(df, mode="simple")
+    shingle_gens = [
+        ln for ln in plan.splitlines()
+        if "Generate explode(transform(sequence(" in ln
+    ]
+    assert len(shingle_gens) == 1, plan
+    # same guarantee for the simhash sketch stage in the pair variant
+    dfp = simdedup.simhash_near_pairs(docs, max_hamming=6)
+    planp = plans.explain_str(dfp, mode="simple")
+    tok_gens = [
+        ln for ln in planp.splitlines()
+        if "Generate explode(split(" in ln
+    ]
+    assert len(tok_gens) == 1, planp
