@@ -332,12 +332,31 @@ def _cast_to(df: DataFrame, schema: T.StructType) -> DataFrame:
 
 
 def _arrow_type(spark_type: T.DataType):
-    """Spark type → arrow type for the compaction write path."""
+    """Spark type → arrow type for the compaction/winnow write path.
+
+    Recurses into struct/array/map so the reference's nested row
+    shapes — PT ``hops[]→links[]→probes[]→rtt[]``
+    (schema/pt_schema.go:15-55), tcpinfo ``Snapshots[]``
+    (schema/tcpinfo.go:45-62), NDT ``deltas[]``
+    (parser/ndt.go:532-556) — are first-class STORED types, not just
+    query-time types (SURVEY.md §1.6)."""
     import pyarrow as pa
 
     tn = spark_type.typeName()
+    if tn == "struct":
+        return pa.struct(
+            [pa.field(f_.name, _arrow_type(f_.dataType),
+                      nullable=f_.nullable)
+             for f_ in spark_type.fields]
+        )
+    if tn == "array":
+        return pa.list_(_arrow_type(spark_type.elementType))
+    if tn == "map":
+        return pa.map_(_arrow_type(spark_type.keyType),
+                       _arrow_type(spark_type.valueType))
     mapping = {
         "string": pa.string(), "long": pa.int64(), "integer": pa.int32(),
+        "short": pa.int16(), "byte": pa.int8(),
         "double": pa.float64(), "float": pa.float32(),
         "boolean": pa.bool_(), "binary": pa.binary(),
         "timestamp": pa.timestamp("us", tz="UTC"),
@@ -373,11 +392,14 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
     """Per-bucket compaction task body (runs inside mapInPandas).
 
     Input: spec rows {bucket, files: [[path, schema_id, kind, bytes]]}.
-    Each task: pyarrow-read its bucket's files, pandas-resolve per-key
-    LWW (max (last_seq, is_base) — identical rank to ``read()``),
-    pyarrow-write ONE fresh file per bucket, emit its stats. All row
-    compute is vectorized (north rule); only file paths cross the
-    driver boundary.
+    Each task: pyarrow-read its bucket's files, resolve per-key LWW
+    (max (last_seq, is_base) — identical rank to ``read()``) in pandas
+    over the NARROW flat columns only, pick the full-width winner rows
+    by position via arrow ``take`` (nested struct/array/map payloads
+    never round-trip through pandas — byte-exact), pyarrow-write ONE
+    fresh file per bucket, emit its stats. All row compute is
+    vectorized (north rule); only file paths cross the driver
+    boundary.
 
     Tombstone retention: a winning DELETE is only physically dropped
     when ``drop_tombstones_below_seq`` says no lower-seq event can
@@ -423,19 +445,41 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
             df = df[df["__op"] != "delete"]
         return df, has_tombstones
 
-    def _arrays(df, out_fields, pa):
+    # resolve columns are flat primitives BY CONTRACT (keys + last_seq
+    # are engine requirements; cluster_by targets footer-prunable flat
+    # columns), so per-key LWW runs in pandas over this narrow frame
+    # while full-width rows — including nested struct/array/map
+    # payloads — are picked by POSITION via arrow ``take`` and never
+    # round-trip through pandas (byte-exact nested preservation).
+    NARROW = list(dict.fromkeys(keys + ["last_seq", "__op"]
+                                + (cluster or [])))
+
+    def _with_op(t, pa):
+        if "__op" not in t.column_names:
+            t = t.append_column(
+                "__op", pa.array(["base"] * len(t), pa.string()))
+        return t
+
+    def _out_schema(has_tombstones, pa):
+        out_fields = list(current.fields)
+        if has_tombstones:
+            out_fields.append(T.StructField("__op", T.StringType(), True))
+        return out_fields, pa.schema(
+            [pa.field(f_.name, _arrow_type(f_.dataType))
+             for f_ in out_fields]
+        )
+
+    def _project(picked, out_fields, arrow_schema, pa):
+        """Winner rows → output schema: missing evolved columns
+        null-filled, types cast recursively (nested included)."""
         arrays = []
         for f_ in out_fields:
             typ = _arrow_type(f_.dataType)
-            if f_.name not in df.columns:
-                arrays.append(pa.nulls(len(df), type=typ))
-                continue
-            s = df[f_.name]
-            if pa.types.is_timestamp(typ) and getattr(s.dtype, "tz", None) is None \
-                    and str(s.dtype).startswith("datetime64"):
-                s = s.dt.tz_localize("UTC")
-            arrays.append(pa.array(s, type=typ, from_pandas=True))
-        return arrays
+            if f_.name in picked.column_names:
+                arrays.append(picked[f_.name].combine_chunks().cast(typ))
+            else:
+                arrays.append(pa.nulls(len(picked), type=typ))
+        return pa.Table.from_arrays(arrays, schema=arrow_schema)
 
     def _out_path(bucket):
         from pyspark import TaskContext
@@ -449,29 +493,34 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         return rel_path, fp
 
     def _compact_small(spec, pa):
-        frames = []
-        for path, _sid, kind, _nb in spec["files"]:
-            f = pq.read_table(os.path.join(data_root, path)).to_pandas()
-            if kind != "delta":
-                f["__op"] = "base"
-            frames.append(f)
-        df = pd.concat(frames, ignore_index=True, sort=False)
-        df["__is_base"] = (df["__op"] == "base").astype("int8")
-        df, has_tombstones = _apply_tombstone_policy(_resolve(df))
+        import numpy as np
+
+        tables = [
+            _with_op(pq.read_table(os.path.join(data_root, path)), pa)
+            for path, _sid, _kind, _nb in spec["files"]
+        ]
+        # permissive promotion unifies evolved schemas by name
+        # (missing columns null-filled, widened ints promoted)
+        full = pa.concat_tables(tables, promote_options="permissive")
+        if len(full) == 0:
+            return None
+        ndf = full.select(
+            [c for c in NARROW if c in full.column_names]
+        ).to_pandas()
+        ndf["__is_base"] = (ndf["__op"] == "base").astype("int8")
+        ndf["__pos"] = np.arange(len(ndf), dtype=np.int64)
+        df = _resolve(ndf)
+        df, has_tombstones = _apply_tombstone_policy(df)
         if len(df) == 0:
             return None
         if cluster:
-            # clustering: one full sort per bucket task (bounded by the
-            # small-path size cutoff) → tight row-group AND manifest
-            # bounds on the sort columns
+            # clustering: one winner-level sort per bucket task (bounded
+            # by the small-path size cutoff) → tight row-group AND
+            # manifest bounds on the sort columns
             df = df.sort_values(cluster, kind="mergesort")
-        out_fields = list(current.fields)
-        if has_tombstones:
-            out_fields.append(T.StructField("__op", T.StringType(), True))
-        arrow_schema = pa.schema(
-            [pa.field(f_.name, _arrow_type(f_.dataType)) for f_ in out_fields]
-        )
-        table = pa.Table.from_arrays(_arrays(df, out_fields, pa), schema=arrow_schema)
+        out_fields, arrow_schema = _out_schema(has_tombstones, pa)
+        picked = full.take(pa.array(df["__pos"].to_numpy(), pa.int64()))
+        table = _project(picked, out_fields, arrow_schema, pa)
         rel_path, fp = _out_path(spec["bucket"])
         pq.write_table(table, fp, compression="snappy")
         return (spec["bucket"], rel_path, len(table), os.path.getsize(fp),
@@ -498,12 +547,7 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         win, has_tombstones = _apply_tombstone_policy(win)
         if len(win) == 0:
             return None
-        out_fields = list(current.fields)
-        if has_tombstones:
-            out_fields.append(T.StructField("__op", T.StringType(), True))
-        arrow_schema = pa.schema(
-            [pa.field(f_.name, _arrow_type(f_.dataType)) for f_ in out_fields]
-        )
+        out_fields, arrow_schema = _out_schema(has_tombstones, pa)
         import numpy as np
 
         # one unique id per winner so pass 2 can emit each winner AT
@@ -519,14 +563,20 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         writer = pq.ParquetWriter(fp, arrow_schema, compression="snappy")
         rows = 0
         try:
-            # pass 2: full-width streaming scan; winner rows only
+            # pass 2: full-width streaming scan; winner rows only.
+            # Winner membership is decided on the NARROW frame (keys +
+            # rank by row POSITION); the full-width rows — nested
+            # payloads included — are then picked with arrow ``take``,
+            # so this path is byte-exact for struct/array/map columns.
             for path, _sid, kind, _nb in spec["files"]:
                 pf = pq.ParquetFile(os.path.join(data_root, path))
                 for rg in range(pf.num_row_groups):
-                    df = pf.read_row_group(rg).to_pandas()
-                    if "__op" not in df.columns:
-                        df["__op"] = "base"
+                    rgt = _with_op(pf.read_row_group(rg), pa)
+                    df = rgt.select(
+                        [c for c in NARROW if c in rgt.column_names]
+                    ).to_pandas()
                     df["__is_base"] = (df["__op"] == "base").astype("int8")
+                    df["__pos"] = np.arange(len(df), dtype=np.int64)
                     keep = df.merge(match, on=keys + RANK, how="inner")
                     if len(keep) == 0:
                         continue
@@ -546,9 +596,11 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
                         # stats are per row group, so within-chunk order
                         # still tightens row-group pruning
                         keep = keep.sort_values(cluster, kind="mergesort")
+                    picked = rgt.take(
+                        pa.array(keep["__pos"].to_numpy(), pa.int64())
+                    )
                     writer.write_table(
-                        pa.Table.from_arrays(_arrays(keep, out_fields, pa),
-                                             schema=arrow_schema)
+                        _project(picked, out_fields, arrow_schema, pa)
                     )
                     rows += len(keep)
         finally:

@@ -1,0 +1,234 @@
+"""Nested-type (struct/array/map) rows through the FULL icelite
+lifecycle: delta apply → merge-on-read → compaction (small AND chunked
+kernels) → change feed → schema evolution.
+
+The reference's flagship row shapes are deeply nested — PT
+``hops[]→links[]→probes[]→rtt[]`` (schema/pt_schema.go:15-55), tcpinfo
+``Snapshots[]`` (schema/tcpinfo.go:45-62), NDT ``deltas[]``
+(parser/ndt.go:532-556) — so the storage engine must MANAGE them, not
+just query them. The compaction kernels resolve winners on narrow flat
+columns and pick full rows by position with arrow ``take``, so nested
+payloads never round-trip through pandas; these tests pin that the
+values survive byte-exactly.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.icelite.table import IceliteTable
+from etl_spark.sources.paris import PT_SCHEMA, parse_pt_text
+
+HOPS_T = next(f.dataType for f in PT_SCHEMA.fields if f.name == "hops")
+
+NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("test_name", T.StringType(), False),
+        T.StructField("reached_dest", T.BooleanType(), True),
+        T.StructField("hops", HOPS_T, True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ]
+)
+
+DELTA_SCHEMA = T.StructType(
+    NESTED_SCHEMA.fields + [T.StructField("op", T.StringType(), False)]
+)
+
+
+def _hops(n_hops: int, salt: int) -> list:
+    """Deterministic 4-level nested payload in the PT shape."""
+    return [
+        {
+            "source": {"ip": f"10.0.{salt}.{h}", "hostname": f"h{h}.x{salt}"},
+            "links": [
+                {
+                    "hop_dst_ip": f"10.1.{salt}.{h * 2 + l_}",
+                    "probes": [
+                        {"rtt": [round(0.1 * (h + 1) * (p + 1) + salt, 3)
+                                 for p in range(2)]}
+                    ],
+                }
+                for l_ in range(2)
+            ],
+        }
+        for h in range(n_hops)
+    ]
+
+
+def _row(name: str, seq: int, op: str, n_hops: int = 3, salt: int = 0):
+    return {
+        "test_name": name,
+        "reached_dest": seq % 2 == 0,
+        "hops": _hops(n_hops, salt),
+        "meta": {"round": str(seq), "parser": "pt"},
+        "last_seq": seq,
+        "op": op,
+    }
+
+
+def _mk(spark, path, n_buckets=4):
+    return IceliteTable.create(
+        spark, path, NESTED_SCHEMA, key_cols=("test_name",),
+        n_buckets=n_buckets,
+    )
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, DELTA_SCHEMA)
+
+
+def _state(t, version=None):
+    return {
+        r["test_name"]: r
+        for r in (
+            row.asDict(recursive=True)
+            for row in t.read(version=version).collect()
+        )
+    }
+
+
+def _expected(row_dict):
+    d = {k: v for k, v in row_dict.items() if k != "op"}
+    return d
+
+
+def test_nested_rows_survive_apply_compact_read(spark, tbl_dir):
+    t = _mk(spark, os.path.join(tbl_dir, "nested"))
+    r_a1 = _row("a", 1, "insert", n_hops=3, salt=1)
+    r_b1 = _row("b", 2, "insert", n_hops=5, salt=2)
+    r_c1 = _row("c", 3, "insert", n_hops=1, salt=3)
+    t.append_delta(_df(spark, [r_a1, r_b1, r_c1]), epoch_id="e1")
+    v1 = t.current_version()
+    # epoch 2: update a's nested payload, delete b, leave c untouched
+    r_a2 = _row("a", 10, "update", n_hops=4, salt=7)
+    r_b2 = _row("b", 11, "delete", n_hops=0, salt=0)
+    t.append_delta(_df(spark, [r_a2, r_b2]), epoch_id="e2")
+
+    want = {"a": _expected(r_a2), "c": _expected(r_c1)}
+    assert _state(t) == want  # merge-on-read resolve, nested intact
+
+    # small-path compaction must preserve the nested winners exactly
+    t.compact()
+    assert _state(t) == want
+    # tombstone for b retained (out-of-order-writer safety) → delta kind
+    kinds = {f_.kind for f_ in t.snapshot().files}
+    assert "delta" in kinds
+
+    # time travel still sees the pre-update nested payloads
+    assert _state(t, version=v1) == {
+        "a": _expected(r_a1), "b": _expected(r_b1), "c": _expected(r_c1)
+    }
+
+    # change feed carries full nested payloads per change row
+    ch = {
+        (r["test_name"], r["_change_type"]): r
+        for r in (
+            row.asDict(recursive=True)
+            for row in t.changes_between(v1).collect()
+        )
+    }
+    assert set(ch) == {
+        ("a", "update_preimage"), ("a", "update_postimage"), ("b", "delete")
+    }
+    assert ch[("a", "update_postimage")]["hops"] == r_a2["hops"]
+    assert ch[("a", "update_preimage")]["hops"] == r_a1["hops"]
+    assert ch[("b", "delete")]["meta"] == r_b1["meta"]
+
+
+def test_nested_rows_survive_chunked_compaction(spark, tbl_dir):
+    """chunk_bytes=1 forces the streaming (row-group) kernel; results
+    must match the small path exactly, nested columns included."""
+    t = _mk(spark, os.path.join(tbl_dir, "nested_chunked"))
+    rows = [_row(f"k{i}", i + 1, "insert", n_hops=(i % 4) + 1, salt=i)
+            for i in range(20)]
+    t.append_delta(_df(spark, rows), epoch_id="e1")
+    upd = [_row(f"k{i}", 100 + i, "update", n_hops=2, salt=50 + i)
+           for i in range(0, 20, 2)]
+    dels = [_row(f"k{i}", 200 + i, "delete") for i in range(1, 20, 4)]
+    t.append_delta(_df(spark, upd + dels), epoch_id="e2")
+
+    want = _state(t)
+    t.compact(chunk_bytes=1)
+    assert _state(t) == want
+    live = {f"k{i}" for i in range(20)} - {f"k{i}" for i in range(1, 20, 4)}
+    assert set(want) == live
+    for i in range(0, 20, 2):
+        assert want[f"k{i}"]["hops"] == _hops(2, 50 + i)
+        assert want[f"k{i}"]["meta"]["round"] == str(100 + i)
+
+
+def test_nested_schema_evolution_and_recompact(spark, tbl_dir):
+    """Add a flat column beside nested ones: old files null-fill on
+    read AND through compaction's permissive schema unification."""
+    t = _mk(spark, os.path.join(tbl_dir, "nested_evo"))
+    r1 = _row("a", 1, "insert", n_hops=2, salt=4)
+    t.append_delta(_df(spark, [r1]), epoch_id="e1")
+    evolved = T.StructType(
+        NESTED_SCHEMA.fields
+        + [T.StructField("asn", T.LongType(), True)]
+    )
+    t.evolve_schema(evolved)
+    r2 = dict(_row("b", 2, "insert", n_hops=3, salt=5), asn=64500)
+    t.append_delta(
+        spark.createDataFrame(
+            [r2],
+            T.StructType(evolved.fields
+                         + [T.StructField("op", T.StringType(), False)]),
+        ),
+        epoch_id="e2",
+    )
+    st = _state(t)
+    assert st["a"]["asn"] is None and st["b"]["asn"] == 64500
+    assert st["a"]["hops"] == r1["hops"]
+    t.compact()
+    st2 = _state(t)
+    assert st2 == st
+    # compacted output is queryable with nested predicates, JVM-side
+    n = (
+        t.read()
+        .where(F.expr("size(hops) >= 3"))
+        .where(F.expr("hops[0].links[0].probes[0].rtt[0] > 0"))
+        .count()
+    )
+    assert n == 1
+
+
+REF_PT = "/root/reference/parser/testdata/20170320T23:53:10Z-172.17.94.34-33456-74.125.224.100-33457.paris"
+
+
+@pytest.mark.skipif(not os.path.exists(REF_PT),
+                    reason="reference testdata not mounted")
+def test_real_parsed_paris_rows_roundtrip(spark, tbl_dir):
+    """The engine's OWN parsed paris-traceroute output (38 real hops,
+    4-level nesting) stored, merged, compacted and read back equal."""
+    with open(REF_PT, "rb") as f:
+        rec = parse_pt_text(os.path.basename(REF_PT), f.read())
+    schema = T.StructType(
+        PT_SCHEMA.fields + [T.StructField("last_seq", T.LongType(), False)]
+    )
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "pt_real"), schema,
+        key_cols=("test_name",), n_buckets=2,
+    )
+    row = dict(rec, corrupted=False, last_seq=1, op="insert")
+    t.append_delta(
+        spark.createDataFrame(
+            [row],
+            T.StructType(schema.fields
+                         + [T.StructField("op", T.StringType(), False)]),
+        ),
+        epoch_id="e1",
+    )
+    t.compact()
+    got = [r.asDict(recursive=True) for r in t.read().collect()]
+    assert len(got) == 1
+    g = got[0]
+    assert g["hops"] == rec["hops"]          # all 38 hops, byte-exact
+    assert len(g["hops"]) == 38
+    assert g["hops"][0]["links"][0]["probes"][0]["rtt"] == [0.895]
+    assert g["source_ip"] == rec["source_ip"]
