@@ -369,6 +369,7 @@ _PRESERVED_SECTIONS = (
     "### Host-drift vs code-cost",
     "## Change-feed read-back",
     "## Compaction scaling: overhead-bound",
+    "## Winner sha256 placement A/B",
 )
 
 

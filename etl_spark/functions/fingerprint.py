@@ -202,17 +202,24 @@ def winnow_write_kernel(delta_schema_json: str, out_root: str,
                         f"keys — duplicate winner rows for a key (duplicate "
                         f"delivery or producer seq collision)"
                     )
-            content = sub["content"].to_pylist()
-            sha = pa.array(
-                [
-                    hashlib.sha256(c.encode("utf-8")).hexdigest()
-                    if c is not None
-                    else None
-                    for c in content
-                ],
-                pa.string(),
-            )
-            sub = sub.append_column("content_sha256", sha)
+            if "content_sha256" not in sub.column_names:
+                # kernel-side hashing (default, measured faster — see
+                # BENCH/BASELINE.md "Winner sha256 placement A/B"):
+                # hashlib releases the GIL and the loop runs over an
+                # Arrow batch inside the task, not driver rows. The
+                # jvm_sha=True path precomputes F.sha2 upstream instead
+                # and this branch passes it through.
+                content = sub["content"].to_pylist()
+                sha = pa.array(
+                    [
+                        hashlib.sha256(c.encode("utf-8")).hexdigest()
+                        if c is not None
+                        else None
+                        for c in content
+                    ],
+                    pa.string(),
+                )
+                sub = sub.append_column("content_sha256", sha)
             out = pa.Table.from_arrays(
                 [sub[n].combine_chunks().cast(arrow_schema.field(n).type)
                  for n in names],

@@ -194,6 +194,7 @@ def apply_epoch(
     dedup_mode: str = "winnow",
     winseq_broadcast: bool = True,
     quarantine: str | None = None,
+    jvm_sha: bool = False,
 ) -> ApplyStats:
     """Apply one epoch of change events. Idempotent per epoch_id.
 
@@ -334,7 +335,16 @@ def apply_epoch(
         sel = []
         for f_ in snap0.current_schema.fields:
             if f_.name == "content_sha256":
-                continue  # the kernel computes it over winners only
+                # A/B-measured placement (BENCH/BASELINE.md "Winner
+                # sha256 placement A/B"): jvm_sha=True hashes winners
+                # JVM-side (whole-stage codegen, +64B/row through the
+                # bucket exchange); default hashes in the kernel
+                # (hashlib loop over the Arrow batch, GIL released)
+                if jvm_sha:
+                    sel.append(
+                        F.sha2(F.col("content"), 256).alias("content_sha256")
+                    )
+                continue  # else: the kernel computes it over winners only
             if f_.name == "last_seq":
                 sel.append(F.col(schemas.SEQ_COL).cast("long").alias("last_seq"))
             elif f_.name in winners.columns:

@@ -347,3 +347,18 @@ def test_lineage_none_preserves_recovery_props(spark, tbl_dir):
     apply_epoch(spark, ev.where("seq >= 200"), tgt, None, epoch_id="e2")
     props = tgt.snapshot().properties
     assert "epoch:e1" in props and "epoch:e2" in props
+
+
+def test_jvm_sha_mode_matches_kernel_sha(spark, tbl_dir):
+    """The A/B knob (BENCH/BASELINE.md "Winner sha256 placement A/B"):
+    hashing winners JVM-side via F.sha2 must yield bit-identical final
+    state to the default kernel-side hashlib path."""
+    ev = gen.derived_events(spark, SF_TINY).where("seq <= 3000")
+    a = create_target(spark, os.path.join(tbl_dir, "ka"), n_buckets=8)
+    la = create_lineage(spark, os.path.join(tbl_dir, "kla"))
+    b = create_target(spark, os.path.join(tbl_dir, "kb"), n_buckets=8)
+    lb = create_lineage(spark, os.path.join(tbl_dir, "klb"))
+    apply_epoch(spark, ev, a, la, epoch_id="e", jvm_sha=False)
+    apply_epoch(spark, ev, b, lb, epoch_id="e", jvm_sha=True)
+    assert final_state(a) == final_state(b)
+    assert len(final_state(a)) > 0
