@@ -31,6 +31,11 @@ class LedgerEntry:
     effective_seq: int
     schema: T.StructType
     migration: str  # e.g. "add:content_encoding,string;add:size_bytes,long"
+    # per-column documentation introduced AT this version (the
+    # reference merges descriptions/*.yaml onto the live schema the
+    # same way, schema/schema.go:31-49); later versions override
+    # earlier ones per column. None ≡ {}.
+    descriptions: dict | None = None
 
     def columns_json(self) -> str:
         return json.dumps([[f.name, f.dataType.simpleString()] for f in self.schema.fields])
@@ -49,7 +54,8 @@ class SchemaLedger:
     def default(v2_effective_seq: int | None = None) -> "SchemaLedger":
         """The shipped fixture ledger: v1, plus v2 when an effective seq
         is known (FIXTURES.md §3-4)."""
-        entries = [LedgerEntry(1, 0, schemas.EVENTS_V1, "base")]
+        entries = [LedgerEntry(1, 0, schemas.EVENTS_V1, "base",
+                               descriptions=schemas.EVENTS_V1_DESCRIPTIONS)]
         if v2_effective_seq is not None:
             entries.append(
                 LedgerEntry(
@@ -57,6 +63,7 @@ class SchemaLedger:
                     v2_effective_seq,
                     schemas.EVENTS_V2,
                     "add:content_encoding,string;add:size_bytes,long",
+                    descriptions=schemas.EVENTS_V2_DESCRIPTIONS,
                 )
             )
         return SchemaLedger(entries)
@@ -92,6 +99,72 @@ class SchemaLedger:
             if seq >= e.effective_seq:
                 v = e.schema_version
         return v
+
+    def merged_descriptions(self, version: int | None = None) -> dict:
+        """Column documentation visible AT ``version`` (default latest):
+        entries fold in version order, later versions overriding earlier
+        per column — the reference's UpdateTable semantics, where each
+        deploy re-merges descriptions/*.yaml onto the live schema
+        (schema/schema.go:31-49). Documentation for a column the
+        version's schema does not carry is dropped."""
+        if version is None:
+            version = self.latest.schema_version
+        out: dict = {}
+        for e in self.entries:
+            if e.schema_version > version:
+                break
+            out.update(e.descriptions or {})
+        names = {f.name for f in self.schema_for(version).fields}
+        return {k: v for k, v in out.items() if k in names}
+
+    def described_schema(self, version: int | None = None) -> T.StructType:
+        """The version's StructType with descriptions attached as field
+        metadata ``{"comment": ...}`` — Spark's native column-doc
+        carrier (lands in ``DESCRIBE``/catalog output downstream)."""
+        if version is None:
+            version = self.latest.schema_version
+        docs = self.merged_descriptions(version)
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    metadata={**(f.metadata or {}), "comment": docs[f.name]}
+                    if f.name in docs else f.metadata,
+                )
+                for f in self.schema_for(version).fields
+            ]
+        )
+
+    def to_json(self) -> str:
+        """Full serialization, descriptions included — the persisted
+        ledger form (table-property / file payload)."""
+        return json.dumps(
+            [
+                {
+                    "schema_version": e.schema_version,
+                    "effective_seq": e.effective_seq,
+                    "schema": json.loads(e.schema.json()),
+                    "migration": e.migration,
+                    "descriptions": e.descriptions or {},
+                }
+                for e in self.entries
+            ]
+        )
+
+    @staticmethod
+    def from_json(payload: str) -> "SchemaLedger":
+        return SchemaLedger(
+            [
+                LedgerEntry(
+                    d["schema_version"],
+                    d["effective_seq"],
+                    T.StructType.fromJson(d["schema"]),
+                    d["migration"],
+                    descriptions=d.get("descriptions") or None,
+                )
+                for d in json.loads(payload)
+            ]
+        )
 
     def to_df(self, spark: SparkSession) -> DataFrame:
         """Golden-fixture shape (FIXTURES.md §4) for ledger-drift tests."""

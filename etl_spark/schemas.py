@@ -39,6 +39,29 @@ EVENTS_V2 = T.StructType(
     ]
 )
 
+# per-column documentation carried by the ledger (the reference keeps
+# these in descriptions/*.yaml and merges them onto the live schema at
+# deploy time, schema/schema.go:31-49); a version documents only what
+# it introduces — the ledger folds versions in order
+EVENTS_V1_DESCRIPTIONS = {
+    "seq": "global commit sequence of the change event (WAL position); "
+           "strictly increasing per producer, the LWW rank",
+    "op": "change kind: insert | update | delete | schema_change",
+    "repo": "source repository (key part 1)",
+    "path": "file path within the repository (key part 2)",
+    "commit": "VCS commit id the change came from",
+    "lang": "language tag of the file content",
+    "content": "full file content at this change (null for deletes)",
+    "schema_version": "event-schema version; maps through this ledger",
+    "event_time": "producer-side timestamp of the change",
+}
+
+EVENTS_V2_DESCRIPTIONS = {
+    "content_encoding": "encoding of content (v2 addition; e.g. utf-8)",
+    "size_bytes": "content size in bytes as reported by the producer "
+                  "(v2 addition)",
+}
+
 # -- target table (final state keyed by (repo, path)) -----------------------
 
 TARGET_V1 = T.StructType(

@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_spark import schemas
-from etl_spark.ledger import SchemaLedger
+from etl_spark.ledger import LedgerEntry, SchemaLedger
 
 
 def test_golden_ledger_shape(spark):
@@ -41,3 +41,36 @@ def test_normalize_rejects_unknown_columns(spark):
     df = spark.createDataFrame([(1, "zzz")], "seq long, mystery string")
     with pytest.raises(ValueError, match="mystery"):
         led.normalize(df)
+
+
+def test_ledger_descriptions_merge_and_roundtrip(spark):
+    """Per-column docs (reference descriptions/*.yaml,
+    schema/schema.go:31-49): versions fold in order, v2 adds its new
+    columns' docs on top of v1's, the full ledger round-trips through
+    JSON, and described_schema lands docs in field metadata."""
+    led = SchemaLedger.default(v2_effective_seq=100)
+    d1 = led.merged_descriptions(version=1)
+    assert "seq" in d1 and "content_encoding" not in d1
+    d2 = led.merged_descriptions()
+    assert d2["seq"] == d1["seq"]
+    assert "utf-8" in d2["content_encoding"]
+    # JSON round-trip preserves versions, schemas AND descriptions
+    back = SchemaLedger.from_json(led.to_json())
+    assert [e.schema_version for e in back.entries] == [1, 2]
+    assert back.latest.schema.json() == led.latest.schema.json()
+    assert back.merged_descriptions() == d2
+    # described_schema carries docs as Spark field metadata comments
+    ds = led.described_schema()
+    meta = {f.name: (f.metadata or {}).get("comment") for f in ds.fields}
+    assert meta["op"].startswith("change kind")
+    assert meta["size_bytes"] is not None
+    # a later version can OVERRIDE an earlier column's documentation
+    from etl_spark import schemas as S
+    led2 = SchemaLedger([
+        LedgerEntry(1, 0, S.EVENTS_V1, "base",
+                    descriptions={"seq": "old words"}),
+        LedgerEntry(2, 10, S.EVENTS_V2, "add:content_encoding,string",
+                    descriptions={"seq": "new words"}),
+    ])
+    assert led2.merged_descriptions(version=1)["seq"] == "old words"
+    assert led2.merged_descriptions()["seq"] == "new words"

@@ -100,12 +100,16 @@ def test_lww_replay_matches_oracle(spark, tbl_dir, rows):
         HealthCheck.function_scoped_fixture,
     ],
 )
-@given(event_batches(), st.integers(min_value=0, max_value=2))
+@given(
+    event_batches(),
+    st.integers(min_value=0, max_value=2),
+    st.sets(st.integers(min_value=1, max_value=1000), max_size=3),
+)
 def test_changefeed_reconstructs_any_version_pair(spark, tbl_dir, rows,
-                                                  compact_after):
+                                                  compact_after, raw_cuts):
     """CDF soundness property: for ANY committed version pair v1<v2 —
-    across arbitrary op interleavings, rejected garbage, and a
-    compaction injected at a random point — replaying
+    across arbitrary op interleavings, rejected garbage, RANDOM epoch
+    cut points, and a compaction injected at a random point — replaying
     changes_between(v1, v2) onto state(v1) must reproduce state(v2)
     exactly. This is the contract a downstream consumer relies on."""
     _counter[0] += 1
@@ -113,7 +117,9 @@ def test_changefeed_reconstructs_any_version_pair(spark, tbl_dir, rows,
         spark, os.path.join(tbl_dir, f"cdf{_counter[0]}"), n_buckets=4
     )
     n = len(rows)
-    cuts = sorted({0, max(1, n // 3), max(2, 2 * n // 3), n})
+    # hypothesis-drawn epoch boundaries (folded into range; degenerate
+    # draws collapse to fewer, possibly empty, epochs — also valid)
+    cuts = sorted({0, n, *(c % (n + 1) for c in raw_cuts)})
     versions = [tgt.current_version()]
     for i, (lo, hi) in enumerate(zip(cuts, cuts[1:])):
         sl = [r for r in rows if lo <= r[0] < hi]
