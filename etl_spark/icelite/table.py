@@ -46,6 +46,7 @@ pruning either way.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import shutil
@@ -224,6 +225,15 @@ def diff_file_flags(
     return flagged
 
 
+def _iso_ts(dt: datetime.datetime) -> str:
+    """Fixed-width ISO-8601 (UTC-normalized, full microseconds) for
+    manifest-stat storage: uniform width ⇒ lexicographic order equals
+    temporal order, so string min/max comparisons prune soundly."""
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
+
+
 def _footer_bounds(meta) -> dict | None:
     """Per-column [min, max] from the parquet footer the manifest pass
     already read — zero extra IO (the reference's BigQuery ingest gets
@@ -235,6 +245,11 @@ def _footer_bounds(meta) -> dict | None:
     hash-shaped columns like md5 commits / sha256 digests, whose
     bounds nothing can prune on, from bloating the manifest — at 280k
     files per snapshot every retained column costs ~20 MB of manifest).
+    Timestamp/date statistics are kept as fixed-width ISO-8601 strings
+    (normalized to UTC, full microseconds — uniform width makes
+    lexicographic order equal temporal order; never truncated, so the
+    24-char cap does not apply), which is what time-window pruning
+    (``files_in_range``/``read_time_window``) compares against.
     Columns missing statistics in any row group are dropped: absent
     stats must mean "cannot prune", never "prune"."""
     bounds: dict[str, list] = {}
@@ -257,7 +272,11 @@ def _footer_bounds(meta) -> dict | None:
                 except UnicodeDecodeError:
                     dead.add(name)
                     continue
-            if not isinstance(mn, (int, float, str, bool)) or (
+            if isinstance(mn, datetime.datetime):
+                mn, mx = _iso_ts(mn), _iso_ts(mx)
+            elif isinstance(mn, datetime.date):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            elif not isinstance(mn, (int, float, str, bool)) or (
                 isinstance(mn, str) and (len(mn) > 24 or len(mx) > 24)
             ):
                 dead.add(name)
@@ -893,7 +912,17 @@ class IceliteTable:
                        version: int | None = None) -> list[DataFile]:
         """Manifest-only file pruning on the per-file [min, max] bounds
         (no data IO). A file without bounds for ``col`` is KEPT —
-        absent stats mean "cannot prune", never "prune"."""
+        absent stats mean "cannot prune", never "prune". Datetime
+        bounds are normalized to the manifest's fixed-width ISO form
+        before comparison (see ``_iso_ts``)."""
+        if isinstance(lo, datetime.datetime):
+            lo = _iso_ts(lo)
+        elif isinstance(lo, datetime.date):
+            lo = lo.isoformat()
+        if isinstance(hi, datetime.datetime):
+            hi = _iso_ts(hi)
+        elif isinstance(hi, datetime.date):
+            hi = hi.isoformat()
         out = []
         for f_ in self.snapshot(version).files:
             b = (f_.stats or {}).get(col)
@@ -937,6 +966,68 @@ class IceliteTable:
         if hi is not None:
             df = df.where(F.col(col) <= hi)
         return df
+
+    def read_time_window(self, col: str, lo=None, hi=None,
+                         version: int | None = None,
+                         columns: Sequence[str] | None = None) -> DataFrame:
+        """Time-windowed read of a KEYED merge-on-read table with SOUND
+        file-level pruning — footer-bounds parity with a ``days()``
+        partition layout, without a second physical partition dimension
+        (reference analog: every reference table is date-partitioned,
+        cmd/update-schema/update.go:93-97, bq/insert.go:62-70).
+
+        Naive pruning before LWW resolve is unsound (the reason
+        ``read_range`` refuses keyed tables): dropping the file that
+        holds a key's true winner — out-of-window ``col`` — would let a
+        stale in-window row win and resurrect the key. The sound
+        split: winners are decided by (key, last_seq) ALONE, so
+
+        - phase 1 resolves winner IDENTITIES over ALL files while
+          reading only the thin key + last_seq columns (the projected
+          resolve — a few % of table bytes when a content column
+          dominates the row);
+        - phase 2 fetches full-width rows ONLY from files whose footer
+          [min, max] bounds overlap the window, semi-joined on the
+          winner identity.
+
+        A winner with in-window ``col`` necessarily lives in an
+        overlapping file, so phase 2 cannot miss it; a stale row can
+        never match the winner identity; a key whose winner is out of
+        window falls out via the residual filter (its identity may
+        match in an overlapping file) or is never fetched. Wide-scan
+        IO is therefore O(window), exactly what a date layout buys:
+        epoch delta files are naturally time-local, and
+        ``compact(cluster_by=[col])`` keeps compacted files/row-groups
+        tight (SCALE.md "Time-windowed reads")."""
+        snap = self.snapshot(version)
+        if not snap.key_cols:
+            return self.read_range(col, lo, hi, version)
+        keys = list(snap.key_cols)
+        names = [f_.name for f_ in snap.current_schema.fields]
+        if "last_seq" not in names:
+            raise ValueError("read_time_window requires a last_seq column")
+        if col not in names:
+            raise ValueError(f"no such column: {col}")
+        v = snap.version
+        win_id = self.read(version=v, columns=keys + ["last_seq"])
+        kept = {f_.path for f_ in self.files_in_range(col, lo, hi, v)}
+        wide = self.read(version=v, resolve=False,
+                         file_filter=lambda f_: f_.path in kept)
+        out = (
+            wide.join(win_id, on=keys + ["last_seq"], how="left_semi")
+            # base/delta twins of one winner identity (a compaction's
+            # base row duplicating the still-live delta row) carry
+            # identical payloads — keep one
+            .dropDuplicates(keys)
+            .drop("__op")
+        )
+        if lo is not None:
+            out = out.where(F.col(col) >= lo)
+        if hi is not None:
+            out = out.where(F.col(col) <= hi)
+        if columns is not None:
+            out = out.select(*columns)
+        return out
 
     def changes_between(
         self, from_version: int, to_version: int | None = None

@@ -51,6 +51,11 @@ def get_spark(
         # task launch (a fixed per-stage cost that Amdahl-caps scaling)
         .config("spark.locality.wait", "0")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # INT96 (the legacy default) carries NO parquet min/max
+        # statistics, which silently disables every timestamp-based
+        # pruning layer (footer-bounds manifests, row-group skipping);
+        # TIMESTAMP_MICROS is the modern type with full stats
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # shuffle/spill scratch on tmpfs: local[N] has no external shuffle
         # service; on a real cluster this is NVMe-backed local dirs
         .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))

@@ -1,0 +1,139 @@
+"""Time-windowed reads on a KEYED merge-on-read table: manifest-level
+file pruning from timestamp footer bounds (footer-bounds parity with
+the reference's date-partitioned layout, cmd/update-schema/update.go:
+93-97) plus the two-phase sound resolve that makes pruning safe under
+LWW (a stale in-window row must never resurrect past an out-of-window
+winner)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import types as T
+
+from etl_spark.icelite.table import IceliteTable
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("event_time", T.TimestampType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ]
+)
+
+DELTA = T.StructType(
+    SCHEMA.fields + [T.StructField("op", T.StringType(), False)]
+)
+
+
+def day(d: int, h: int = 12) -> dt.datetime:
+    return dt.datetime(2024, 3, 1 + d, h, 0, 0)
+
+
+def _apply(spark, t, rows, epoch):
+    t.append_delta(spark.createDataFrame(rows, DELTA), epoch_id=epoch)
+
+
+def _rows(t, df=None):
+    df = t.read() if df is None else df
+    return sorted(
+        (r.repo, r.path, r.v, r.event_time) for r in df.collect()
+    )
+
+
+def test_time_window_prunes_files_and_stays_sound(spark, tbl_dir):
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "tw"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=4,
+    )
+    seq = [0]
+
+    def mk(key, d, op="insert", v=None):
+        seq[0] += 1
+        return ("r", key, v if v is not None else d, day(d), seq[0], op)
+
+    # epoch per day: day-local delta files → tight per-file time bounds
+    _apply(spark, t, [mk(f"k{i}", 0) for i in range(8)], "d0")
+    _apply(spark, t, [mk("stale", 2, v=222)], "d2")
+    _apply(spark, t, [mk("k3", 3, op="update", v=333)], "d3")
+    _apply(spark, t, [mk("stale", 5, op="update", v=555)], "d5")
+
+    total = len(t.snapshot().files)
+    lo, hi = day(2, 0), day(3, 23)
+    pruned = t.files_in_range("event_time", lo, hi)
+    # manifest-level pruning: only the d2 + d3 epoch files overlap
+    assert 0 < len(pruned) < total
+    d_all = {f.path.split("/", 0)[0] for f in pruned}
+    assert len(pruned) <= 2  # one file per touched bucket per epoch
+    assert d_all is not None
+
+    got = _rows(t, t.read_time_window("event_time", lo, hi))
+    # k3's winner (updated day 3) is in window; every other key's
+    # winner is out of window — INCLUDING "stale", whose day-2 insert
+    # sits inside the window but lost to the day-5 update. A naive
+    # prune-then-resolve would resurrect it; the two-phase read must
+    # not.
+    assert got == [("r", "k3", 333, day(3))]
+    # parity with the unpruned read + post-resolve filter
+    ref = t.read().where(f"event_time >= '{lo}' AND event_time <= '{hi}'")
+    assert got == _rows(t, ref)
+
+    # open-ended windows
+    assert len(_rows(t, t.read_time_window("event_time", lo=day(5, 0)))) == 1
+    assert _rows(t, t.read_time_window("event_time", hi=day(0, 23))) == _rows(
+        t, t.read().where(f"event_time <= '{day(0, 23)}'")
+    )
+
+    # column projection
+    cols = t.read_time_window("event_time", lo, hi, columns=["path", "v"])
+    assert cols.columns == ["path", "v"]
+    assert [tuple(r) for r in cols.collect()] == [("k3", 333)]
+
+    # after clustering compaction the window result is unchanged
+    # (bounds widen to one file per bucket — pruning degrades, results
+    # don't)
+    t.compact(cluster_by=["event_time"])
+    assert _rows(t, t.read_time_window("event_time", lo, hi)) == got
+
+    # append-only tables delegate to read_range (same answer shape)
+    ao = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "ao"),
+        T.StructType([
+            T.StructField("k", T.LongType(), False),
+            T.StructField("event_time", T.TimestampType(), True),
+        ]),
+    )
+    ao.append(spark.createDataFrame(
+        [(i, day(i % 4)) for i in range(16)],
+        "k long, event_time timestamp",
+    ))
+    w = ao.read_time_window("event_time", day(1, 0), day(1, 23))
+    assert w.count() == 4
+
+
+def test_timestamp_footer_bounds_survive_manifest(spark, tbl_dir):
+    """Timestamp stats land in the manifest as fixed-width ISO strings
+    and prune correctly around epoch boundaries."""
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "tsb"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=1,
+    )
+    _apply(spark, t, [("r", "a", 1, day(0), 1, "insert")], "e0")
+    _apply(spark, t, [("r", "b", 2, day(9), 2, "insert")], "e9")
+    stats = [f.stats for f in t.snapshot().files]
+    assert all(s and "event_time" in s for s in stats)
+    for s in stats:
+        mn, mx = s["event_time"]
+        assert isinstance(mn, str) and len(mn) == 26 and "T" in mn
+        assert mn <= mx
+    # a window over day 9 keeps only the e9 file
+    kept = t.files_in_range("event_time", day(9, 0), day(9, 23))
+    assert len(kept) == 1
+    # datetime.date inputs normalize too
+    kept2 = t.files_in_range(
+        "event_time", dt.date(2024, 3, 10), dt.date(2024, 3, 11)
+    )
+    assert len(kept2) == 1
