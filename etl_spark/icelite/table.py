@@ -475,8 +475,13 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
 
     def _with_op(t, pa):
         if "__op" not in t.column_names:
+            # constant column built C++-side (fill_null), not from a
+            # Python list — this runs once per file per task and the
+            # compact kernel is memory-bandwidth-bound at high core
+            # counts, so every avoidable copy/alloc shows up in the
+            # N→4N kernel-sum ratio
             t = t.append_column(
-                "__op", pa.array(["base"] * len(t), pa.string()))
+                "__op", pa.nulls(len(t), pa.string()).fill_null("base"))
         return t
 
     def _out_schema(has_tombstones, pa):
@@ -490,12 +495,19 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
 
     def _project(picked, out_fields, arrow_schema, pa):
         """Winner rows → output schema: missing evolved columns
-        null-filled, types cast recursively (nested included)."""
+        null-filled, types cast recursively (nested included).
+        Columns already at the target type pass through as-is — the
+        extra combine_chunks+cast copy of every winner byte is paid
+        ONLY on schema-evolution mismatches, keeping the kernel's
+        memory traffic flat as cores scale."""
         arrays = []
         for f_ in out_fields:
             typ = _arrow_type(f_.dataType)
             if f_.name in picked.column_names:
-                arrays.append(picked[f_.name].combine_chunks().cast(typ))
+                col = picked[f_.name]
+                if col.type != typ:
+                    col = col.combine_chunks().cast(typ)
+                arrays.append(col)
             else:
                 arrays.append(pa.nulls(len(picked), type=typ))
         return pa.Table.from_arrays(arrays, schema=arrow_schema)
