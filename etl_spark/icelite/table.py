@@ -234,6 +234,32 @@ def _iso_ts(dt: datetime.datetime) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
 
 
+def _as_naive_utc(x) -> datetime.datetime:
+    """Normalize a query bound to a naive-UTC datetime. A bare date
+    becomes MIDNIGHT of that day — exactly Spark's date→timestamp cast
+    in the residual filter, so manifest pruning and the row filter
+    agree at the boundary."""
+    if isinstance(x, datetime.datetime):
+        if x.tzinfo is not None:
+            x = x.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return x
+    return datetime.datetime(x.year, x.month, x.day)
+
+
+def _parse_iso_bound(s) -> datetime.datetime | None:
+    """Stored manifest bound → datetime (26-char timestamp form or
+    10-char date form); None = not temporal / unparsable = cannot
+    prune on it."""
+    if not isinstance(s, str):
+        return None
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%d"):
+        try:
+            return datetime.datetime.strptime(s, fmt)
+        except ValueError:
+            continue
+    return None
+
+
 def _footer_bounds(meta) -> dict | None:
     """Per-column [min, max] from the parquet footer the manifest pass
     already read — zero extra IO (the reference's BigQuery ingest gets
@@ -523,11 +549,35 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         os.makedirs(os.path.dirname(fp), exist_ok=True)
         return rel_path, fp
 
+    def _norm_ts(t, pa):
+        """Pre-unify timestamp columns to the current schema's arrow
+        type before concat: legacy base files (pre-TIMESTAMP_MICROS
+        sessions wrote INT96 → naive ns) cannot concat with
+        kernel-written us/UTC columns — permissive promotion refuses
+        to merge naive with tz-aware. The cast attaches UTC without
+        shifting values, same semantics as the old pandas
+        tz_localize('UTC') path."""
+        for i, name in enumerate(t.column_names):
+            want = _cur_arrow.get(name)
+            if (want is not None and pa.types.is_timestamp(want)
+                    and t.column(i).type != want
+                    and pa.types.is_timestamp(t.column(i).type)):
+                t = t.set_column(
+                    i, name, t.column(i).cast(want, safe=False))
+        return t
+
+    _cur_arrow = {}
+
     def _compact_small(spec, pa):
         import numpy as np
 
+        if not _cur_arrow:
+            _cur_arrow.update(
+                {f_.name: _arrow_type(f_.dataType) for f_ in current.fields}
+            )
         tables = [
-            _with_op(pq.read_table(os.path.join(data_root, path)), pa)
+            _norm_ts(_with_op(pq.read_table(os.path.join(data_root, path)),
+                              pa), pa)
             for path, _sid, _kind, _nb in spec["files"]
         ]
         # permissive promotion unifies evolved schemas by name
@@ -685,6 +735,15 @@ class IceliteTable:
         # per-bucket kernel seconds of the most recent compact() on
         # this handle, largest first (diagnostics only, not state)
         self.last_compact_task_secs: list[float] = []
+        # numbered-version snapshots are immutable once written, so a
+        # small per-handle memo avoids re-reading + re-parsing the
+        # manifest JSON (multi-MB at 280k files) for every helper in
+        # one logical operation (read_time_window alone consults it
+        # 4x). Cleared by expire_snapshots on this handle; a version
+        # expired by a CONCURRENT process may briefly resolve from the
+        # memo instead of raising — the same already-documented race
+        # as expire-then-vacuum between snapshot() and read().
+        self._snap_cache: dict[int, Snapshot] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -748,8 +807,20 @@ class IceliteTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise NoSuchTable(self.path)
+        cached = self._snap_cache.get(v)
+        if cached is not None:
+            # one stat() guards the memo against expire_snapshots run
+            # through ANOTHER handle/process: an expired version must
+            # raise, never resolve from stale memory. Still ~1000x
+            # cheaper than re-parsing a multi-MB manifest.
+            if os.path.exists(self._version_file(v)):
+                return cached
+            del self._snap_cache[v]
         with open(self._version_file(v)) as f:
-            return Snapshot.from_json(json.load(f))
+            snap = Snapshot.from_json(json.load(f))
+        if len(self._snap_cache) < 32:
+            self._snap_cache[v] = snap
+        return snap
 
     # -- reads --------------------------------------------------------------
 
@@ -924,25 +995,35 @@ class IceliteTable:
                        version: int | None = None) -> list[DataFile]:
         """Manifest-only file pruning on the per-file [min, max] bounds
         (no data IO). A file without bounds for ``col`` is KEPT —
-        absent stats mean "cannot prune", never "prune". Datetime
-        bounds are normalized to the manifest's fixed-width ISO form
-        before comparison (see ``_iso_ts``)."""
-        if isinstance(lo, datetime.datetime):
-            lo = _iso_ts(lo)
-        elif isinstance(lo, datetime.date):
-            lo = lo.isoformat()
-        if isinstance(hi, datetime.datetime):
-            hi = _iso_ts(hi)
-        elif isinstance(hi, datetime.date):
-            hi = hi.isoformat()
+        absent stats mean "cannot prune", never "prune".
+
+        Temporal queries (datetime/date ``lo``/``hi``) compare in
+        DATETIME space, not string space: stored bounds may be the
+        26-char timestamp form OR the 10-char date form, and a bare
+        query date must mean midnight (Spark's date→timestamp cast in
+        the residual filter) — naive lexicographic comparison across
+        those widths would prune a file whose min is exactly midnight
+        of the ``hi`` day. An unparsable stored bound keeps the file."""
+        temporal = isinstance(lo, datetime.date) or isinstance(
+            hi, datetime.date)  # datetime is a date subclass
+        lo_t = _as_naive_utc(lo) if temporal and lo is not None else None
+        hi_t = _as_naive_utc(hi) if temporal and hi is not None else None
         out = []
         for f_ in self.snapshot(version).files:
             b = (f_.stats or {}).get(col)
             if b is not None:
-                if lo is not None and b[1] < lo:
-                    continue
-                if hi is not None and b[0] > hi:
-                    continue
+                if temporal:
+                    b0, b1 = _parse_iso_bound(b[0]), _parse_iso_bound(b[1])
+                    if b0 is not None and b1 is not None:
+                        if lo_t is not None and b1 < lo_t:
+                            continue
+                        if hi_t is not None and b0 > hi_t:
+                            continue
+                else:
+                    if lo is not None and b[1] < lo:
+                        continue
+                    if hi is not None and b[0] > hi:
+                        continue
             out.append(f_)
         return out
 
@@ -1013,7 +1094,8 @@ class IceliteTable:
         tight (SCALE.md "Time-windowed reads")."""
         snap = self.snapshot(version)
         if not snap.key_cols:
-            return self.read_range(col, lo, hi, version)
+            out = self.read_range(col, lo, hi, version)
+            return out.select(*columns) if columns is not None else out
         keys = list(snap.key_cols)
         names = [f_.name for f_ in snap.current_schema.fields]
         if "last_seq" not in names:
@@ -1977,6 +2059,9 @@ class IceliteTable:
             # a branch chain shares data files with main: expiring from
             # the branch's view could delete files main still references
             raise ValueError("run maintenance on the main table handle")
+        # expired versions must go back to raising, not resolving from
+        # stale memory
+        self._snap_cache.clear()
         versions = self._retained_versions()
         tagged = set(self.list_tags().values())
         expire = [v for v in (versions[:-keep_last] if keep_last > 0 else [])
@@ -2099,10 +2184,32 @@ class IceliteTable:
                 raise FileExistsError(f"branch exists: {name!r}")
             # dir without fork.json = torn remnant of a legacy (pre-
             # staged) create that crashed between makedirs and the
-            # fork.json write — reclaim the name
-            import shutil
+            # fork.json write — reclaim the name. Rename it ASIDE and
+            # re-check, never rmtree in place: between our check and
+            # the reclaim a concurrent creator may have renamed a
+            # VALID branch into bdir, and an unconditional rmtree
+            # would silently destroy their committed fork.
+            aside = f"{bdir}.tmp.{uuid.uuid4().hex}.torn"
+            try:
+                os.rename(bdir, aside)
+            except OSError:
+                pass  # another reclaimer won the rename — proceed
+            else:
+                if os.path.isfile(os.path.join(aside, "fork.json")):
+                    # we moved a branch that became valid meanwhile —
+                    # put it back and report the name as taken
+                    try:
+                        os.rename(aside, bdir)
+                    except OSError:
+                        raise FileExistsError(
+                            f"branch {name!r} was created concurrently; "
+                            f"its dir was moved to {aside} and could not "
+                            f"be restored — restore it manually"
+                        ) from None
+                    raise FileExistsError(f"branch exists: {name!r}")
+                import shutil
 
-            shutil.rmtree(bdir, ignore_errors=True)
+                shutil.rmtree(aside, ignore_errors=True)
         # stage the fully-formed dir under a temp name, then rename into
         # place: a crash can only leave a .tmp. dir (ignored by
         # branch()/list_branches and re-creatable), never a torn branch

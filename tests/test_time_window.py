@@ -64,11 +64,17 @@ def test_time_window_prunes_files_and_stays_sound(spark, tbl_dir):
     total = len(t.snapshot().files)
     lo, hi = day(2, 0), day(3, 23)
     pruned = t.files_in_range("event_time", lo, hi)
-    # manifest-level pruning: only the d2 + d3 epoch files overlap
+    # manifest-level pruning: exactly the d2 + d3 epoch files survive —
+    # every kept file's time bounds must lie inside days 2-3, and both
+    # epochs must be represented
     assert 0 < len(pruned) < total
-    d_all = {f.path.split("/", 0)[0] for f in pruned}
     assert len(pruned) <= 2  # one file per touched bucket per epoch
-    assert d_all is not None
+    days_seen = set()
+    for f in pruned:
+        mn, mx = f.stats["event_time"]
+        assert mn >= "2024-03-03" and mx < "2024-03-05", (f.path, mn, mx)
+        days_seen.add(mn[:10])
+    assert days_seen == {"2024-03-03", "2024-03-04"}
 
     got = _rows(t, t.read_time_window("event_time", lo, hi))
     # k3's winner (updated day 3) is in window; every other key's
@@ -137,3 +143,68 @@ def test_timestamp_footer_bounds_survive_manifest(spark, tbl_dir):
         "event_time", dt.date(2024, 3, 10), dt.date(2024, 3, 11)
     )
     assert len(kept2) == 1
+
+
+def test_date_hi_midnight_boundary_not_pruned(spark, tbl_dir):
+    """A winner at EXACTLY midnight of the hi day must survive manifest
+    pruning when hi is a bare date: Spark's residual filter casts the
+    date to midnight, and a lexicographic compare of the 10-char date
+    against the 26-char stored bound would wrongly drop the file."""
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "mid"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=1,
+    )
+    midnight = dt.datetime(2024, 3, 11, 0, 0, 0)
+    _apply(spark, t, [("r", "m", 1, midnight, 1, "insert")], "e0")
+    _apply(spark, t, [("r", "x", 2, dt.datetime(2024, 3, 20), 2, "insert")],
+           "e1")
+    got = _rows(t, t.read_time_window("event_time",
+                                      hi=dt.date(2024, 3, 11)))
+    ref = _rows(t, t.read().where("event_time <= DATE '2024-03-11'"))
+    assert got == ref == [("r", "m", 1, midnight)]
+    # and the file itself was kept by the manifest prune
+    kept = t.files_in_range("event_time", hi=dt.date(2024, 3, 11))
+    assert len(kept) == 1
+
+
+def test_compaction_handles_legacy_int96_base_files(spark, tbl_dir):
+    """Base files written by a pre-TIMESTAMP_MICROS session (INT96 →
+    naive ns on read) must compact alongside kernel-written us/UTC
+    delta files instead of failing the naive-vs-tz-aware concat."""
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "i96"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=1,
+    )
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        _apply(spark, t, [("r", "old", 1, day(0), 1, "insert")], "legacy")
+        t.compact()  # base file now INT96
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    _apply(spark, t, [("r", "new", 2, day(1), 2, "insert"),
+                      ("r", "old", 3, day(2), 3, "update")], "modern")
+    t.compact()  # small path: INT96 base + modern delta in one bucket
+    assert _rows(t) == [("r", "new", 2, day(1)), ("r", "old", 3, day(2))]
+    # chunked path over the same mix
+    _apply(spark, t, [("r", "new", 4, day(3), 4, "update")], "again")
+    t.compact(chunk_bytes=1)
+    assert _rows(t) == [("r", "new", 4, day(3)), ("r", "old", 3, day(2))]
+
+
+def test_append_only_fallback_honours_columns(spark, tbl_dir):
+    ao = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "aocols"),
+        T.StructType([
+            T.StructField("k", T.LongType(), False),
+            T.StructField("event_time", T.TimestampType(), True),
+        ]),
+    )
+    ao.append(spark.createDataFrame(
+        [(i, day(i % 3)) for i in range(9)],
+        "k long, event_time timestamp",
+    ))
+    w = ao.read_time_window("event_time", day(1, 0), day(1, 23),
+                            columns=["k"])
+    assert w.columns == ["k"]
+    assert w.count() == 3
