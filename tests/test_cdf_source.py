@@ -139,3 +139,59 @@ def test_cdf_stream_composes_with_windowed_aggregation(spark, tbl_dir):
         .where(F.col("_change_type").isin("insert", "update_postimage"))
         .groupBy(F.window("event_time", "6 hours"), "lang").count().collect())
     assert got == exp and len(got) >= 2
+
+
+def test_cdf_stream_carries_nested_payloads(spark, tbl_dir):
+    """Nested struct/array/map columns (incl. a timestamp INSIDE a
+    struct) ride the streaming change feed byte-equal to the batch
+    changes_between — the CDF source is part of the nested-storage
+    contract, not just the flat path."""
+    import datetime as dt
+
+    hops_t = T.ArrayType(T.StructType([
+        T.StructField("ip", T.StringType(), True),
+        T.StructField("rtt", T.ArrayType(T.DoubleType()), True),
+        T.StructField("seen", T.TimestampType(), True),
+    ]))
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("hops", hops_t, True),
+        T.StructField("meta", T.MapType(T.StringType(), T.LongType()), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    delta = T.StructType(
+        schema.fields + [T.StructField("op", T.StringType(), False)]
+    )
+    t = IceliteTable.create(spark, os.path.join(tbl_dir, "nested"), schema,
+                            key_cols=("k",), n_buckets=2)
+    ts = dt.datetime(2024, 3, 1, 12, 30, 15, 123456)
+    t.append_delta(spark.createDataFrame(
+        [{"k": "a", "hops": [{"ip": "10.0.0.1", "rtt": [0.5, 1.25],
+                              "seen": ts}],
+          "meta": {"n": 3}, "last_seq": 1, "op": "insert"}], delta),
+        epoch_id="e1")
+    v1 = t.current_version()
+    t.append_delta(spark.createDataFrame(
+        [{"k": "a", "hops": [{"ip": "10.0.0.2", "rtt": [2.5], "seen": ts}],
+          "meta": {"n": 4}, "last_seq": 2, "op": "update"},
+         {"k": "b", "hops": [], "meta": {}, "last_seq": 3, "op": "insert"}],
+        delta), epoch_id="e2")
+
+    batch = {(r.k, r._change_type): r.asDict(recursive=True)
+             for r in t.changes_between(v1).collect()}
+    spark.dataSource.register(IceliteChangeFeed)
+    q = (spark.readStream.format("icelite_cdf")
+         .option("path", t.path).option("startingVersion", v1).load())
+    got = {}
+
+    def sink(df, _eid):
+        for r in df.collect():
+            got[(r.k, r._change_type)] = r.asDict(recursive=True)
+
+    sq = q.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    sq.awaitTermination(180)
+    assert sorted(got) == sorted(batch)
+    for key in batch:
+        assert got[key] == batch[key], key
+    assert got[("a", "update_postimage")]["hops"][0]["seen"] == ts
+    assert got[("a", "update_preimage")]["meta"] == {"n": 3}
