@@ -234,30 +234,37 @@ def _iso_ts(dt: datetime.datetime) -> str:
     return dt.strftime("%Y-%m-%dT%H:%M:%S.%f")
 
 
-def _as_naive_utc(x) -> datetime.datetime:
+def _as_naive_utc(x) -> datetime.datetime | None:
     """Normalize a query bound to a naive-UTC datetime. A bare date
     becomes MIDNIGHT of that day — exactly Spark's date→timestamp cast
     in the residual filter, so manifest pruning and the row filter
-    agree at the boundary."""
+    agree at the boundary. Strings are parsed via the ISO forms; a
+    value that cannot be normalized returns None (= do not prune on
+    this side; the residual filter still applies it exactly)."""
     if isinstance(x, datetime.datetime):
         if x.tzinfo is not None:
             x = x.astimezone(datetime.timezone.utc).replace(tzinfo=None)
         return x
-    return datetime.datetime(x.year, x.month, x.day)
+    if isinstance(x, datetime.date):
+        return datetime.datetime(x.year, x.month, x.day)
+    return _parse_iso_bound(x)
 
 
 def _parse_iso_bound(s) -> datetime.datetime | None:
     """Stored manifest bound → datetime (26-char timestamp form or
     10-char date form); None = not temporal / unparsable = cannot
-    prune on it."""
+    prune on it. fromisoformat is C-implemented (~10-20x strptime) —
+    this runs twice per file per pruning call, 560k times at the
+    280k-file design point."""
     if not isinstance(s, str):
         return None
-    for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%d"):
-        try:
-            return datetime.datetime.strptime(s, fmt)
-        except ValueError:
-            continue
-    return None
+    try:
+        d = datetime.datetime.fromisoformat(s)
+    except ValueError:
+        return None
+    if d.tzinfo is not None:
+        d = d.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+    return d
 
 
 def _footer_bounds(meta) -> dict | None:
@@ -549,21 +556,40 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         os.makedirs(os.path.dirname(fp), exist_ok=True)
         return rel_path, fp
 
+    def _has_ts(typ, pa) -> bool:
+        if pa.types.is_timestamp(typ):
+            return True
+        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
+            return _has_ts(typ.value_type, pa)
+        if pa.types.is_struct(typ):
+            return any(_has_ts(typ.field(i).type, pa)
+                       for i in range(typ.num_fields))
+        if pa.types.is_map(typ):
+            return _has_ts(typ.key_type, pa) or _has_ts(typ.item_type, pa)
+        return False
+
     def _norm_ts(t, pa):
-        """Pre-unify timestamp columns to the current schema's arrow
-        type before concat: legacy base files (pre-TIMESTAMP_MICROS
-        sessions wrote INT96 → naive ns) cannot concat with
-        kernel-written us/UTC columns — permissive promotion refuses
-        to merge naive with tz-aware. The cast attaches UTC without
-        shifting values, same semantics as the old pandas
-        tz_localize('UTC') path."""
+        """Pre-unify timestamp-bearing columns to the current schema's
+        arrow type before concat: legacy base files (pre-
+        TIMESTAMP_MICROS sessions wrote INT96 → naive ns, at any
+        nesting depth) cannot concat with kernel-written us/UTC
+        columns — permissive promotion refuses to merge naive with
+        tz-aware. Arrow's cast recurses through struct/list/map, and
+        attaching UTC shifts no values — same semantics as the old
+        pandas tz_localize('UTC') path. A cast that cannot apply
+        (e.g. an old nested schema missing a since-added struct
+        field) leaves the column as-was: concat then behaves exactly
+        as before this normalization existed."""
         for i, name in enumerate(t.column_names):
             want = _cur_arrow.get(name)
-            if (want is not None and pa.types.is_timestamp(want)
-                    and t.column(i).type != want
-                    and pa.types.is_timestamp(t.column(i).type)):
-                t = t.set_column(
-                    i, name, t.column(i).cast(want, safe=False))
+            if (want is not None and t.column(i).type != want
+                    and _has_ts(want, pa)):
+                try:
+                    t = t.set_column(
+                        i, name, t.column(i).cast(want, safe=False))
+                except (pa.ArrowInvalid, pa.ArrowTypeError,
+                        pa.ArrowNotImplementedError):
+                    pass
         return t
 
     _cur_arrow = {}
@@ -739,11 +765,11 @@ class IceliteTable:
         # small per-handle memo avoids re-reading + re-parsing the
         # manifest JSON (multi-MB at 280k files) for every helper in
         # one logical operation (read_time_window alone consults it
-        # 4x). Cleared by expire_snapshots on this handle; a version
-        # expired by a CONCURRENT process may briefly resolve from the
-        # memo instead of raising — the same already-documented race
-        # as expire-then-vacuum between snapshot() and read().
-        self._snap_cache: dict[int, Snapshot] = {}
+        # 4x). Entries are (Snapshot, (mtime_ns, size)) — the file
+        # identity is re-checked with one stat() per hit, so expiry by
+        # another handle/process and drop+recreate version reuse both
+        # invalidate. FIFO-evicted at 32 entries.
+        self._snap_cache: dict[int, tuple] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -809,17 +835,31 @@ class IceliteTable:
             raise NoSuchTable(self.path)
         cached = self._snap_cache.get(v)
         if cached is not None:
-            # one stat() guards the memo against expire_snapshots run
-            # through ANOTHER handle/process: an expired version must
-            # raise, never resolve from stale memory. Still ~1000x
-            # cheaper than re-parsing a multi-MB manifest.
-            if os.path.exists(self._version_file(v)):
-                return cached
-            del self._snap_cache[v]
+            # one stat() guards the memo against BOTH expire_snapshots
+            # run through another handle/process (an expired version
+            # must raise, never resolve from stale memory) AND
+            # drop+recreate reusing the same version number (different
+            # file identity ⇒ different (mtime, size) ⇒ re-read).
+            # Still ~1000x cheaper than re-parsing a multi-MB manifest.
+            snap, ident = cached
+            try:
+                st = os.stat(self._version_file(v))
+            except FileNotFoundError:
+                st = None
+            if st is not None and (st.st_mtime_ns, st.st_size) == ident:
+                return snap
+            self._snap_cache.pop(v, None)  # race-free under threads
         with open(self._version_file(v)) as f:
             snap = Snapshot.from_json(json.load(f))
-        if len(self._snap_cache) < 32:
-            self._snap_cache[v] = snap
+        try:
+            st = os.stat(self._version_file(v))
+            if len(self._snap_cache) >= 32:
+                # FIFO eviction: long-lived handles keep caching NEW
+                # versions instead of pinning the first 32 forever
+                self._snap_cache.pop(next(iter(self._snap_cache)), None)
+            self._snap_cache[v] = (snap, (st.st_mtime_ns, st.st_size))
+        except (FileNotFoundError, StopIteration):
+            pass
         return snap
 
     # -- reads --------------------------------------------------------------
@@ -1006,6 +1046,9 @@ class IceliteTable:
         of the ``hi`` day. An unparsable stored bound keeps the file."""
         temporal = isinstance(lo, datetime.date) or isinstance(
             hi, datetime.date)  # datetime is a date subclass
+        # each bound normalizes independently (a str/number paired with
+        # a datetime parses via the ISO forms; an unnormalizable bound
+        # becomes None = no pruning on that side, never a crash)
         lo_t = _as_naive_utc(lo) if temporal and lo is not None else None
         hi_t = _as_naive_utc(hi) if temporal and hi is not None else None
         out = []
@@ -2081,6 +2124,8 @@ class IceliteTable:
                 os.unlink(p)
         for v in expire:
             os.unlink(self._version_file(v))
+        # the walk above re-cached the just-expired versions — drop them
+        self._snap_cache.clear()
         return {"expired_snapshots": len(expire), "deleted_files": len(doomed)}
 
     def vacuum_orphans(self, older_than_s: float = 0.0) -> dict:
@@ -2178,6 +2223,28 @@ class IceliteTable:
         if not name or not all(c.isalnum() or c in "_-" for c in name):
             raise ValueError(f"invalid branch name: {name!r}")
         snap = self.snapshot(from_version)
+        # best-effort sweep of AGED torn .tmp branch dirs (crashed
+        # stagers / reclaimers): only dirs without fork.json and older
+        # than an hour — a young fork-less .tmp dir can be a stage in
+        # flight, and a .tmp dir WITH fork.json may be about to rename
+        # into place; neither is ever touched
+        meta = os.path.join(self.path, META_DIR)
+        if os.path.isdir(meta):
+            import shutil as _sh
+
+            cutoff = time.time() - 3600
+            for d in os.listdir(meta):
+                if not (d.startswith("branch-") and ".tmp." in d):
+                    continue
+                full = os.path.join(meta, d)
+                try:
+                    if (os.path.isdir(full)
+                            and not os.path.isfile(
+                                os.path.join(full, "fork.json"))
+                            and os.stat(full).st_mtime < cutoff):
+                        _sh.rmtree(full, ignore_errors=True)
+                except OSError:
+                    pass
         bdir = self._branch_dir(name)
         if os.path.isdir(bdir):
             if os.path.isfile(os.path.join(bdir, "fork.json")):
@@ -2201,10 +2268,27 @@ class IceliteTable:
                     try:
                         os.rename(aside, bdir)
                     except OSError:
+                        # the name was re-taken before the restore:
+                        # park the displaced branch under a REAL
+                        # branch name so it stays listed, its staged
+                        # files stay vacuum-protected, and the
+                        # operator can publish/drop it normally —
+                        # never stranded in an invisible .tmp dir
+                        rec = f"{name}-recovered-{uuid.uuid4().hex[:8]}"
+                        try:
+                            os.rename(aside, self._branch_dir(rec))
+                        except OSError:
+                            raise FileExistsError(
+                                f"branch {name!r} was created "
+                                f"concurrently; its dir was moved to "
+                                f"{aside} and could not be restored — "
+                                f"restore it manually"
+                            ) from None
                         raise FileExistsError(
-                            f"branch {name!r} was created concurrently; "
-                            f"its dir was moved to {aside} and could not "
-                            f"be restored — restore it manually"
+                            f"branch {name!r} was created concurrently "
+                            f"and the name was re-taken during "
+                            f"recovery; the displaced branch is "
+                            f"preserved as branch {rec!r}"
                         ) from None
                     raise FileExistsError(f"branch exists: {name!r}")
                 import shutil

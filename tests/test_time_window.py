@@ -208,3 +208,112 @@ def test_append_only_fallback_honours_columns(spark, tbl_dir):
                             columns=["k"])
     assert w.columns == ["k"]
     assert w.count() == 3
+
+
+def test_mixed_type_bounds_do_not_crash(spark, tbl_dir):
+    """One datetime bound + one string/number bound must keep working
+    (strings parse via the ISO forms; unparsable values just disable
+    pruning on that side — the residual filter stays exact)."""
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "mix"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=1,
+    )
+    _apply(spark, t, [("r", "a", 1, day(0), 1, "insert")], "e0")
+    _apply(spark, t, [("r", "b", 2, day(9), 2, "insert")], "e9")
+    # datetime lo + ISO-string hi: both normalize, pruning engages
+    kept = t.files_in_range("event_time", day(8, 0),
+                            "2024-03-10T23:00:00.000000")
+    assert len(kept) == 1
+    # datetime lo + unparsable hi: hi side cannot prune, lo still does
+    kept2 = t.files_in_range("event_time", day(8, 0), "not-a-time")
+    assert len(kept2) == 1  # lo prunes the day-0 file
+    # pure-string bounds fall back to the lexicographic (non-temporal)
+    # path — whatever it prunes, the call never crashes
+    kept3 = t.files_in_range("event_time", "junk", "junk")
+    assert isinstance(kept3, list)
+
+
+def test_compaction_handles_legacy_int96_nested_timestamps(spark, tbl_dir):
+    """INT96-era files with a timestamp NESTED inside array<struct>
+    must also compact against modern us/UTC delta files — arrow's cast
+    recurses, and the normalization must look through nesting."""
+    hops_t = T.ArrayType(T.StructType([
+        T.StructField("ip", T.StringType(), True),
+        T.StructField("seen", T.TimestampType(), True),
+    ]))
+    schema = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("hops", hops_t, True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    delta = T.StructType(
+        schema.fields + [T.StructField("op", T.StringType(), False)]
+    )
+    t = IceliteTable.create(spark, os.path.join(tbl_dir, "i96n"), schema,
+                            key_cols=("k",), n_buckets=1)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "INT96")
+    try:
+        t.append_delta(spark.createDataFrame(
+            [{"k": "old", "hops": [{"ip": "10.0.0.1", "seen": day(0)}],
+              "last_seq": 1, "op": "insert"}], delta), epoch_id="legacy")
+        t.compact()  # base file: INT96 inside the struct
+    finally:
+        spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    t.append_delta(spark.createDataFrame(
+        [{"k": "new", "hops": [{"ip": "10.0.0.2", "seen": day(1)}],
+          "last_seq": 2, "op": "insert"}], delta), epoch_id="modern")
+    t.compact()
+    got = sorted(
+        (r.k, r.hops[0]["ip"], r.hops[0]["seen"])
+        for r in t.read().collect()
+    )
+    assert got == [("new", "10.0.0.2", day(1)), ("old", "10.0.0.1", day(0))]
+
+
+def test_snapshot_cache_sees_recreated_table(spark, tbl_dir):
+    """Drop+recreate reusing version numbers must invalidate the
+    per-handle snapshot memo (file identity check), and the memo
+    FIFO-evicts so new versions keep caching on long-lived handles."""
+    import shutil
+    import time as _time
+
+    p = os.path.join(tbl_dir, "recr")
+    t = IceliteTable.create(spark, p, SCHEMA, key_cols=("repo", "path"),
+                            n_buckets=1)
+    _apply(spark, t, [("r", "a", 1, day(0), 1, "insert")], "e0")
+    assert t.read().count() == 1  # populates the memo
+    _time.sleep(0.01)
+    shutil.rmtree(p)
+    t2 = IceliteTable.create(spark, p, SCHEMA, key_cols=("repo", "path"),
+                             n_buckets=1)
+    _apply(spark, t2, [("r", "z", 9, day(9), 9, "insert")], "z0")
+    # the OLD handle must see the NEW table, not its cached snapshot
+    assert [(r.path, r.v) for r in t.read().collect()] == [("z", 9)]
+    # eviction: push >32 versions through one handle; newest still cached
+    for i in range(35):
+        _apply(spark, t2, [("r", f"p{i}", i, day(0), 100 + i, "insert")],
+               f"ev{i}")
+    assert len(t2._snap_cache) <= 32
+    v = t2.current_version()
+    assert t2.snapshot(v).version == v
+
+
+def test_create_branch_sweeps_aged_torn_tmp_dirs(spark, tbl_dir):
+    import os as _os
+
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "sweep"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=1,
+    )
+    _apply(spark, t, [("r", "a", 1, day(0), 1, "insert")], "e0")
+    meta = _os.path.dirname(t._branch_dir("x"))
+    old_torn = _os.path.join(meta, "branch-dead.tmp.cafef00d.torn")
+    young = _os.path.join(meta, "branch-live.tmp.12345678")
+    _os.makedirs(old_torn)
+    _os.makedirs(young)
+    _os.utime(old_torn, (1, 1))  # ancient
+    t.create_branch("fresh")
+    assert not _os.path.isdir(old_torn)   # aged torn dir swept
+    assert _os.path.isdir(young)          # young in-flight dir untouched
+    assert "fresh" in t.list_branches()
