@@ -47,6 +47,7 @@ pruning either way.
 from __future__ import annotations
 
 import datetime
+import errno
 import json
 import os
 import shutil
@@ -849,17 +850,23 @@ class IceliteTable:
             if st is not None and (st.st_mtime_ns, st.st_size) == ident:
                 return snap
             self._snap_cache.pop(v, None)  # race-free under threads
+        # identity is stat'd BEFORE the open: a drop+recreate landing
+        # between parse and stat would otherwise cache the OLD bytes
+        # under the NEW file's identity. Stat-first is conservative —
+        # if the file is replaced after the stat, the cached identity
+        # is the old one and the next hit's stat-guard re-reads.
+        try:
+            st: os.stat_result | None = os.stat(self._version_file(v))
+        except FileNotFoundError:
+            st = None
         with open(self._version_file(v)) as f:
             snap = Snapshot.from_json(json.load(f))
-        try:
-            st = os.stat(self._version_file(v))
+        if st is not None:
             if len(self._snap_cache) >= 32:
                 # FIFO eviction: long-lived handles keep caching NEW
                 # versions instead of pinning the first 32 forever
                 self._snap_cache.pop(next(iter(self._snap_cache)), None)
             self._snap_cache[v] = (snap, (st.st_mtime_ns, st.st_size))
-        except (FileNotFoundError, StopIteration):
-            pass
         return snap
 
     # -- reads --------------------------------------------------------------
@@ -1037,22 +1044,39 @@ class IceliteTable:
         (no data IO). A file without bounds for ``col`` is KEPT —
         absent stats mean "cannot prune", never "prune".
 
-        Temporal queries (datetime/date ``lo``/``hi``) compare in
-        DATETIME space, not string space: stored bounds may be the
-        26-char timestamp form OR the 10-char date form, and a bare
-        query date must mean midnight (Spark's date→timestamp cast in
-        the residual filter) — naive lexicographic comparison across
-        those widths would prune a file whose min is exactly midnight
-        of the ``hi`` day. An unparsable stored bound keeps the file."""
-        temporal = isinstance(lo, datetime.date) or isinstance(
-            hi, datetime.date)  # datetime is a date subclass
+        Temporal queries compare in DATETIME space, not string space:
+        stored bounds may be the 26-char timestamp form OR the 10-char
+        date form, and a bare query date must mean midnight (Spark's
+        date→timestamp cast in the residual filter) — naive
+        lexicographic comparison across those widths would prune a
+        file whose min is exactly midnight of the ``hi`` day. An
+        unparsable stored bound keeps the file.
+
+        Temporal-ness is decided by the COLUMN's schema type, not the
+        Python type of the query bound: a string bound like
+        "2024-03-11 23:00:00" on a timestamp column must be normalized
+        (Spark's residual filter casts it to a timestamp and keeps the
+        rows), or the lexicographic branch would compare it against the
+        'T'-separated stored form and silently prune in-window files.
+        A query bound that cannot be normalized disables pruning on
+        that side — the residual filter still applies it exactly."""
+        snap = self.snapshot(version)
+        field = next(
+            (f_ for f_ in snap.current_schema.fields if f_.name == col), None)
+        temporal = (
+            isinstance(lo, datetime.date) or isinstance(hi, datetime.date)
+            # datetime is a date subclass
+            or (field is not None and isinstance(
+                field.dataType, (T.TimestampType, T.TimestampNTZType,
+                                 T.DateType)))
+        )
         # each bound normalizes independently (a str/number paired with
         # a datetime parses via the ISO forms; an unnormalizable bound
         # becomes None = no pruning on that side, never a crash)
         lo_t = _as_naive_utc(lo) if temporal and lo is not None else None
         hi_t = _as_naive_utc(hi) if temporal and hi is not None else None
         out = []
-        for f_ in self.snapshot(version).files:
+        for f_ in snap.files:
             b = (f_.stats or {}).get(col)
             if b is not None:
                 if temporal:
@@ -1157,6 +1181,9 @@ class IceliteTable:
             # identical payloads — keep one
             .dropDuplicates(keys)
             .drop("__op")
+            # the semi-join reordered join keys to the front; restore
+            # table-schema column order (what read() returns)
+            .select(*names)
         )
         if lo is not None:
             out = out.where(F.col(col) >= lo)
@@ -1537,6 +1564,24 @@ class IceliteTable:
             os.link(tmp, path)
         except FileExistsError:
             raise FileExistsError(f"tag exists: {name!r}") from None
+        except OSError as e:
+            # hard links are unsupported on some mounts (FUSE/object
+            # stores, SMB): fall back to O_EXCL create — same
+            # exactly-one-winner guarantee, only the torn-file window
+            # (no tmp staging) is wider on those filesystems.
+            if e.errno not in (errno.EPERM, errno.ENOTSUP, errno.EOPNOTSUPP,
+                               errno.ENOSYS, errno.EXDEV):
+                raise
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise FileExistsError(f"tag exists: {name!r}") from None
+            try:
+                with open(tmp, "rb") as src:
+                    os.write(fd, src.read())
+                os.fsync(fd)
+            finally:
+                os.close(fd)
         finally:
             os.unlink(tmp)
         return snap.version

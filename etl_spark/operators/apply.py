@@ -153,13 +153,18 @@ def _write_quarantine(events: DataFrame, qroot: str, epoch_id: str) -> None:
     )
 
 
-def read_quarantine(spark: SparkSession, qroot: str) -> DataFrame:
+def read_quarantine(spark: SparkSession, qroot: str,
+                    event_schema: T.StructType | None = None) -> DataFrame:
     """All dead-lettered events with their reject reason and epoch —
     the triage/requeue surface after an upstream producer is fixed.
 
     A healthy pipeline has never rejected anything, so a missing/empty
     ``qroot`` is the common case: return an empty frame with the
-    expected schema instead of raising AnalysisException."""
+    expected schema instead of raising AnalysisException.
+    ``event_schema`` sets the event-column shape of that empty frame
+    (pass the ledger's latest schema when the pipeline runs a version
+    other than V2, so the empty and non-empty results union cleanly);
+    default is EVENTS_V2."""
     import glob as _glob
 
     has_files = os.path.isdir(qroot) and any(
@@ -169,7 +174,7 @@ def read_quarantine(spark: SparkSession, qroot: str) -> DataFrame:
     )
     if not has_files:
         empty = T.StructType(
-            schemas.EVENTS_V2.fields
+            (event_schema or schemas.EVENTS_V2).fields
             + [
                 T.StructField("reject_reason", T.StringType(), True),
                 T.StructField("quarantined_epoch", T.StringType(), True),

@@ -253,3 +253,38 @@ def test_torn_tag_file_skipped_not_wedging(spark, tbl_dir):
     ]
     with pytest.raises(FileExistsError):
         t.create_tag("good")
+
+
+def test_create_tag_falls_back_when_hardlinks_unsupported(
+    spark, tbl_dir, monkeypatch
+):
+    """FUSE/object-store/SMB mounts reject os.link — create_tag must
+    fall back to O_EXCL create with the same one-winner semantics."""
+    import errno as _errno
+
+    t = _target(spark, os.path.join(tbl_dir, "nolink"))
+    apply_epoch(spark, _events(spark, "r", 1, 5), t, None, "e1")
+
+    real_link = os.link
+
+    def no_link(src, dst, **kw):
+        raise OSError(_errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(os, "link", no_link)
+    v = t.create_tag("fallback")
+    assert t.list_tags() == {"fallback": v}
+    with pytest.raises(FileExistsError):
+        t.create_tag("fallback")
+    # tag content is intact JSON (fallback writes full bytes + fsync)
+    with open(t._tag_file("fallback")) as f:
+        import json as _json
+        assert _json.load(f)["version"] == v
+    # no staging remnants
+    assert not [fn for fn in os.listdir(t.meta_path) if ".tmp." in fn]
+    # a genuinely-unexpected errno still propagates
+    def bad_link(src, dst, **kw):
+        raise OSError(_errno.EIO, "I/O error")
+    monkeypatch.setattr(os, "link", bad_link)
+    with pytest.raises(OSError):
+        t.create_tag("io-error")
+    monkeypatch.setattr(os, "link", real_link)

@@ -123,3 +123,25 @@ def test_read_quarantine_empty_is_healthy_not_an_error(spark, tbl_dir):
     assert read_quarantine(
         spark, os.path.join(tbl_dir, "qroot-empty")
     ).count() == 0
+
+
+def test_read_quarantine_empty_schema_follows_ledger(spark, tbl_dir):
+    """The empty-quarantine frame's event columns can follow a caller-
+    supplied schema (e.g. the ledger's latest) so empty and non-empty
+    results union cleanly on non-V2 pipelines; default stays V2."""
+    from pyspark.sql import types as T
+
+    from etl_spark import schemas
+
+    q = os.path.join(tbl_dir, "never-written")
+    dead = read_quarantine(spark, q)
+    assert [f.name for f in dead.schema.fields[:-2]] == [
+        f.name for f in schemas.EVENTS_V2.fields
+    ]
+    v1ish = T.StructType(schemas.EVENTS_V2.fields[:-1])
+    dead1 = read_quarantine(spark, q, event_schema=v1ish)
+    assert [f.name for f in dead1.schema.fields[:-2]] == [
+        f.name for f in v1ish.fields
+    ]
+    assert dead1.schema.fields[-2].name == "reject_reason"
+    assert dead1.count() == 0

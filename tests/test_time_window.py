@@ -227,10 +227,39 @@ def test_mixed_type_bounds_do_not_crash(spark, tbl_dir):
     # datetime lo + unparsable hi: hi side cannot prune, lo still does
     kept2 = t.files_in_range("event_time", day(8, 0), "not-a-time")
     assert len(kept2) == 1  # lo prunes the day-0 file
-    # pure-string bounds fall back to the lexicographic (non-temporal)
-    # path — whatever it prunes, the call never crashes
+    # unparsable bounds on a timestamp column disable pruning entirely
+    # (the column type forces the temporal path; None bounds = keep all)
     kept3 = t.files_in_range("event_time", "junk", "junk")
-    assert isinstance(kept3, list)
+    assert len(kept3) == 2
+
+
+def test_string_bounds_on_timestamp_column_prune_soundly(spark, tbl_dir):
+    """String query bounds on a TIMESTAMP column must normalize into
+    datetime space: Spark's residual filter casts '2024-03-10' and
+    '2024-03-10 23:00:00' to timestamps and keeps the in-window rows,
+    so the manifest prune must too. Lexicographically the stored
+    'T'-separated 26-char bound sorts ABOVE both short-date and
+    space-separated forms — the old query-type-driven branch pruned
+    the in-window file and silently lost rows."""
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "strb"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=1,
+    )
+    _apply(spark, t, [("r", "a", 1, day(9, 0), 1, "insert")], "e9")
+    _apply(spark, t, [("r", "b", 2, day(20), 2, "insert")], "e20")
+    for hi in ("2024-03-10", "2024-03-10 23:00:00",
+               "2024-03-10T23:00:00"):
+        kept = t.files_in_range("event_time", lo=None, hi=hi)
+        assert len(kept) == 1, hi  # e9 kept, e20 pruned — never zero
+        got = _rows(t, t.read_time_window("event_time", hi=hi))
+        ref = _rows(t, t.read().where(f"event_time <= '{hi}'"))
+        assert got == ref == [("r", "a", 1, day(9, 0))], hi
+    # string lo prunes the early file symmetrically
+    kept = t.files_in_range("event_time", lo="2024-03-15")
+    assert len(kept) == 1
+    # lexicographic pruning still applies to genuinely-string columns
+    kept = t.files_in_range("repo", lo="s")  # all repos are "r"
+    assert kept == []
 
 
 def test_compaction_handles_legacy_int96_nested_timestamps(spark, tbl_dir):
