@@ -35,6 +35,7 @@ from etl_spark.queries.cdc import (
     _CDC_CHANGELOG_ORACLE,
     _CDC_FINGERPRINT_ORACLE,
     _CDC_LWW_ORACLE,
+    _CDC_NESTED_ORACLE,
     _CDC_OP_STATS_ORACLE,
     _CDC_PATCH_APPLY_ORACLE,
     _CDC_ROLLUP_ORACLE,
@@ -43,6 +44,7 @@ from etl_spark.queries.cdc import (
     cdc_final_state,
     cdc_fingerprint,
     cdc_lww,
+    cdc_nested_store,
     cdc_op_stats,
     cdc_patch_apply,
     cdc_rollup,
@@ -165,10 +167,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changelog": cdc_changelog,
         "cdc_rollup": cdc_rollup,
         "cdc_patch_apply": cdc_patch_apply,
+        # nested array<struct> payloads through the real storage path
+        # (insert -> upsert -> tombstone -> compact -> explode); took
+        # the slot of w_thin, whose thinning coverage arr_ops duplicates
+        "cdc_nested_store": cdc_nested_store,
         # ordered-stream window operators
         "w_lag_delta": w_lag_delta,
         "w_change_points": w_change_points,
-        "w_thin": w_thin,
         "w_json_props": w_json_props,
         "w_sessionize_gap": w_sessionize_gap,
         "w_monotone_violations": w_monotone_violations,
@@ -228,9 +233,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_changelog": _CDC_CHANGELOG_ORACLE.format(events=ev),
         "cdc_rollup": _CDC_ROLLUP_ORACLE.format(events=ev),
         "cdc_patch_apply": _CDC_PATCH_APPLY_ORACLE.format(events=ev),
+        "cdc_nested_store": _CDC_NESTED_ORACLE,
         "w_lag_delta": _W_LAG_DELTA_ORACLE,
         "w_change_points": _W_CHANGE_POINTS_ORACLE,
-        "w_thin": _W_THIN_ORACLE,
         "w_json_props": _W_JSON_PROPS_ORACLE,
         "w_sessionize_gap": _SESSIONIZE_ORACLE,
         "w_monotone_violations": _MONOTONE_ORACLE.format(events=ev),

@@ -251,6 +251,21 @@ def _as_naive_utc(x) -> datetime.datetime | None:
     return _parse_iso_bound(x)
 
 
+def _field_type(schema: T.StructType, name: str) -> T.DataType | None:
+    """Resolve a possibly-dotted column path ("source.ip") through
+    nested StructTypes; None when any segment is missing or crosses a
+    non-struct (array/map) boundary."""
+    t: T.DataType = schema
+    for part in name.split("."):
+        if not isinstance(t, T.StructType):
+            return None
+        f = next((f_ for f_ in t.fields if f_.name == part), None)
+        if f is None:
+            return None
+        t = f.dataType
+    return t
+
+
 def _parse_iso_bound(s) -> datetime.datetime | None:
     """Stored manifest bound → datetime (26-char timestamp form or
     10-char date form); None = not temporal / unparsable = cannot
@@ -285,7 +300,18 @@ def _footer_bounds(meta) -> dict | None:
     24-char cap does not apply), which is what time-window pruning
     (``files_in_range``/``read_time_window``) compares against.
     Columns missing statistics in any row group are dropped: absent
-    stats must mean "cannot prune", never "prune"."""
+    stats must mean "cannot prune", never "prune".
+
+    STRUCT subfields one level deep ("source.ip") are kept too: their
+    parquet stats have exact row-level semantics (one value per row),
+    so point lookups on struct members prune like top-level columns.
+    Anything under a REPEATED node (parquet path contains a "list" or
+    "key_value" segment) is skipped — an array element's min/max is a
+    bound over MANY values per row, which cannot prune a row-level
+    predicate soundly — and deeper struct paths are dropped to bound
+    manifest size (the reference clusters on top-level columns only,
+    schema/tcpinfo.go:49-50; one struct level is already parity-plus).
+    """
     bounds: dict[str, list] = {}
     dead: set[str] = set()
     for rg in range(meta.num_row_groups):
@@ -293,7 +319,12 @@ def _footer_bounds(meta) -> dict | None:
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if "." in name or name in dead:  # nested: skip
+            if "." in name:
+                parts = name.split(".")
+                if (len(parts) != 2 or "list" in parts
+                        or "key_value" in parts):
+                    continue  # repeated / too deep: skip
+            if name in dead:
                 continue
             st = col.statistics
             if st is None or not st.has_min_max:
@@ -363,22 +394,80 @@ def _collect_datafiles(
         )
 
     if len(targets) <= 4:
-        return [stat_one(t) for t in targets]
-    with ThreadPoolExecutor(max_workers=16) as ex:
-        return list(ex.map(stat_one, targets))
+        out = [stat_one(t) for t in targets]
+    else:
+        with ThreadPoolExecutor(max_workers=16) as ex:
+            out = list(ex.map(stat_one, targets))
+    # zero-row part files (empty upstream partitions) carry no data and
+    # no stats — registering them bloats the manifest (~70 B/file at
+    # the 280k-file design point) and, having no bounds, they defeat
+    # every range prune that touches them. Their bytes stay on disk
+    # until vacuum_orphans; readers never miss anything.
+    return [f_ for f_ in out if f_.rows > 0]
+
+
+def _adapt_col(col, src_t: T.DataType, dst_t: T.DataType):
+    """Column expression adapting ``src_t`` data to ``dst_t`` across
+    schema evolution, INCLUDING fields added inside struct/array/map
+    elements (the reference re-infers the full nested tree on every
+    deploy, cmd/update-schema/update.go:70-104, so a parser learning
+    ``probes[].ttl`` is a normal event). Spark's ``cast`` refuses
+    struct casts that change the field count, so interior adds are
+    rebuilt structurally: added fields null-fill, present fields
+    recurse, NULL parents stay NULL. Scalar leaves fall through to a
+    plain cast (widening). Types already equal pass through untouched
+    — steady-state reads pay nothing."""
+    if src_t == dst_t:
+        return col
+    if isinstance(src_t, T.StructType) and isinstance(dst_t, T.StructType):
+        have = {f.name: f.dataType for f in src_t.fields}
+        inner = F.struct(*[
+            (
+                _adapt_col(col.getField(f.name), have[f.name], f.dataType)
+                if f.name in have else F.lit(None).cast(f.dataType)
+            ).alias(f.name)
+            for f in dst_t.fields
+        ])
+        return F.when(col.isNull(), F.lit(None).cast(dst_t)).otherwise(inner)
+    if isinstance(src_t, T.ArrayType) and isinstance(dst_t, T.ArrayType):
+        if isinstance(src_t.elementType, (T.StructType, T.ArrayType,
+                                          T.MapType)):
+            return F.transform(
+                col,
+                lambda x: _adapt_col(x, src_t.elementType,
+                                     dst_t.elementType),
+            ).cast(dst_t)
+        return col.cast(dst_t)
+    if isinstance(src_t, T.MapType) and isinstance(dst_t, T.MapType):
+        if isinstance(src_t.valueType, (T.StructType, T.ArrayType,
+                                        T.MapType)):
+            return F.map_from_entries(F.transform(
+                F.map_entries(col),
+                lambda e: F.struct(
+                    e.getField("key").cast(dst_t.keyType).alias("key"),
+                    _adapt_col(e.getField("value"), src_t.valueType,
+                               dst_t.valueType).alias("value"),
+                ),
+            )).cast(dst_t)
+        return col.cast(dst_t)
+    return col.cast(dst_t)
 
 
 def _cast_to(df: DataFrame, schema: T.StructType) -> DataFrame:
     """Project/cast a frame onto ``schema`` (missing cols → NULL).
 
     This is the read-side of schema evolution: old files keep their
-    written schema; the cast handles add-column and widening.
+    written schema; ``_adapt_col`` handles add-column, widening, and
+    struct-interior adds at any nesting depth.
     """
     cols = []
-    have = {f.name for f in df.schema.fields}
+    have = {f.name: f.dataType for f in df.schema.fields}
     for f_ in schema.fields:
         if f_.name in have:
-            cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+            cols.append(
+                _adapt_col(F.col(f_.name), have[f_.name], f_.dataType)
+                .alias(f_.name)
+            )
         else:
             cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
     return df.select(*cols)
@@ -413,11 +502,64 @@ def _arrow_type(spark_type: T.DataType):
         "double": pa.float64(), "float": pa.float32(),
         "boolean": pa.bool_(), "binary": pa.binary(),
         "timestamp": pa.timestamp("us", tz="UTC"),
+        "timestamp_ntz": pa.timestamp("us"),
         "date": pa.date32(),
     }
     if tn not in mapping:
         raise ValueError(f"compaction: unsupported type {tn}")
     return mapping[tn]
+
+
+def _pa_adapt(arr, want, pa):
+    """Arrow-side twin of ``_adapt_col``: adapt a column to ``want``
+    across schema evolution inside the compaction kernels — null-fill
+    struct fields added INSIDE nested types, cast widened leaves.
+    Validity bitmaps and list offsets are preserved, so winner payloads
+    stay byte-exact. Already-matching types return the input unchanged
+    (no copy).
+
+    Known gap, loudly surfaced: a MAP column with NULL map cells whose
+    value type evolved cannot be rebuilt (MapArray.from_arrays takes no
+    mask) — raises ArrowNotImplementedError, which callers treat as
+    "leave the column as-was" (same failure surface as before this
+    adapter existed)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    t = arr.type
+    if t.equals(want):
+        return arr
+    if pa.types.is_struct(t) and pa.types.is_struct(want):
+        idx = {t.field(i).name: i for i in range(t.num_fields)}
+        children = []
+        for i in range(want.num_fields):
+            wf = want.field(i)
+            if wf.name in idx:
+                children.append(_pa_adapt(arr.field(idx[wf.name]),
+                                          wf.type, pa))
+            else:
+                children.append(pa.nulls(len(arr), wf.type))
+        return pa.StructArray.from_arrays(
+            children, fields=[want.field(i) for i in range(want.num_fields)],
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    if pa.types.is_list(t) and pa.types.is_list(want):
+        values = _pa_adapt(arr.values, want.value_type, pa)
+        return pa.ListArray.from_arrays(
+            arr.offsets, values,
+            mask=arr.is_null() if arr.null_count else None,
+        )
+    if pa.types.is_map(t) and pa.types.is_map(want):
+        if arr.null_count:
+            raise pa.ArrowNotImplementedError(
+                "map column with null cells cannot be adapted across "
+                "nested schema evolution"
+            )
+        return pa.MapArray.from_arrays(
+            arr.offsets,
+            _pa_adapt(arr.keys, want.key_type, pa),
+            _pa_adapt(arr.items, want.item_type, pa),
+        )
+    return arr.cast(want, safe=False)
 
 
 def _backoff_sleep(attempt: int, base: float = 0.05, cap: float = 2.0) -> None:
@@ -540,7 +682,9 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
             if f_.name in picked.column_names:
                 col = picked[f_.name]
                 if col.type != typ:
-                    col = col.combine_chunks().cast(typ)
+                    # _pa_adapt (not plain cast) so struct-interior
+                    # adds from nested schema evolution null-fill
+                    col = _pa_adapt(col, typ, pa)
                 arrays.append(col)
             else:
                 arrays.append(pa.nulls(len(picked), type=typ))
@@ -557,37 +701,25 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         os.makedirs(os.path.dirname(fp), exist_ok=True)
         return rel_path, fp
 
-    def _has_ts(typ, pa) -> bool:
-        if pa.types.is_timestamp(typ):
-            return True
-        if pa.types.is_list(typ) or pa.types.is_large_list(typ):
-            return _has_ts(typ.value_type, pa)
-        if pa.types.is_struct(typ):
-            return any(_has_ts(typ.field(i).type, pa)
-                       for i in range(typ.num_fields))
-        if pa.types.is_map(typ):
-            return _has_ts(typ.key_type, pa) or _has_ts(typ.item_type, pa)
-        return False
-
     def _norm_ts(t, pa):
-        """Pre-unify timestamp-bearing columns to the current schema's
-        arrow type before concat: legacy base files (pre-
-        TIMESTAMP_MICROS sessions wrote INT96 → naive ns, at any
-        nesting depth) cannot concat with kernel-written us/UTC
-        columns — permissive promotion refuses to merge naive with
-        tz-aware. Arrow's cast recurses through struct/list/map, and
-        attaching UTC shifts no values — same semantics as the old
-        pandas tz_localize('UTC') path. A cast that cannot apply
-        (e.g. an old nested schema missing a since-added struct
-        field) leaves the column as-was: concat then behaves exactly
-        as before this normalization existed."""
+        """Pre-unify evolved columns to the current schema's arrow type
+        before concat. Two classes need it: (1) legacy base files
+        (pre-TIMESTAMP_MICROS sessions wrote INT96 → naive ns, at any
+        nesting depth) cannot concat with kernel-written us/UTC columns
+        — permissive promotion refuses to merge naive with tz-aware —
+        and attaching UTC shifts no values; (2) files written before a
+        NESTED schema evolution (a field added inside a struct/array
+        element, the reference's InferSchema-merge event,
+        cmd/update-schema/update.go:70-104) — permissive promotion
+        cannot unify structs with different field sets, so ``_pa_adapt``
+        rebuilds them with the added fields null-filled. An adaptation
+        that cannot apply leaves the column as-was: concat then behaves
+        exactly as before this normalization existed."""
         for i, name in enumerate(t.column_names):
             want = _cur_arrow.get(name)
-            if (want is not None and t.column(i).type != want
-                    and _has_ts(want, pa)):
+            if want is not None and t.column(i).type != want:
                 try:
-                    t = t.set_column(
-                        i, name, t.column(i).cast(want, safe=False))
+                    t = t.set_column(i, name, _pa_adapt(t.column(i), want, pa))
                 except (pa.ArrowInvalid, pa.ArrowTypeError,
                         pa.ArrowNotImplementedError):
                     pass
@@ -893,10 +1025,13 @@ class IceliteTable:
             df = self.spark.read.schema(file_schema).parquet(*paths)
             op = (F.col("__op") if kind == "delta" else F.lit("base")) if with_op else None
             cols = []
-            have = {f2.name for f2 in df.schema.fields}
+            have = {f2.name: f2.dataType for f2 in df.schema.fields}
             for f2 in schema.fields:
                 if f2.name in have:
-                    cols.append(F.col(f2.name).cast(f2.dataType).alias(f2.name))
+                    cols.append(
+                        _adapt_col(F.col(f2.name), have[f2.name],
+                                   f2.dataType).alias(f2.name)
+                    )
                 else:
                     cols.append(F.lit(None).cast(f2.dataType).alias(f2.name))
             if op is not None:
@@ -973,11 +1108,23 @@ class IceliteTable:
             # "key definitely absent" proof) — resolution over the
             # surviving subset must be equivalent FOR THE CALLER'S KEYS
             files = [f_ for f_ in files if file_filter(f_)]
+        meta_fields = [f_ for f_ in schema.fields if f_.metadata]
+
         def proj(df: DataFrame, with_op: bool = False) -> DataFrame:
             # caller-requested projection, in the caller's column order
-            if out_cols is None:
-                return df
-            return df.select(*out_cols, *(["__op"] if with_op else []))
+            if out_cols is not None:
+                df = df.select(*out_cols, *(["__op"] if with_op else []))
+            # column docs (ledger descriptions stored as field metadata
+            # in the snapshot schema JSON) survive to the read surface:
+            # the adapt/cast projections drop alias metadata, so
+            # re-attach — reference parity with merging descriptions
+            # onto the live table at deploy (schema/schema.go:31-49)
+            if meta_fields:
+                names = set(df.columns)
+                for f_ in meta_fields:
+                    if f_.name in names:
+                        df = df.withMetadata(f_.name, f_.metadata)
+            return df
 
         if not files:
             return proj(self.spark.createDataFrame([], schema))
@@ -1061,14 +1208,12 @@ class IceliteTable:
         A query bound that cannot be normalized disables pruning on
         that side — the residual filter still applies it exactly."""
         snap = self.snapshot(version)
-        field = next(
-            (f_ for f_ in snap.current_schema.fields if f_.name == col), None)
+        col_t = _field_type(snap.current_schema, col)
         temporal = (
             isinstance(lo, datetime.date) or isinstance(hi, datetime.date)
             # datetime is a date subclass
-            or (field is not None and isinstance(
-                field.dataType, (T.TimestampType, T.TimestampNTZType,
-                                 T.DateType)))
+            or isinstance(col_t, (T.TimestampType, T.TimestampNTZType,
+                                  T.DateType))
         )
         # each bound normalizes independently (a str/number paired with
         # a datetime parses via the ISO forms; an unnormalizable bound
@@ -1167,7 +1312,7 @@ class IceliteTable:
         names = [f_.name for f_ in snap.current_schema.fields]
         if "last_seq" not in names:
             raise ValueError("read_time_window requires a last_seq column")
-        if col not in names:
+        if _field_type(snap.current_schema, col) is None:
             raise ValueError(f"no such column: {col}")
         v = snap.version
         win_id = self.read(version=v, columns=keys + ["last_seq"])
@@ -1276,9 +1421,10 @@ class IceliteTable:
                     file_schema.fields
                     + [T.StructField("__op", T.StringType(), True)])
             df = self.spark.read.schema(file_schema).parquet(*paths)
-            have = {f2.name for f2 in df.schema.fields}
+            have = {f2.name: f2.dataType for f2 in df.schema.fields}
             cols = [
-                F.col(f_.name).cast(f_.dataType).alias(f_.name)
+                _adapt_col(F.col(f_.name), have[f_.name],
+                           f_.dataType).alias(f_.name)
                 if f_.name in have
                 else F.lit(None).cast(f_.dataType).alias(f_.name)
                 for f_ in schema.fields
@@ -1857,23 +2003,54 @@ class IceliteTable:
                             operation="overwrite")
 
     def evolve_schema(self, new_schema: T.StructType) -> Snapshot:
-        """Add-column / widening evolution. Existing files are untouched.
+        """Add-column / widening evolution, at ANY nesting depth —
+        adding a nullable field INSIDE a struct/array/map element
+        (``probes[].ttl`` on the PT shape) is the reference's normal
+        "parser learned a new field" event: InferSchema re-infers the
+        full nested tree and UpdateTable merges it, nested RECORD
+        fields included (cmd/update-schema/update.go:70-104,
+        schema/tcpinfo.go:90-101). Existing files are untouched;
+        reads null-fill via ``_adapt_col`` and compaction unifies via
+        ``_pa_adapt``.
 
-        Incompatible changes (drop/rename/narrow) raise — the reference
-        errors out the same way (cmd/update-schema/update.go:85-91).
+        Incompatible changes (drop/rename/narrow, non-nullable adds)
+        raise — the reference errors out the same way
+        (cmd/update-schema/update.go:85-91).
         """
         snap = self.snapshot()
         cur = snap.current_schema
-        new_names = {f_.name: f_.dataType for f_ in new_schema.fields}
         widen_ok = {
             ("integer", "long"), ("integer", "double"), ("float", "double"),
             ("long", "double"), ("integer", "float"),
         }
+
+        def ok(old_t: T.DataType, new_t: T.DataType) -> bool:
+            if old_t == new_t:
+                return True
+            if isinstance(old_t, T.StructType) and isinstance(
+                    new_t, T.StructType):
+                new_f = {f.name: f for f in new_t.fields}
+                old_names = {f.name for f in old_t.fields}
+                return all(
+                    f.name in new_f and ok(f.dataType, new_f[f.name].dataType)
+                    for f in old_t.fields
+                ) and all(
+                    f.name in old_names or f.nullable for f in new_t.fields
+                )
+            if isinstance(old_t, T.ArrayType) and isinstance(
+                    new_t, T.ArrayType):
+                return ok(old_t.elementType, new_t.elementType)
+            if isinstance(old_t, T.MapType) and isinstance(new_t, T.MapType):
+                return (ok(old_t.keyType, new_t.keyType)
+                        and ok(old_t.valueType, new_t.valueType))
+            return (old_t.typeName(), new_t.typeName()) in widen_ok
+
+        new_names = {f_.name: f_.dataType for f_ in new_schema.fields}
         for f_ in cur.fields:
             if f_.name not in new_names:
                 raise ValueError(f"schema evolution cannot drop column {f_.name}")
             old_t, new_t = f_.dataType, new_names[f_.name]
-            if old_t != new_t and (old_t.typeName(), new_t.typeName()) not in widen_ok:
+            if not ok(old_t, new_t):
                 raise ValueError(
                     f"incompatible type change for {f_.name}: {old_t} -> {new_t}"
                 )
@@ -2031,8 +2208,11 @@ class IceliteTable:
             # shuffles: each task streams its bucket straight to files
             rel = f"s{uuid.uuid4().hex[:12]}"
             out_dir = os.path.join(self.data_path, rel)
+            upd_t = {f_.name: f_.dataType for f_ in updates.schema.fields}
             cols = [F.col("bucket")] + [
-                F.col(f_.name).cast(f_.dataType).alias(f_.name) for f_ in delta_schema.fields
+                _adapt_col(F.col(f_.name), upd_t.get(f_.name, f_.dataType),
+                           f_.dataType).alias(f_.name)
+                for f_ in delta_schema.fields
             ]
             (
                 updates.select(*cols)
@@ -2046,9 +2226,13 @@ class IceliteTable:
             new_files = _collect_datafiles(self.data_path, rel, len(snap.schemas) - 1, "delta")
         else:
             cols = []
+            upd_t = {f_.name: f_.dataType for f_ in updates.schema.fields}
             for f_ in schema.fields:
-                if f_.name in updates.columns:
-                    cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                if f_.name in upd_t:
+                    # _adapt_col: a producer still emitting the
+                    # pre-evolution nested shape upcasts cleanly
+                    cols.append(_adapt_col(F.col(f_.name), upd_t[f_.name],
+                                           f_.dataType).alias(f_.name))
                 else:
                     cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
             cols.append(F.col(op_col).cast("string").alias("__op"))

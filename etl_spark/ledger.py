@@ -135,6 +135,31 @@ class SchemaLedger:
             ]
         )
 
+    def described_target_schema(self, version: int | None = None) -> T.StructType:
+        """The TARGET table's StructType for ``version`` with column
+        docs attached as field metadata: event-column descriptions fold
+        through ``merged_descriptions`` and target-only columns
+        (content_sha256, last_seq) come from TARGET_DESCRIPTIONS.
+        ``apply_epoch`` evolves the live table to THIS schema, and
+        icelite snapshots persist field metadata in their schema JSON,
+        so ``t.read().schema["content"].metadata["comment"]`` works
+        end-to-end — the reference's deploy-time description merge
+        (schema/schema.go:31-49) reaching the live table surface."""
+        if version is None:
+            version = self.latest.schema_version
+        docs = dict(self.merged_descriptions(version))
+        docs.update(schemas.TARGET_DESCRIPTIONS)
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name, f.dataType, f.nullable,
+                    metadata={**(f.metadata or {}), "comment": docs[f.name]}
+                    if f.name in docs else f.metadata,
+                )
+                for f in schemas.target_schema(version).fields
+            ]
+        )
+
     def to_json(self) -> str:
         """Full serialization, descriptions included — the persisted
         ledger form (table-property / file payload)."""

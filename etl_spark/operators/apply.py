@@ -87,10 +87,16 @@ def create_target(
     schema_version: int = 1,
     n_buckets: int = 32,
 ) -> IceliteTable:
+    # create with the DESCRIBED schema (column docs as field metadata)
+    # so the first apply_epoch's evolve-to-described-schema is a no-op
+    # and snapshot version numbering stays stable
+    led = SchemaLedger.default(
+        v2_effective_seq=0 if schema_version >= 2 else None
+    )
     return IceliteTable.create(
         spark,
         path,
-        schemas.target_schema(schema_version),
+        led.described_target_schema(schema_version),
         key_cols=list(schemas.KEY_COLS),
         n_buckets=n_buckets,
     )
@@ -277,7 +283,11 @@ def apply_epoch(
     # widen-only migration (int→long, same field count) must also land;
     # evolve_schema itself validates add/widen compatibility and no-ops
     # on an identical schema.
-    tgt_schema = ledger.target_schema()
+    # described: ledger column docs ride as field metadata so the live
+    # table's read() schema carries them (metadata-only changes commit
+    # an evolve-schema snapshot, like the reference's deploy-time
+    # description merge)
+    tgt_schema = ledger.described_target_schema()
     if tgt_schema.json() != target.snapshot().current_schema.json():
         target.evolve_schema(tgt_schema)
 

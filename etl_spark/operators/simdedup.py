@@ -122,21 +122,32 @@ def lsh_candidate_pairs(
     members emits k(k-1)/2 pairs whether joined or enumerated, so a
     degenerate band hash shared by ~10^5+ docs (pathological corpus or
     hash-poisoned input) would explode quadratically under EITHER
-    shape. Buckets beyond the cap keep their first ``max_bucket``
-    members by doc_id order (deterministic); members past the cap in
-    such a bucket lose only the pairs inside that one bucket — they
-    still collide in their other n_bands-1 buckets. Set to a bucket
+    shape. The cap is enforced BEFORE ``collect_list`` with a
+    ``row_number() <= max_bucket`` window over the same
+    ``(band, band_hash)`` keys the aggregation groups by — the window's
+    exchange is REUSED by the groupBy (no second shuffle), and a
+    degenerate bucket's aggregation buffer is bounded at
+    max_bucket × (doc_id + signature) bytes instead of materializing
+    all 10^7 members pre-slice. Buckets beyond the cap keep their first
+    ``max_bucket`` members by doc_id order (deterministic); members
+    past the cap in such a bucket lose only the pairs inside that one
+    bucket — they still collide in their other n_bands-1 buckets, so
+    recall degrades gracefully rather than exactly. Set to a bucket
     size you accept k²/2 pairs for; the default (4096 → ≤8.4M pairs
     per bucket) never triggers on non-adversarial corpora.
     Returns a pure lazy plan — nothing cached, no eager actions."""
+    from pyspark.sql import Window
+
     sig = minhash_signatures(docs, n, n_perms)
     bands = lsh_bands(sig, band_size, n_perms, keep_cols=("sig",))
+    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
     members = (
-        bands.groupBy("band", "band_hash")
+        bands.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_bucket)
+        .groupBy("band", "band_hash")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("doc_id", "sig"))),
-                1, max_bucket,
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "sig"))
             ).alias("ms")
         )
         .where(F.size("ms") >= 2)
@@ -223,8 +234,20 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     Same within-group pair enumeration as ``lsh_candidate_pairs``: the
     sketch subplan (token explode → 32 votes → groupBy) is evaluated
     once, not twice per side of a band self-join. ``max_bucket`` is
-    the same documented safety valve (a byte band has only 256 values,
-    so buckets are bigger than LSH's — default sized accordingly)."""
+    the same safety valve, enforced the same way — a
+    ``row_number() <= max_bucket`` window BEFORE ``collect_list``
+    (exchange reused by the groupBy; aggregation buffer bounded at
+    max_bucket members, never the full degenerate bucket).
+
+    Exactness caveat the default size makes real: a byte band has only
+    256 values, so at ~tens of millions of docs ORDINARY buckets exceed
+    65536 members (4 bands x 256 values ~ N/1024 docs per bucket) and
+    the pigeonhole "banding loses nothing" guarantee degrades to
+    approximate recall for members past the cap. At that corpus size
+    raise ``max_bucket`` (cost is k^2/2 pairs per bucket) or widen the
+    sketch to 64 bits / 8 bands before relying on exactness."""
+    from pyspark.sql import Window
+
     sh = simhash(docs)
     byte = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx")
     banded = sh.select(
@@ -233,12 +256,14 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         "byte_val",
         F.expr("shiftright(simhash, CAST(byte_idx * 8 AS INT)) & 255"),
     )
+    w = Window.partitionBy("byte_idx", "byte_val").orderBy("doc_id")
     members = (
-        banded.groupBy("byte_idx", "byte_val")
+        banded.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_bucket)
+        .groupBy("byte_idx", "byte_val")
         .agg(
-            F.slice(
-                F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))),
-                1, max_bucket,
+            F.sort_array(
+                F.collect_list(F.struct("doc_id", "simhash"))
             ).alias("ms")
         )
         .where(F.size("ms") >= 2)

@@ -243,3 +243,123 @@ FROM patched
 GROUP BY repo, path
 HAVING arg_max(op, seq) FILTER (WHERE op IN ('insert','delete')) = 'insert'
 """
+
+
+def cdc_nested_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested ``array<struct<..., struct<...>>>`` rows through the REAL
+    icelite storage lifecycle: build 3-level nested payloads from
+    lineitem, INSERT them as epoch 1, then UPDATE (full-row replace
+    with a visible +1000.0 price bump, upserting orders epoch 1 never
+    saw) and DELETE (okey % 7 tombstones) as epoch 2, compact the
+    nested base+delta files, read back, and EXPLODE to flat rows the
+    DuckDB oracle recomputes relationally from raw lineitem.
+
+    This promotes nested storage to the hard correctness signal: the
+    reference's flagship rows are exactly this shape (PT
+    hops[]->links[]->probes[], schema/pt_schema.go:15-55; tcpinfo
+    Snapshots[], schema/tcpinfo.go:45-62), and a value-hash match
+    after insert -> upsert -> tombstone -> compact proves the engine
+    MANAGES nested payloads (LWW winners picked full-width through the
+    compaction kernels), not merely queries them."""
+    import pyspark.sql.types as T
+
+    li = _read(spark, sf_dir, "lineitem")
+
+    def nest(df: DataFrame, bump: float) -> DataFrame:
+        # ln leads the struct so sort_array gives a deterministic,
+        # per-order-unique ordering of the nested payload
+        return df.groupBy(F.col("l_orderkey").alias("okey")).agg(
+            F.sort_array(F.collect_list(F.struct(
+                F.col("l_linenumber").alias("ln"),
+                (F.col("l_extendedprice") + F.lit(bump)).alias("price"),
+                F.struct(
+                    F.col("l_returnflag").alias("flag"),
+                    F.col("l_quantity").alias("qty"),
+                    F.col("l_shipdate").alias("ship"),
+                ).alias("probe"),
+            ))).alias("hops")
+        )
+
+    e1 = (
+        nest(li.where(F.col("l_quantity") <= 25), 0.0)
+        .withColumn("last_seq", F.lit(1).cast("long"))
+        .withColumn("op", F.lit("insert"))
+    )
+    upd_keys = (
+        li.groupBy("l_orderkey").agg(F.max("l_quantity").alias("mq"))
+        .where(F.col("mq") > 25).select("l_orderkey")
+    )
+    e2_upd = (
+        nest(li.join(upd_keys, "l_orderkey"), 1000.0)
+        .withColumn("last_seq", F.lit(2).cast("long"))
+        .withColumn("op", F.lit("update"))
+    )
+    def relax(dt: "T.DataType") -> "T.DataType":
+        # parquet read-back reports nested fields nullable; declaring
+        # the stored schema fully-nullable keeps the read-side cast
+        # (which cannot re-impose interior NOT NULL) resolvable
+        if isinstance(dt, T.StructType):
+            return T.StructType([
+                T.StructField(f.name, relax(f.dataType), True)
+                for f in dt.fields
+            ])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(relax(dt.elementType), True)
+        return dt
+
+    hops_t = relax(e1.schema["hops"].dataType)
+    e2_del = (
+        li.select(F.col("l_orderkey").alias("okey")).distinct()
+        .where(F.col("okey") % 7 == 0)
+        .select(
+            "okey",
+            F.lit(None).cast(hops_t).alias("hops"),
+            F.lit(3).cast("long").alias("last_seq"),
+            F.lit("delete").alias("op"),
+        )
+    )
+
+    schema = T.StructType([
+        T.StructField("okey", T.LongType(), False),
+        T.StructField("hops", hops_t, True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    tmp = tempfile.mkdtemp(prefix="icelite_nested_")
+    from etl_spark.icelite.table import IceliteTable
+
+    tgt = IceliteTable.create(
+        spark, f"{tmp}/nested", schema, key_cols=("okey",), n_buckets=8
+    )
+    tgt.append_delta(e1, epoch_id="nest-e1")
+    tgt.append_delta(e2_upd.unionByName(e2_del), epoch_id="nest-e2")
+    tgt.compact()  # nested winners picked full-width by the kernel
+    return (
+        tgt.read()
+        .select("okey", F.explode("hops").alias("h"))
+        .select(
+            "okey",
+            F.col("h.ln").alias("ln"),
+            F.col("h.price").alias("price"),
+            F.col("h.probe.flag").alias("flag"),
+            F.col("h.probe.qty").alias("qty"),
+            F.col("h.probe.ship").alias("ship"),
+        )
+    )
+
+
+_CDC_NESTED_ORACLE = """
+WITH upd AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING max(l_quantity) > 25
+)
+SELECT l.l_orderkey AS okey,
+       l.l_linenumber AS ln,
+       l.l_extendedprice
+         + CASE WHEN u.l_orderkey IS NULL THEN 0.0 ELSE 1000.0 END AS price,
+       l.l_returnflag AS flag,
+       l.l_quantity AS qty,
+       l.l_shipdate AS ship
+FROM lineitem l LEFT JOIN upd u ON l.l_orderkey = u.l_orderkey
+WHERE l.l_orderkey % 7 <> 0
+  AND (u.l_orderkey IS NOT NULL OR l.l_quantity <= 25)
+"""

@@ -62,6 +62,15 @@ EVENTS_V2_DESCRIPTIONS = {
                   "(v2 addition)",
 }
 
+# columns the TARGET table adds over the event stream; folded on top of
+# the event descriptions by SchemaLedger.described_target_schema
+TARGET_DESCRIPTIONS = {
+    "content_sha256": "sha256 hex digest of content, computed by the "
+                      "vectorized fingerprint stage at apply time",
+    "last_seq": "seq of the event that produced this row (the LWW "
+                "winner's rank; base rows win seq ties)",
+}
+
 # -- target table (final state keyed by (repo, path)) -----------------------
 
 TARGET_V1 = T.StructType(

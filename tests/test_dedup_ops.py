@@ -150,3 +150,42 @@ def test_code_scan_is_pure_jvm(spark):
     docs = spark.createDataFrame([(0, "x")], "doc_id long, text string")
     plan = textops.code_scan(docs)._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan and "ArrowEval" not in plan
+
+
+def test_lsh_degenerate_bucket_is_pre_capped(spark):
+    """A bucket larger than max_bucket must complete with bounded pair
+    output AND a bounded aggregation buffer: the row_number pre-cap
+    runs BEFORE collect_list, so the degenerate bucket never
+    materializes whole in the agg. 60 identical docs, max_bucket=8 →
+    every bucket keeps its 8 lowest doc_ids → C(8,2)=28 pairs."""
+    from etl_spark.operators import simdedup
+
+    docs = spark.createDataFrame(
+        [(i, "the same text repeated for every document here") for i in range(60)],
+        "doc_id long, text string",
+    )
+    pairs = simdedup.lsh_candidate_pairs(docs, max_bucket=8)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    want = {(a, b) for a in range(8) for b in range(8) if a < b}
+    assert got == want
+    # the cap is structural: a window filter on __rn feeds the agg
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan
+    # simhash variant: same shape, same bounded output
+    sp = simdedup.simhash_near_pairs(docs, max_hamming=0, max_bucket=8)
+    got_s = {(r.doc_a, r.doc_b) for r in sp.collect()}
+    assert got_s == want
+    # no second exchange sneaks in: window + groupBy share the
+    # (band, band_hash) partitioning
+    from etl_spark import plans as p
+
+    docs2 = spark.createDataFrame(
+        [(i, f"text {i} unique content") for i in range(10)],
+        "doc_id long, text string",
+    )
+    base = simdedup.lsh_candidate_pairs(docs2)
+    # count exchanges once as a pin: window+agg = 1 exchange on the
+    # banded rows (plus the upstream signature groupBy + final pair
+    # dedup) — the pre-cap must not add one
+    n_ex = p.count_exchanges(base)
+    assert n_ex <= 3, p.explain_str(base, mode="simple")

@@ -232,3 +232,136 @@ def test_real_parsed_paris_rows_roundtrip(spark, tbl_dir):
     assert len(g["hops"]) == 38
     assert g["hops"][0]["links"][0]["probes"][0]["rtt"] == [0.895]
     assert g["source_ip"] == rec["source_ip"]
+
+
+def _evolved_hops_t():
+    """HOPS_T with ``probes[].ttl`` added (the realistic "parser
+    learned a new field" event, cmd/update-schema/update.go:70-104)
+    plus ``source.asn`` one level up."""
+    return T.ArrayType(T.StructType([
+        T.StructField("source", T.StructType([
+            T.StructField("ip", T.StringType(), True),
+            T.StructField("hostname", T.StringType(), True),
+            T.StructField("asn", T.LongType(), True),
+        ]), True),
+        T.StructField("links", T.ArrayType(T.StructType([
+            T.StructField("hop_dst_ip", T.StringType(), True),
+            T.StructField("probes", T.ArrayType(T.StructType([
+                T.StructField("rtt", T.ArrayType(T.DoubleType()), True),
+                T.StructField("ttl", T.IntegerType(), True),
+            ])), True),
+        ])), True),
+    ]))
+
+
+def _fill_interior_nulls(hops):
+    """Expected old-row shape after interior evolution: same values,
+    added fields null at every level."""
+    return [
+        {
+            "source": dict(h["source"], asn=None),
+            "links": [
+                {
+                    "hop_dst_ip": l_["hop_dst_ip"],
+                    "probes": [dict(p, ttl=None) for p in l_["probes"]],
+                }
+                for l_ in h["links"]
+            ],
+        }
+        for h in hops
+    ]
+
+
+def test_interior_nested_field_evolution(spark, tbl_dir):
+    """Add nullable fields INSIDE stored struct/array elements
+    (probes[].ttl, source.asn): evolve_schema accepts, reads null-fill
+    old rows byte-exactly, BOTH compaction kernels unify old+new files,
+    and the change feed carries the evolved shape."""
+    t = _mk(spark, os.path.join(tbl_dir, "nested_interior_evo"))
+    r_a = _row("a", 1, "insert", n_hops=3, salt=1)
+    r_b = _row("b", 2, "insert", n_hops=2, salt=2)
+    t.append_delta(_df(spark, [r_a, r_b]), epoch_id="e1")
+
+    evolved = T.StructType([
+        f if f.name != "hops" else T.StructField("hops", _evolved_hops_t(), True)
+        for f in NESTED_SCHEMA.fields
+    ])
+    t.evolve_schema(evolved)
+    v_evo = t.current_version()
+
+    # old rows read back with interior nulls, values byte-exact
+    st = _state(t)
+    assert st["a"]["hops"] == _fill_interior_nulls(r_a["hops"])
+    assert st["a"]["meta"] == r_a["meta"]
+
+    # a post-evolution writer fills the new interior fields
+    new_hops = [
+        {
+            "source": {"ip": "10.9.0.1", "hostname": "h.new", "asn": 64500},
+            "links": [{
+                "hop_dst_ip": "10.9.1.1",
+                "probes": [{"rtt": [1.25, 2.5], "ttl": 63}],
+            }],
+        }
+    ]
+    r_c = {
+        "test_name": "c", "reached_dest": True, "hops": new_hops,
+        "meta": {"round": "3", "parser": "pt"}, "last_seq": 3,
+        "op": "insert",
+    }
+    t.append_delta(
+        spark.createDataFrame(
+            [r_c],
+            T.StructType(evolved.fields
+                         + [T.StructField("op", T.StringType(), False)]),
+        ),
+        epoch_id="e2",
+    )
+    want = _state(t)
+    assert want["c"]["hops"] == new_hops
+    assert want["a"]["hops"] == _fill_interior_nulls(r_a["hops"])
+
+    # small-path compaction unifies pre- and post-evolution files
+    t.compact()
+    assert _state(t) == want
+    # chunked kernel over the already-unified base + a fresh delta
+    r_a2 = _row("a", 10, "update", n_hops=1, salt=9)
+    t.append_delta(_df_evolved_oldshape(spark, [r_a2], evolved), epoch_id="e3")
+    t.compact(chunk_bytes=1)
+    st3 = _state(t)
+    assert st3["a"]["hops"] == _fill_interior_nulls(r_a2["hops"])
+    assert st3["c"]["hops"] == new_hops
+
+    # change feed across the evolution boundary carries the evolved
+    # shape with old payload values intact
+    ch = {
+        (r["test_name"], r["_change_type"]): r
+        for r in (row.asDict(recursive=True)
+                  for row in t.changes_between(v_evo).collect())
+    }
+    assert ch[("c", "insert")]["hops"] == new_hops
+    assert (ch[("a", "update_preimage")]["hops"]
+            == _fill_interior_nulls(r_a["hops"]))
+
+    # narrowing / dropping / non-nullable interior adds still refuse
+    bad = T.StructType([
+        f if f.name != "hops" else T.StructField(
+            "hops", T.ArrayType(T.StructType([
+                T.StructField("source", T.StringType(), True),  # narrow
+            ])), True)
+        for f in NESTED_SCHEMA.fields
+    ])
+    with pytest.raises(ValueError):
+        t.evolve_schema(bad)
+
+
+def _df_evolved_oldshape(spark, rows, evolved):
+    """Rows authored in the OLD shape, upcast to the evolved delta
+    schema the way a ledger-mapped producer would (interior nulls)."""
+    df = _df(spark, rows)
+    from etl_spark.icelite.table import _cast_to
+
+    delta = T.StructType(
+        evolved.fields + [T.StructField("op", T.StringType(), False)]
+    )
+    return _cast_to(df, delta)

@@ -74,3 +74,32 @@ def test_ledger_descriptions_merge_and_roundtrip(spark):
     ])
     assert led2.merged_descriptions(version=1)["seq"] == "old words"
     assert led2.merged_descriptions()["seq"] == "new words"
+
+
+def test_descriptions_reach_live_table_read_schema(spark, tbl_dir):
+    """Ledger column docs must survive ledger → evolve → snapshot JSON
+    → read(): the deploy-time description merge reaching the live
+    table surface (schema/schema.go:31-49)."""
+    import os
+
+    from etl_spark import gen
+    from etl_spark.operators.apply import apply_epoch, create_target
+
+    t = create_target(spark, os.path.join(tbl_dir, "desc"), n_buckets=2)
+    v0 = t.current_version()
+    apply_epoch(spark, gen.synthetic_events(spark, 200, n_repos=5, seed=3),
+                t, None, epoch_id="e1")
+    # described create + described evolve agree → no version churn
+    assert t.current_version() == v0 + 1
+    sch = t.read().schema
+    assert "WAL position" in sch["last_seq"].metadata.get("comment", "") \
+        or "LWW" in sch["last_seq"].metadata.get("comment", "")
+    assert sch["content"].metadata["comment"].startswith("full file content")
+    assert "sha256" in sch["content_sha256"].metadata["comment"]
+    # projection keeps the docs too
+    assert t.read(columns=["content"]).schema["content"].metadata["comment"]
+    # v2 evolution folds v2 descriptions in
+    led2 = SchemaLedger.default(v2_effective_seq=0)
+    t.evolve_schema(led2.described_target_schema())
+    sch2 = t.read().schema
+    assert "v2 addition" in sch2["size_bytes"].metadata["comment"]

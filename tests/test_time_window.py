@@ -346,3 +346,55 @@ def test_create_branch_sweeps_aged_torn_tmp_dirs(spark, tbl_dir):
     assert not _os.path.isdir(old_torn)   # aged torn dir swept
     assert _os.path.isdir(young)          # young in-flight dir untouched
     assert "fresh" in t.list_branches()
+
+
+def test_struct_subfield_footer_stats_prune(spark, tbl_dir):
+    """One level of STRUCT subfields ("source.seen") gets manifest
+    min/max stats and prunes like a top-level column; repeated paths
+    (array elements) are excluded — their per-row multiplicity makes
+    min/max pruning unsound for row-level predicates."""
+    src_t = T.StructType([
+        T.StructField("ip", T.StringType(), True),
+        T.StructField("seen", T.TimestampType(), True),
+    ])
+    schema = T.StructType([
+        T.StructField("k", T.LongType(), False),
+        T.StructField("source", src_t, True),
+        T.StructField("tags", T.ArrayType(T.StringType()), True),
+    ])
+    ao = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "subf"), schema)
+    for d in (1, 9):
+        ao.append(spark.createDataFrame(
+            [(d, {"ip": f"10.0.0.{d}", "seen": day(d)}, [f"t{d}"])],
+            schema,
+        ))
+    stats = [f.stats for f in ao.snapshot().files if f.rows > 0]
+    assert stats
+    assert all("source.seen" in s and "source.ip" in s for s in stats)
+    assert not any(any(key.startswith("tags") for key in s) for s in stats)
+    # dotted timestamp column: datetime AND string bounds both prune
+    assert len(ao.files_in_range("source.seen", lo=day(5))) == 1
+    assert len(ao.files_in_range("source.seen", lo="2024-03-05")) == 1
+    # dotted string column: lexicographic pruning
+    assert len(ao.files_in_range("source.ip", lo="10.0.0.5")) == 1
+    # read_range with the dotted column returns exactly the right rows
+    got = ao.read_range("source.seen", lo=day(5)).collect()
+    assert [r.k for r in got] == [9]
+    # keyed tables: read_time_window over a struct subfield
+    keyed = T.StructType(schema.fields
+                         + [T.StructField("last_seq", T.LongType(), False)])
+    kt = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "subfk"), keyed,
+        key_cols=("k",), n_buckets=1,
+    )
+    delta = T.StructType(keyed.fields
+                         + [T.StructField("op", T.StringType(), False)])
+    kt.append_delta(spark.createDataFrame(
+        [(1, {"ip": "a", "seen": day(1)}, [], 1, "insert")], delta),
+        epoch_id="e1")
+    kt.append_delta(spark.createDataFrame(
+        [(2, {"ip": "b", "seen": day(9)}, [], 2, "insert")], delta),
+        epoch_id="e2")
+    w = kt.read_time_window("source.seen", lo=day(5))
+    assert [r.k for r in w.collect()] == [2]
