@@ -528,6 +528,14 @@ def _pa_adapt(arr, want, pa):
     t = arr.type
     if t.equals(want):
         return arr
+    if arr.offset != 0:
+        # rebase sliced inputs: from_arrays reconstruction rejects a
+        # null bitmap combined with an offsets slice. Kernel columns
+        # come zero-offset from read_table/take, so this copy is
+        # defensive, not a hot path.
+        import numpy as np
+
+        arr = arr.take(pa.array(np.arange(len(arr), dtype=np.int64)))
     if pa.types.is_struct(t) and pa.types.is_struct(want):
         idx = {t.field(i).name: i for i in range(t.num_fields)}
         children = []

@@ -186,6 +186,53 @@ def lsh_candidate_pairs(
 _HEX = "0123456789abcdef"
 
 
+def band_bucket_overflow(
+    docs: DataFrame,
+    n: int = 5,
+    n_perms: int = N_PERMS,
+    band_size: int = BAND_SIZE,
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """Diagnostic for the ``max_bucket`` valve: (band, band_hash,
+    members) for every bucket EXCEEDING the cap. Empty result = the
+    cap never engaged and ``lsh_candidate_pairs`` lost nothing; any
+    rows = those buckets' members past the cap lost their in-bucket
+    pairs (they still collide in their other bands). Run this before
+    relying on exact recall on a new corpus — it is one groupBy over
+    the banded rows, far cheaper than the pair enumeration itself."""
+    sig = minhash_signatures(docs, n, n_perms)
+    bands = lsh_bands(sig, band_size, n_perms)
+    return (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .where(F.col("members") > max_bucket)
+    )
+
+
+def simhash_bucket_overflow(docs: DataFrame,
+                            max_bucket: int = 65536) -> DataFrame:
+    """``band_bucket_overflow`` twin for the simhash byte bands — the
+    one that matters in practice: 4 bands x 256 values means ordinary
+    tens-of-millions-doc corpora overflow 65536/bucket without any
+    adversary, silently degrading the pigeonhole exactness guarantee
+    (see simhash_near_pairs docstring). Non-empty result = raise
+    max_bucket or widen the sketch before claiming exact recall."""
+    sh = simhash(docs)
+    banded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx"),
+        "simhash",
+    ).withColumn(
+        "byte_val",
+        F.expr("shiftright(simhash, CAST(byte_idx * 8 AS INT)) & 255"),
+    )
+    return (
+        banded.groupBy("byte_idx", "byte_val")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .where(F.col("members") > max_bucket)
+    )
+
+
 def simhash(docs: DataFrame, bits: int = 32,
             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """32-bit SimHash over distinct whitespace tokens.

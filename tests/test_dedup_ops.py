@@ -189,3 +189,22 @@ def test_lsh_degenerate_bucket_is_pre_capped(spark):
     # dedup) — the pre-cap must not add one
     n_ex = p.count_exchanges(base)
     assert n_ex <= 3, p.explain_str(base, mode="simple")
+
+
+def test_bucket_overflow_diagnostics(spark):
+    """The overflow diagnostics surface exactly the buckets whose
+    members the max_bucket valve would truncate — the runtime signal
+    for 'banding loses nothing' no longer holding."""
+    from etl_spark.operators import simdedup
+
+    docs = spark.createDataFrame(
+        [(i, "identical text for everyone") for i in range(20)]
+        + [(100 + i, f"unique text number {i}") for i in range(5)],
+        "doc_id long, text string",
+    )
+    over = simdedup.band_bucket_overflow(docs, max_bucket=8).collect()
+    assert over and all(r.members == 20 for r in over)
+    assert not simdedup.band_bucket_overflow(docs, max_bucket=64).collect()
+    so = simdedup.simhash_bucket_overflow(docs, max_bucket=8).collect()
+    assert so and max(r.members for r in so) >= 20
+    assert not simdedup.simhash_bucket_overflow(docs, max_bucket=4096).collect()
