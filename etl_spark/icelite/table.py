@@ -518,11 +518,11 @@ def _pa_adapt(arr, want, pa):
     stay byte-exact. Already-matching types return the input unchanged
     (no copy).
 
-    Known gap, loudly surfaced: a MAP column with NULL map cells whose
-    value type evolved cannot be rebuilt (MapArray.from_arrays takes no
-    mask) — raises ArrowNotImplementedError, which callers treat as
-    "leave the column as-was" (same failure surface as before this
-    adapter existed)."""
+    MAP columns with NULL map cells: ``MapArray.from_arrays`` takes no
+    mask, so cell validity is re-encoded IN the offsets array instead
+    (an offsets slot made null marks that map cell null — the
+    list-family convention from_arrays honors); values round-trip
+    exactly, see test_map_null_cells_adapt_across_evolution."""
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
     t = arr.type
@@ -557,13 +557,20 @@ def _pa_adapt(arr, want, pa):
             mask=arr.is_null() if arr.null_count else None,
         )
     if pa.types.is_map(t) and pa.types.is_map(want):
+        offsets = arr.offsets
         if arr.null_count:
-            raise pa.ArrowNotImplementedError(
-                "map column with null cells cannot be adapted across "
-                "nested schema evolution"
+            # from_arrays has no mask param; null cells are encoded as
+            # null OFFSET slots instead (the final boundary offset at
+            # position n is never masked)
+            cell_null = arr.is_null().to_pylist()
+            offs = offsets.to_pylist()
+            offsets = pa.array(
+                [None if (i < len(cell_null) and cell_null[i]) else offs[i]
+                 for i in range(len(offs))],
+                type=pa.int32(),
             )
         return pa.MapArray.from_arrays(
-            arr.offsets,
+            offsets,
             _pa_adapt(arr.keys, want.key_type, pa),
             _pa_adapt(arr.items, want.item_type, pa),
         )

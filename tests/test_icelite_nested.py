@@ -365,3 +365,81 @@ def _df_evolved_oldshape(spark, rows, evolved):
         evolved.fields + [T.StructField("op", T.StringType(), False)]
     )
     return _cast_to(df, delta)
+
+
+def test_map_null_cells_adapt_across_evolution(spark, tbl_dir):
+    """A map column whose VALUE type evolves (string → kept) while some
+    rows hold NULL map cells: the arrow kernel re-encodes cell validity
+    in the offsets array (MapArray.from_arrays has no mask param), so
+    compaction across the evolution boundary must keep null cells null
+    and populated cells byte-exact — the gap the r4 adapter documented
+    as unsupported, now closed."""
+    evo_val = T.StructType([
+        T.StructField("v", T.StringType(), True),
+        T.StructField("n", T.LongType(), True),
+    ])
+    base = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("attrs", T.MapType(
+            T.StringType(),
+            T.StructType([T.StructField("v", T.StringType(), True)]),
+        ), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "map_nulls"), base,
+        key_cols=("k",), n_buckets=2,
+    )
+    delta = T.StructType(
+        base.fields + [T.StructField("op", T.StringType(), False)]
+    )
+    rows = [
+        {"k": "a", "attrs": {"x": {"v": "1"}, "y": {"v": "2"}},
+         "last_seq": 1, "op": "insert"},
+        {"k": "b", "attrs": None, "last_seq": 2, "op": "insert"},
+        {"k": "c", "attrs": {}, "last_seq": 3, "op": "insert"},
+    ]
+    t.append_delta(spark.createDataFrame(rows, delta), epoch_id="e1")
+
+    evolved = T.StructType([
+        f if f.name != "attrs" else T.StructField(
+            "attrs", T.MapType(T.StringType(), evo_val), True)
+        for f in base.fields
+    ])
+    t.evolve_schema(evolved)
+    t.append_delta(
+        spark.createDataFrame(
+            [{"k": "d", "attrs": {"z": {"v": "9", "n": 9}},
+              "last_seq": 4, "op": "insert"},
+             {"k": "e", "attrs": None, "last_seq": 5, "op": "insert"}],
+            T.StructType(evolved.fields
+                         + [T.StructField("op", T.StringType(), False)]),
+        ),
+        epoch_id="e2",
+    )
+    want = {
+        "a": {"x": {"v": "1", "n": None}, "y": {"v": "2", "n": None}},
+        "b": None, "c": {}, "d": {"z": {"v": "9", "n": 9}}, "e": None,
+    }
+
+    def state():
+        return {
+            r["k"]: r["attrs"]
+            for r in (row.asDict(recursive=True)
+                      for row in t.read().collect())
+        }
+
+    assert state() == want  # merge-on-read adapt (_adapt_col path)
+    t.compact()  # small kernel: pre- + post-evolution files unify
+    assert state() == want
+    t.append_delta(
+        spark.createDataFrame(
+            [{"k": "a", "attrs": None, "last_seq": 10, "op": "update"}],
+            T.StructType(evolved.fields
+                         + [T.StructField("op", T.StringType(), False)]),
+        ),
+        epoch_id="e3",
+    )
+    t.compact(chunk_bytes=1)  # streaming kernel over evolved base
+    want["a"] = None
+    assert state() == want
