@@ -160,8 +160,9 @@ def derived_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _MATERIALIZED.get(sf_dir)
     if path is None:
         store = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        from etl_spark.util import scratch_dir
         path = os.path.join(
-            tempfile.mkdtemp(prefix="derived_events_", dir=store), "events")
+            scratch_dir("derived_events_", dir=store), "events")
         df.write.mode("overwrite").parquet(path)
         _MATERIALIZED[sf_dir] = path
     return spark.read.parquet(path)

@@ -305,8 +305,10 @@ def _footer_bounds(meta) -> dict | None:
     STRUCT subfields one level deep ("source.ip") are kept too: their
     parquet stats have exact row-level semantics (one value per row),
     so point lookups on struct members prune like top-level columns.
-    Anything under a REPEATED node (parquet path contains a "list" or
-    "key_value" segment) is skipped — an array element's min/max is a
+    Anything under a REPEATED node (``max_repetition_level > 0`` — the
+    parquet property itself, not a guess from segment names, so
+    non-Spark writers' repeated-group naming like 2-level "arr.array"
+    cannot misclassify) is skipped — an array element's min/max is a
     bound over MANY values per row, which cannot prune a row-level
     predicate soundly — and deeper struct paths are dropped to bound
     manifest size (the reference clusters on top-level columns only,
@@ -319,11 +321,10 @@ def _footer_bounds(meta) -> dict | None:
         for ci in range(g.num_columns):
             col = g.column(ci)
             name = col.path_in_schema
-            if "." in name:
-                parts = name.split(".")
-                if (len(parts) != 2 or "list" in parts
-                        or "key_value" in parts):
-                    continue  # repeated / too deep: skip
+            if meta.schema.column(ci).max_repetition_level > 0:
+                continue  # under a repeated node: not row-level stats
+            if "." in name and len(name.split(".")) != 2:
+                continue  # deeper than one struct level: manifest cap
             if name in dead:
                 continue
             st = col.statistics
@@ -416,10 +417,25 @@ def _adapt_col(col, src_t: T.DataType, dst_t: T.DataType):
     rebuilt structurally: added fields null-fill, present fields
     recurse, NULL parents stay NULL. Scalar leaves fall through to a
     plain cast (widening). Types already equal pass through untouched
-    — steady-state reads pay nothing."""
+    — steady-state reads pay nothing.
+
+    Source-only interior fields RAISE rather than silently narrow:
+    on the write path that would be unrecoverable data loss from an
+    unregistered schema change (ledger.normalize enforces the same
+    invariant for top-level columns), and on the read path it cannot
+    occur — ``evolve_schema`` never drops fields, so stored files are
+    always a subset of the current schema."""
     if src_t == dst_t:
         return col
     if isinstance(src_t, T.StructType) and isinstance(dst_t, T.StructType):
+        dst_names = {f.name for f in dst_t.fields}
+        extra = [f.name for f in src_t.fields if f.name not in dst_names]
+        if extra:
+            raise ValueError(
+                f"schema adapt: source struct carries fields {extra} absent "
+                f"from the target schema — an unregistered schema change "
+                f"must not silently drop data; evolve_schema first"
+            )
         have = {f.name: f.dataType for f in src_t.fields}
         inner = F.struct(*[
             (
@@ -453,12 +469,15 @@ def _adapt_col(col, src_t: T.DataType, dst_t: T.DataType):
     return col.cast(dst_t)
 
 
-def _cast_to(df: DataFrame, schema: T.StructType) -> DataFrame:
+def _cast_to(df: DataFrame, schema: T.StructType, extra=()) -> DataFrame:
     """Project/cast a frame onto ``schema`` (missing cols → NULL).
 
     This is the read-side of schema evolution: old files keep their
     written schema; ``_adapt_col`` handles add-column, widening, and
-    struct-interior adds at any nesting depth.
+    struct-interior adds at any nesting depth. ``extra`` columns
+    (e.g. the ``__op`` delta marker, change-feed flags) are appended
+    after the schema projection — they may reference ``df`` columns
+    the projection drops, since everything lands in ONE select.
     """
     cols = []
     have = {f.name: f.dataType for f in df.schema.fields}
@@ -470,7 +489,7 @@ def _cast_to(df: DataFrame, schema: T.StructType) -> DataFrame:
             )
         else:
             cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-    return df.select(*cols)
+    return df.select(*cols, *extra)
 
 
 def _arrow_type(spark_type: T.DataType):
@@ -539,6 +558,16 @@ def _pa_adapt(arr, want, pa):
     if pa.types.is_struct(t) and pa.types.is_struct(want):
         idx = {t.field(i).name: i for i in range(t.num_fields)}
         children = []
+        want_names = {want.field(i).name for i in range(want.num_fields)}
+        extra = [n for n in idx if n not in want_names]
+        if extra:
+            # same invariant as _adapt_col: stored files are always a
+            # subset of the current schema (evolve never drops), so
+            # extras can only mean corruption — never narrow silently
+            raise ValueError(
+                f"compaction adapt: stored struct carries fields {extra} "
+                f"absent from the current schema"
+            )
         for i in range(want.num_fields):
             wf = want.field(i)
             if wf.name in idx:
@@ -1039,19 +1068,8 @@ class IceliteTable:
                 )
             df = self.spark.read.schema(file_schema).parquet(*paths)
             op = (F.col("__op") if kind == "delta" else F.lit("base")) if with_op else None
-            cols = []
-            have = {f2.name: f2.dataType for f2 in df.schema.fields}
-            for f2 in schema.fields:
-                if f2.name in have:
-                    cols.append(
-                        _adapt_col(F.col(f2.name), have[f2.name],
-                                   f2.dataType).alias(f2.name)
-                    )
-                else:
-                    cols.append(F.lit(None).cast(f2.dataType).alias(f2.name))
-            if op is not None:
-                cols.append(op.alias("__op"))
-            parts.append(df.select(*cols))
+            extra = [op.alias("__op")] if op is not None else []
+            parts.append(_cast_to(df, schema, extra))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -1436,19 +1454,12 @@ class IceliteTable:
                     file_schema.fields
                     + [T.StructField("__op", T.StringType(), True)])
             df = self.spark.read.schema(file_schema).parquet(*paths)
-            have = {f2.name: f2.dataType for f2 in df.schema.fields}
-            cols = [
-                _adapt_col(F.col(f_.name), have[f_.name],
-                           f_.dataType).alias(f_.name)
-                if f_.name in have
-                else F.lit(None).cast(f_.dataType).alias(f_.name)
-                for f_ in schema.fields
-            ]
-            cols.append((F.col("__op") if kind == "delta"
-                         else F.lit("base")).alias("__op"))
-            cols.append(F.lit(fo).alias("__fo"))
-            cols.append(F.lit(fn).alias("__fn"))
-            parts.append(df.select(*cols))
+            parts.append(_cast_to(df, schema, [
+                (F.col("__op") if kind == "delta"
+                 else F.lit("base")).alias("__op"),
+                F.lit(fo).alias("__fo"),
+                F.lit(fn).alias("__fn"),
+            ]))
         all_rows = parts[0]
         for p in parts[1:]:
             all_rows = all_rows.unionByName(p)
@@ -1739,7 +1750,14 @@ class IceliteTable:
                 raise FileExistsError(f"tag exists: {name!r}") from None
             try:
                 with open(tmp, "rb") as src:
-                    os.write(fd, src.read())
+                    buf = src.read()
+                # POSIX permits short writes: loop, or a torn tag file
+                # lands at the final path in NORMAL operation (not just
+                # on crash) and the name wedges forever (tags are
+                # immutable, EEXIST blocks every retry)
+                off = 0
+                while off < len(buf):
+                    off += os.write(fd, buf[off:])
                 os.fsync(fd)
             finally:
                 os.close(fd)
@@ -2048,6 +2066,10 @@ class IceliteTable:
                 old_names = {f.name for f in old_t.fields}
                 return all(
                     f.name in new_f and ok(f.dataType, new_f[f.name].dataType)
+                    # nullable -> required narrowing would assert
+                    # non-null over old files that legitimately hold
+                    # nulls; required -> nullable relaxation is fine
+                    and (not f.nullable or new_f[f.name].nullable)
                     for f in old_t.fields
                 ) and all(
                     f.name in old_names or f.nullable for f in new_t.fields
@@ -2060,14 +2082,27 @@ class IceliteTable:
                         and ok(old_t.valueType, new_t.valueType))
             return (old_t.typeName(), new_t.typeName()) in widen_ok
 
-        new_names = {f_.name: f_.dataType for f_ in new_schema.fields}
+        new_fields = {f_.name: f_ for f_ in new_schema.fields}
         for f_ in cur.fields:
-            if f_.name not in new_names:
+            if f_.name not in new_fields:
                 raise ValueError(f"schema evolution cannot drop column {f_.name}")
-            old_t, new_t = f_.dataType, new_names[f_.name]
+            old_t, new_t = f_.dataType, new_fields[f_.name].dataType
             if not ok(old_t, new_t):
                 raise ValueError(
                     f"incompatible type change for {f_.name}: {old_t} -> {new_t}"
+                )
+            if f_.nullable and not new_fields[f_.name].nullable:
+                raise ValueError(
+                    f"schema evolution cannot narrow {f_.name} from "
+                    f"nullable to required (old files may hold nulls)"
+                )
+        cur_names = {f_.name for f_ in cur.fields}
+        for f_ in new_schema.fields:
+            if f_.name not in cur_names and not f_.nullable:
+                raise ValueError(
+                    f"added column {f_.name} must be nullable — existing "
+                    f"rows null-fill it (the reference rejects REQUIRED "
+                    f"adds the same way, cmd/update-schema/update.go:85-91)"
                 )
         if new_schema.json() == cur.json():
             return snap

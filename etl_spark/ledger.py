@@ -25,6 +25,21 @@ from etl_spark import schemas
 from etl_spark.icelite.table import _cast_to
 
 
+def _with_docs(schema: T.StructType, docs: dict) -> T.StructType:
+    """``schema`` with ``docs[name]`` merged into each field's metadata
+    as the ``comment`` key (other metadata keys preserved)."""
+    return T.StructType(
+        [
+            T.StructField(
+                f.name, f.dataType, f.nullable,
+                metadata={**(f.metadata or {}), "comment": docs[f.name]}
+                if f.name in docs else f.metadata,
+            )
+            for f in schema.fields
+        ]
+    )
+
+
 @dataclass(frozen=True)
 class LedgerEntry:
     schema_version: int
@@ -123,17 +138,8 @@ class SchemaLedger:
         carrier (lands in ``DESCRIBE``/catalog output downstream)."""
         if version is None:
             version = self.latest.schema_version
-        docs = self.merged_descriptions(version)
-        return T.StructType(
-            [
-                T.StructField(
-                    f.name, f.dataType, f.nullable,
-                    metadata={**(f.metadata or {}), "comment": docs[f.name]}
-                    if f.name in docs else f.metadata,
-                )
-                for f in self.schema_for(version).fields
-            ]
-        )
+        return _with_docs(self.schema_for(version),
+                          self.merged_descriptions(version))
 
     def described_target_schema(self, version: int | None = None) -> T.StructType:
         """The TARGET table's StructType for ``version`` with column
@@ -149,16 +155,7 @@ class SchemaLedger:
             version = self.latest.schema_version
         docs = dict(self.merged_descriptions(version))
         docs.update(schemas.TARGET_DESCRIPTIONS)
-        return T.StructType(
-            [
-                T.StructField(
-                    f.name, f.dataType, f.nullable,
-                    metadata={**(f.metadata or {}), "comment": docs[f.name]}
-                    if f.name in docs else f.metadata,
-                )
-                for f in schemas.target_schema(version).fields
-            ]
-        )
+        return _with_docs(schemas.target_schema(version), docs)
 
     def to_json(self) -> str:
         """Full serialization, descriptions included — the persisted

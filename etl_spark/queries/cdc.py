@@ -3,8 +3,6 @@ replay into icelite, fingerprints, accounting (SURVEY.md §2.1/§2.4)."""
 from pyspark.sql import functions as F
 
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_spark import gen
@@ -12,6 +10,7 @@ from etl_spark.functions.fingerprint import parse_validate_fingerprint
 from etl_spark.operators.apply import create_lineage, create_target, replay
 from etl_spark.operators.dedup import lww_latest
 from etl_spark.queries.base import _read
+from etl_spark.util import scratch_dir
 
 
 def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -37,7 +36,7 @@ def cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The flagship: full engine replay into a fresh icelite table."""
     ev = gen.derived_events(spark, sf_dir)
-    tmp = tempfile.mkdtemp(prefix="icelite_entry_")
+    tmp = scratch_dir("icelite_entry_")
     tgt = create_target(spark, f"{tmp}/target", n_buckets=32)
     lin = create_lineage(spark, f"{tmp}/lineage")
     replay(spark, ev, tgt, lin, epoch_size=1 << 60)
@@ -74,7 +73,7 @@ def cdc_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     diffs them relationally."""
     ev = gen.derived_events(spark, sf_dir)
     cut = ev.agg(F.floor(F.max("seq") / 2).cast("long")).collect()[0][0]
-    tmp = tempfile.mkdtemp(prefix="icelite_cdf_")
+    tmp = scratch_dir("icelite_cdf_")
     tgt = create_target(spark, f"{tmp}/target", n_buckets=32)
     lin = create_lineage(spark, f"{tmp}/lineage")
     replay(spark, ev.where(F.col("seq") <= cut), tgt, lin, epoch_size=1 << 60)
@@ -144,7 +143,7 @@ def cdc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = gen.derived_events(spark, sf_dir)
     cut = ev.agg(F.floor(F.max("seq") / 2).cast("long")).collect()[0][0]
-    tmp = tempfile.mkdtemp(prefix="icelite_ivm_")
+    tmp = scratch_dir("icelite_ivm_")
     tgt = create_target(spark, f"{tmp}/target", n_buckets=32)
     lin = create_lineage(spark, f"{tmp}/lineage")
     view = RollupView.create(
@@ -324,7 +323,7 @@ def cdc_nested_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.StructField("hops", hops_t, True),
         T.StructField("last_seq", T.LongType(), False),
     ])
-    tmp = tempfile.mkdtemp(prefix="icelite_nested_")
+    tmp = scratch_dir("icelite_nested_")
     from etl_spark.icelite.table import IceliteTable
 
     tgt = IceliteTable.create(

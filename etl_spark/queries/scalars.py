@@ -3,13 +3,12 @@
 from pyspark.sql import functions as F
 
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_spark import gen
 from etl_spark.functions import parsing
 from etl_spark.queries.base import _read
+from etl_spark.util import scratch_dir
 
 
 def f_route_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,7 +250,7 @@ def f_jsonl_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _read(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    out = tempfile.mkdtemp(prefix="jsonl_sink_")
+    out = scratch_dir("jsonl_sink_")
     docs.write.mode("overwrite").json(out)
     return spark.read.schema(docs.schema).json(out)
 

@@ -2,7 +2,34 @@
 
 from __future__ import annotations
 
+import atexit
+import shutil
+import tempfile
+
 from pyspark.sql import DataFrame
+
+_SCRATCH: list[str] = []
+
+
+def _sweep_scratch() -> None:
+    for p in _SCRATCH:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def scratch_dir(prefix: str, dir: str | None = None) -> str:
+    """``tempfile.mkdtemp`` registered for removal at interpreter exit.
+
+    Query functions materialize icelite tables / sink files in scratch
+    and return LAZY DataFrames over them, so the dir must outlive the
+    call — process exit is the earliest universally-safe reclaim
+    point. The atexit sweep keeps repeated invocations (bench warm +
+    timed reps, driver gates) from accumulating lineitem-scale copies
+    across runs until the disk fills."""
+    d = tempfile.mkdtemp(prefix=prefix, dir=dir)
+    if not _SCRATCH:
+        atexit.register(_sweep_scratch)
+    _SCRATCH.append(d)
+    return d
 
 
 def spread(df: DataFrame, min_factor: int = 1) -> DataFrame:

@@ -443,3 +443,104 @@ def test_map_null_cells_adapt_across_evolution(spark, tbl_dir):
     t.compact(chunk_bytes=1)  # streaming kernel over evolved base
     want["a"] = None
     assert state() == want
+
+
+def test_unregistered_interior_extra_field_raises(spark, tbl_dir):
+    """A producer emitting interior fields the table schema has not
+    registered must fail LOUDLY on write: the old struct cast raised
+    (Spark refuses field-count changes) and the structural rebuild in
+    ``_adapt_col`` must not downgrade that to a silent drop — an
+    unregistered schema change would otherwise lose the new values
+    unrecoverably (ledger.normalize enforces the same invariant for
+    top-level columns)."""
+    t = _mk(spark, os.path.join(tbl_dir, "nested_extra_raises"))
+    t.append_delta(_df(spark, [_row("a", 1, "insert")]), epoch_id="e1")
+
+    wide_schema = T.StructType([
+        f if f.name != "hops"
+        else T.StructField("hops", _evolved_hops_t(), True)
+        for f in DELTA_SCHEMA.fields
+    ])
+    r = _row("b", 2, "insert")
+    r["hops"] = [
+        {
+            "source": dict(h["source"], asn=64500),
+            "links": [
+                {
+                    "hop_dst_ip": l_["hop_dst_ip"],
+                    "probes": [dict(p, ttl=7) for p in l_["probes"]],
+                }
+                for l_ in h["links"]
+            ],
+        }
+        for h in r["hops"]
+    ]
+    wide = spark.createDataFrame([r], wide_schema)
+    with pytest.raises(ValueError, match="evolve_schema first"):
+        t.append_delta(wide, epoch_id="e2")
+    # the table is untouched: no partial epoch, no dropped fields
+    assert list(t.snapshot().epochs) == ["e1"]
+    # after REGISTERING the change the same frame applies cleanly
+    t.evolve_schema(T.StructType([
+        f if f.name != "hops"
+        else T.StructField("hops", _evolved_hops_t(), True)
+        for f in NESTED_SCHEMA.fields
+    ]))
+    t.append_delta(wide, epoch_id="e2")
+    st = _state(t)
+    assert st["b"]["hops"][0]["source"]["asn"] == 64500
+    assert st["b"]["hops"][0]["links"][0]["probes"][0]["ttl"] == 7
+
+
+def test_evolve_schema_nullability_rules(spark, tbl_dir):
+    """Nullability is part of the evolution contract: nullable →
+    required narrowing (top-level OR interior) is rejected — old files
+    legitimately hold nulls — and ADDED columns must be nullable
+    (existing rows null-fill them; the reference rejects REQUIRED adds
+    the same way, cmd/update-schema/update.go:85-91). Required →
+    nullable relaxation is allowed."""
+    t = _mk(spark, os.path.join(tbl_dir, "nested_nullability"))
+    t.append_delta(_df(spark, [_row("a", 1, "insert")]), epoch_id="e1")
+
+    # top-level nullable -> required
+    narrowed_top = T.StructType([
+        f if f.name != "reached_dest"
+        else T.StructField("reached_dest", T.BooleanType(), False)
+        for f in NESTED_SCHEMA.fields
+    ])
+    with pytest.raises(ValueError, match="nullable to required"):
+        t.evolve_schema(narrowed_top)
+
+    # interior nullable -> required (source.ip inside hops[])
+    def _require_source_ip(dt):
+        return T.ArrayType(T.StructType([
+            T.StructField("source", T.StructType([
+                T.StructField("ip", T.StringType(), False),
+                T.StructField("hostname", T.StringType(), True),
+            ]), True),
+            next(f for f in dt.elementType.fields if f.name == "links"),
+        ]))
+
+    narrowed_in = T.StructType([
+        f if f.name != "hops"
+        else T.StructField("hops", _require_source_ip(HOPS_T), True)
+        for f in NESTED_SCHEMA.fields
+    ])
+    with pytest.raises(ValueError, match="incompatible type change"):
+        t.evolve_schema(narrowed_in)
+
+    # adding a REQUIRED top-level column
+    add_required = T.StructType(
+        NESTED_SCHEMA.fields + [T.StructField("extra", T.LongType(), False)]
+    )
+    with pytest.raises(ValueError, match="must be nullable"):
+        t.evolve_schema(add_required)
+
+    # required -> nullable relaxation is fine; data still reads back
+    relaxed = T.StructType([
+        f if f.name != "test_name"
+        else T.StructField("test_name", T.StringType(), True)
+        for f in NESTED_SCHEMA.fields
+    ])
+    t.evolve_schema(relaxed)
+    assert set(_state(t)) == {"a"}
