@@ -108,7 +108,6 @@ from etl_spark.queries.streams import (
     _W_CHANGE_POINTS_ORACLE,
     _W_JSON_PROPS_ORACLE,
     _W_LAG_DELTA_ORACLE,
-    _W_THIN_ORACLE,
     _WINDOWED_COUNTS_ORACLE,
     agg_rollup,
     set_ops,
@@ -121,7 +120,6 @@ from etl_spark.queries.streams import (
     w_monotone_violations,
     w_session_summary,
     w_sessionize_gap,
-    w_thin,
     w_topk_per_group,
     w_windowed_counts,
 )

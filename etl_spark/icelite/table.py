@@ -455,12 +455,18 @@ def _adapt_col(col, src_t: T.DataType, dst_t: T.DataType):
             ).cast(dst_t)
         return col.cast(dst_t)
     if isinstance(src_t, T.MapType) and isinstance(dst_t, T.MapType):
-        if isinstance(src_t.valueType, (T.StructType, T.ArrayType,
-                                        T.MapType)):
+        # keys recurse through _adapt_col too: evolve_schema permits
+        # interior adds on struct-typed map KEYS, and a plain cast
+        # refuses struct field-count changes (the arrow twin _pa_adapt
+        # already recurses both sides)
+        nested = (T.StructType, T.ArrayType, T.MapType)
+        if isinstance(src_t.valueType, nested) or isinstance(
+                src_t.keyType, nested):
             return F.map_from_entries(F.transform(
                 F.map_entries(col),
                 lambda e: F.struct(
-                    e.getField("key").cast(dst_t.keyType).alias("key"),
+                    _adapt_col(e.getField("key"), src_t.keyType,
+                               dst_t.keyType).alias("key"),
                     _adapt_col(e.getField("value"), src_t.valueType,
                                dst_t.valueType).alias("value"),
                 ),
@@ -590,14 +596,15 @@ def _pa_adapt(arr, want, pa):
         if arr.null_count:
             # from_arrays has no mask param; null cells are encoded as
             # null OFFSET slots instead (the final boundary offset at
-            # position n is never masked)
-            cell_null = arr.is_null().to_pylist()
-            offs = offsets.to_pylist()
-            offsets = pa.array(
-                [None if (i < len(cell_null) and cell_null[i]) else offs[i]
-                 for i in range(len(offs))],
-                type=pa.int32(),
-            )
+            # position n is never masked). Stays in arrow C++ — this
+            # runs inside the bandwidth-bound compaction kernel, so no
+            # per-row Python round-trip.
+            import pyarrow.compute as pc
+
+            cell_null = pa.concat_arrays(
+                [arr.is_null(), pa.array([False])])  # boundary slot
+            offsets = pc.if_else(
+                cell_null, pa.nulls(len(offsets), offsets.type), offsets)
         return pa.MapArray.from_arrays(
             offsets,
             _pa_adapt(arr.keys, want.key_type, pa),
@@ -1749,18 +1756,28 @@ class IceliteTable:
             except FileExistsError:
                 raise FileExistsError(f"tag exists: {name!r}") from None
             try:
-                with open(tmp, "rb") as src:
-                    buf = src.read()
-                # POSIX permits short writes: loop, or a torn tag file
-                # lands at the final path in NORMAL operation (not just
-                # on crash) and the name wedges forever (tags are
-                # immutable, EEXIST blocks every retry)
-                off = 0
-                while off < len(buf):
-                    off += os.write(fd, buf[off:])
-                os.fsync(fd)
-            finally:
-                os.close(fd)
+                try:
+                    with open(tmp, "rb") as src:
+                        buf = src.read()
+                    # POSIX permits short writes: loop, or a torn tag
+                    # file lands at the final path in NORMAL operation
+                    # (not just on crash) and the name wedges forever
+                    # (tags are immutable, EEXIST blocks every retry)
+                    off = 0
+                    while off < len(buf):
+                        off += os.write(fd, buf[off:])
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
+            except BaseException:
+                # a failed write (ENOSPC, EIO on fsync) has already
+                # claimed the final path — remove the torn file before
+                # surfacing, or the immutable name wedges forever
+                try:
+                    os.unlink(path)
+                except OSError:
+                    pass
+                raise
         finally:
             os.unlink(tmp)
         return snap.version
@@ -2076,8 +2093,16 @@ class IceliteTable:
                 )
             if isinstance(old_t, T.ArrayType) and isinstance(
                     new_t, T.ArrayType):
+                # containsNull narrowing is the container twin of the
+                # struct-field rule: old files hold null elements and
+                # Spark refuses the array<e,true> -> array<e,false>
+                # cast, so accepting it would brick every later read
+                if old_t.containsNull and not new_t.containsNull:
+                    return False
                 return ok(old_t.elementType, new_t.elementType)
             if isinstance(old_t, T.MapType) and isinstance(new_t, T.MapType):
+                if old_t.valueContainsNull and not new_t.valueContainsNull:
+                    return False
                 return (ok(old_t.keyType, new_t.keyType)
                         and ok(old_t.valueType, new_t.valueType))
             return (old_t.typeName(), new_t.typeName()) in widen_ok
@@ -2162,10 +2187,19 @@ class IceliteTable:
         base = self.read(buckets=touched).withColumn(
             "__bucket", bucket_expr(key_cols, snap.n_buckets)
         )
-        # Build update side: cast data cols onto target schema, keep op.
+        # Build update side: adapt data cols onto the target schema
+        # (not a plain cast — after a nested-interior evolve, a
+        # producer still emitting the pre-evolution shape must upcast
+        # on the MERGE path exactly as it does on the delta path;
+        # Spark refuses struct casts that change field count).
+        upd_types = {f2.name: f2.dataType for f2 in upd.schema.fields}
         upd_named = upd.select(
             *[
-                (F.col(c) if c in upd.columns else F.lit(None)).cast(f_.dataType).alias(f"__u_{c}")
+                (
+                    _adapt_col(F.col(c), upd_types[c], f_.dataType)
+                    if c in upd_types
+                    else F.lit(None).cast(f_.dataType)
+                ).alias(f"__u_{c}")
                 for c, f_ in ((f_.name, f_) for f_ in schema.fields)
             ],
             F.col(op_col).alias("__u_op"),

@@ -544,3 +544,116 @@ def test_evolve_schema_nullability_rules(spark, tbl_dir):
     ])
     t.evolve_schema(relaxed)
     assert set(_state(t)) == {"a"}
+
+
+def test_container_nullability_narrowing_rejected(spark, tbl_dir):
+    """containsNull / valueContainsNull are part of the evolution
+    contract exactly like struct-field nullability: old files hold
+    null elements/values and Spark refuses the array<e,true> →
+    array<e,false> cast, so accepting the narrowing would brick every
+    subsequent read/compact of the table."""
+    t = _mk(spark, os.path.join(tbl_dir, "nested_container_null"))
+    t.append_delta(_df(spark, [_row("a", 1, "insert")]), epoch_id="e1")
+
+    # map value nullability: meta map<string,string valueContainsNull>
+    narrowed_map = T.StructType([
+        f if f.name != "meta"
+        else T.StructField(
+            "meta", T.MapType(T.StringType(), T.StringType(), False), True)
+        for f in NESTED_SCHEMA.fields
+    ])
+    with pytest.raises(ValueError, match="incompatible type change"):
+        t.evolve_schema(narrowed_map)
+
+    # array element nullability on the hops column
+    narrowed_arr = T.StructType([
+        f if f.name != "hops"
+        else T.StructField(
+            "hops", T.ArrayType(HOPS_T.elementType, containsNull=False), True)
+        for f in NESTED_SCHEMA.fields
+    ])
+    if HOPS_T.containsNull:
+        with pytest.raises(ValueError, match="incompatible type change"):
+            t.evolve_schema(narrowed_arr)
+
+    # the table still reads fine after the rejected attempts
+    assert set(_state(t)) == {"a"}
+
+
+def test_struct_keyed_map_interior_evolution(spark, tbl_dir):
+    """Interior adds on STRUCT-TYPED MAP KEYS go through the same
+    adapt machinery as values: a plain cast refuses struct field-count
+    changes, so both the Spark read path (_adapt_col) and the arrow
+    compaction path (_pa_adapt) must rebuild key structs."""
+    key_t = T.StructType([T.StructField("a", T.LongType(), True)])
+    key_t2 = T.StructType([
+        T.StructField("a", T.LongType(), True),
+        T.StructField("b", T.LongType(), True),
+    ])
+
+    def sch(kt):
+        return T.StructType([
+            T.StructField("k", T.StringType(), False),
+            T.StructField("m", T.MapType(kt, T.LongType()), True),
+            T.StructField("last_seq", T.LongType(), False),
+        ])
+
+    def delta(kt):
+        return T.StructType(
+            sch(kt).fields + [T.StructField("op", T.StringType(), False)])
+
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "map_key_evolve"), sch(key_t),
+        key_cols=("k",), n_buckets=2)
+    t.append_delta(
+        spark.createDataFrame([("x", {(1,): 10}, 1, "insert")],
+                              delta(key_t)),
+        epoch_id="e1")
+
+    t.evolve_schema(sch(key_t2))
+    # old file reads back with the key struct null-filled
+    row = {r["k"]: r for r in t.read().collect()}["x"]
+    (key_struct, val), = row["m"].items()
+    assert (key_struct["a"], key_struct["b"], val) == (1, None, 10)
+
+    # new-shape write + both compaction kernels unify the old file
+    t.append_delta(
+        spark.createDataFrame([("y", {(2, 3): 20}, 2, "insert")],
+                              delta(key_t2)),
+        epoch_id="e2")
+    for chunk in (None, 1):
+        t.compact() if chunk is None else t.compact(chunk_bytes=chunk)
+        rows = {r["k"]: r for r in t.read().collect()}
+        kx, = rows["x"]["m"].keys()
+        ky, = rows["y"]["m"].keys()
+        assert (kx["a"], kx["b"]) == (1, None)
+        assert (ky["a"], ky["b"]) == (2, 3)
+
+
+def test_merge_lww_old_shape_producer_after_evolve(spark, tbl_dir):
+    """The copy-on-write MERGE path must accept a producer still
+    emitting the pre-evolution nested shape, exactly as append_delta
+    does — the same epoch must not succeed or fail depending on
+    merge mode (plain struct casts refuse field-count changes)."""
+    t = _mk(spark, os.path.join(tbl_dir, "merge_old_shape"))
+    t.merge_lww(_df(spark, [_row("a", 1, "insert")]), epoch_id="m1")
+
+    evolved = T.StructType([
+        f if f.name != "hops"
+        else T.StructField("hops", _evolved_hops_t(), True)
+        for f in NESTED_SCHEMA.fields
+    ])
+    t.evolve_schema(evolved)
+
+    # old-shape update frame straight into the MERGE path
+    t.merge_lww(_df(spark, [_row("a", 2, "update"),
+                            _row("b", 3, "insert")]), epoch_id="m2")
+    st = _state(t)
+    assert set(st) == {"a", "b"}
+    assert st["a"]["last_seq"] == 2
+    # interior adds null-fill on the upcast rows
+    assert st["b"]["hops"][0]["source"]["asn"] is None
+    assert st["b"]["hops"][0]["links"][0]["probes"][0]["ttl"] is None
+    # payload values survive the merge upcast byte-exactly
+    assert (st["b"]["hops"][0]["links"][0]["hop_dst_ip"]
+            == _row("b", 3, "insert")["hops"][0]["links"][0]["hop_dst_ip"])

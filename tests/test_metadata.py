@@ -288,3 +288,38 @@ def test_create_tag_falls_back_when_hardlinks_unsupported(
     with pytest.raises(OSError):
         t.create_tag("io-error")
     monkeypatch.setattr(os, "link", real_link)
+
+
+def test_create_tag_fallback_cleans_torn_file_on_write_failure(
+    spark, tbl_dir, monkeypatch
+):
+    """If the no-hardlink fallback's write fails mid-flight (ENOSPC,
+    EIO on fsync), the partially-written file at the FINAL path must be
+    removed — tags are immutable, so a torn remnant would wedge the
+    name forever (every retry gets FileExistsError)."""
+    import errno as _errno
+
+    t = _target(spark, os.path.join(tbl_dir, "torn_fallback"))
+    apply_epoch(spark, _events(spark, "r", 1, 5), t, None, "e1")
+
+    def no_link(src, dst, **kw):
+        raise OSError(_errno.EPERM, "Operation not permitted")
+
+    real_write = os.write
+
+    def enospc_write(fd, data):
+        if b"torncheck" in bytes(data):
+            raise OSError(_errno.ENOSPC, "No space left on device")
+        return real_write(fd, data)
+
+    monkeypatch.setattr(os, "link", no_link)
+    monkeypatch.setattr(os, "write", enospc_write)
+    with pytest.raises(OSError):
+        t.create_tag("torncheck")
+    monkeypatch.setattr(os, "write", real_write)
+
+    # no torn file at the final path, name not wedged, retry succeeds
+    assert not os.path.exists(t._tag_file("torncheck"))
+    assert "torncheck" not in t.list_tags()
+    v = t.create_tag("torncheck")
+    assert t.list_tags()["torncheck"] == v
