@@ -316,15 +316,24 @@ def _footer_bounds(meta) -> dict | None:
     """
     bounds: dict[str, list] = {}
     dead: set[str] = set()
+    # the repetition-level/depth classification is constant per FILE —
+    # hoist it out of the row-group loop (footer scans run driver-side
+    # over every file of a write; at the 280k-file design point this
+    # is num_row_groups× avoided work per column)
+    keep: list[bool] = []
+    for ci in range(meta.num_columns):
+        sc = meta.schema.column(ci)
+        keep.append(
+            sc.max_repetition_level == 0  # repeated: not row-level stats
+            and ("." not in sc.path or len(sc.path.split(".")) == 2)
+        )  # deeper than one struct level: manifest cap
     for rg in range(meta.num_row_groups):
         g = meta.row_group(rg)
         for ci in range(g.num_columns):
+            if not keep[ci]:
+                continue
             col = g.column(ci)
             name = col.path_in_schema
-            if meta.schema.column(ci).max_repetition_level > 0:
-                continue  # under a repeated node: not row-level stats
-            if "." in name and len(name.split(".")) != 2:
-                continue  # deeper than one struct level: manifest cap
             if name in dead:
                 continue
             st = col.statistics
@@ -1455,7 +1464,13 @@ class IceliteTable:
         data_cols = [f_.name for f_ in schema.fields]
         parts: list[DataFrame] = []
         for (sid, kind, fo, fn), paths in groups.items():
-            file_schema = snap_new.schema_at(sid)
+            # resolve the written schema from a snapshot that actually
+            # REFERENCES the file: after a rollback that reverted an
+            # evolve, old-side-only files carry schema_ids past (or,
+            # with a post-rollback re-evolve, diverging from)
+            # snap_new's schema list. A file present in both snapshots
+            # predates any divergence point, so either list agrees.
+            file_schema = (snap_new if fn else snap_old).schema_at(sid)
             if kind == "delta":
                 file_schema = T.StructType(
                     file_schema.fields
@@ -2069,9 +2084,13 @@ class IceliteTable:
         """
         snap = self.snapshot()
         cur = snap.current_schema
+        # value-preserving widenings only (Iceberg's evolution rule):
+        # every int32 is exact in int64/float64 and every float32 is
+        # exact in float64. int->float (lossy above 2^24) and
+        # long->double (lossy above 2^53) would silently change stored
+        # values on later reads — "widening" must never do that.
         widen_ok = {
             ("integer", "long"), ("integer", "double"), ("float", "double"),
-            ("long", "double"), ("integer", "float"),
         }
 
         def ok(old_t: T.DataType, new_t: T.DataType) -> bool:
@@ -2309,18 +2328,13 @@ class IceliteTable:
                 os.unlink(p)
             new_files = _collect_datafiles(self.data_path, rel, len(snap.schemas) - 1, "delta")
         else:
-            cols = []
-            upd_t = {f_.name: f_.dataType for f_ in updates.schema.fields}
-            for f_ in schema.fields:
-                if f_.name in upd_t:
-                    # _adapt_col: a producer still emitting the
-                    # pre-evolution nested shape upcasts cleanly
-                    cols.append(_adapt_col(F.col(f_.name), upd_t[f_.name],
-                                           f_.dataType).alias(f_.name))
-                else:
-                    cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
-            cols.append(F.col(op_col).cast("string").alias("__op"))
-            delta_df = updates.select(*cols)
+            # _cast_to adapts present columns (a producer still
+            # emitting the pre-evolution nested shape upcasts
+            # cleanly), null-fills missing ones, and appends __op in
+            # the same single select
+            delta_df = _cast_to(
+                updates, schema,
+                [F.col(op_col).cast("string").alias("__op")])
             new_files = self._write_datafiles(
                 delta_df, delta_schema, len(snap.schemas) - 1, bucketed=True,
                 kind="delta", snap=snap,

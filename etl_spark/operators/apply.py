@@ -44,7 +44,7 @@ from etl_spark.functions.fingerprint import (
     parse_validate_fingerprint,
     winnow_write_kernel,
 )
-from etl_spark.icelite.table import IceliteTable, bucket_expr
+from etl_spark.icelite.table import IceliteTable, _adapt_col, bucket_expr
 from etl_spark.ledger import SchemaLedger
 from etl_spark.operators.dedup import lww_latest
 
@@ -363,7 +363,14 @@ def apply_epoch(
             if f_.name == "last_seq":
                 sel.append(F.col(schemas.SEQ_COL).cast("long").alias("last_seq"))
             elif f_.name in winners.columns:
-                sel.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                # _adapt_col, not a plain cast: after a nested-interior
+                # evolve, a producer still emitting the pre-evolution
+                # struct shape must upcast on the DEFAULT ingest path
+                # too (Spark refuses struct casts that change field
+                # count; merge_lww/write_delta_files adapt the same way)
+                src_t = winners.schema[f_.name].dataType
+                sel.append(_adapt_col(F.col(f_.name), src_t,
+                                      f_.dataType).alias(f_.name))
             else:
                 sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         sel.append(F.col("op").cast("string").alias("__op"))
@@ -518,7 +525,11 @@ def apply_epoch(
         norm_cols = []
         for f_ in ledger.latest.schema.fields:
             if f_.name in data_events.columns:
-                norm_cols.append(F.col(f_.name).cast(f_.dataType).alias(f_.name))
+                # same contract as the winnow path above: adapt, don't
+                # cast, so pre-evolution nested shapes upcast cleanly
+                src_t = data_events.schema[f_.name].dataType
+                norm_cols.append(_adapt_col(F.col(f_.name), src_t,
+                                            f_.dataType).alias(f_.name))
             else:
                 norm_cols.append(F.lit(None).cast(f_.dataType).alias(f_.name))
         normalized = data_events.select(*norm_cols, F.col("content_sha256"))

@@ -1070,3 +1070,75 @@ def test_rollup_null_group_values(spark, tbl_dir):
     check()
     null_rows = view.read().where("lang is null").collect()
     assert len(null_rows) == 1 and null_rows[0].n == 3
+
+
+def test_changes_between_across_rollback_reverted_evolve(spark, tbl_dir):
+    """Old-side files written under a schema that a later rollback
+    REVERTED must still resolve in the change feed: their schema_id
+    indexes past (or, after a re-evolve, diverges from) the new
+    snapshot's schema list, so the written schema must come from the
+    snapshot that actually references the file."""
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    v_pre = t.current_version()
+
+    wide = T.StructType(
+        SCHEMA.fields + [T.StructField("extra", T.StringType(), True)])
+    t.evolve_schema(wide)
+    wide_up = T.StructType(
+        wide.fields + [T.StructField("op", T.StringType(), False)])
+    t.append_delta(spark.createDataFrame(
+        [("r2", "b", 2, 2, "x", "insert")], wide_up))
+    v_mid = t.current_version()
+
+    t.rollback(v_pre)  # schema list reverts to pre-evolve
+    feed = {(r["repo"], r["_change_type"]) for r in
+            t.changes_between(v_mid, t.current_version()).collect()}
+    # r2 (whose file carries the reverted schema_id) disappeared
+    assert feed == {("r2", "delete")}
+
+
+def test_evolve_rejects_lossy_numeric_widening(spark, tbl_dir):
+    """'Widening' must be value-preserving: int->float loses exactness
+    above 2^24 and long->double above 2^53, so both are rejected;
+    int->long/int->double/float->double remain allowed."""
+    int_schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "lossy"), int_schema,
+        key_cols=("repo", "path"), n_buckets=2)
+    up = T.StructType(
+        int_schema.fields + [T.StructField("op", T.StringType(), False)])
+    t.append_delta(spark.createDataFrame(
+        [("r1", "a", 16777217 % (1 << 31), 1, "insert")], up))
+
+    def with_v(dt):
+        return T.StructType([
+            f if f.name != "v" else T.StructField("v", dt, True)
+            for f in int_schema.fields
+        ])
+
+    with pytest.raises(ValueError, match="incompatible"):
+        t.evolve_schema(with_v(T.FloatType()))
+
+    t.evolve_schema(with_v(T.DoubleType()))  # exact: int32 fits float64
+    assert t.read().collect()[0]["v"] == 16777217.0
+
+    long_schema = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    t2 = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "lossy2"), long_schema,
+        key_cols=("repo", "path"), n_buckets=2)
+    with pytest.raises(ValueError, match="incompatible"):
+        t2.evolve_schema(T.StructType([
+            f if f.name != "v" else T.StructField("v", T.DoubleType(), True)
+            for f in long_schema.fields
+        ]))
