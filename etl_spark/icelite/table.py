@@ -954,6 +954,10 @@ class IceliteTable:
         # per-bucket kernel seconds of the most recent compact() on
         # this handle, largest first (diagnostics only, not state)
         self.last_compact_task_secs: list[float] = []
+        # optimistic-commit races the most recent append on this handle
+        # lost before landing — the contention pushback signal the
+        # AimdController consumes (via ApplyStats.commit_retries)
+        self.last_commit_retries: int = 0
         # numbered-version snapshots are immutable once written, so a
         # small per-handle memo avoids re-reading + re-parsing the
         # manifest JSON (multi-MB at 280k files) for every helper in
@@ -1934,6 +1938,7 @@ class IceliteTable:
             _backoff_sleep(attempt)
             snap = self.snapshot()
             if epoch_id is not None and epoch_id in snap.epochs:
+                self.last_commit_retries = attempt
                 return snap
             if written_n_buckets is not None and snap.n_buckets != written_n_buckets:
                 raise CommitConflict(
@@ -1944,9 +1949,13 @@ class IceliteTable:
                     f"rewrite the files against the current layout"
                 )
             try:
-                return self._commit(
+                out = self._commit(
                     snap, snap.files + new_files, snap.schemas, epoch_id, properties
                 )
+                # observable contention signal: how many races THIS
+                # append lost before landing (AimdController pushback)
+                self.last_commit_retries = attempt
+                return out
             except CommitConflict as e:
                 last = e
                 continue

@@ -76,6 +76,9 @@ class ApplyStats:
     rejected: int
     high_watermark: int | None
     skipped: bool = False
+    # optimistic-commit races this epoch's target append lost before
+    # landing — the contention signal adaptive admission backs off on
+    commit_retries: int = 0
 
     def invariant_ok(self) -> bool:
         return self.events_in == self.applied + self.deduped + self.rejected
@@ -598,7 +601,8 @@ def apply_epoch(
     if lineage is not None:
         lineage.append_rows_local(lineage_rows, epoch_id=epoch_id)
     stats = ApplyStats(
-        epoch_id, events_in, applied, deduped, rejected, high_watermark
+        epoch_id, events_in, applied, deduped, rejected, high_watermark,
+        commit_retries=getattr(target, "last_commit_retries", 0),
     )
     assert stats.invariant_ok(), f"RowStats invariant violated: {stats}"
     return stats

@@ -39,7 +39,10 @@ def _norm(a):
 
 
 def cosine_similarity_col(a, b):
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    # try_divide: a zero-norm vector yields NULL similarity instead of
+    # an ANSI divide-by-zero abort (Spark 4 default) — one degenerate
+    # embedding must not kill a corpus-wide scoring job
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def cosine_topk_bruteforce(
@@ -84,21 +87,26 @@ def _hyperplane(dim: int, table: int, h: int):
     state, identical on every executor, and (unlike xxhash64)
     recomputable in DuckDB SQL, so the WHOLE approximate path is
     oracle-checkable (the src/ann queries re-derive buckets, candidate
-    sets and scores independently)."""
-    idx = F.sequence(F.lit(0), F.lit(dim - 1))
-    return F.transform(
-        idx,
-        lambda i: F.when(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(f"hp{table}:{h}:"), i.cast("string"))),
-                    1, 1,
-                ),
-                16, 10,
-            ).cast("int") % 2 == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    sets and scores independently).
+
+    The planes are pure constants per (table, h), so they are computed
+    ONCE driver-side and embedded as a literal array — the same
+    md5-first-hex-digit formula the SQL oracle re-derives. The previous
+    in-plan ``transform(sequence(...), md5(...))`` form was evaluated
+    per corpus ROW (higher-order lambdas are not constant-folded):
+    dim×n_planes×n_tables md5+conv calls per row on the path this
+    module calls the 100 TB scale path."""
+    import hashlib
+
+    return F.array(*[
+        F.lit(
+            1.0
+            if int(hashlib.md5(
+                f"hp{table}:{h}:{i}".encode()).hexdigest()[0], 16) % 2 == 0
+            else -1.0
+        )
+        for i in range(dim)
+    ])
 
 
 def lsh_bucket_expr(vec_col, dim: int, n_planes: int = 8, table: int = 0):
@@ -238,8 +246,14 @@ def _cell_sims(vec_col, centroids: list[list[float]]):
 def _argmax_cell(vec_col, centroids: list[list[float]]):
     sims = _cell_sims(vec_col, centroids)
     # array_position is 1-based and returns the FIRST match — ties
-    # break to the lowest cell id, deterministically
-    return (F.array_position(sims, F.array_max(sims)) - 1).cast("int")
+    # break to the lowest cell id, deterministically. A zero-norm
+    # vector has NULL cosine to every centroid (try_divide); it
+    # carries no geometry, so it pins to cell 0 instead of poisoning
+    # downstream driver code with a NULL cell id.
+    return F.coalesce(
+        (F.array_position(sims, F.array_max(sims)) - 1).cast("int"),
+        F.lit(0),
+    )
 
 
 def ivf_train(
@@ -268,48 +282,61 @@ def ivf_train(
             F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
             F.md5(F.col(id_col).cast("string")).alias("h"),
         )
+        # zero-norm vectors carry no cosine geometry (NULL similarity
+        # to every centroid) — excluded from training so a single
+        # degenerate embedding cannot distort or abort the fit
+        .where(_norm(F.col(vec_col)) > 0)
         .orderBy("h")
         .limit(train_rows)
         .select("id", "vec")
     )
-    seed = sample.orderBy(F.md5(F.col("id").cast("string"))).limit(1).collect()
-    if not seed:
-        return []
-    centroids = [[round(float(v), 6) for v in seed[0]["vec"]]]
-    while len(centroids) < n_clusters:
-        far = (
-            sample.select(
-                "id", "vec",
-                F.array_max(_cell_sims(F.col("vec"), centroids)).alias("best"),
+    # the sample feeds 1 seed + (k-1) farthest-point + n_iters
+    # assignment jobs; persisting it makes all but the first scan
+    # read train_rows cached rows instead of re-sorting the corpus
+    sample.persist()
+    try:
+        seed = (sample.orderBy(F.md5(F.col("id").cast("string")))
+                .limit(1).collect())
+        if not seed:
+            return []
+        centroids = [[round(float(v), 6) for v in seed[0]["vec"]]]
+        while len(centroids) < n_clusters:
+            far = (
+                sample.select(
+                    "id", "vec",
+                    F.array_max(
+                        _cell_sims(F.col("vec"), centroids)).alias("best"),
+                )
+                .orderBy(F.col("best").asc(), F.col("id").asc())
+                .limit(1)
+                .collect()
             )
-            .orderBy(F.col("best").asc(), F.col("id").asc())
-            .limit(1)
-            .collect()
-        )
-        nxt_c = [round(float(v), 6) for v in far[0]["vec"]]
-        if nxt_c in centroids:
-            break  # fewer distinct points than clusters
-        centroids.append(nxt_c)
-    n_clusters = len(centroids)
-    for _ in range(n_iters):
-        assigned = sample.select(
-            _argmax_cell(F.col("vec"), centroids).alias("cell"),
-            F.posexplode(F.col("vec")).alias("pos", "val"),
-        )
-        means = (
-            assigned.groupBy("cell", "pos")
-            .agg(F.avg(F.col("val").cast("double")).alias("m"))
-            .collect()  # bounded: exactly k*d rows
-        )
-        nxt = [list(c) for c in centroids]
-        by_cell: dict[int, dict[int, float]] = {}
-        for r in means:
-            by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
-        for cell, dims in by_cell.items():
-            nxt[cell] = [
-                round(dims[p], 6) for p in range(len(centroids[cell]))
-            ]
-        centroids = nxt
+            nxt_c = [round(float(v), 6) for v in far[0]["vec"]]
+            if nxt_c in centroids:
+                break  # fewer distinct points than clusters
+            centroids.append(nxt_c)
+        n_clusters = len(centroids)
+        for _ in range(n_iters):
+            assigned = sample.select(
+                _argmax_cell(F.col("vec"), centroids).alias("cell"),
+                F.posexplode(F.col("vec")).alias("pos", "val"),
+            )
+            means = (
+                assigned.groupBy("cell", "pos")
+                .agg(F.avg(F.col("val").cast("double")).alias("m"))
+                .collect()  # bounded: exactly k*d rows
+            )
+            nxt = [list(c) for c in centroids]
+            by_cell: dict[int, dict[int, float]] = {}
+            for r in means:
+                by_cell.setdefault(r["cell"], {})[r["pos"]] = r["m"]
+            for cell, dims in by_cell.items():
+                nxt[cell] = [
+                    round(dims[p], 6) for p in range(len(centroids[cell]))
+                ]
+            centroids = nxt
+    finally:
+        sample.unpersist()
     return centroids
 
 

@@ -102,6 +102,17 @@ class _CdfStreamReader(DataSourceStreamReader):
         self.options = options
         self.path = options["path"]
         self.out_schema_json = schema.json()
+        # the DATA schema is PINNED at stream start: a streaming
+        # query's schema is frozen for its lifetime, so a mid-stream
+        # evolve_schema must not change the per-batch column set
+        # (columns added after start are dropped until the query
+        # restarts — the Delta CDF contract). Shipping snap_new's
+        # latest schema instead would crash or misbind the batch
+        # against the declared schema.
+        self.data_schema_json = T.StructType(
+            [f for f in schema.fields
+             if f.name not in ("_change_type", "_commit_seq")]
+        ).json()
 
     def initialOffset(self) -> dict:
         return {"version": int(self.options.get("startingversion",
@@ -128,7 +139,7 @@ class _CdfStreamReader(DataSourceStreamReader):
                 (f.path, f.kind, fo, fn))
         data_path = os.path.join(self.path, "data")
         return [
-            _BucketDiff(b, files, keys, snap_new.schemas[-1], data_path)
+            _BucketDiff(b, files, keys, self.data_schema_json, data_path)
             for b, files in sorted(by_bucket.items())
         ]
 

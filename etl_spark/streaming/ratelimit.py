@@ -25,10 +25,12 @@ Two deterministic, clock-injected primitives:
   delay for the caller to sleep; it never sleeps itself.
 
 :func:`adaptive_replay` wires both into the same seq-ranged epoch loop
-as ``operators.apply.replay``: epoch boundaries remain deterministic
-seq ranges, so a crash mid-run replays byte-identical epochs and the
-idempotent commit path (epoch_id = prefix:lo) dedupes them — adaptation
-changes only WHERE the boundaries fall, never the applied state.
+as ``operators.apply.replay``. Because the cap trajectory is driven by
+MEASURED wall times, a resumed run cannot re-derive the boundaries —
+so each epoch_id encodes its window (``prefix:lo:hi``) and resume
+consults the committed ids to jump over applied windows at their
+original boundaries; adaptation changes only where NEW boundaries
+fall, never the applied state.
 
 At 100 TB this is what keeps a backfill from stampeding a live table:
 the backfill's controller sees the live writers' commit conflicts as
@@ -161,20 +163,43 @@ def adaptive_replay(
     :class:`AimdController` and pacing by an optional
     :class:`RateBudget`.
 
-    Epoch boundaries stay deterministic seq ranges (epoch_id =
-    ``prefix:lo``), so re-running after a crash replays identical
-    epochs into the idempotent commit path — the controller state does
-    NOT need to be durable; a restart just re-learns the cap. ``clock``
-    and ``sleep`` are injectable for deterministic tests.
+    Crash-resume is WINDOW-exact even though the cap trajectory is
+    not replayable (it depends on measured wall times, and a resumed
+    run's ledger-skipped epochs are near-instant, so a fresh
+    controller walks a different trajectory): each epoch_id encodes
+    its full window (``prefix:lo:hi``), and the loop consults the
+    target's committed epoch ids to jump over already-applied windows
+    at their ORIGINAL boundaries. Without this, a resumed run whose
+    cap grew past a committed window's width would fold un-applied
+    events into a ledger-skipped epoch and silently drop them. The
+    controller state itself is NOT durable — a restart re-learns the
+    cap for the remaining windows only. ``clock`` and ``sleep`` are
+    injectable for deterministic tests.
     """
     bounds = events.agg(
         F.min(schemas.SEQ_COL).alias("lo"), F.max(schemas.SEQ_COL).alias("hi")
     ).collect()[0]
     if bounds["lo"] is None:
         return []
+    # committed windows from prior runs: lo -> hi (epochs commit in
+    # order, so coverage is contiguous from the stream's first lo)
+    committed: dict[int, int] = {}
+    pfx = f"{epoch_prefix}:"
+    for eid in target.snapshot().epochs:
+        if eid.startswith(pfx):
+            parts = eid.split(":")
+            if len(parts) == 3:
+                try:
+                    committed[int(parts[1])] = int(parts[2])
+                except ValueError:
+                    pass
     stats: list[ApplyStats] = []
     lo = bounds["lo"]
     while lo <= bounds["hi"]:
+        prior_hi = committed.get(lo)
+        if prior_hi is not None and prior_hi > lo:
+            lo = prior_hi  # already applied — resume past it, no job
+            continue
         hi = lo + controller.cap
         chunk = events.where(
             (F.col(schemas.SEQ_COL) >= lo) & (F.col(schemas.SEQ_COL) < hi)
@@ -182,7 +207,7 @@ def adaptive_replay(
         t0 = clock()
         st = apply_epoch(
             spark, chunk, target, lineage,
-            epoch_id=f"{epoch_prefix}:{lo}", ledger=ledger,
+            epoch_id=f"{epoch_prefix}:{lo}:{hi}", ledger=ledger,
             merge_mode=merge_mode,
         )
         wall = clock() - t0
@@ -190,6 +215,7 @@ def adaptive_replay(
         fb = EpochFeedback(
             events=st.events_in,
             wall_sec=wall,
+            commit_retries=st.commit_retries,
             rejected_frac=(st.rejected / st.events_in) if st.events_in else 0.0,
         )
         controller.record(fb)

@@ -5,7 +5,8 @@ per-timestamp group state across the stream and flushes when the group
 changes (parser/ndt.go:136-148, 238-253). The Spark primitive for
 "logical unit spans micro-batches" is ``applyInPandasWithState``:
 per-key state (open session) survives across batches; a session closes
-when the event-time gap exceeds the timeout or the watermark passes.
+when a newer run supersedes it in-batch, or when the WATERMARK passes
+its end + gap (EventTimeTimeout — event-time, not wall-clock).
 
 Batch variant (``sessionize_batch``) expresses identical semantics with
 window functions — the streaming/batch pair is oracle-tested against
@@ -59,8 +60,22 @@ def sessionize_stream(
     """Streaming sessionization over (user_id, ts, value).
 
     Emits one row per CLOSED session. State per user = the open
-    session; closes on gap violation within a batch, or on processing-
-    time timeout when the stream goes quiet for that key."""
+    session. EVENT-TIME semantics throughout: within a batch, runs of
+    events split on the gap rule; the open state merges into whichever
+    runs it bridges (late arrivals admitted by the watermark may
+    extend a session BACKWARDS — session_start lowers to match the
+    batch oracle); and the open session finally closes when the
+    WATERMARK passes its end + gap (EventTimeTimeout), i.e. exactly
+    when no admissible event could still extend it — never on
+    wall-clock quiescence, which would split sessions under bursty or
+    paused delivery and never fire on a fast drain.
+
+    Residual approximation vs ``sessionize_batch`` (inherent to
+    append-mode streaming — no retraction): a session already emitted
+    cannot be re-opened, so a late event that would have BRIDGED two
+    previously-closed runs starts a new session instead. Runs older
+    than the open session close only when the batch shows a newer run,
+    identical to the oracle whenever late data does not bridge."""
     gap_us = gap_seconds * 1_000_000
 
     def fn(
@@ -69,39 +84,58 @@ def sessionize_stream(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        cols = [f.name for f in SESSION_SCHEMA.fields]
         if state.hasTimedOut:
             if state.exists:
                 s_start, s_end, n, total = state.get
                 state.remove()
                 yield pd.DataFrame(
                     [(user_id, _from_us(s_start), _from_us(s_end), n, total)],
-                    columns=[f.name for f in SESSION_SCHEMA.fields],
+                    columns=cols,
                 )
             return
 
         rows = pd.concat(list(pdfs)).sort_values("ts")
-        closed = []
-        if state.exists:
-            s_start, s_end, n, total = state.get
-        else:
-            s_start = s_end = None
-            n, total = 0, 0.0
+        # 1. gap-sessionize this batch's rows standalone (sorted)
+        runs: list[list] = []  # [start_us, end_us, n, total]
         for ts, value in zip(rows["ts"], rows["value"]):
             t = _us(ts)
-            if s_start is None:
-                s_start, s_end, n, total = t, t, 1, float(value)
-            elif t - s_end > gap_us:
-                closed.append((user_id, _from_us(s_start), _from_us(s_end), n, total))
-                s_start, s_end, n, total = t, t, 1, float(value)
+            if runs and t - runs[-1][1] <= gap_us:
+                r = runs[-1]
+                r[1] = max(r[1], t)
+                r[2] += 1
+                r[3] += float(value)
             else:
-                s_end = max(s_end, t)
-                n += 1
-                total += float(value)
-        state.update((s_start, s_end, n, total))
-        state.setTimeoutDuration(gap_seconds * 1000)
-        if closed:
+                runs.append([t, t, 1, float(value)])
+        # 2. merge the open state in: late rows may extend it backwards
+        #    or bridge runs the batch alone would have split
+        if state.exists:
+            runs.append(list(state.get))
+            runs.sort(key=lambda r: r[0])
+            merged: list[list] = []
+            for r in runs:
+                if merged and r[0] - merged[-1][1] <= gap_us:
+                    m = merged[-1]
+                    m[1] = max(m[1], r[1])
+                    m[2] += r[2]
+                    m[3] += r[3]
+                else:
+                    merged.append(r)
+            runs = merged
+        # 3. every run but the newest closes now; the newest stays open
+        *done, live = runs
+        state.update(tuple(live))
+        # close when the watermark passes end+gap — no admissible event
+        # can extend the session past that point (+1ms floor: Spark
+        # rejects a timeout at or before the current watermark)
+        state.setTimeoutTimestamp(
+            max(live[1] // 1000 + gap_seconds * 1000,
+                state.getCurrentWatermarkMs() + 1))
+        if done:
             yield pd.DataFrame(
-                closed, columns=[f.name for f in SESSION_SCHEMA.fields]
+                [(user_id, _from_us(a), _from_us(b), c, v)
+                 for a, b, c, v in done],
+                columns=cols,
             )
 
     return (
@@ -115,7 +149,7 @@ def sessionize_stream(
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -195,3 +195,43 @@ def test_cdf_stream_carries_nested_payloads(spark, tbl_dir):
         assert got[key] == batch[key], key
     assert got[("a", "update_postimage")]["hops"][0]["seen"] == ts
     assert got[("a", "update_preimage")]["meta"] == {"n": 3}
+
+
+def test_cdf_stream_schema_pinned_across_midstream_evolution(spark, tbl_dir):
+    """A streaming query's schema is FROZEN for its lifetime: a batch
+    whose end offset includes post-evolution commits must still emit
+    record batches in the schema resolved at stream start (columns
+    added mid-stream drop until restart — the Delta CDF contract), not
+    crash or misbind against the declared schema. Driven through the
+    reader contract directly (partitions/read), since a live query
+    cannot deterministically interleave an evolve between triggers."""
+    p = os.path.join(tbl_dir, "cdf_pin")
+    t = IceliteTable.create(spark, p, SCHEMA, key_cols=("repo", "path"),
+                            n_buckets=4)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]), epoch_id="e1")
+
+    ds = IceliteChangeFeed(options={"path": p})
+    declared = ds.schema()  # stream start: pre-evolution
+    reader = ds.streamReader(declared)
+
+    # mid-stream: evolve + a commit carrying the new column
+    wide = T.StructType(
+        SCHEMA.fields + [T.StructField("extra", T.StringType(), True)])
+    t.evolve_schema(wide)
+    wide_up = T.StructType(
+        wide.fields + [T.StructField("op", T.StringType(), False)])
+    t.append_delta(spark.createDataFrame(
+        [("r2", "b", 2, 2, "x", "insert")], wide_up), epoch_id="e2")
+
+    end = reader.latestOffset()
+    parts = reader.partitions(reader.initialOffset(), end)
+    declared_names = [f.name for f in declared.fields]
+    got = {}
+    for part in parts:
+        for rb in reader.read(part):
+            assert rb.schema.names == declared_names
+            for row in rb.to_pylist():
+                got[(row["repo"], row["path"])] = row
+    assert got[("r1", "a")]["_change_type"] == "insert"
+    assert got[("r2", "b")]["_change_type"] == "insert"
+    assert "extra" not in got[("r2", "b")]

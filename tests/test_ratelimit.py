@@ -228,3 +228,53 @@ def test_prop_token_bucket_never_negative_and_bounded(rate, burst, charges):
         # deficit accounting: sleeping the returned delay restores a
         # non-negative balance
         assert b._tokens + d * rate >= -1e-6
+
+
+def test_adaptive_replay_resume_is_window_exact(spark, tbl_dir, monkeypatch):
+    """A resumed run cannot re-derive the cap trajectory (it depends on
+    measured wall times), so committed windows must be skipped at their
+    ORIGINAL boundaries via the window-encoding epoch ids. Before that
+    fix, a fresh controller whose cap grew past a committed window's
+    width folded un-applied events into a ledger-skipped epoch and
+    silently dropped them."""
+    ev = gen.synthetic_events(spark, 2000, n_repos=20, paths_per_repo=20,
+                              seed=11)
+    t = create_target(spark, os.path.join(tbl_dir, "rz"), n_buckets=8)
+    l_ = create_lineage(spark, os.path.join(tbl_dir, "rzl"))
+
+    from etl_spark.operators.apply import apply_epoch as orig_apply
+
+    calls = {"n": 0}
+
+    def crashy(*a, **kw):
+        st = orig_apply(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 3:
+            raise RuntimeError("simulated crash after commit")
+        return st
+
+    monkeypatch.setattr("etl_spark.streaming.ratelimit.apply_epoch", crashy)
+    # run 1: small cap -> narrow windows; crash after epoch 3 commits
+    with pytest.raises(RuntimeError):
+        adaptive_replay(
+            spark, ev, t, l_,
+            controller=ctl(cap=300, min_cap=100, max_cap=1200, slo_sec=1e9))
+    monkeypatch.setattr("etl_spark.streaming.ratelimit.apply_epoch",
+                        orig_apply)
+
+    # run 2: fresh controller with a WIDER cap than any committed
+    # window — must resume exactly at the committed coverage edge
+    stats = adaptive_replay(
+        spark, ev, t, l_,
+        controller=ctl(cap=1000, min_cap=100, max_cap=1200, slo_sec=1e9))
+    assert stats and all(not s.skipped for s in stats)
+    assert all(s.commit_retries == 0 for s in stats)  # single writer
+
+    t_pl = create_target(spark, os.path.join(tbl_dir, "rz_pl"), n_buckets=8)
+    replay(spark, ev, t_pl, None, epoch_size=700)
+    state = lambda tt: sorted(  # noqa: E731
+        tuple(r) for r in tt.read()
+        .select("repo", "path", "commit", "lang", "content_sha256",
+                "last_seq").collect()
+    )
+    assert state(t) == state(t_pl)

@@ -86,3 +86,51 @@ def test_stream_sessions_match_batch(spark, tbl_dir):
     # every batch session except at most one open tail per user closed
     open_tails = len({u for (u, *_rest) in b}) if b else 0
     assert len(b) - len(g) <= open_tails
+
+
+def test_stream_late_event_extends_session_backwards(spark, tbl_dir):
+    """A late event admitted by the watermark that lands BEFORE the
+    open session's start must lower session_start (batch-oracle
+    equality), not be silently folded in with the old start — and a
+    late event that bridges the open session merges, never forks."""
+    import time
+
+    wal = os.path.join(tbl_dir, "wal_late")
+    os.makedirs(wal)
+
+    def write(name, rows):
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts string, value double"
+        ).withColumn("ts", F.to_timestamp("ts")).coalesce(1).write.mode(
+            "append").parquet(wal)
+        time.sleep(1.1)  # distinct mtimes → deterministic batch order
+
+    # batch 1: open session [12:00, 12:10]
+    write("b0", [(1, 1, "2024-01-01 12:00:00", 1.0),
+                 (2, 1, "2024-01-01 12:10:00", 2.0)])
+    # batch 2: late 11:55 (within gap of 12:00 → extends backwards),
+    # then 14:00 forces the session closed (gap 1800s exceeded)
+    write("b1", [(3, 1, "2024-01-01 11:55:00", 4.0),
+                 (4, 1, "2024-01-01 14:00:00", 8.0)])
+
+    stream = spark.readStream.schema(
+        "event_id long, user_id long, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", 1).parquet(wal)
+    sessions = sessionize_stream(
+        stream.select("user_id", "ts", "value"), gap_seconds=1800)
+    out_dir = os.path.join(tbl_dir, "out_late")
+    q = (
+        sessions.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(tbl_dir, "ckpt_late"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = [
+        (r.user_id, str(r.session_start), str(r.session_end), r.n_events,
+         r.total_value)
+        for r in spark.read.parquet(out_dir).collect()
+    ]
+    assert (1, "2024-01-01 11:55:00", "2024-01-01 12:10:00", 3, 7.0) in got, got

@@ -134,3 +134,19 @@ def test_ivf_plan_is_pure_jvm(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "EvalPython" not in plan
     assert similarity.ivf_assign(emb, cents).count() == emb.count()
+
+
+def test_ivf_zero_norm_embedding_is_harmless(spark):
+    """A zero-norm embedding (NULL cosine to every centroid under
+    non-ANSI divide) must neither abort training with a None cell key
+    nor assign a NULL ivf_cell — it is excluded from the fit and pins
+    deterministically to cell 0 on assignment."""
+    rows = [(i, [float(i % 3 + 1), float((i * 7) % 5 + 1)])
+            for i in range(20)] + [(99, [0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = similarity.ivf_train(emb, n_clusters=3, n_iters=2)
+    assert len(cents) >= 1
+    cells = {r.vec_id: r.ivf_cell
+             for r in similarity.ivf_assign(emb, cents).collect()}
+    assert cells[99] == 0
+    assert all(c is not None for c in cells.values())
