@@ -34,7 +34,9 @@ def overlap_trim(docs: DataFrame, col: str = "embedding",
     """W6 analog (drop-overlap sample): drop the last element, digest
     the remainder."""
     arr = F.col(col)
-    trimmed = F.slice(arr, 1, F.size(arr) - 1)
+    # greatest(..., 0): slice throws on negative length, so one empty
+    # array must not fail the stage
+    trimmed = F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
     total = F.aggregate(trimmed, F.lit(0.0), lambda a, x: a + x.cast("double"))
     return docs.select(
         F.col(id_col).alias("vec_id"),
@@ -49,13 +51,15 @@ def last_element_summary(docs: DataFrame, col: str = "embedding",
     first/last elements, extremes, mean — all inside one projection."""
     arr = F.col(col)
     total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    # try_element_at / try_divide: an empty array yields NULL digests
+    # instead of an ANSI out-of-bounds / divide-by-zero stage abort
     return docs.select(
         F.col(id_col).alias("vec_id"),
-        F.round(F.element_at(arr, 1).cast("double"), 6).alias("first_val"),
-        F.round(F.element_at(arr, -1).cast("double"), 6).alias("last_val"),
+        F.round(F.try_element_at(arr, F.lit(1)).cast("double"), 6).alias("first_val"),
+        F.round(F.try_element_at(arr, F.lit(-1)).cast("double"), 6).alias("last_val"),
         F.round(F.array_min(arr).cast("double"), 6).alias("min_val"),
         F.round(F.array_max(arr).cast("double"), 6).alias("max_val"),
-        F.round(total / F.size(arr), 6).alias("mean_val"),
+        F.round(F.try_divide(total, F.size(arr)), 6).alias("mean_val"),
     )
 
 
@@ -70,7 +74,9 @@ def array_ops(docs: DataFrame, col: str = "embedding", every: int = 10,
         arr,
         lambda x, i: (F.pmod(i, F.lit(every)) == 0) | (i == F.size(arr) - 1),
     )
-    trimmed = F.slice(arr, 1, F.size(arr) - 1)
+    # empty-array safe: slice throws on negative length, element_at /
+    # divide abort under ANSI — one degenerate row must not fail a scan
+    trimmed = F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
 
     def tot(a):
         return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
@@ -81,9 +87,9 @@ def array_ops(docs: DataFrame, col: str = "embedding", every: int = 10,
         F.round(tot(kept), 5).alias("kept_sum"),
         F.size(trimmed).cast("long").alias("n_after_trim"),
         F.round(tot(trimmed), 5).alias("trim_sum"),
-        F.round(F.element_at(arr, 1).cast("double"), 6).alias("first_val"),
-        F.round(F.element_at(arr, -1).cast("double"), 6).alias("last_val"),
+        F.round(F.try_element_at(arr, F.lit(1)).cast("double"), 6).alias("first_val"),
+        F.round(F.try_element_at(arr, F.lit(-1)).cast("double"), 6).alias("last_val"),
         F.round(F.array_min(arr).cast("double"), 6).alias("min_val"),
         F.round(F.array_max(arr).cast("double"), 6).alias("max_val"),
-        F.round(tot(arr) / F.size(arr), 6).alias("mean_val"),
+        F.round(F.try_divide(tot(arr), F.size(arr)), 6).alias("mean_val"),
     )

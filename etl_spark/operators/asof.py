@@ -65,7 +65,14 @@ def asof_join(
 
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("__ts").asc(), F.col("__is_dim").desc())
+        .orderBy(
+            F.col("__ts").asc(), F.col("__is_dim").desc(),
+            # deterministic tie-break when multiple dim versions share
+            # (key, dim_ts) — a dirty-dimension case: the greatest
+            # payload wins, so replays enrich identically instead of
+            # picking whichever duplicate the sort placed last
+            F.struct(*[F.col(f"__v_{v}") for v in vals]).asc(),
+        )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = e.unionByName(d)

@@ -106,14 +106,20 @@ def patch_fold(
     - alive  ⇔  the latest full-image event (insert|delete) is insert
     - column c = value from the max-seq event that SETS c
 
-    Because an insert sets every column and a delete ends the lifetime,
-    the unconditional per-column ``max_by(c, seq) FILTER (c IS NOT
-    NULL)`` already respects lifecycle boundaries: any patch older than
-    the latest insert loses to it on seq, and patches addressed to a
-    dead key are discarded with the key. That collapses the whole fold
-    into ONE map-side-combined hash aggregation — one shuffle on the
-    key, identical in cost to plain LWW, no second "find the boundary
-    then re-join" pass. (Reference analog: the snapshot-delta fold of
+    Because an insert sets every column (INCLUDING explicit NULLs — a
+    full row image) and a delete ends the lifetime, the per-column fold
+    is ``max_by(c, seq) FILTER ((c IS NOT NULL AND op <> 'delete') OR
+    op = 'insert')``: the latest event that either patches c or is a
+    full image. An insert thus RESETS c even when it carries NULL —
+    filtering on non-null alone would resurrect a value from a
+    previous lifecycle through a re-insert — while NULL on a patch
+    still means "untouched" and delete rows (key-only, but possibly
+    carrying stray values) never set columns. Any patch older than the
+    latest insert loses to it on seq, and patches addressed to a dead
+    key are discarded with the key. That collapses the whole fold into
+    ONE map-side-combined hash aggregation — one shuffle on the key,
+    identical in cost to plain LWW, no second "find the boundary then
+    re-join" pass. (Reference analog: the snapshot-delta fold of
     web100/web100.go:570-588 keeps only changed fields per snapshot;
     this is the inverse operation — reassembling the full row from
     changed-fields-only events.)
@@ -134,7 +140,9 @@ def patch_fold(
     for c in patch_cols:
         aggs.append(
             F.expr(
-                f"max_by({c}, {seq_col}) FILTER (WHERE {c} IS NOT NULL)"
+                f"max_by({c}, {seq_col}) FILTER (WHERE "
+                f"({c} IS NOT NULL AND {op_col} <> 'delete') "
+                f"OR {op_col} = 'insert')"
             ).alias(c)
         )
     return (

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import zlib
 from typing import Iterator
 
 import numpy as np
@@ -177,9 +178,13 @@ def sample_frames(media: DataFrame, every: int = 1) -> DataFrame:
                 if p is None or len(p) < 15 or p[:4] != MAGIC:
                     continue
                 kind_i, w, h, nf = struct.unpack("<BIIH", p[4:15])
-                if kind_i != 2:
-                    continue
+                # body length must match the declared geometry exactly
+                # (same check as _decode_one): a truncated payload would
+                # otherwise emit NaN means / partial-bytes hashes for
+                # late frames as if they were valid
                 frame_len = w * h
+                if kind_i != 2 or len(p) - 15 != frame_len * nf:
+                    continue
                 body = np.frombuffer(p, dtype=np.uint8, offset=15)
                 for fi in range(0, nf, every):
                     fr = body[fi * frame_len:(fi + 1) * frame_len]
@@ -244,7 +249,12 @@ def _decode_real_one(media_id: int, payload: bytes | None) -> tuple:
                     1, int(samples.size),
                     float(samples.astype(np.float64).mean()) if samples.size else None,
                     hashlib.sha256(payload).hexdigest(), True)
-    except ValueError:
+    except (ValueError, struct.error, zlib.error, IndexError):
+        # every malformed-payload failure mode of the pure-python
+        # codecs maps to a valid=false row: truncated chunk headers
+        # raise struct.error, a well-CRC'd but non-zlib IDAT raises
+        # zlib.error, short reads raise IndexError — only ValueError
+        # would leak the rest out of the task and fail the whole job
         pass
     return (media_id, None, None, None, None, None, None, None, False)
 

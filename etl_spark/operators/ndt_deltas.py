@@ -121,6 +121,18 @@ def flatten_deltas(deltas: DataFrame) -> DataFrame:
     )
 
 
+def group_key_expr(name_col):
+    """Spark mirror of ``sources.ndt_meta.group_key`` (basename, prefix
+    through the first 'Z', NULL unless the Z index is >= 15) — ONE
+    derivation shared by compose and tests so the snaplog-side and
+    meta-side keys cannot drift (tar member names normally carry
+    directory prefixes; a divergent derivation makes the meta join
+    miss silently)."""
+    base = F.substring_index(name_col, "/", -1)
+    zpos = F.instr(base, "Z")  # 1-based; 0 when absent
+    return F.when(zpos >= 16, F.substring(base, F.lit(1), zpos))
+
+
 def compose_ndt_rows(members: DataFrame, cap: int = MAX_SNAPSHOTS,
                      meta: DataFrame | None = None) -> DataFrame:
     """The reference's full NDT output row: one nested row per snaplog
@@ -164,8 +176,7 @@ def compose_ndt_rows(members: DataFrame, cap: int = MAX_SNAPSHOTS,
     )
     row = spec.join(nested, "test_name", "left")
     if meta is not None:
-        # ndt_meta.group_key keeps the trailing 'Z' of the timestamp
-        key = F.concat(F.substring_index(F.col("test_name"), "Z", 1), F.lit("Z"))
+        key = group_key_expr(F.col("test_name"))
         m = meta.select(
             F.col("group_key"),
             F.struct(*[c for c in meta.columns if c != "group_key"]).alias("meta"),

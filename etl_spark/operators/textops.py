@@ -29,13 +29,35 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 def _count_word(col, word: str):
     """Occurrences of a whole word — identical arithmetic in any SQL
-    engine: pad, count via length difference."""
-    padded = F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+    engine: double every space so adjacent occurrences stop sharing a
+    delimiter (non-overlapping replace of " w " would otherwise consume
+    the space the next occurrence needs: "the the the" counted 2, not
+    3), then pad and count via length difference."""
+    spaced = F.regexp_replace(F.lower(col), F.lit(" "), F.lit("  "))
+    padded = F.concat(F.lit(" "), spaced, F.lit(" "))
     needle = f" {word} "
     return (
         (F.length(padded) - F.length(F.regexp_replace(padded, F.lit(needle), F.lit(""))))
         / len(needle)
     ).cast("long")
+
+
+def _detect_lang_expr():
+    """Argmax over the ``s_{lang}`` score columns with the
+    deterministic ``en > de > fr > es`` tie-break — shared by
+    :func:`lang_id` and :func:`text_features` so the two argmax
+    implementations can never desynchronize."""
+    pref = ["en", "de", "fr", "es"]
+    detected = None
+    for lg in reversed(pref):
+        cond = None
+        for other in pref:
+            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
+            cond = c if cond is None else (cond & c)
+        detected = F.when(cond, F.lit(lg)).otherwise(
+            detected if detected is not None else F.lit(pref[-1])
+        )
+    return detected
 
 
 def token_stats(docs: DataFrame) -> DataFrame:
@@ -85,21 +107,11 @@ def lang_id(docs: DataFrame) -> DataFrame:
             for lg in langs
         ],
     )
-    pref = ["en", "de", "fr", "es"]
-    detected = None
-    for lg in reversed(pref):
-        cond = None
-        for other in pref:
-            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
-            cond = c if cond is None else (cond & c)
-        detected = F.when(cond, F.lit(lg)).otherwise(
-            detected if detected is not None else F.lit(pref[-1])
-        )
     best_score = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
     return scored.select(
         "doc_id",
         "lang",
-        detected.alias("detected_lang"),
+        _detect_lang_expr().alias("detected_lang"),
         best_score.alias("marker_hits"),
     )
 
@@ -154,7 +166,7 @@ def text_features(docs: DataFrame) -> DataFrame:
         "lang",
         F.length("text").alias("n_chars2"),
         n_tokens.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        n_distinct.alias("n_distinct_tokens"),
         F.round(F.length("text") / n_tokens, 6).alias("mean_token_len"),
         F.round(n_distinct / n_tokens, 6).alias("lexical_diversity"),
         F.round(stop / n_tokens, 6).alias("stopword_ratio"),
@@ -171,21 +183,12 @@ def text_features(docs: DataFrame) -> DataFrame:
             for lg in langs
         ],
     )
-    pref = ["en", "de", "fr", "es"]
-    detected = None
-    for lg in reversed(pref):
-        cond = None
-        for other in pref:
-            c = F.col(f"s_{lg}") >= F.col(f"s_{other}")
-            cond = c if cond is None else (cond & c)
-        detected = F.when(cond, F.lit(lg)).otherwise(
-            detected if detected is not None else F.lit(pref[-1])
-        )
     best_score = F.greatest(*[F.col(f"s_{lg}") for lg in langs])
     return scored.select(
         "doc_id", "lang", "n_chars2", "n_tokens", "n_distinct_tokens",
         "mean_token_len", "lexical_diversity", "stopword_ratio", "keep",
-        detected.alias("detected_lang"), best_score.alias("marker_hits"),
+        _detect_lang_expr().alias("detected_lang"),
+        best_score.alias("marker_hits"),
         "sha_raw", "sha_norm", "md5_norm",
     )
 

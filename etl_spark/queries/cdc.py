@@ -236,8 +236,11 @@ patched AS (
 SELECT repo, path,
        max(seq) AS last_seq,
        arg_max(commit, seq) AS commit,
-       arg_max(lang, seq) FILTER (WHERE lang IS NOT NULL) AS lang,
-       sha256(arg_max(content, seq) FILTER (WHERE content IS NOT NULL)) AS content_sha256
+       arg_max(lang, seq) FILTER (WHERE (lang IS NOT NULL AND op <> 'delete')
+                                     OR op = 'insert') AS lang,
+       sha256(arg_max(content, seq)
+              FILTER (WHERE (content IS NOT NULL AND op <> 'delete')
+                         OR op = 'insert')) AS content_sha256
 FROM patched
 GROUP BY repo, path
 HAVING arg_max(op, seq) FILTER (WHERE op IN ('insert','delete')) = 'insert'

@@ -102,9 +102,12 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOKENS = "string_split(text, ' ')"
 
+# doubled spaces mirror textops._count_word: adjacent occurrences must
+# not share a delimiter under non-overlapping replace
 _COUNT_WORD = (
-    "CAST((length(' ' || lower(text) || ' ') - "
-    "length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) / {wl} AS BIGINT)"
+    "CAST((length(' ' || replace(lower(text), ' ', '  ') || ' ') - "
+    "length(replace(' ' || replace(lower(text), ' ', '  ') || ' ',"
+    " ' {w} ', ''))) / {wl} AS BIGINT)"
 )
 
 

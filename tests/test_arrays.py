@@ -1,0 +1,30 @@
+"""Array-operator edge cases (operators/arrays.py): degenerate inputs
+must yield NULL digests, not ANSI runtime aborts."""
+
+from __future__ import annotations
+
+from etl_spark.operators.arrays import (
+    array_ops,
+    last_element_summary,
+    overlap_trim,
+    thin_array,
+)
+
+
+def test_array_ops_empty_and_null_arrays_are_harmless(spark):
+    """slice() throws on negative length, element_at / divide abort
+    under ANSI — one empty (or NULL) array row must not fail the scan."""
+    rows = [(1, [1.0, 2.0, 3.0]), (2, []), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = {r.vec_id: r for r in array_ops(df, every=2).collect()}
+    assert out[1].n_after_trim == 2 and out[1].first_val == 1.0
+    assert out[2].n_kept == 0 and out[2].n_after_trim == 0
+    assert out[2].first_val is None and out[2].mean_val is None
+    assert out[3].first_val is None
+
+    assert {r.vec_id: r.n_after_trim
+            for r in overlap_trim(df).collect()}[2] == 0
+    assert {r.vec_id: r.mean_val
+            for r in last_element_summary(df).collect()}[2] is None
+    assert {r.vec_id: r.n_kept for r in thin_array(df).collect()}[2] == 0

@@ -79,3 +79,22 @@ def test_range_join_containment(spark):
                      right_lo="lo", right_hi="hi")
     got = sorted((r["k"], r["x"], r["tag"]) for r in out.collect())
     assert got == [(1, 5, "a"), (1, 15, "b")]
+
+
+def test_asof_join_ties_on_dim_ts_are_deterministic(spark):
+    """Two dim versions sharing (key, dim_ts) — a dirty-dimension case
+    — must enrich identically on every replay: the window tie-breaks on
+    the payload struct, so the greatest value wins rather than
+    whichever duplicate the sort happened to place last."""
+    from etl_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [("k", 10, 1), ("k", 4, 2)], "key string, ts long, event_id long")
+    dim = spark.createDataFrame(
+        [("k", 5, "v_a"), ("k", 5, "v_b"), ("k", 1, "v_0")],
+        "key string, dim_ts long, val string")
+    outs = set()
+    for _ in range(3):
+        rows = asof_join(ev, dim, ["key"], "ts", "dim_ts", ["val"]).collect()
+        outs.add(tuple(sorted((r.event_id, r.val) for r in rows)))
+    assert outs == {((1, "v_b"), (2, "v_0"))}

@@ -127,3 +127,48 @@ def test_decode_real_spark_end_to_end(spark):
     )
     out = mm.decode_real(bad).collect()
     assert len(out) == 5 and all(not r.valid for r in out)
+
+
+def test_decode_real_maps_every_malformed_payload_to_invalid_row():
+    """The corrupt-row contract covers ALL failure modes of the pure
+    python codecs, not just ValueError: a payload truncated mid chunk
+    header raises struct.error, a well-CRC'd but non-zlib IDAT raises
+    zlib.error, a short fmt chunk raises struct.error — each must
+    become a valid=false row, never escape the task."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = codecs.png_encode(img)
+
+    # truncated right after a chunk body (length+CRC bytes missing)
+    trunc = good[: good.index(b"IDAT") + 6]
+    # IDAT whose CRC is correct but whose body is not zlib data
+    nonzlib = (codecs.PNG_SIG
+               + codecs._chunk(b"IHDR",
+                               struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0))
+               + codecs._chunk(b"IDAT", b"\x99not-deflate\x99")
+               + codecs._chunk(b"IEND", b""))
+    # WAV with a fmt chunk shorter than 16 bytes
+    shortfmt = (b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+                + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00")
+
+    for payload in (trunc, nonzlib, shortfmt):
+        row = mm._decode_real_one(7, payload)
+        assert row[-1] is False, payload[:16]
+
+
+def test_sample_frames_rejects_truncated_video(spark):
+    """A video payload whose body is shorter than the declared
+    w*h*nframes must yield NO frame rows (same geometry check as
+    decode): partial late frames would otherwise emit NaN means and
+    hashes of partial bytes as if valid."""
+    w, h, nf = 4, 4, 3
+    good = mm.MAGIC + struct.pack("<BIIH", 2, w, h, nf) + b"\x05" * (w * h * nf)
+    trunc = good[: -w * h + 3]  # last frame partial
+    df = spark.createDataFrame(
+        [(1, "video", good, None), (2, "video", trunc, None)],
+        "media_id long, kind string, payload binary, meta string")
+    rows = mm.sample_frames(df, every=1).collect()
+    by_id = {}
+    for r in rows:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id.get(1, [])) == nf
+    assert 2 not in by_id

@@ -208,3 +208,19 @@ def test_bucket_overflow_diagnostics(spark):
     so = simdedup.simhash_bucket_overflow(docs, max_bucket=8).collect()
     assert so and max(r.members for r in so) >= 20
     assert not simdedup.simhash_bucket_overflow(docs, max_bucket=4096).collect()
+
+
+def test_count_word_counts_adjacent_repeats(spark):
+    """Whole-word counting must not undercount adjacent repeats:
+    non-overlapping replace of " w " consumes the delimiter the next
+    occurrence needs ("the the the" counted 2) — the doubled-space
+    encoding gives every occurrence its own delimiters. The DuckDB
+    oracle (queries/docs.py _COUNT_WORD) mirrors the same arithmetic."""
+    from etl_spark.operators.textops import _count_word
+
+    rows = [(1, "the the the"), (2, "a a"), (3, "the cat the"),
+            (4, "atheist the theater"), (5, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in df.select(
+        "doc_id", _count_word(F.col("text"), "the").alias("n")).collect()}
+    assert got == {1: 3, 2: 0, 3: 2, 4: 1, 5: 0}

@@ -119,3 +119,27 @@ def test_composed_row_fuses_meta(spark):
     assert r.group_key == r.test_name.split("Z", 1)[0] + "Z"
     # connection spec from the binary header survived composition
     assert r.local_port > 0 and r.remote_port > 0
+
+
+def test_group_key_expr_matches_python_group_key(spark):
+    """The snaplog-side Spark key derivation and the meta-side python
+    group_key must agree on every name shape — directory-prefixed tar
+    member names (the normal M-Lab layout), basenames, short names
+    (Z before index 15 -> NULL), and Z-less names — or the broadcast
+    meta join misses silently."""
+    from etl_spark.operators.ndt_deltas import group_key_expr
+    from etl_spark.sources.ndt_meta import group_key
+
+    names = [
+        "2017/08/23/20170823T000000.123456Z_1.2.3.4.c2s_snaplog",
+        "20170823T000000.123456Z_host.meta",
+        "deep/dir/20991231T235959.000000Z_tail",
+        "shortZname",
+        "no_timestamp_here",
+        "a/b/shortZ",
+    ]
+    df = spark.createDataFrame([(n,) for n in names], "test_name string")
+    got = [r.k for r in
+           df.select(group_key_expr(F.col("test_name")).alias("k"))
+           .collect()]
+    assert got == [group_key(n) for n in names]

@@ -90,3 +90,27 @@ def test_single_aggregation_plan(spark):
     assert "Join" not in plan and "Window" not in plan
     assert plan.count("Exchange") == 0  # logical plan: single Aggregate
     assert plan.count("Aggregate") == 1
+
+
+def test_reinsert_with_null_column_resets_to_null(spark):
+    """An insert is a FULL row image: NULL in an insert means "set to
+    NULL", not "untouched". A re-insert carrying NULL must not
+    resurrect the value from a previous lifecycle (the non-null-only
+    filter did exactly that), and a delete row carrying stray values
+    must never set columns."""
+    out = _fold(spark, [
+        (1, "insert", "r", "a", "c1", "py", "v1"),
+        (2, "delete", "r", "a", "c2", "go", "vStray"),  # stray payload
+        (3, "insert", "r", "a", "c3", None, None),      # full image, NULLs
+    ])
+    row = out[("r", "a")]
+    assert row["lang"] is None and row["content"] is None
+    assert row["last_seq"] == 3
+
+    # NULL on a PATCH still means untouched
+    out = _fold(spark, [
+        (1, "insert", "r", "b", "c1", "py", "v1"),
+        (2, "patch", "r", "b", "c2", None, "v2"),
+    ])
+    row = out[("r", "b")]
+    assert row["lang"] == "py" and row["content"] == "v2"
