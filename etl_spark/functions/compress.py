@@ -125,15 +125,27 @@ def decompress_content(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def _to_text(r):
+            # a blob can decompress fine yet not be UTF-8 — that is
+            # still "corrupt blob → NULL + flag, never fatal", the
+            # contract decode_error exists for
+            if r is None:
+                return None
+            try:
+                return r.decode()
+            except UnicodeDecodeError:
+                return None
+
         for pdf in batches:
             pdf = pdf.copy()
             raw = [
                 _decompress_one(bytes(b), k) if b is not None else None
                 for b, k in zip(pdf[blob_col], pdf[codec_col])
             ]
-            pdf["decoded"] = [r.decode() if r is not None else None for r in raw]
+            pdf["decoded"] = [_to_text(r) for r in raw]
             pdf["decode_error"] = [
-                b is not None and r is None for b, r in zip(pdf[blob_col], raw)
+                b is not None and d is None
+                for b, d in zip(pdf[blob_col], pdf["decoded"])
             ]
             yield pdf
 

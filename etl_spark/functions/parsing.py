@@ -57,8 +57,15 @@ JSONL_ITEM_SCHEMA = T.StructType(
 
 
 def decode_jsonl(df: DataFrame, jsonl_col: str, id_cols: list[str]) -> DataFrame:
-    """JSON-lines blob → one row per record with parsed fields."""
-    rec = F.explode(F.split(F.col(jsonl_col), "\n")).alias("record")
+    """JSON-lines blob → one row per record with parsed fields.
+
+    Blank lines (and the empty tail a standard newline-terminated blob
+    splits into) are dropped BEFORE the explode — they are not records
+    and would otherwise emit spurious all-NULL rows."""
+    rec = F.explode(
+        F.filter(F.split(F.col(jsonl_col), "\n"),
+                 lambda s: F.length(s) > 0)
+    ).alias("record")
     parsed = df.select(*id_cols, rec).select(
         *id_cols, F.from_json("record", JSONL_ITEM_SCHEMA).alias("j")
     )

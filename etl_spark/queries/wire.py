@@ -301,9 +301,11 @@ def src_tcpinfo_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + _struct.pack("<I", 1)
                    + _struct.pack("<Q", (u << 16) | 7)
                    + b"\x00" * 20)
-            info = bytearray(128)
+            info = bytearray(144)
             _struct.pack_into("<I", info, 68, eid % 100000)        # rtt
-            _struct.pack_into("<Q", info, 104, eid * 17)           # bytes_acked
+            # true uapi offset: tcpi_bytes_acked@120 (104/112 are the
+            # pacing-rate slots)
+            _struct.pack_into("<Q", info, 120, eid * 17)           # bytes_acked
             attrs = [None, None,
                      _b64.b64encode(bytes(info)).decode()]
             iso = datetime.fromtimestamp(int(ts_l), tz=timezone.utc).strftime(

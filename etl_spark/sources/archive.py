@@ -100,16 +100,32 @@ def scan_tar(
             for gid, blob in zip(pdf[id_col], pdf[blob_col]):
                 if blob is None:
                     continue
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tf:
+                try:
+                    tf = tarfile.open(fileobj=io.BytesIO(bytes(blob)))
+                except tarfile.ReadError:
+                    # corrupt archive blob: the reference counts it and
+                    # continues (task/task.go error rows) — one bad
+                    # object must not fail the job. Flag row: NULL name
+                    # marker with content NULL.
+                    out.append((int(gid), "", None, 0))
+                    continue
+                with tf:
                     for m in tf:
                         if not m.isfile():
                             continue
                         if max_member_bytes is not None and m.size > max_member_bytes:
                             continue
                         data = tf.extractfile(m).read()
-                        out.append(
-                            (int(gid), m.name, data.decode("utf-8"), len(data))
-                        )
+                        try:
+                            text = data.decode("utf-8")
+                        except UnicodeDecodeError:
+                            # binary member on the TEXT scan surface:
+                            # surfaced as content NULL (size kept) so
+                            # the member is visible, never fatal —
+                            # binary pipelines (snaplog/tcpinfo/paris)
+                            # carry bytes in their own binary columns
+                            text = None
+                        out.append((int(gid), m.name, text, len(data)))
             yield pd.DataFrame(
                 out, columns=[f.name for f in MEMBER_SCHEMA.fields]
             )

@@ -82,14 +82,22 @@ def _decode_stream(name: str, blob) -> list[tuple]:
         sample = obj.get("sample") or []
         if len(sample) > 0:
             sample = sample[:-1]  # trim the overlap bin (disco.go:90-96)
+        try:
+            # inside the error envelope: a bin with a missing/null
+            # timestamp or value (TypeError from int(None)) is decode
+            # corruption, not a task-killer
+            bins = [(int(s.get("timestamp")), float(s.get("value")))
+                    for s in sample]
+        except (ValueError, TypeError, AttributeError):
+            rows.append((name, None, None, None, None, True))
+            break
         rows.append(
             (
                 name,
                 obj.get("metric"),
                 obj.get("hostname"),
                 obj.get("experiment"),
-                [(int(s.get("timestamp")), float(s.get("value")))
-                 for s in sample],
+                bins,
                 False,
             )
         )

@@ -126,10 +126,15 @@ def compose_ndt_tests(members: DataFrame, name_col: str = "member_name",
         members.where(F.col(name_col).endswith("snaplog")),
         name_col, content_col, every=1 << 30,
     ).where(~F.col("corrupted"))
-    key_expr = F.substring_index(F.col("test_name"), "Z", 1)
+    # ONE derivation shared with compose_ndt_rows — the exact Spark
+    # mirror of group_key below (basename + first-Z>=15 rule): a 'Z'
+    # in a directory prefix must not collapse distinct tests into one
+    # group (max_by would then promote an arbitrary file's snapshot)
+    from etl_spark.operators.ndt_deltas import group_key_expr
+
     final = (
         logs.groupBy(
-            F.concat(key_expr, F.lit("Z")).alias("group_key"),
+            group_key_expr(F.col("test_name")).alias("group_key"),
             F.when(F.col("test_name").endswith(".c2s_snaplog"), F.lit("c2s"))
             .otherwise(F.lit("s2c")).alias("direction"),
         )
@@ -150,7 +155,8 @@ def compose_ndt_tests(members: DataFrame, name_col: str = "member_name",
         F.col("fin.remote_port").alias("s2c_remote_port"),
         F.col("fin.snap_integers").alias("s2c_final"))
     return (
-        meta.withColumn("group_key", F.concat(key_expr, F.lit("Z")))
-        .join(c2s, "group_key", "left")
+        # parse_meta already derived group_key via the python
+        # group_key() — never recompute it with a different rule
+        meta.join(c2s, "group_key", "left")
         .join(s2c, "group_key", "left")
     )

@@ -69,13 +69,20 @@ def parse_ndt7(files: DataFrame, name_col: str = "member_name",
     down = j["Download"]
     up = j["Upload"]
     arch = F.when(down.isNotNull(), down).otherwise(up)
-    last = F.element_at(arch["ServerMeasurements"], -1)["TCPInfo"]
+    # try_element_at / try_divide: an aborted test with an EMPTY
+    # ServerMeasurements array (or ElapsedTime/BytesSent 0) must yield
+    # the coalesced zero-summary row, not an ANSI out-of-bounds /
+    # divide-by-zero stage abort
+    last = F.try_element_at(arch["ServerMeasurements"], F.lit(-1))["TCPInfo"]
     is_down = down.isNotNull()
     mbps = F.when(
-        is_down, F.lit(8.0) * last["BytesAcked"] / last["ElapsedTime"]
-    ).otherwise(F.lit(8.0) * last["BytesReceived"] / last["ElapsedTime"])
+        is_down,
+        F.try_divide(F.lit(8.0) * last["BytesAcked"], last["ElapsedTime"]),
+    ).otherwise(
+        F.try_divide(F.lit(8.0) * last["BytesReceived"], last["ElapsedTime"]))
     loss = F.when(
-        is_down, last["BytesRetrans"].cast("double") / last["BytesSent"]
+        is_down,
+        F.try_divide(last["BytesRetrans"].cast("double"), last["BytesSent"]),
     ).otherwise(F.lit(0.0))
     return files.where(F.col(name_col).endswith(".json")).select(
         F.col(name_col).alias("test_name"),

@@ -348,6 +348,10 @@ def parse_pt_jsonl(test_name: str, raw: bytes | str) -> dict:
         raw = bytes(raw).decode("utf-8", errors="replace")
     log_time = get_log_time(test_name)
     lines = raw.split("\n")
+    # exactly-5 split parts (4 lines + trailing newline) is DELIBERATE
+    # reference parity, pt.go:201-205 — a 4-line file with no trailing
+    # newline is rejected there too, and a non-empty 5th part is
+    # ignored there too
     if len(lines) != 5:
         raise PTError("invalid test: expected 4 jsonl lines")
     meta = _json.loads(lines[0])

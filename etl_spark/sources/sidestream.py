@@ -170,7 +170,10 @@ def _parse_file(name: str, content: str) -> list[tuple]:
                         None, None, None, None, True))
             continue
         # StartTimeStamp*1e6 + StartTimeUsec (parser/ss.go:207-208);
-        # cid/PollTime/StartTimeUsec are not web100 snap vars.
+        # cid/PollTime/StartTimeUsec are not web100 snap vars. The
+        # 0-default when the K header omits StartTimeStamp is parity
+        # too: the reference combines from the Go zero value
+        # unconditionally and Web100Snap always carries the field.
         snap = {
             k: v for k, v in vals.items()
             if k not in ("cid", "PollTime", "StartTimeUsec")

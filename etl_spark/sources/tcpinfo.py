@@ -34,14 +34,19 @@ from etl_spark.functions.compress import _decompress_one
 
 INET_DIAG_INFO = 2  # attribute index of struct tcp_info
 
-# offsets into struct tcp_info (linux/tcp.h, u8[8] then u32 fields)
+# offsets into struct tcp_info (linux/tcp.h): u8[8], u32 block through
+# tcpi_total_retrans@100, then the u64 block tcpi_pacing_rate@104,
+# tcpi_max_pacing_rate@112, tcpi_bytes_acked@120, tcpi_bytes_received
+# @128, and the u32 pair tcpi_segs_out@136 / tcpi_segs_in@140 —
+# bytes_acked/bytes_received/segs_* previously read the pacing-rate
+# slots (silent corruption on every real kernel >= 4.2 blob)
 _TI_U32 = {
     "rto": 8, "snd_mss": 16, "rcv_mss": 20, "unacked": 24, "lost": 32,
     "retrans": 36, "pmtu": 60, "rtt": 68, "rttvar": 72, "snd_ssthresh": 76,
     "snd_cwnd": 80, "advmss": 84, "rcv_space": 96, "total_retrans": 100,
-    "segs_out": 120, "segs_in": 124,
+    "segs_out": 136, "segs_in": 140,
 }
-_TI_U64 = {"bytes_acked": 104, "bytes_received": 112}
+_TI_U64 = {"bytes_acked": 120, "bytes_received": 128}
 
 
 class TcpinfoError(ValueError):

@@ -53,3 +53,27 @@ def test_binary_records_bit_exact(spark):
     got = sorted(tuple(r) for r in decoded.collect())
     exp = sorted(tuple(r) for r in ev.collect())
     assert got == exp  # float64 wire round-trip is bit-exact
+
+
+def test_scan_tar_corrupt_blob_and_binary_member_not_fatal(spark):
+    """One corrupt archive blob or one non-UTF-8 member must never fail
+    the job (the reference counts corrupt archives and continues): a
+    bad blob becomes a flag row, a binary member surfaces with content
+    NULL and its size kept."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in (("ok.txt", b"hello"), ("bin.dat", b"\xff\xfe\x00")):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    rows = archive.scan_tar(spark.createDataFrame(
+        [(1, buf.getvalue()), (2, b"not a tar at all")],
+        "archive_id long, blob binary")).collect()
+    by = {(r.archive_id, r.member_name): r for r in rows}
+    assert by[(1, "ok.txt")].content == "hello"
+    assert by[(1, "bin.dat")].content is None
+    assert by[(1, "bin.dat")].size == 3
+    assert by[(2, "")].content is None  # corrupt-archive flag row

@@ -70,3 +70,17 @@ def test_zstd_real_roundtrip(spark):
     assert not out["decode_error"]
     assert out["decoded"] == out["content"]
     assert len(out["blob"]) < len(out["content"])  # actually compressed
+
+
+def test_non_utf8_decompressed_blob_flagged_not_fatal(spark):
+    """A blob that decompresses fine but is not UTF-8 is still 'corrupt
+    blob → NULL + decode_error', never a task crash."""
+    import zlib
+
+    df = spark.createDataFrame(
+        [(1, zlib.compress(b"\xff\xfe"), "zlib"),
+         (2, zlib.compress(b"fine"), "zlib")],
+        "id long, blob binary, codec string")
+    out = {r.id: r for r in compress.decompress_content(df).collect()}
+    assert out[1].decoded is None and out[1].decode_error is True
+    assert out[2].decoded == "fine" and out[2].decode_error is False

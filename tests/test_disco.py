@@ -78,3 +78,17 @@ def test_explode_samples_jvm_side(spark):
 def test_corrupt_json_flagged(spark):
     out = disco.parse_disco(_df(spark, "x-switch.json", b'{"sample": [')).collect()
     assert len(out) == 1 and out[0]["decode_error"]
+
+
+def test_null_sample_bin_flagged_not_fatal(spark):
+    """A sample bin missing timestamp/value must become a corrupted
+    row, not a TypeError that kills the task."""
+    import json
+
+    rec = json.dumps({"metric": "m", "hostname": "h", "experiment": "e",
+                      "sample": [{"value": 1.0, "timestamp": None},
+                                 {"timestamp": 2, "value": 3.0}]})
+    out = disco.parse_disco(spark.createDataFrame(
+        [("x-switch.json", rec.encode())],
+        "member_name string, content binary")).collect()
+    assert len(out) == 1 and out[0].decode_error is True

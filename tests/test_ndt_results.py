@@ -77,3 +77,19 @@ def test_annotation_good_and_corrupt(spark):
     assert g["uuid"] == "ndt-njp6l_1585004303_00000000000170FA"
     assert g["server_site"] == "lga1t" and g["server_asn"] == 3356
     assert rows["ndt-corrupt.json"]["corrupted"]
+
+
+def test_ndt7_empty_server_measurements_yields_zero_summary(spark):
+    """An aborted ndt7 test with ServerMeasurements == [] (or elapsed
+    time 0) must yield the coalesced zero-summary row, not an ANSI
+    out-of-bounds / divide-by-zero stage abort."""
+    rec = json.dumps({"Download": {
+        "UUID": "abort-1", "StartTime": "2024-01-01T00:00:00Z",
+        "ServerMeasurements": []}})
+    df = spark.createDataFrame(
+        [("t.json", rec.encode())], "member_name string, content binary")
+    out = ndt_results.parse_ndt7(df).collect()
+    assert len(out) == 1
+    a = out[0]["a"]
+    assert a["uuid"] == "abort-1"
+    assert a["mean_throughput_mbps"] == 0.0 and a["min_rtt"] == 0.0

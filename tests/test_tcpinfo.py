@@ -82,3 +82,29 @@ def test_corrupt_flagged(spark):
     )
     rows = tcpinfo.parse_tcpinfo(df).collect()
     assert len(rows) == 2 and all(r["corrupted"] for r in rows)
+
+
+def test_tcp_info_uapi_offsets_hand_built():
+    """decode_tcp_info pinned to a hand-built struct tcp_info blob laid
+    out per linux/tcp.h — independent of the repo's own encoder, so the
+    encoder and decoder cannot drift together: bytes_acked@120,
+    bytes_received@128, segs_out@136, segs_in@140 (104/112 are the
+    pacing-rate slots and must NOT bleed in)."""
+    import struct as _s
+
+    blob = bytearray(160)
+    _s.pack_into("<I", blob, 68, 4242)            # tcpi_rtt
+    _s.pack_into("<Q", blob, 104, 0xDEAD0001)     # tcpi_pacing_rate
+    _s.pack_into("<Q", blob, 112, 0xDEAD0002)     # tcpi_max_pacing_rate
+    _s.pack_into("<Q", blob, 120, 987654321)      # tcpi_bytes_acked
+    _s.pack_into("<Q", blob, 128, 123456789)      # tcpi_bytes_received
+    _s.pack_into("<I", blob, 136, 555)            # tcpi_segs_out
+    _s.pack_into("<I", blob, 140, 777)            # tcpi_segs_in
+    out = tcpinfo.decode_tcp_info(bytes(blob))
+    assert out["rtt"] == 4242
+    assert out["bytes_acked"] == 987654321
+    assert out["bytes_received"] == 123456789
+    assert out["segs_out"] == 555 and out["segs_in"] == 777
+    # kernel-version-dependent tail: a short (pre-4.2) blob yields None
+    short = tcpinfo.decode_tcp_info(bytes(blob[:104]))
+    assert short["bytes_acked"] is None and short["segs_out"] is None
