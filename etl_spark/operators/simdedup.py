@@ -16,6 +16,10 @@ operator here is the standard sketch→band→bucket-join shape:
 - ``ngram_jaccard_pairs``: exact Jaccard on shingle sets for a
   candidate pair list — the verify step after LSH (never run on all
   pairs at scale).
+- ``winnow_fingerprints`` / ``winnow_candidate_pairs``: MOSS-style
+  winnowing (k-gram rolling hash, window minima) — substring-level
+  copy-paste detection, the containment case whole-document Jaccard
+  dilutes.
 
 Everything is JVM expressions (explode/transform/md5) — no Python.
 """
@@ -336,6 +340,149 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         .distinct()
     )
     return pairs
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """(doc_id, fp): MOSS-style winnowing fingerprints — the
+    rolling-hash document fingerprint (Schleimer/Wilkerson/Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting").
+
+    Each char k-gram gets a 32-bit hash (first 8 hex digits of md5 —
+    engine-portable, same family as the minhash/simhash sketches); a
+    window of ``w`` consecutive gram hashes contributes its minimum,
+    and the document's fingerprint set is the distinct window minima.
+    Guarantee: any match of length >= w + k - 1 between two documents
+    shares at least one selected fingerprint, so fingerprint collision
+    is a sound candidate generator for substring-level (copy-paste)
+    duplication — the case shingle-set Jaccard dilutes when a small
+    plagiarized block hides in a large document.
+
+    Scale shape: the whole computation is one projection per document
+    (sequence → transform → array_min over slices → array_distinct →
+    explode) — zero joins, zero shuffles before the consumer's own
+    aggregation; ~len/w fingerprints per document. Documents with NULL
+    text are dropped (no content to fingerprint); empty text yields
+    md5('')'s hash, so empty docs correctly collide with each other."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(text_col) - (k - 1), F.lit(1))),
+        lambda i: F.conv(
+            F.md5(F.col(text_col).substr(i, F.lit(k))).substr(1, 8), 16, 10
+        ).cast("long"),
+    )
+    with_grams = (
+        _spread(docs.where(F.col(text_col).isNotNull()))
+        .select(F.col(id_col).alias("doc_id"), grams.alias("__grams"))
+    )
+    mins = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("__grams") - (w - 1), F.lit(1))),
+        lambda j: F.array_min(F.slice(F.col("__grams"), j, w)),
+    )
+    return with_grams.select(
+        "doc_id", F.explode(F.array_distinct(mins)).alias("fp")
+    )
+
+
+def winnow_candidate_pairs(docs: DataFrame, k: int = 5, w: int = 4,
+                           min_shared: int = 2,
+                           max_bucket: int = 4096) -> DataFrame:
+    """(doc_a, doc_b, n_shared) for documents sharing >= ``min_shared``
+    winnowing fingerprints, a < b — copy-paste/substring duplication
+    candidates (the containment case MinHash underestimates).
+
+    Same within-group enumeration + ``max_bucket`` valve as
+    ``lsh_candidate_pairs``: members of each fingerprint bucket are
+    pre-capped with a ``row_number() <= max_bucket`` window BEFORE
+    ``collect_list`` (exchange reused by the groupBy, agg buffer
+    bounded), pairs enumerate inside the bucket, and the final count
+    of shared fingerprints is one hash aggregation. Stop-gram skew is
+    real here — a ubiquitous k-gram ("the s") can be the window min
+    for a large doc fraction — so ``min_shared`` >= 2 (default) plus
+    the valve is the practical operating point; use
+    ``winnow_bucket_overflow`` to see what the valve would truncate."""
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(docs, k, w)
+    win = Window.partitionBy("fp").orderBy("doc_id")
+    members = (
+        fps.withColumn("__rn", F.row_number().over(win))
+        .where(F.col("__rn") <= max_bucket)
+        .groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), y -> "
+                "struct(x AS doc_a, y AS doc_b)))"
+            )
+        )
+    )
+    return (
+        members.select(pair.alias("p"))
+        .select("p.*")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_containment(docs: DataFrame, pairs: DataFrame,
+                       k: int = 5, w: int = 4) -> DataFrame:
+    """(doc_a, doc_b, n_shared, containment) for given candidate pairs
+    — the winnowing VERIFY stage (``ngram_jaccard_pairs`` twin).
+
+    containment = |fp_a ∩ fp_b| / min(|fp_a|, |fp_b|), MOSS's match
+    fraction: 1.0 when one document's fingerprints are fully contained
+    in the other's (exact dup, or a small doc pasted into a large
+    one). Use this to score ``winnow_candidate_pairs`` output —
+    template-heavy corpora share stop-gram fingerprints so broadly
+    that the raw shared COUNT barely discriminates, while containment
+    normalizes by document size. Never run on all pairs at scale; the
+    candidate stage bounds the pair list first."""
+    fps = winnow_fingerprints(docs, k, w)
+    sizes = fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    fa = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    fb = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    inter = (
+        pairs.join(fa, "doc_a")
+        .join(fb, ["doc_b", "fp"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    return (
+        pairs.select("doc_a", "doc_b").join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"n_shared": 0})
+        .join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "n_shared",
+            F.round(
+                F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")), 6
+            ).alias("containment"),
+        )
+    )
+
+
+def winnow_bucket_overflow(docs: DataFrame, k: int = 5, w: int = 4,
+                           max_bucket: int = 4096) -> DataFrame:
+    """``band_bucket_overflow`` twin for winnowing fingerprint buckets:
+    (fp, members) for every fingerprint shared by more docs than the
+    ``winnow_candidate_pairs`` valve keeps. Non-empty result = those
+    stop-gram buckets lost cross-member pairs past the cap; raise
+    ``max_bucket`` or drop the offending fingerprints (an IDF-style
+    stoplist) before relying on full recall."""
+    return (
+        winnow_fingerprints(docs, k, w)
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .where(F.col("members") > max_bucket)
+    )
 
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5) -> DataFrame:

@@ -224,3 +224,120 @@ def test_count_word_counts_adjacent_repeats(spark):
     got = {r["doc_id"]: r["n"] for r in df.select(
         "doc_id", _count_word(F.col("text"), "the").alias("n")).collect()}
     assert got == {1: 3, 2: 0, 3: 2, 4: 1, 5: 0}
+
+
+# ---------------------------------------------------------------------------
+# winnowing fingerprints (MOSS rolling-hash document fingerprinting)
+# ---------------------------------------------------------------------------
+
+
+def test_winnow_finds_copy_paste_block(spark):
+    """A shared substring of length >= w + k - 1 must collide on at
+    least one fingerprint (the winnowing guarantee), and the exact dup
+    pair shares every fingerprint."""
+    from etl_spark.operators import simdedup
+
+    block = "this exact paragraph was copied verbatim between documents"
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup
+        (2, "intro text before the block " + block + " and an outro"),
+        (3, block + " trailing content that is otherwise unrelated"),
+        (4, "completely different text about spark query engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r.doc_a, r.doc_b): r.n_shared
+             for r in simdedup.winnow_candidate_pairs(
+                 docs, min_shared=1).collect()}
+    fps = simdedup.winnow_fingerprints(docs)
+    n_fp = {r.doc_id: r.n for r in
+            fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert pairs[(0, 1)] == n_fp[0] == n_fp[1]  # exact dup: full overlap
+    assert pairs.get((2, 3), 0) >= 1            # copied block collides
+    assert (0, 4) not in pairs and (1, 4) not in pairs
+
+
+def test_winnow_fingerprints_match_duckdb_oracle(spark):
+    """Engine-portability of the rolling hash: DuckDB re-derives the
+    identical (doc_id, fp) set from the documents table — same md5
+    32-bit gram hash, same window minima, same distinct."""
+    from etl_spark.operators import simdedup
+
+    from .compare import compare_query
+    from .conftest import SF_TINY
+
+    k, w = 5, 4
+    hex32 = "(" + " + ".join(
+        f"CAST((strpos('0123456789abcdef', substr(mh, {d + 1}, 1)) - 1) "
+        f"AS BIGINT) * {16 ** (7 - d)}"
+        for d in range(8)
+    ) + ")"
+    oracle = f"""
+WITH d AS (
+  SELECT doc_id, text, greatest(length(text) - {k - 1}, 1) AS ng
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT doc_id, t.i, md5(substr(text, CAST(t.i AS INTEGER), {k})) AS mh
+  FROM d, unnest(range(1, ng + 1)) AS t(i)
+),
+gh AS (SELECT doc_id, i, {hex32} AS gh FROM g),
+wins AS (
+  SELECT doc_id, w.j FROM d, unnest(range(1, greatest(ng - {w - 1}, 1) + 1)) AS w(j)
+),
+wmin AS (
+  SELECT wins.doc_id, wins.j, min(gh.gh) AS fp
+  FROM wins JOIN gh ON gh.doc_id = wins.doc_id
+                   AND gh.i BETWEEN wins.j AND wins.j + {w - 1}
+  GROUP BY wins.doc_id, wins.j
+)
+SELECT DISTINCT doc_id, fp FROM wmin
+"""
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    res = compare_query(
+        spark, SF_TINY, simdedup.winnow_fingerprints(docs, k, w), oracle)
+    assert res["ok"], res
+
+
+def test_winnow_bucket_overflow_diagnostic(spark):
+    from etl_spark.operators import simdedup
+
+    docs = spark.createDataFrame(
+        [(i, "identical text for everyone") for i in range(20)]
+        + [(100, "a unique unrelated document")],
+        "doc_id long, text string",
+    )
+    over = simdedup.winnow_bucket_overflow(docs, max_bucket=8).collect()
+    assert over and all(r.members == 20 for r in over)
+    assert not simdedup.winnow_bucket_overflow(docs, max_bucket=64).collect()
+    # the valve bounds pair output: capped at 8 members -> C(8,2) pairs
+    capped = simdedup.winnow_candidate_pairs(
+        docs, min_shared=1, max_bucket=8).collect()
+    assert capped and all(r.doc_a < 8 and r.doc_b < 8 for r in capped)
+
+
+def test_winnow_containment_verify_stage(spark):
+    """Containment normalizes the shared-fingerprint count: exact dups
+    score 1.0, a pasted block scores well above unrelated pairs, and
+    unrelated docs (if a candidate at all) score near zero."""
+    from etl_spark.operators import simdedup
+
+    block = "this exact paragraph was copied verbatim between documents"
+    rows = [
+        (0, BASE),
+        (1, BASE),
+        (2, "intro text before the block " + block + " and an outro"),
+        (3, block + " trailing content that is otherwise unrelated"),
+        (4, "completely different text about spark query engines"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cand = simdedup.winnow_candidate_pairs(docs, min_shared=1).select(
+        "doc_a", "doc_b"
+    )
+    scores = {(r.doc_a, r.doc_b): r.containment
+              for r in simdedup.winnow_containment(docs, cand).collect()}
+    assert scores[(0, 1)] == 1.0
+    assert scores.get((2, 3), 0) > 0.15  # the shared block dominates min side
+    for p, c in scores.items():
+        if 4 in p:
+            assert c < 0.15

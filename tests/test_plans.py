@@ -160,3 +160,23 @@ def test_lsh_signature_subplan_evaluated_once(spark):
         if "Generate explode(split(" in ln
     ]
     assert len(tok_gens) == 1, planp
+
+
+def test_winnow_pair_plan_shape(spark):
+    """winnow_candidate_pairs: the fingerprint stage is evaluated once
+    (one array_distinct explode), and the pre-cap window's fp exchange
+    is REUSED by the bucket groupBy — exactly two hash shuffles total
+    (fp buckets + final pair count)."""
+    from etl_spark.operators import simdedup
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet").selectExpr(
+        "doc_id", "text"
+    )
+    df = simdedup.winnow_candidate_pairs(docs, min_shared=1)
+    plan = plans.explain_str(df, mode="simple")
+    fp_gens = [
+        ln for ln in plan.splitlines()
+        if "Generate explode(array_distinct(transform(sequence(" in ln
+    ]
+    assert len(fp_gens) == 1, plan
+    assert plans.count_exchanges(df) == 2, plan
