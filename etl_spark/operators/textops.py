@@ -60,14 +60,29 @@ def _detect_lang_expr():
     return detected
 
 
+# GPT-2-style BPE PRE-tokenizer rule (contraction suffixes, then
+# space-prefixed letter runs / digit runs / punctuation runs, then
+# residual whitespace). Deliberately ASCII-explicit and lookahead-free
+# so Java regex (Spark) and RE2 (DuckDB) agree token-for-token; real
+# BPE then splits these pieces further against a merges table, so this
+# count is the standard "pre-token" estimate pipelines budget with.
+BPE_SPLIT_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + distinct-token count + char stats."""
+    """Whitespace token count + BPE-ish pre-token count + distinct
+    tokens + char stats. ``n_tokens_bpe`` counts non-whitespace pieces
+    under ``BPE_SPLIT_RE`` — the training-cost estimate (punctuation
+    and contractions count separately, unlike whitespace splitting)."""
     toks = F.split(F.col("text"), " ")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_SPLIT_RE), 0)
+    bpe = F.size(F.filter(pieces, lambda p: p.rlike(r"\S")))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars2"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        bpe.alias("n_tokens_bpe"),
     )
 
 

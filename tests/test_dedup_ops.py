@@ -341,3 +341,38 @@ def test_winnow_containment_verify_stage(spark):
     for p, c in scores.items():
         if 4 in p:
             assert c < 0.15
+
+
+def test_bpe_token_count_hand_built(spark):
+    """The BPE pre-tokenizer rule counts contractions, digit runs and
+    punctuation runs as separate pieces (whitespace split sees 4)."""
+    from etl_spark.operators import textops
+
+    df = spark.createDataFrame(
+        [(1, "Don't count 3.14 items!")], "doc_id long, text string")
+    r = textops.token_stats(df).collect()[0]
+    # Don | 't | count | 3 | . | 14 | items | !
+    assert r.n_tokens_bpe == 8
+    assert r.n_tokens == 4
+
+
+def test_bpe_token_count_matches_duckdb_oracle(spark):
+    """Java regex (Spark) and RE2 (DuckDB) agree piece-for-piece on
+    the corpus under the ASCII lookahead-free split rule."""
+    from etl_spark.operators import textops
+
+    from .compare import compare_query
+    from .conftest import SF_TINY
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    out = textops.token_stats(docs).select("doc_id", "n_tokens_bpe")
+    pat = textops.BPE_SPLIT_RE.replace("'", "''")
+    oracle = rf"""
+SELECT doc_id,
+       CAST(len(list_filter(regexp_extract_all(text, '{pat}'),
+                            p -> regexp_matches(p, '\S'))) AS INTEGER)
+         AS n_tokens_bpe
+FROM documents
+"""
+    res = compare_query(spark, SF_TINY, out, oracle)
+    assert res["ok"], res
