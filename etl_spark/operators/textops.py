@@ -88,11 +88,16 @@ def token_stats(docs: DataFrame) -> DataFrame:
 
 def quality_score(docs: DataFrame) -> DataFrame:
     """Quality heuristics: length, mean token length, lexical diversity,
-    stopword ratio — the usual pretraining-corpus filters."""
+    stopword ratio, punctuation ratio — the usual pretraining-corpus
+    filters. ``punct_ratio`` = non-alphanumeric-non-space chars /
+    total chars (high values flag markup/boilerplate/code-dump docs);
+    it is reported but intentionally NOT part of ``keep`` so existing
+    filter behavior is unchanged — callers threshold it per corpus."""
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     stop = _count_word(F.col("text"), "the") + _count_word(F.col("text"), "a")
+    n_punct = F.length(F.regexp_replace("text", r"[\sA-Za-z0-9]", ""))
     return docs.select(
         "doc_id",
         "lang",
@@ -101,6 +106,8 @@ def quality_score(docs: DataFrame) -> DataFrame:
         F.round(F.length("text") / n_tokens, 6).alias("mean_token_len"),
         F.round(n_distinct / n_tokens, 6).alias("lexical_diversity"),
         F.round(stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(n_punct / F.greatest(F.length("text"), F.lit(1)), 6)
+        .alias("punct_ratio"),
         (
             (F.length("text") >= 100)
             & (n_tokens >= 20)

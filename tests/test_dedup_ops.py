@@ -376,3 +376,21 @@ FROM documents
 """
     res = compare_query(spark, SF_TINY, out, oracle)
     assert res["ok"], res
+
+
+def test_punct_ratio_matches_duckdb_oracle(spark):
+    from etl_spark.operators import textops
+
+    from .compare import compare_query
+    from .conftest import SF_TINY
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    out = textops.quality_score(docs).select("doc_id", "punct_ratio")
+    oracle = r"""
+SELECT doc_id,
+       round(length(regexp_replace(text, '[\sA-Za-z0-9]', '', 'g'))
+             / greatest(length(text), 1), 6) AS punct_ratio
+FROM documents
+"""
+    res = compare_query(spark, SF_TINY, out, oracle)
+    assert res["ok"], res
