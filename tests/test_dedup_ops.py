@@ -394,3 +394,32 @@ FROM documents
 """
     res = compare_query(spark, SF_TINY, out, oracle)
     assert res["ok"], res
+
+
+def test_winnow_guarantee_over_seeded_random_pairs(spark):
+    """The winnowing theorem, pinned on the operator: for EVERY pair of
+    docs sharing a common substring of length >= w + k - 1 = 8, the
+    fingerprint sets intersect — 60 seeded-random pairs with random
+    unrelated flanks, one Spark job."""
+    import random
+    import string
+
+    from etl_spark.operators import simdedup
+
+    rng = random.Random(20260819)
+
+    def rand_text(n):
+        return "".join(rng.choice(string.ascii_lowercase + " ") for _ in range(n))
+
+    rows = []
+    for p in range(60):
+        common = rand_text(8 + rng.randrange(40))  # >= w + k - 1
+        rows.append((2 * p, rand_text(rng.randrange(120)) + common
+                     + rand_text(rng.randrange(120))))
+        rows.append((2 * p + 1, rand_text(rng.randrange(120)) + common
+                     + rand_text(rng.randrange(120))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b)
+           for r in simdedup.winnow_candidate_pairs(docs, min_shared=1).collect()}
+    missing = [p for p in range(60) if (2 * p, 2 * p + 1) not in got]
+    assert not missing, missing
