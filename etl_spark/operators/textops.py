@@ -116,6 +116,65 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``top_bigram_frac``: tokens covered by the single most frequent
+      word bigram (2 x its count / n_tokens) — boilerplate and
+      keyword-stuffed docs spike here while natural prose stays low.
+    - ``dup_line_frac``: lines that are repeats of an earlier line /
+      total lines — scraped navigation chrome and log dumps.
+
+    Both are pure relational derivations (explode → count → max), so
+    the DuckDB oracle reproduces them exactly. Scale shape: one
+    explode + one (doc_id, gram) hash aggregation with map-side
+    combine — cardinality is bounded by total tokens, partitions by
+    doc_id stay balanced, no windows over whole documents."""
+    toks = F.split(F.col("text"), " ")
+    base = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", toks.alias("__t"),
+        F.split(F.col("text"), "\n").alias("__l"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        F.size("__t").alias("n_tokens"),
+        F.explode(
+            F.when(
+                F.size("__t") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("__t") - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("__t", i), F.element_at("__t", i + 1)
+                    ),
+                ),
+            ).otherwise(F.array(F.lit(None).cast("string")))
+        ).alias("bg"),
+    )
+    top_bg = (
+        bigrams.groupBy("doc_id", "n_tokens", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(F.max(F.when(F.col("bg").isNotNull(), F.col("c"))).alias("top_c"))
+    )
+    lines = (
+        base.select("doc_id", F.size("__l").alias("n_lines"),
+                    F.explode("__l").alias("ln"))
+        .groupBy("doc_id", "n_lines")
+        .agg((F.count(F.lit(1)) - F.count_distinct("ln")).alias("n_dup_lines"))
+    )
+    return (
+        top_bg.join(lines, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce(F.col("top_c") * 2 / F.col("n_tokens"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6)
+            .alias("dup_line_frac"),
+        )
+    )
+
+
 def lang_id(docs: DataFrame) -> DataFrame:
     """Marker-word language ID: score per language, argmax with a
     deterministic preference order (en > de > fr > es on ties) so the

@@ -423,3 +423,59 @@ def test_winnow_guarantee_over_seeded_random_pairs(spark):
            for r in simdedup.winnow_candidate_pairs(docs, min_shared=1).collect()}
     missing = [p for p in range(60) if (2 * p, 2 * p + 1) not in got]
     assert not missing, missing
+
+
+def test_repetition_stats_hand_built(spark):
+    from etl_spark.operators import textops
+
+    rows = [
+        (1, "buy now buy now buy now"),          # top bigram "buy now" x3 of 5 bigrams
+        (2, "a perfectly normal short sentence"),
+        (3, "header\nbody\nheader\nheader"),      # 2 dup lines of 4
+        (4, "single"),                            # no bigrams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: (r.top_bigram_frac, r.dup_line_frac)
+           for r in textops.repetition_stats(df).collect()}
+    assert got[1] == (1.0, 0.0)       # "buy now" covers all 6 tokens: 2*3/6
+    assert got[2][0] == round(2 / 5, 6) and got[2][1] == 0.0
+    assert got[3][1] == 0.5
+    assert got[4] == (0.0, 0.0)
+
+
+def test_repetition_stats_match_duckdb_oracle(spark):
+    from etl_spark.operators import textops
+
+    from .compare import compare_query
+    from .conftest import SF_TINY
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    oracle = r"""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS t, string_split(text, chr(10)) AS l
+  FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT doc_id, len(t) AS n_tokens,
+         t[i] || ' ' || t[i + 1] AS bg
+  FROM d, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+),
+topbg AS (
+  SELECT doc_id, n_tokens, max(c) AS top_c
+  FROM (SELECT doc_id, n_tokens, bg, count(*) AS c
+        FROM bg GROUP BY doc_id, n_tokens, bg)
+  GROUP BY doc_id, n_tokens
+),
+lines AS (
+  SELECT d.doc_id, len(l) AS n_lines,
+         len(l) - count(DISTINCT ln) AS n_dup_lines
+  FROM d, unnest(l) AS u(ln)
+  GROUP BY d.doc_id, len(l)
+)
+SELECT li.doc_id,
+       round(coalesce(tb.top_c * 2.0 / tb.n_tokens, 0.0), 6) AS top_bigram_frac,
+       round(n_dup_lines * 1.0 / n_lines, 6) AS dup_line_frac
+FROM lines li LEFT JOIN topbg tb ON tb.doc_id = li.doc_id
+"""
+    res = compare_query(spark, SF_TINY, textops.repetition_stats(docs), oracle)
+    assert res["ok"], res
