@@ -1285,10 +1285,18 @@ class IceliteTable:
                         if hi_t is not None and b0 > hi_t:
                             continue
                 else:
-                    if lo is not None and b[1] < lo:
-                        continue
-                    if hi is not None and b[0] > hi:
-                        continue
+                    # fail OPEN on type mismatch (e.g. a numeric bound
+                    # against a string column's stored bounds): Python
+                    # would raise where Spark's residual filter casts —
+                    # an un-comparable bound means "cannot prune", the
+                    # same contract as an unparsable temporal bound
+                    try:
+                        if lo is not None and b[1] < lo:
+                            continue
+                        if hi is not None and b[0] > hi:
+                            continue
+                    except TypeError:
+                        pass
             out.append(f_)
         return out
 

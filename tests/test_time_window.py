@@ -231,6 +231,14 @@ def test_mixed_type_bounds_do_not_crash(spark, tbl_dir):
     # (the column type forces the temporal path; None bounds = keep all)
     kept3 = t.files_in_range("event_time", "junk", "junk")
     assert len(kept3) == 2
+    # NON-temporal type mismatch fails OPEN, not with a TypeError:
+    # a numeric bound against the string repo column's stored bounds
+    # cannot prune (Spark's residual filter would cast, not crash)
+    kept4 = t.files_in_range("repo", lo=5)
+    assert len(kept4) == 2
+    # int bounds on the long seq column still prune exactly
+    kept5 = t.files_in_range("last_seq", lo=2)
+    assert len(kept5) == 1
 
 
 def test_string_bounds_on_timestamp_column_prune_soundly(spark, tbl_dir):
