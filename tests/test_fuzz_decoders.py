@@ -1,0 +1,127 @@
+"""Seeded byte-flip / truncation fuzz over every wire decoder.
+
+The operating condition all parsers share with the reference is that
+one bad object must never fail the job — it is counted and the task
+continues (etl/task.go error accounting; parser/tcpinfo.go:77-85's
+per-row failure gate). The targeted malformation tests pin specific
+failure modes; this fuzz pins the ENVELOPE: for each format, take the
+reference's own valid blob, apply seeded random byte flips, random
+truncations and random garbage prefixes, and require the Spark job to
+COMPLETE — every mutant either parses or surfaces as corrupted/absent
+rows. An exception type missing from a decoder's catch tuple shows up
+here as a task crash.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import tarfile
+
+import pytest
+
+from etl_spark.sources import disco, paris, sidestream, snaplog, tcpinfo
+
+TD = "/root/reference/parser/testdata"
+SNAPLOG_REF = (
+    f"{TD}/20170509T13:45:13.590210000Z_eb.measurementlab.net:48716.c2s_snaplog"
+)
+SS_REF = f"{TD}/20170203T00:00:00Z_ALL0.web100"
+PT_REF = f"{TD}/20170320T23:53:10Z-172.17.94.34-33456-74.125.224.100-33457.paris"
+TCPINFO_TGZ = f"{TD}/20190516T013026.744845Z-tcpinfo-mlab4-arn02-ndt.tgz"
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(TD), reason="reference testdata not mounted"
+)
+
+N_MUTANTS = 24
+
+
+def _mutants(base: bytes, seed: int) -> list[bytes]:
+    """Deterministic corpus: byte flips, truncations, garbage prefixes,
+    mid-blob splices — plus the pristine blob itself."""
+    rng = random.Random(seed)
+    out = [base]
+    for i in range(N_MUTANTS):
+        b = bytearray(base)
+        mode = i % 4
+        if mode == 0:  # flip 1-16 random bytes
+            for _ in range(rng.randrange(1, 17)):
+                p = rng.randrange(len(b))
+                b[p] ^= rng.randrange(1, 256)
+        elif mode == 1:  # truncate at a random point (header cuts included)
+            b = b[: rng.randrange(len(b))]
+        elif mode == 2:  # random garbage prefix (misaligns every offset)
+            b = bytearray(rng.randbytes(rng.randrange(1, 64))) + b
+        else:  # splice a random window over another random window
+            if len(b) > 64:
+                n = rng.randrange(8, 64)
+                src = rng.randrange(len(b) - n)
+                dst = rng.randrange(len(b) - n)
+                b[dst : dst + n] = b[src : src + n]
+        out.append(bytes(b))
+    return out
+
+
+def _run(spark, parse, name: str, blobs: list[bytes], binary: bool):
+    # every mutant reuses the SAME (valid) member name: several parsers
+    # legitimately derive log time / endpoints from the filename, and
+    # the fuzz targets the CONTENT decode, not filename routing
+    if binary:
+        rows = [(name, blob) for blob in blobs]
+        df = spark.createDataFrame(rows, "member_name string, content binary")
+    else:
+        rows = [
+            (name, blob.decode("utf-8", errors="replace")) for blob in blobs
+        ]
+        df = spark.createDataFrame(rows, "member_name string, content string")
+    # the assertion IS job completion: no mutant may crash the task
+    return parse(df).collect()
+
+
+def test_fuzz_snaplog(spark):
+    with open(SNAPLOG_REF, "rb") as f:
+        base = f.read()
+    out = _run(spark, lambda d: snaplog.parse_snaplogs(d, every=500),
+               "x.snaplog", _mutants(base, 1), binary=True)
+    assert any(not r["corrupted"] for r in out)  # pristine blob parsed
+
+
+def test_fuzz_sidestream(spark):
+    with open(SS_REF, "rb") as f:
+        base = f.read()
+    out = _run(spark, sidestream.parse_sidestream,
+               "20170203T00:00:00Z_ALL0.web100", _mutants(base, 2),
+               binary=False)
+    assert any(not r["corrupted"] for r in out)
+
+
+def test_fuzz_paris(spark):
+    with open(PT_REF, "rb") as f:
+        base = f.read()
+    out = _run(spark, paris.parse_paris, os.path.basename(PT_REF), _mutants(base, 3),
+               binary=False)
+    assert any(not r["corrupted"] for r in out)
+
+
+def test_fuzz_tcpinfo(spark):
+    tf = tarfile.open(TCPINFO_TGZ)
+    base = next(
+        tf.extractfile(m).read() for m in tf
+        if m.isfile() and m.name.endswith(".jsonl.zst")
+    )
+    out = _run(spark, tcpinfo.parse_tcpinfo, "x.jsonl.zst",
+               _mutants(base, 4), binary=True)
+    assert any(not r["corrupted"] for r in out)
+
+
+def test_fuzz_disco(spark):
+    base = (
+        b'{"sample": [{"timestamp": 1e9, "value": 1.5}, '
+        b'{"timestamp": 1000000001, "value": 2.5}], '
+        b'"metric": "switch.octets.local.rx", '
+        b'"hostname": "mlab1", "experiment": "s1"}\n'
+    ) * 20
+    out = _run(spark, disco.parse_disco, "x-switch.json",
+               _mutants(base, 5), binary=True)
+    assert any(not r["decode_error"] for r in out)
