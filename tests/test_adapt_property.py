@@ -1,0 +1,152 @@
+"""Seeded-random equivalence property for the two schema-evolution
+adapters.
+
+Round 5's nested-interior evolution machinery lives in TWO independent
+implementations that must agree byte-for-byte: the Spark/Catalyst
+adapter (``_adapt_col`` via ``_cast_to`` — every read/write cast site)
+and the arrow adapter (``_pa_adapt`` — both compaction kernels, the
+winnow writer). The targeted tests pin deliberate shapes; this
+property pins the SPACE: for seeded random nested schemas (struct /
+array / map nested to depth 3, scalar leaves, random nullability),
+a random evolution (nullable interior adds at any depth + int→long
+widenings), and random data (NULLs at every level: null structs, null
+array elements, null map cells, null map values), both adapters must
+produce the identical adapted rows.
+"""
+
+from __future__ import annotations
+
+import datetime
+import random
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import types as T
+
+from etl_spark.icelite.table import _arrow_type, _cast_to, _pa_adapt
+
+_LEAVES = [T.LongType(), T.DoubleType(), T.StringType(), T.BooleanType(),
+           T.IntegerType()]
+
+
+def _gen_type(rng: random.Random, depth: int) -> T.DataType:
+    if depth <= 0:
+        return rng.choice(_LEAVES)
+    roll = rng.random()
+    if roll < 0.4:
+        return T.StructType([
+            T.StructField(f"f{i}", _gen_type(rng, depth - 1), True)
+            for i in range(rng.randrange(1, 4))
+        ])
+    if roll < 0.7:
+        return T.ArrayType(_gen_type(rng, depth - 1), True)
+    if roll < 0.85:
+        return T.MapType(T.StringType(), _gen_type(rng, depth - 1), True)
+    return rng.choice(_LEAVES)
+
+
+def _evolve(rng: random.Random, t: T.DataType) -> T.DataType:
+    """Target type: same tree with random nullable interior adds and
+    int→long leaf widenings — exactly what evolve_schema accepts."""
+    if isinstance(t, T.StructType):
+        fields = [
+            T.StructField(f.name, _evolve(rng, f.dataType), f.nullable)
+            for f in t.fields
+        ]
+        if rng.random() < 0.6:  # interior add
+            fields.append(T.StructField(
+                f"added{rng.randrange(100)}",
+                rng.choice(_LEAVES + [T.StructType(
+                    [T.StructField("x", T.LongType(), True)])]),
+                True,
+            ))
+        return T.StructType(fields)
+    if isinstance(t, T.ArrayType):
+        return T.ArrayType(_evolve(rng, t.elementType), t.containsNull)
+    if isinstance(t, T.MapType):
+        return T.MapType(t.keyType, _evolve(rng, t.valueType),
+                         t.valueContainsNull)
+    if isinstance(t, T.IntegerType) and rng.random() < 0.5:
+        return T.LongType()  # value-preserving widening
+    return t
+
+
+def _gen_value(rng: random.Random, t: T.DataType):
+    if rng.random() < 0.18:
+        return None
+    if isinstance(t, T.StructType):
+        return {f.name: _gen_value(rng, f.dataType) for f in t.fields}
+    if isinstance(t, T.ArrayType):
+        return [_gen_value(rng, t.elementType)
+                for _ in range(rng.randrange(0, 4))]
+    if isinstance(t, T.MapType):
+        return {f"k{i}": _gen_value(rng, t.valueType)
+                for i in range(rng.randrange(0, 3))}
+    if isinstance(t, T.LongType):
+        return rng.randrange(-(2 ** 40), 2 ** 40)
+    if isinstance(t, T.IntegerType):
+        return rng.randrange(-(2 ** 30), 2 ** 30)
+    if isinstance(t, T.DoubleType):
+        return rng.choice([0.0, -1.5, 3.25, 1e300, -7.125])
+    if isinstance(t, T.BooleanType):
+        return rng.random() < 0.5
+    return f"s{rng.randrange(10 ** 6)}"
+
+
+def _canon(v, t: T.DataType):
+    """Engine-neutral form: Rows → dicts, maps → sorted pair lists."""
+    if v is None:
+        return None
+    if isinstance(t, T.StructType):
+        d = v.asDict() if hasattr(v, "asDict") else dict(v)
+        return {f.name: _canon(d.get(f.name), f.dataType) for f in t.fields}
+    if isinstance(t, T.ArrayType):
+        return [_canon(x, t.elementType) for x in v]
+    if isinstance(t, T.MapType):
+        items = v.items() if isinstance(v, dict) else v
+        return sorted(
+            (k, _canon(x, t.valueType)) for k, x in items
+        )
+    if isinstance(t, (T.LongType, T.IntegerType)):
+        return int(v)
+    return v
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_spark_and_arrow_adapters_agree_on_random_nested_evolution(
+        spark, seed):
+    rng = random.Random(1000 + seed)
+    src = T.StructType([
+        T.StructField(f"c{i}", _gen_type(rng, 3), True) for i in range(3)
+    ])
+    tgt = T.StructType([
+        T.StructField(f.name, _evolve(rng, f.dataType), True)
+        for f in src.fields
+    ])
+    rows = [
+        tuple(_gen_value(rng, f.dataType) for f in src.fields)
+        for _ in range(40)
+    ]
+    # Spark-side: _cast_to (the read/write adaptation every cast site uses)
+    df = spark.createDataFrame(rows, src)
+    got_spark = [
+        tuple(_canon(v, f.dataType) for v, f in zip(r, tgt.fields))
+        for r in _cast_to(df, tgt).collect()
+    ]
+    # Arrow-side: _pa_adapt per column (the compaction-kernel adaptation)
+    tbl = pa.Table.from_pylist(
+        [dict(zip([f.name for f in src.fields], r)) for r in rows],
+        schema=pa.schema([pa.field(f.name, _arrow_type(f.dataType))
+                          for f in src.fields]),
+    )
+    adapted = [
+        _pa_adapt(tbl[f.name], _arrow_type(f.dataType), pa)
+        for f in tgt.fields
+    ]
+    got_arrow = [
+        tuple(_canon(col[i].as_py(), f.dataType)
+              for col, f in zip(adapted, tgt.fields))
+        for i in range(len(tbl))
+    ]
+    assert got_spark == got_arrow, (seed, src.simpleString(),
+                                    tgt.simpleString())
