@@ -643,6 +643,49 @@ def _epoch_props(epoch_id, events_in, rejected, high_watermark, lineage_rows,
     return props
 
 
+def committed_windows(
+    target: IceliteTable, epoch_prefix: str
+) -> dict[int, int]:
+    """``lo -> hi`` for every committed replay window of this prefix.
+
+    Both replay drivers encode the seq window in the epoch id
+    (``prefix:lo:hi``), so a resumed run — under EITHER driver, fixed
+    or adaptive epoch sizing — can jump over already-applied windows
+    at their ORIGINAL boundaries instead of relying on exact-id dedup
+    (which only works when the resumed run recomputes identical ids).
+    Legacy 2-part ids (``prefix:lo``, written before the window was
+    encoded) fall back to the epoch's committed ``high_watermark``
+    property: resuming at watermark+1 is seq-exact for a bounded
+    deterministic stream (no event existed between the watermark and
+    the original window end), though the resumed run's later window
+    boundaries may then differ from the prior run's — state stays
+    correct (the merge is idempotent), but a legacy straddling window
+    can be re-applied under a new id.
+    """
+    snap = target.snapshot()
+    pfx = f"{epoch_prefix}:"
+    committed: dict[int, int] = {}
+    for eid in snap.epochs:
+        if not eid.startswith(pfx):
+            continue
+        parts = eid[len(pfx):].split(":")
+        try:
+            if len(parts) == 2:
+                lo, hi = int(parts[0]), int(parts[1])
+            elif len(parts) == 1:
+                hwm = snap.properties.get(f"epoch:{eid}", {}).get(
+                    "high_watermark")
+                if hwm is None:
+                    continue  # empty legacy epoch: nothing to skip
+                lo, hi = int(parts[0]), int(hwm) + 1
+            else:
+                continue
+        except (TypeError, ValueError):
+            continue
+        committed[lo] = max(committed.get(lo, lo), hi)
+    return committed
+
+
 def replay(
     spark: SparkSession,
     events: DataFrame,
@@ -658,15 +701,25 @@ def replay(
 
     Epoch boundaries are seq ranges (deterministic — replaying yields
     byte-identical epochs, the precondition for idempotent commits).
+    Each epoch id encodes its window (``prefix:lo:hi``) and the loop
+    jumps over windows already committed by a prior run — including
+    one driven by :func:`~etl_spark.streaming.ratelimit.adaptive_replay`
+    with a different (non-replayable) window trajectory — so resume
+    never re-folds applied events or duplicates lineage rows.
     """
     bounds = events.agg(
         F.min(schemas.SEQ_COL).alias("lo"), F.max(schemas.SEQ_COL).alias("hi")
     ).collect()[0]
     if bounds["lo"] is None:
         return []
+    committed = committed_windows(target, epoch_prefix)
     stats = []
     lo = bounds["lo"]
     while lo <= bounds["hi"]:
+        prior_hi = committed.get(lo)
+        if prior_hi is not None and prior_hi > lo:
+            lo = prior_hi  # already applied — resume past it, no job
+            continue
         hi = lo + epoch_size
         chunk = events.where(
             (F.col(schemas.SEQ_COL) >= lo) & (F.col(schemas.SEQ_COL) < hi)
@@ -674,7 +727,7 @@ def replay(
         stats.append(
             apply_epoch(
                 spark, chunk, target, lineage,
-                epoch_id=f"{epoch_prefix}:{lo}", ledger=ledger,
+                epoch_id=f"{epoch_prefix}:{lo}:{hi}", ledger=ledger,
                 merge_mode=merge_mode, quarantine=quarantine,
             )
         )

@@ -97,7 +97,10 @@ def quality_score(docs: DataFrame) -> DataFrame:
     n_tokens = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     stop = _count_word(F.col("text"), "the") + _count_word(F.col("text"), "a")
-    n_punct = F.length(F.regexp_replace("text", r"[\sA-Za-z0-9]", ""))
+    # \p{L}\p{N}, not A-Za-z0-9: ü/é/ñ (and CJK etc.) are letters, not
+    # punctuation — an ASCII-only class misflags ordinary non-English
+    # prose as markup (Java and DuckDB's RE2 agree on \p classes)
+    n_punct = F.length(F.regexp_replace("text", r"[\s\p{L}\p{N}]", ""))
     return docs.select(
         "doc_id",
         "lang",

@@ -236,11 +236,18 @@ patched AS (
 SELECT repo, path,
        max(seq) AS last_seq,
        arg_max(commit, seq) AS commit,
-       arg_max(lang, seq) FILTER (WHERE (lang IS NOT NULL AND op <> 'delete')
-                                     OR op = 'insert') AS lang,
-       sha256(arg_max(content, seq)
+       -- DuckDB's arg_max SKIPS rows whose value arg is NULL, but the
+       -- engine's max_by returns the NULL carried by a winning insert
+       -- (a full row image RESETS the column — dedup.patch_fold). The
+       -- chr(1) sentinel makes the NULL-carrying insert visible to
+       -- arg_max so both engines agree when an insert resets a column
+       -- a previous lifecycle had set.
+       nullif(arg_max(coalesce(lang, chr(1)), seq)
+              FILTER (WHERE (lang IS NOT NULL AND op <> 'delete')
+                         OR op = 'insert'), chr(1)) AS lang,
+       sha256(nullif(arg_max(coalesce(content, chr(1)), seq)
               FILTER (WHERE (content IS NOT NULL AND op <> 'delete')
-                         OR op = 'insert')) AS content_sha256
+                         OR op = 'insert'), chr(1))) AS content_sha256
 FROM patched
 GROUP BY repo, path
 HAVING arg_max(op, seq) FILTER (WHERE op IN ('insert','delete')) = 'insert'

@@ -110,22 +110,31 @@ def scan_tar(
                     out.append((int(gid), "", None, 0))
                     continue
                 with tf:
-                    for m in tf:
-                        if not m.isfile():
-                            continue
-                        if max_member_bytes is not None and m.size > max_member_bytes:
-                            continue
-                        data = tf.extractfile(m).read()
-                        try:
-                            text = data.decode("utf-8")
-                        except UnicodeDecodeError:
-                            # binary member on the TEXT scan surface:
-                            # surfaced as content NULL (size kept) so
-                            # the member is visible, never fatal —
-                            # binary pipelines (snaplog/tcpinfo/paris)
-                            # carry bytes in their own binary columns
-                            text = None
-                        out.append((int(gid), m.name, text, len(data)))
+                    try:
+                        for m in tf:
+                            if not m.isfile():
+                                continue
+                            if max_member_bytes is not None and m.size > max_member_bytes:
+                                continue
+                            data = tf.extractfile(m).read()
+                            try:
+                                text = data.decode("utf-8")
+                            except UnicodeDecodeError:
+                                # binary member on the TEXT scan surface:
+                                # surfaced as content NULL (size kept) so
+                                # the member is visible, never fatal —
+                                # binary pipelines (snaplog/tcpinfo/paris)
+                                # carry bytes in their own binary columns
+                                text = None
+                            out.append((int(gid), m.name, text, len(data)))
+                    except tarfile.ReadError:
+                        # a valid tar PREFIX cut mid-member opens fine
+                        # and then raises during iteration/extractfile
+                        # ("unexpected end of data"); keep the members
+                        # already decoded and append the same flag row
+                        # the unopenable case emits — truncation must
+                        # not fail the job either
+                        out.append((int(gid), "", None, 0))
             yield pd.DataFrame(
                 out, columns=[f.name for f in MEMBER_SCHEMA.fields]
             )

@@ -49,7 +49,9 @@ from pyspark.sql import functions as F
 from etl_spark import schemas
 from etl_spark.icelite.table import IceliteTable
 from etl_spark.ledger import SchemaLedger
-from etl_spark.operators.apply import ApplyStats, apply_epoch
+from etl_spark.operators.apply import (
+    ApplyStats, apply_epoch, committed_windows,
+)
 
 
 @dataclass
@@ -182,17 +184,11 @@ def adaptive_replay(
     if bounds["lo"] is None:
         return []
     # committed windows from prior runs: lo -> hi (epochs commit in
-    # order, so coverage is contiguous from the stream's first lo)
-    committed: dict[int, int] = {}
-    pfx = f"{epoch_prefix}:"
-    for eid in target.snapshot().epochs:
-        if eid.startswith(pfx):
-            parts = eid.split(":")
-            if len(parts) == 3:
-                try:
-                    committed[int(parts[1])] = int(parts[2])
-                except ValueError:
-                    pass
+    # order, so coverage is contiguous from the stream's first lo).
+    # Shared with apply.replay so a table partially loaded by EITHER
+    # driver — plain replay writes the same prefix:lo:hi id format —
+    # resumes past applied windows instead of re-folding them.
+    committed = committed_windows(target, epoch_prefix)
     stats: list[ApplyStats] = []
     lo = bounds["lo"]
     while lo <= bounds["hi"]:

@@ -62,15 +62,18 @@ def test_epoch_split_invariance(spark, tbl_dir):
 
 
 def test_kill_resume_converges(spark, tbl_dir):
-    """Apply epochs 1-2, 'crash', re-run the full replay (epochs 1-2
-    redelivered + 3-4 fresh) → identical to a single uninterrupted run."""
+    """Apply epochs 1-2, 'crash', re-run the full replay (committed
+    windows jumped, 3-4 fresh) → identical to an uninterrupted run."""
     ev = gen.synthetic_events(spark, 2000, n_repos=30, seed=13)
     t1, l1 = fresh(spark, os.path.join(tbl_dir, "resumed"))
     half = ev.where(F.col("seq") < 1000)
     replay(spark, half, t1, l1, epoch_size=500, epoch_prefix="r")
-    # crash here; full replay re-runs all epochs with the same ids
+    # crash here; full replay JUMPS the two committed windows (their
+    # ids encode the seq range) and runs only epochs 3-4 — no Spark
+    # job at all for the redelivered prefix
     stats = replay(spark, ev, t1, l1, epoch_size=500, epoch_prefix="r")
-    assert [s.skipped for s in stats] == [True, True, False, False]
+    assert [s.skipped for s in stats] == [False, False]
+    assert [s.epoch_id for s in stats] == ["r:1000:1500", "r:1500:2000"]
 
     t2, _ = fresh(spark, os.path.join(tbl_dir, "oneshot"))
     replay(spark, ev, t2, None, epoch_size=500, epoch_prefix="r")

@@ -77,3 +77,29 @@ def test_scan_tar_corrupt_blob_and_binary_member_not_fatal(spark):
     assert by[(1, "bin.dat")].content is None
     assert by[(1, "bin.dat")].size == 3
     assert by[(2, "")].content is None  # corrupt-archive flag row
+
+
+def test_scan_tar_truncated_mid_member_not_fatal(spark):
+    """A blob that is a valid tar PREFIX cut mid-member opens fine and
+    then raises ReadError during iteration — that escape route around
+    the open()-only guard killed the job. Members decoded before the
+    cut survive; the truncation adds the same flag row an unopenable
+    blob gets."""
+    import io
+    import tarfile
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in (("a.txt", b"x" * 600), ("b.txt", b"y" * 2400)):
+            info = tarfile.TarInfo(name=name)
+            info.size = len(data)
+            tf.addfile(info, io.BytesIO(data))
+    blob = buf.getvalue()
+    rows = archive.scan_tar(spark.createDataFrame(
+        [(1, blob[:700]), (2, blob[:3100]), (3, blob)],
+        "archive_id long, blob binary")).collect()
+    by = {(r.archive_id, r.member_name): r for r in rows}
+    assert by[(1, "")].content is None          # cut inside a.txt's data
+    assert by[(2, "a.txt")].content == "x" * 600  # survived the cut
+    assert by[(2, "")].content is None          # cut inside b.txt's data
+    assert by[(3, "b.txt")].size == 2400        # intact blob unaffected

@@ -28,3 +28,16 @@ def test_array_ops_empty_and_null_arrays_are_harmless(spark):
     assert {r.vec_id: r.mean_val
             for r in last_element_summary(df).collect()}[2] is None
     assert {r.vec_id: r.n_kept for r in thin_array(df).collect()}[2] == 0
+
+
+def test_w_thin_matches_duckdb_oracle(spark):
+    """w_thin left the 50-slot driver registry in r5 (its seat went to
+    cdc_nested_store; arr_ops duplicates the thinning coverage) — this
+    pin keeps the module function and its oracle exercised."""
+    from etl_spark.queries.streams import _W_THIN_ORACLE, w_thin
+
+    from .compare import compare_query
+    from .conftest import SF_TINY
+
+    res = compare_query(spark, SF_TINY, w_thin(spark, SF_TINY), _W_THIN_ORACLE)
+    assert res["ok"], res

@@ -388,7 +388,7 @@ def test_punct_ratio_matches_duckdb_oracle(spark):
     out = textops.quality_score(docs).select("doc_id", "punct_ratio")
     oracle = r"""
 SELECT doc_id,
-       round(length(regexp_replace(text, '[\sA-Za-z0-9]', '', 'g'))
+       round(length(regexp_replace(text, '[\s\p{L}\p{N}]', '', 'g'))
              / greatest(length(text), 1), 6) AS punct_ratio
 FROM documents
 """

@@ -114,3 +114,47 @@ def test_reinsert_with_null_column_resets_to_null(spark):
     ])
     row = out[("r", "b")]
     assert row["lang"] == "py" and row["content"] == "v2"
+
+
+def test_oracle_agrees_on_null_carrying_insert(spark):
+    """The registered _CDC_PATCH_APPLY_ORACLE must express the
+    insert-resets-to-NULL rule: DuckDB's arg_max SKIPS rows whose value
+    arg is NULL (Spark's max_by returns it), so without the chr(1)
+    sentinel the oracle resurrects 'v1'/'go' here while the engine
+    correctly folds to NULL — a latent driver-gate divergence the
+    generator's NULL bands never exercise."""
+    from etl_spark.queries.cdc import _CDC_PATCH_APPLY_ORACLE
+
+    from .compare import compare_query
+    from .conftest import SF_TINY
+
+    rows = [
+        (1, "insert", "r", "a", "c1", "py", "v1"),
+        (2, "patch", "r", "a", "c2", "go", None),   # content untouched
+        (3, "insert", "r", "a", "c3", None, None),  # full image: reset
+        (1, "insert", "r", "b", "c1", "py", "keep"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string",
+    )
+    out = patch_fold(df).select(
+        "repo", "path", "last_seq", "commit", "lang",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+    )
+    row = {(r.repo, r.path): r for r in out.collect()}
+    assert row[("r", "a")].lang is None
+    assert row[("r", "a")].content_sha256 is None
+
+    values = (
+        "SELECT * FROM (VALUES "
+        "(1,'insert','r','a','c1','py','v1'),"
+        "(2,'patch','r','a','c2','go',NULL),"
+        "(3,'insert','r','a','c3',NULL,NULL),"
+        "(1,'insert','r','b','c1','py','keep')"
+        ") t(seq, op, repo, path, \"commit\", lang, content)"
+    )
+    oracle = _CDC_PATCH_APPLY_ORACLE.format(events=values)
+    res = compare_query(spark, SF_TINY, out, oracle)
+    assert res["ok"], res

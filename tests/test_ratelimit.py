@@ -278,3 +278,60 @@ def test_adaptive_replay_resume_is_window_exact(spark, tbl_dir, monkeypatch):
                 "last_seq").collect()
     )
     assert state(t) == state(t_pl)
+
+
+def test_cross_driver_resume_skips_committed_windows(spark, tbl_dir,
+                                                     monkeypatch):
+    """Both drivers write the same window-encoding epoch id format
+    (prefix:lo:hi), so a table partially loaded by plain replay()
+    resumes under adaptive_replay — and vice versa — without re-folding
+    applied windows or duplicating lineage rows (the id formats used to
+    differ, so every committed window was silently re-applied)."""
+    ev = gen.synthetic_events(spark, 2000, n_repos=20, paths_per_repo=20,
+                              seed=13)
+    t = create_target(spark, os.path.join(tbl_dir, "xa"), n_buckets=8)
+    l_ = create_lineage(spark, os.path.join(tbl_dir, "xal"))
+
+    from etl_spark.operators import apply as apply_mod
+    orig_apply = apply_mod.apply_epoch
+    calls = {"n": 0}
+
+    def crashy(*a, **kw):
+        st = orig_apply(*a, **kw)
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash after commit")
+        return st
+
+    # run 1: plain fixed-size replay, crash after epoch 2 commits
+    monkeypatch.setattr("etl_spark.operators.apply.apply_epoch", crashy)
+    with pytest.raises(RuntimeError):
+        replay(spark, ev, t, l_, epoch_size=500)
+    monkeypatch.setattr("etl_spark.operators.apply.apply_epoch", orig_apply)
+
+    # run 2: adaptive driver with a different window trajectory must
+    # jump the two replay-committed windows at their exact boundaries
+    stats = adaptive_replay(
+        spark, ev, t, l_,
+        controller=ctl(cap=800, min_cap=100, max_cap=1200, slo_sec=1e9))
+    assert stats and all(not s.skipped for s in stats)
+    los = {int(s.epoch_id.split(":")[1]) for s in stats}
+    assert min(los) >= 1000  # resumed past both committed windows
+
+    # run 3: plain replay over the finished table applies nothing new
+    stats3 = replay(spark, ev, t, l_, epoch_size=300)
+    assert all(s.skipped or s.events_in == 0 for s in stats3) or not stats3
+
+    # lineage: every event accounted exactly once across the two runs
+    totals = l_.read().where("partition_id = -1")
+    got = sum(r.event_count for r in totals.collect())
+    assert got == 2000
+
+    t_pl = create_target(spark, os.path.join(tbl_dir, "xb"), n_buckets=8)
+    replay(spark, ev, t_pl, None, epoch_size=700)
+    state = lambda tt: sorted(  # noqa: E731
+        tuple(r) for r in tt.read()
+        .select("repo", "path", "commit", "lang", "content_sha256",
+                "last_seq").collect()
+    )
+    assert state(t) == state(t_pl)
