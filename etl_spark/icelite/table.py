@@ -78,15 +78,59 @@ class NoSuchTable(Exception):
     pass
 
 
+def _place_exclusive(tmp: str, path: str) -> None:
+    """Publish ``tmp`` at ``path`` with exactly-one-winner semantics:
+    hard-link (atomic, torn-file-proof), falling back to O_EXCL create
+    + copy on filesystems without hard links (FUSE/object-store
+    mounts, SMB) — same one-winner guarantee, only the torn-file
+    window (no tmp staging) is wider there, mitigated by unlinking the
+    claimed path if the copy fails so the name never wedges. Raises
+    FileExistsError when a concurrent creator won. The caller removes
+    ``tmp``."""
+    try:
+        os.link(tmp, path)
+        return
+    except FileExistsError:
+        raise
+    except OSError as e:
+        if e.errno not in (errno.EPERM, errno.ENOTSUP, errno.EOPNOTSUPP,
+                           errno.ENOSYS, errno.EXDEV):
+            raise
+    fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        try:
+            with open(tmp, "rb") as src:
+                buf = src.read()
+            # POSIX permits short writes: loop, or a torn file lands at
+            # the final path in NORMAL operation (not just on crash)
+            off = 0
+            while off < len(buf):
+                off += os.write(fd, buf[off:])
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+    except BaseException:
+        # a failed write (ENOSPC, EIO on fsync) has already claimed the
+        # final path — remove the torn file before surfacing
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        raise
+
+
 def _atomic_write_json(path: str, payload: dict) -> None:
-    """Write JSON then O_EXCL-link into place — the atomic commit op."""
+    """Write JSON then O_EXCL-place into position — the atomic commit
+    op for every snapshot, branch fork, and rollback (with the same
+    no-hard-link fallback as tags, or those mounts could tag but never
+    commit)."""
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as f:
         json.dump(payload, f)
         f.flush()
         os.fsync(f.fileno())
     try:
-        os.link(tmp, path)  # fails with EEXIST if a concurrent commit won
+        _place_exclusive(tmp, path)  # FileExistsError if a commit won
     except FileExistsError as e:
         raise CommitConflict(path) from e
     finally:
@@ -1180,7 +1224,15 @@ class IceliteTable:
             return df
 
         if not files:
-            return proj(self.spark.createDataFrame([], schema))
+            if resolve and not keep_deletes:
+                return proj(self.spark.createDataFrame([], schema))
+            # resolve=False / keep_deletes contractually carry __op —
+            # the empty case must match or a caller's .where("__op…")
+            # crashes only when pruning removed every file
+            return proj(self.spark.createDataFrame([], T.StructType(
+                schema.fields
+                + [T.StructField("__op", T.StringType(), True)]
+            )), with_op=True)
         if not resolve:
             # resolve=False is the RAW view: every committed row, base
             # AND delta, with a __op provenance column ('base' for base
@@ -1232,11 +1284,26 @@ class IceliteTable:
         return [os.path.join(self.data_path, f_.path) for f_ in new if f_.path not in old]
 
     def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
+        """Rows in files added between two snapshots.
+
+        When the incremental set contains delta-kind files (a keyed MoR
+        table), the result carries the ``__op`` provenance column:
+        reading those files with the plain schema would surface delete
+        tombstones as ordinary live rows (phantom inserts for deleted
+        keys). For resolved row-level change semantics on keyed tables
+        use ``changes_between`` instead."""
         snap = self.snapshot(to_version)
-        paths = self.incremental_files(from_version, to_version)
-        if not paths:
+        old = {f_.path for f_ in self.snapshot(from_version).files}
+        new_files = [f_ for f_ in snap.files if f_.path not in old]
+        if not new_files:
             return self.spark.createDataFrame([], snap.current_schema)
-        return self.spark.read.schema(snap.current_schema).parquet(*paths)
+        if any(f_.kind == "delta" for f_ in new_files):
+            return self._read_file_group(
+                snap, new_files, snap.current_schema, with_op=True
+            )
+        return self.spark.read.schema(snap.current_schema).parquet(
+            *[os.path.join(self.data_path, f_.path) for f_ in new_files]
+        )
 
     def files_in_range(self, col: str, lo=None, hi=None,
                        version: int | None = None) -> list[DataFile]:
@@ -1320,7 +1387,11 @@ class IceliteTable:
                 "read_range is append-only-table pruning; on a keyed "
                 "MoR table filter read() output instead"
             )
-        files = self.files_in_range(col, lo, hi, version)
+        # pin the version actually snapshotted above: with version=None
+        # a second "current" resolution here could see a concurrent
+        # commit and read new-schema files with the old schema (torn
+        # read); module contract is old-or-new, never partial
+        files = self.files_in_range(col, lo, hi, snap.version)
         schema = snap.current_schema
         if not files:
             return self.spark.createDataFrame([], schema)
@@ -1380,8 +1451,16 @@ class IceliteTable:
         kept = {f_.path for f_ in self.files_in_range(col, lo, hi, v)}
         wide = self.read(version=v, resolve=False,
                          file_filter=lambda f_: f_.path in kept)
+        # null-safe: NULL key values are real groups everywhere else in
+        # the engine (read_matching, merge_lww) — a name-based equi-join
+        # would silently drop a NULL-keyed winner from the window
         out = (
-            wide.join(win_id, on=keys + ["last_seq"], how="left_semi")
+            wide.alias("__w").join(
+                win_id.alias("__s"),
+                [F.col(f"__w.{c}").eqNullSafe(F.col(f"__s.{c}"))
+                 for c in keys + ["last_seq"]],
+                "left_semi",
+            )
             # base/delta twins of one winner identity (a compaction's
             # base row duplicating the still-live delta row) carry
             # identical payloads — keep one
@@ -1641,8 +1720,12 @@ class IceliteTable:
             except Exception:  # unreadable/corrupt sidecar: never prune
                 return True
 
-        base = self.read(buckets=buckets, file_filter=keep,
-                         columns=read_cols)
+        # version pin: the probe buckets were hashed under THIS
+        # snapshot's modulus — an unpinned read would re-resolve the
+        # current snapshot, and a split_buckets committing in between
+        # renumbers files so the pruning silently misses keys
+        base = self.read(version=snap.version, buckets=buckets,
+                         file_filter=keep, columns=read_cols)
         # null-safe: a NULL key value must match its stored row
         out = base.join(
             F.broadcast(kdf),
@@ -1767,44 +1850,9 @@ class IceliteTable:
             f.flush()
             os.fsync(f.fileno())
         try:
-            os.link(tmp, path)
+            _place_exclusive(tmp, path)
         except FileExistsError:
             raise FileExistsError(f"tag exists: {name!r}") from None
-        except OSError as e:
-            # hard links are unsupported on some mounts (FUSE/object
-            # stores, SMB): fall back to O_EXCL create — same
-            # exactly-one-winner guarantee, only the torn-file window
-            # (no tmp staging) is wider on those filesystems.
-            if e.errno not in (errno.EPERM, errno.ENOTSUP, errno.EOPNOTSUPP,
-                               errno.ENOSYS, errno.EXDEV):
-                raise
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            except FileExistsError:
-                raise FileExistsError(f"tag exists: {name!r}") from None
-            try:
-                try:
-                    with open(tmp, "rb") as src:
-                        buf = src.read()
-                    # POSIX permits short writes: loop, or a torn tag
-                    # file lands at the final path in NORMAL operation
-                    # (not just on crash) and the name wedges forever
-                    # (tags are immutable, EEXIST blocks every retry)
-                    off = 0
-                    while off < len(buf):
-                        off += os.write(fd, buf[off:])
-                    os.fsync(fd)
-                finally:
-                    os.close(fd)
-            except BaseException:
-                # a failed write (ENOSPC, EIO on fsync) has already
-                # claimed the final path — remove the torn file before
-                # surfacing, or the immutable name wedges forever
-                try:
-                    os.unlink(path)
-                except OSError:
-                    pass
-                raise
         finally:
             os.unlink(tmp)
         return snap.version
@@ -2041,6 +2089,15 @@ class IceliteTable:
         import pyarrow as pa
 
         snap = self.snapshot()
+        if snap.key_cols:
+            # the flat file would be manifested as bucket 0 regardless
+            # of where its keys hash — invisible to every bucket-pruned
+            # read (read_matching/read_keys) and wrongly co-resolved by
+            # merge_lww. Keyed tables go through append()/append_delta.
+            raise ValueError(
+                "append_rows_local requires a keyless table; use "
+                "append() on a keyed table"
+            )
         if epoch_id is not None and epoch_id in snap.epochs:
             return snap
         schema = snap.current_schema
@@ -2195,12 +2252,21 @@ class IceliteTable:
           WHEN MATCHED AND u.seq>t.seq                    THEN UPDATE
           WHEN NOT MATCHED AND u.op<>'delete'             THEN INSERT
 
-        The seq guard makes row-level application monotone, so replaying
-        an old epoch is a no-op even without the epoch ledger.
+        A DELETE is physical for readers (the row leaves ``read()``)
+        but leaves a TOMBSTONE row in a delta-kind file, and tombstones
+        already retained in the touched buckets (a compacted delta
+        table, or a prior merge's deletes) are carried through the
+        rewrite rather than dropped. That is what makes the seq guard
+        actually monotone: without the tombstone, replaying an old
+        epoch (or any late lower-seq event) would NOT-MATCH a deleted
+        key and resurrect it. ``compact`` reclaims tombstones later
+        under its watermark policy.
 
         Scale path: only buckets containing updated keys are read and
         rewritten; the bucket set is collected from a tiny distinct agg
-        over the (already deduped) updates frame.
+        over the (already deduped) updates frame. The merged bucket set
+        is persisted (memory-and-disk) for the two filtered writes —
+        the same working set the single write already shuffled.
         """
         snap = self.snapshot()
         if epoch_id is not None and epoch_id in snap.epochs:
@@ -2220,7 +2286,12 @@ class IceliteTable:
             return self._commit(snap, snap.files, snap.schemas, epoch_id,
                                 properties, operation="merge")
 
-        base = self.read(buckets=touched).withColumn(
+        # keep_deletes: a delta table's retained tombstones are load-
+        # bearing (compact() keeps them so a late lower-seq event
+        # cannot resurrect a deleted key) — a resolve-only read here
+        # would silently discard them while the bucket rewrite below
+        # drops the delta files that carried them
+        base = self.read(buckets=touched, keep_deletes=True).withColumn(
             "__bucket", bucket_expr(key_cols, snap.n_buckets)
         )
         # Build update side: adapt data cols onto the target schema
@@ -2256,22 +2327,52 @@ class IceliteTable:
         t_present = F.col(f"t.{seq_col}").isNotNull()
         u_newer = (~t_present) | (F.col(f"__u_{seq_col}") > F.col(f"t.{seq_col}"))
         take_update = u_present & u_newer
-        is_delete = F.col("__u_op") == "delete"
-        keep = ~(take_update & is_delete)  # delete wins → row dropped
-        merged = joined.where(keep).select(
+        # final per-key winner op: the update's op where it wins, else
+        # the base row's provenance ('base'/'insert'/'update' = live,
+        # 'delete' = a retained tombstone that nothing overrode)
+        fop = F.coalesce(
+            F.when(take_update, F.col("__u_op")).otherwise(F.col("t.__op")),
+            F.lit("base"),
+        )
+        merged = joined.select(
             *[
                 F.when(take_update, F.col(f"__u_{c}")).otherwise(F.col(f"t.{c}")).alias(c)
                 for c in data_cols
-            ]
+            ],
+            fop.alias("__fop"),
         )
-        new_files = self._write_datafiles(
-            merged, schema, len(snap.schemas) - 1, bucketed=True, buckets_hint=len(touched)
-        )
+        from pyspark import StorageLevel
+
+        merged = merged.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            live = merged.where(F.col("__fop") != "delete").select(*data_cols)
+            new_files = self._write_datafiles(
+                live, schema, len(snap.schemas) - 1, bucketed=True,
+                buckets_hint=len(touched)
+            )
+            # winning deletes become/remain TOMBSTONES (delta-kind
+            # rows, exactly what compact() retains): physically
+            # dropping them would let a later out-of-order lower-seq
+            # event NOT-MATCH and resurrect the key — the convergence
+            # guarantee both the delta path and the docstring's
+            # "replaying an old epoch is a no-op" claim depend on
+            tombs = merged.where(F.col("__fop") == "delete")
+            if tombs.isEmpty():
+                delta_files: list[DataFile] = []
+            else:
+                _, delta_files = self.write_delta_files(
+                    tombs.select(*data_cols,
+                                 F.col("__fop").alias("__merge_op")),
+                    op_col="__merge_op", snap=snap,
+                )
+        finally:
+            merged.unpersist()
         tset = set(touched)
         kept = [f_ for f_ in snap.files if f_.bucket not in tset]
         # new_files may include empty buckets only if data landed there; fine
-        return self._commit(snap, kept + new_files, snap.schemas, epoch_id,
-                            properties, operation="merge")
+        return self._commit(snap, kept + new_files + delta_files,
+                            snap.schemas, epoch_id, properties,
+                            operation="merge")
 
     # -- merge-on-read (delta) path -----------------------------------------
 
@@ -2684,6 +2785,13 @@ class IceliteTable:
         the caller re-stages against a fresh fork. The publish itself is
         one O_EXCL version-file write, so it also loses cleanly to a
         racing main commit."""
+        if self.branch_name is not None:
+            # on a branch handle current_version() reads the BRANCH
+            # chain while _branch_dir resolves from main — publishing
+            # would compare mismatched chains and could commit one
+            # branch's head into another's, like the other maintenance
+            # ops this must run on the main handle
+            raise ValueError("publish_branch runs on the main table handle")
         bdir = self._branch_dir(name)
         with open(os.path.join(bdir, "fork.json")) as f:
             fork = json.load(f)

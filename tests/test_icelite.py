@@ -1142,3 +1142,106 @@ def test_evolve_rejects_lossy_numeric_widening(spark, tbl_dir):
             f if f.name != "v" else T.StructField("v", T.DoubleType(), True)
             for f in long_schema.fields
         ]))
+
+
+def test_merge_lww_delete_is_monotone_without_ledger(spark, tbl_dir):
+    """merge_lww's docstring promises replaying an old epoch is a no-op
+    even without the epoch ledger — that requires a DELETE to leave a
+    tombstone, or the replayed old insert NOT-MATCHes and resurrects."""
+    t = make(spark, tbl_dir)
+    t.merge_lww(_updf(spark, [("r1", "p1", 1, 100, "insert")]))
+    t.merge_lww(_updf(spark, [("r1", "p1", None, 200, "delete")]))
+    assert t.read().count() == 0
+    # replay the old insert (no epoch ledger) → key stays dead
+    t.merge_lww(_updf(spark, [("r1", "p1", 1, 100, "insert")]))
+    assert t.read().count() == 0
+    # a genuinely newer insert resurrects
+    t.merge_lww(_updf(spark, [("r1", "p1", 5, 300, "insert")]))
+    assert [(r.repo, r.path, r.v, r.last_seq)
+            for r in t.read().collect()] == [("r1", "p1", 5, 300)]
+
+
+def test_merge_lww_preserves_retained_delta_tombstones(spark, tbl_dir):
+    """A CoW merge rewrites every touched bucket and drops its delta
+    files — retained tombstones in those files are load-bearing (they
+    block late lower-seq resurrection) and must be carried through."""
+    t = make(spark, tbl_dir, n_buckets=1)  # everything in one bucket
+    t.append_delta(_updf(spark, [("r1", "p1", 1, 100, "delete"),
+                                 ("r2", "p2", 2, 10, "insert")]))
+    t.compact()  # no watermark → tombstone retained
+    # CoW merge touching the same bucket with an unrelated key
+    t.merge_lww(_updf(spark, [("r3", "p3", 3, 20, "insert")]))
+    # out-of-order lower-seq insert for the deleted key
+    t.append_delta(_updf(spark, [("r1", "p1", 9, 50, "insert")]))
+    assert sorted((r.repo, r.path) for r in t.read().collect()) == [
+        ("r2", "p2"), ("r3", "p3")]
+
+
+def test_empty_read_carries_op_contract(spark, tbl_dir):
+    """resolve=False and keep_deletes=True always carry __op — including
+    when pruning (or an empty table) removed every file, or a caller's
+    .where('__op…') crashes only in the empty case."""
+    t = make(spark, tbl_dir)
+    raw = t.read(resolve=False)
+    assert "__op" in raw.columns and raw.count() == 0
+    assert "__op" in t.read(keep_deletes=True).columns
+    assert "__op" not in t.read().columns
+
+
+def test_read_matching_pins_probe_snapshot_version(spark, tbl_dir,
+                                                   monkeypatch):
+    """The probe buckets are hashed under one snapshot's modulus; the
+    file read must pin that same version or a concurrent split_buckets
+    silently breaks the pruning."""
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", 1, 1)]))
+    seen = {}
+    orig = IceliteTable.read
+
+    def spy(self, *a, **kw):
+        seen.setdefault("version", kw.get("version"))
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(IceliteTable, "read", spy)
+    keys = spark.createDataFrame([("r1", "a")], "repo string, path string")
+    assert t.read_matching(keys).count() == 1
+    assert seen["version"] == t.current_version()
+
+
+def test_append_rows_local_refuses_keyed_table(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    with pytest.raises(ValueError, match="keyless"):
+        t.append_rows_local([("r1", "a", 1, 1)])
+
+
+def test_read_incremental_surfaces_delta_tombstones(spark, tbl_dir):
+    """Delta files carry tombstones: reading them with the plain schema
+    would surface a delete as a live row (phantom insert)."""
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "p1", 1, 100, "insert")]))
+    t.append_delta(_updf(spark, [("r1", "p1", None, 200, "delete")]))
+    inc = t.read_incremental(from_version=1)
+    assert "__op" in inc.columns
+    assert [(r["repo"], r["__op"]) for r in inc.collect()] == [
+        ("r1", "delete")]
+
+
+def test_commit_and_tag_fall_back_without_hard_links(spark, tbl_dir,
+                                                     monkeypatch):
+    """Object-store/FUSE/SMB mounts have no hard links: every commit
+    goes through the same O_EXCL fallback tags already had — one-winner
+    semantics preserved, losers still conflict."""
+    import errno as _errno
+
+    t = make(spark, tbl_dir)
+
+    def no_link(src, dst, *a, **kw):
+        raise OSError(_errno.ENOTSUP, "hard links unsupported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    t.append(df(spark, [("r1", "a", 1, 1)]))
+    assert t.read().count() == 1
+    t.create_tag("fb")
+    assert t.tag_version("fb") == t.current_version()
+    with pytest.raises(FileExistsError):
+        t.create_tag("fb")
