@@ -1,0 +1,95 @@
+"""Dynamic row-shape helpers (SURVEY.md §2.8 C10, C12).
+
+Closes the last two §2 inventory lines that were previously marked
+"justified n/a" — both are now implemented Spark-first so a reference
+user migrating a dynamic-schema pipeline has the same tools:
+
+- ``struct_to_map``  — C10 struct→map flattening by reflection
+  (parser/ndt.go:787-814 ``CopyStructToMap``): the reference walks an
+  arbitrary struct with ``reflect``, lowercases field names, honors the
+  json tag, and SKIPS empty-string / zero-int fields (its omitempty
+  shim). Spark-first analog: the "reflection" happens ONCE on the
+  driver over the DataFrame's StructType — the per-row work compiles to
+  a pure JVM ``create_map`` + ``map_filter`` expression inside
+  whole-stage codegen, no Python in the hot path. Values are cast to
+  string (Spark maps need one value type; the reference's
+  ``map[string]bigquery.Value`` is heterogeneous, and its sink
+  JSON-encodes anyway).
+
+- ``row_size_stats`` — C12 row-size estimation (bq/insert.go:43,
+  193-216 ``maybeCountRowSize``): the reference JSON-marshals every
+  100th insert and feeds a histogram, explicitly accepting the wasted
+  marshal as a 1% CPU tax. Spark-first analog: ``df.sample(fraction)``
+  → ``length(to_json(struct(*)))`` → one partial-aggregated stats row
+  (count / avg / max / percentiles). The sample keeps the exact 1%
+  contract; at 100 TB the marshal runs distributed and the aggregate
+  ships a single row to the driver. (Stored tables get these numbers
+  for free from icelite manifests; this is for in-flight frames that
+  have no manifest yet — the reference's insert-buffer case.)
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def struct_to_map(df: DataFrame, struct_col: str,
+                  skip_empty: bool = True) -> Column:
+    """``map<string,string>`` column flattening ``struct_col``'s fields.
+
+    Field names are lowercased (reference behavior); with
+    ``skip_empty`` (the reference's omitempty shim) empty-string and
+    zero-integer fields are dropped from the map, as are NULLs — a
+    NULL struct yields NULL, matching Go's nil-pointer panic contract
+    softened to SQL semantics. Nested struct/array fields are
+    JSON-encoded into the string value (the reference stores them as
+    opaque ``bigquery.Value`` and JSON-encodes at the sink).
+    """
+    st = df.schema[struct_col].dataType
+    if not isinstance(st, T.StructType):
+        raise TypeError(f"{struct_col!r} is {st.simpleString()}, not a struct")
+    pairs = []
+    for f in st.fields:
+        v = F.col(struct_col)[f.name]
+        if isinstance(f.dataType, (T.StructType, T.ArrayType, T.MapType)):
+            sv = F.to_json(v)
+        else:
+            sv = v.cast("string")
+        if skip_empty:
+            if isinstance(f.dataType, T.StringType):
+                sv = F.when(v != F.lit(""), sv)
+            elif isinstance(f.dataType, (T.LongType, T.IntegerType,
+                                         T.ShortType, T.ByteType)):
+                sv = F.when(v != F.lit(0), sv)
+        pairs.append((F.lit(f.name.lower()), sv))
+    m = F.create_map(*chain.from_iterable(pairs))
+    # create_map cannot conditionally omit entries — skipped/NULL fields
+    # carry NULL values into the map and map_filter removes them JVM-side
+    m = F.map_filter(m, lambda _k, v: v.isNotNull())
+    return F.when(F.col(struct_col).isNotNull(), m)
+
+
+def row_size_stats(df: DataFrame, fraction: float = 0.01,
+                   seed: int = 7) -> DataFrame:
+    """One-row frame of JSON-marshalled row-size statistics over a
+    ``fraction`` sample: ``(sampled_rows, avg_bytes, max_bytes, p50,
+    p95, p99)``. The marshal (``to_json(struct(*))``) and the
+    percentile sketch both run as partial aggregates inside codegen —
+    the driver receives exactly one row regardless of input size."""
+    sz = F.length(F.to_json(F.struct(*df.columns)))
+    return (
+        df.sample(fraction=fraction, seed=seed)
+        .select(sz.alias("row_bytes"))
+        .agg(
+            F.count("row_bytes").alias("sampled_rows"),
+            F.avg("row_bytes").alias("avg_bytes"),
+            F.max("row_bytes").alias("max_bytes"),
+            F.percentile_approx("row_bytes", 0.5).alias("p50"),
+            F.percentile_approx("row_bytes", 0.95).alias("p95"),
+            F.percentile_approx("row_bytes", 0.99).alias("p99"),
+        )
+    )

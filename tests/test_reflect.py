@@ -1,0 +1,86 @@
+"""C10 struct→map reflection + C12 row-size estimation (reflect.py)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.functions.reflect import row_size_stats, struct_to_map
+
+
+def _frame(spark):
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("Meta", T.StructType([
+            T.StructField("Host", T.StringType()),
+            T.StructField("Port", T.LongType()),
+            T.StructField("Note", T.StringType()),
+            T.StructField("Tags", T.ArrayType(T.StringType())),
+        ])),
+    ])
+    rows = [
+        (1, ("mlab1", 3001, "ok", ["a", "b"])),
+        (2, ("", 0, None, None)),        # omitempty: host "" and port 0 drop
+        (3, None),                        # NULL struct → NULL map
+    ]
+    return spark.createDataFrame(rows, schema)
+
+
+def test_struct_to_map_lowercases_and_omits_empty(spark):
+    df = _frame(spark)
+    out = df.select("id", struct_to_map(df, "Meta").alias("m")).collect()
+    by_id = {r.id: r.m for r in out}
+    assert by_id[1] == {"host": "mlab1", "port": "3001", "note": "ok",
+                        "tags": '["a","b"]'}
+    assert by_id[2] == {}  # "" string, 0 int, NULLs all omitted
+    assert by_id[3] is None
+
+
+def test_struct_to_map_keep_empty(spark):
+    df = _frame(spark)
+    out = {r.id: r.m for r in
+           df.select("id", struct_to_map(df, "Meta", skip_empty=False)
+                     .alias("m")).collect()}
+    assert out[2] == {"host": "", "port": "0"}  # NULLs still drop
+
+
+def test_struct_to_map_rejects_non_struct(spark):
+    df = _frame(spark)
+    try:
+        struct_to_map(df, "id")
+    except TypeError as e:
+        assert "not a struct" in str(e)
+    else:
+        raise AssertionError("expected TypeError")
+
+
+def test_struct_to_map_is_jvm_only(spark):
+    """The reflection happens on the driver; the per-row expression must
+    stay inside whole-stage codegen (no BatchEvalPython)."""
+    df = _frame(spark)
+    plan = (df.select(struct_to_map(df, "Meta").alias("m"))
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Python" not in plan
+
+
+def test_row_size_stats_matches_json_marshal(spark):
+    df = spark.range(200).select(
+        F.col("id"), F.lit("x" * 40).alias("pad"))
+    # fraction=1.0 → exact: every row is the same shape, so avg == max
+    row = row_size_stats(df, fraction=1.0).collect()[0]
+    expect = len(json.dumps(
+        {"id": 0, "pad": "x" * 40}, separators=(",", ":")))
+    assert row.sampled_rows == 200
+    assert row.max_bytes >= row.p99 >= row.p50
+    # Spark's to_json of {"id":N,"pad":...} — same minified shape
+    assert abs(row.avg_bytes - expect) <= 2  # id digit-width wiggle
+
+
+def test_row_size_stats_sampling_bounds(spark):
+    df = spark.range(10_000).select(F.col("id"),
+                                    F.lit("y" * 10).alias("pad"))
+    row = row_size_stats(df, fraction=0.01, seed=7).collect()[0]
+    # Bernoulli sample: ~100 expected, generous bounds keep this stable
+    assert 30 <= row.sampled_rows <= 300
