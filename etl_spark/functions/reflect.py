@@ -52,6 +52,26 @@ def struct_to_map(df: DataFrame, struct_col: str,
     st = df.schema[struct_col].dataType
     if not isinstance(st, T.StructType):
         raise TypeError(f"{struct_col!r} is {st.simpleString()}, not a struct")
+    # lowercasing can collide field names (`Host` + `host`): Spark's
+    # default case-insensitive resolution cannot even ADDRESS such a
+    # field (`s.host` raises AMBIGUOUS_REFERENCE_TO_FIELDS), and were
+    # it addressable the duplicate map key would abort mid-job under
+    # mapKeyDedupPolicy=EXCEPTION. Surface the collision driver-side
+    # as an immediate, actionable TypeError instead of a mid-job
+    # executor failure (the Go reference silently last-wins into its
+    # map; SQL engines reject the shape outright, so fail loud).
+    seen: dict[str, str] = {}
+    for f in st.fields:
+        k = f.name.lower()
+        if k in seen:
+            raise TypeError(
+                f"struct {struct_col!r} fields {seen[k]!r} and "
+                f"{f.name!r} collide at map key {k!r} after "
+                "lowercasing — rename one (Spark cannot resolve a "
+                "case-colliding struct field, and a map cannot carry "
+                "duplicate keys)"
+            )
+        seen[k] = f.name
     pairs = []
     for f in st.fields:
         v = F.col(struct_col)[f.name]

@@ -151,7 +151,6 @@ def derived_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator, not re-derivation of the shared fixture. Off by default:
     driver correctness runs get the pure lazy plan."""
     import os
-    import tempfile
 
     load_tables(spark, sf_dir, ("lineitem",))
     df = spark.sql(derived_events_sql("spark"))

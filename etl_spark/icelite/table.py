@@ -74,6 +74,20 @@ class CommitConflict(Exception):
     """Another writer committed the version we tried to write."""
 
 
+class CorruptSnapshot(Exception):
+    """A version manifest exists but does not parse — a torn claim from
+    a committer that crashed mid-write on a no-hardlink filesystem
+    (see ``_place_exclusive``). Aged torn files are auto-reclaimed by
+    ``snapshot()``; this surfaces only for fresh (possibly in-flight)
+    ones."""
+
+
+# an unparsable version file older than this is a dead writer's torn
+# claim (the publish copy is one buffered write, milliseconds) — safe
+# to reclaim; younger files might be an in-flight O_EXCL-fallback write
+_TORN_GRACE_SEC = 30.0
+
+
 class NoSuchTable(Exception):
     pass
 
@@ -1099,8 +1113,42 @@ class IceliteTable:
             st: os.stat_result | None = os.stat(self._version_file(v))
         except FileNotFoundError:
             st = None
-        with open(self._version_file(v)) as f:
-            snap = Snapshot.from_json(json.load(f))
+        try:
+            with open(self._version_file(v)) as f:
+                snap = Snapshot.from_json(json.load(f))
+        except (json.JSONDecodeError, UnicodeDecodeError) as e:
+            # torn version file: _place_exclusive's no-hardlink O_EXCL
+            # fallback has a crash window between claiming the name and
+            # completing the write (SIGKILL/OOM mid-copy) — the torn
+            # claim would otherwise wedge the table forever (readers
+            # crash here, every commit loses to the dead name). Writes
+            # are one small buffered copy (ms), so an unparsable file
+            # OLDER than the grace window is provably a dead writer's
+            # claim, never an in-flight one: reclaim it and resolve as
+            # if the crashed commit never happened (crash-before-commit
+            # semantics — no reader can have seen a parsable state of
+            # this version). The identity re-check before unlink means
+            # a concurrent reclaim+valid-recommit (fresh mtime_ns) is
+            # never deleted.
+            if st is not None and time.time() - st.st_mtime > _TORN_GRACE_SEC:
+                try:
+                    st2 = os.stat(self._version_file(v))
+                    if (st2.st_mtime_ns, st2.st_size) == (
+                            st.st_mtime_ns, st.st_size):
+                        os.unlink(self._version_file(v))
+                        self._snap_cache.pop(v, None)
+                        if version is None:
+                            # re-resolve current: falls back to v-1 (or
+                            # a newer valid commit that landed since)
+                            return self.snapshot(None)
+                except OSError:
+                    pass
+            raise CorruptSnapshot(
+                f"unparsable snapshot manifest {self._version_file(v)!r}: "
+                f"{e} (torn write from a crashed committer? files newer "
+                f"than {_TORN_GRACE_SEC}s are treated as in-flight and "
+                "not reclaimed)"
+            ) from e
         if st is not None:
             if len(self._snap_cache) >= 32:
                 # FIFO eviction: long-lived handles keep caching NEW

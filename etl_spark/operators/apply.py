@@ -644,7 +644,8 @@ def _epoch_props(epoch_id, events_in, rejected, high_watermark, lineage_rows,
 
 
 def committed_windows(
-    target: IceliteTable, epoch_prefix: str
+    target: IceliteTable, epoch_prefix: str,
+    lineage: IceliteTable | None = None,
 ) -> dict[int, int]:
     """``lo -> hi`` for every committed replay window of this prefix.
 
@@ -661,10 +662,23 @@ def committed_windows(
     boundaries may then differ from the prior run's — state stays
     correct (the merge is idempotent), but a legacy straddling window
     can be re-applied under a new id.
+
+    ``epoch:<id>`` props are deliberately PRUNED once an epoch's
+    lineage append lands (see :func:`_epoch_props`) — the steady state
+    for every completed legacy epoch — so the property fallback alone
+    would silently skip them and a resume would re-apply their windows
+    (state stays correct via the seq guard, but lineage would record a
+    second full set of accounting rows). When ``lineage`` is given,
+    legacy windows whose props are gone are recovered from the lineage
+    table itself: one scan filtered to the unresolved ids, ``hi =
+    max(max_seq) + 1`` per epoch (the per-epoch summary row carries the
+    high watermark). Prop pruning implies the lineage append landed,
+    so the recovery is total for pruned epochs.
     """
     snap = target.snapshot()
     pfx = f"{epoch_prefix}:"
     committed: dict[int, int] = {}
+    unresolved: list[tuple[int, str]] = []  # legacy ids with pruned props
     for eid in snap.epochs:
         if not eid.startswith(pfx):
             continue
@@ -676,13 +690,31 @@ def committed_windows(
                 hwm = snap.properties.get(f"epoch:{eid}", {}).get(
                     "high_watermark")
                 if hwm is None:
-                    continue  # empty legacy epoch: nothing to skip
+                    # props pruned after the lineage append landed:
+                    # recover the watermark from lineage below
+                    unresolved.append((int(parts[0]), eid))
+                    continue
                 lo, hi = int(parts[0]), int(hwm) + 1
             else:
                 continue
         except (TypeError, ValueError):
             continue
         committed[lo] = max(committed.get(lo, lo), hi)
+    if unresolved and lineage is not None:
+        ids = [eid for _lo, eid in unresolved]
+        hwms = {
+            r["epoch_id"]: r["hwm"]
+            for r in lineage.read()
+            .where(F.col("epoch_id").isin(ids))
+            .groupBy("epoch_id")
+            .agg(F.max("max_seq").alias("hwm"))
+            .collect()  # bounded: one row per unresolved legacy epoch
+        }
+        for lo, eid in unresolved:
+            hwm = hwms.get(eid)
+            if hwm is None:
+                continue  # truly empty legacy epoch: nothing to skip
+            committed[lo] = max(committed.get(lo, lo), int(hwm) + 1)
     return committed
 
 
@@ -712,7 +744,7 @@ def replay(
     ).collect()[0]
     if bounds["lo"] is None:
         return []
-    committed = committed_windows(target, epoch_prefix)
+    committed = committed_windows(target, epoch_prefix, lineage)
     stats = []
     lo = bounds["lo"]
     while lo <= bounds["hi"]:

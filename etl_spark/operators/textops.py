@@ -165,17 +165,19 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
         .groupBy("doc_id", "n_lines")
         .agg((F.count(F.lit(1)) - F.count_distinct("ln")).alias("n_dup_lines"))
     )
-    return (
-        top_bg.join(lines, "doc_id")
-        .select(
-            "doc_id",
-            F.round(
-                F.coalesce(F.col("top_c") * 2 / F.col("n_tokens"), F.lit(0.0)), 6
-            ).alias("top_bigram_frac"),
-            F.round(F.col("n_dup_lines") / F.col("n_lines"), 6)
-            .alias("dup_line_frac"),
-        )
+    stats = top_bg.join(lines, "doc_id").select(
+        "doc_id",
+        F.round(
+            F.coalesce(F.col("top_c") * 2 / F.col("n_tokens"), F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        F.round(F.col("n_dup_lines") / F.col("n_lines"), 6)
+        .alias("dup_line_frac"),
     )
+    # NULL-text documents surface as NULL-metric rows — the same
+    # degenerate-input convention as quality_score/token_stats, so an
+    # inner join across the quality surfaces never silently loses a
+    # document (left join: every doc_id in, NULL metrics out)
+    return docs.select("doc_id").join(stats, "doc_id", "left")
 
 
 def lang_id(docs: DataFrame) -> DataFrame:

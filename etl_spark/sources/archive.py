@@ -45,7 +45,8 @@ TAR_SCHEMA = T.StructType(
 MEMBER_SCHEMA = T.StructType(
     [
         T.StructField("archive_id", T.LongType(), False),
-        T.StructField("member_name", T.StringType(), False),
+        # nullable: NULL is the corrupt-archive flag-row marker
+        T.StructField("member_name", T.StringType(), True),
         T.StructField("content", T.StringType(), True),
         T.StructField("size", T.LongType(), False),
     ]
@@ -106,8 +107,11 @@ def scan_tar(
                     # corrupt archive blob: the reference counts it and
                     # continues (task/task.go error rows) — one bad
                     # object must not fail the job. Flag row: NULL name
-                    # marker with content NULL.
-                    out.append((int(gid), "", None, 0))
+                    # marker with content NULL (NULL, not "", so
+                    # `member_name IS NULL` counts corrupt archives and
+                    # an anonymous-but-valid member can never collide
+                    # with the flag convention).
+                    out.append((int(gid), None, None, 0))
                     continue
                 with tf:
                     try:
@@ -134,7 +138,7 @@ def scan_tar(
                         # already decoded and append the same flag row
                         # the unopenable case emits — truncation must
                         # not fail the job either
-                        out.append((int(gid), "", None, 0))
+                        out.append((int(gid), None, None, 0))
             yield pd.DataFrame(
                 out, columns=[f.name for f in MEMBER_SCHEMA.fields]
             )

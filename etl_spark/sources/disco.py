@@ -79,6 +79,13 @@ def _decode_stream(name: str, blob) -> list[tuple]:
             rows.append((name, None, None, None, None, True))
             break  # decoder loop aborts on error, like the reference
         idx = end
+        if not isinstance(obj, dict):
+            # a syntactically-valid but non-object record (`42`, `"x"`,
+            # `[..]`) is decode corruption under the same contract as
+            # unparsable JSON — flag row, never an AttributeError that
+            # escapes the envelope and kills the task
+            rows.append((name, None, None, None, None, True))
+            break
         sample = obj.get("sample") or []
         if len(sample) > 0:
             sample = sample[:-1]  # trim the overlap bin (disco.go:90-96)

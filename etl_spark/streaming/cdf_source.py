@@ -108,7 +108,12 @@ class _CdfStreamReader(DataSourceStreamReader):
         # (columns added after start are dropped until the query
         # restarts — the Delta CDF contract). Shipping snap_new's
         # latest schema instead would crash or misbind the batch
-        # against the declared schema.
+        # against the declared schema. Mid-stream type WIDENING
+        # (int→long) has a harder edge: values exceeding the pinned
+        # narrower type cannot be represented in this query's frozen
+        # schema at all, so the batch kernel raises a schema-evolution
+        # error naming the remedy (restart the query to re-pin) rather
+        # than surfacing a bare ArrowInvalid — see read().
         self.data_schema_json = T.StructType(
             [f for f in schema.fields
              if f.name not in ("_change_type", "_commit_seq")]
@@ -231,7 +236,20 @@ class _CdfStreamReader(DataSourceStreamReader):
                     s.dtype, "tz", None) is None and str(
                     s.dtype).startswith("datetime64"):
                 s = s.dt.tz_localize("UTC")
-            arrays.append(pa.array(s, type=typ, from_pandas=True))
+            try:
+                arrays.append(pa.array(s, type=typ, from_pandas=True))
+            except (pa.ArrowInvalid, OverflowError) as e:
+                # stored values no longer fit the schema pinned at
+                # stream start — a mid-stream widening evolve (e.g.
+                # int→long) committed wider values. The frozen query
+                # schema cannot represent them; only a restart re-pins.
+                raise RuntimeError(
+                    f"column {f.name!r}: stored values exceed the "
+                    f"stream's pinned type {typ} — the table's schema "
+                    "evolved (widened) after this streaming query "
+                    "started; restart the query to pick up the "
+                    "evolved schema"
+                ) from e
         yield pa.RecordBatch.from_arrays(
             arrays, schema=pa.schema(
                 [pa.field(f.name, _arrow_type(f.dataType))

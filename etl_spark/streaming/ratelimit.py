@@ -188,7 +188,7 @@ def adaptive_replay(
     # Shared with apply.replay so a table partially loaded by EITHER
     # driver — plain replay writes the same prefix:lo:hi id format —
     # resumes past applied windows instead of re-folding them.
-    committed = committed_windows(target, epoch_prefix)
+    committed = committed_windows(target, epoch_prefix, lineage)
     stats: list[ApplyStats] = []
     lo = bounds["lo"]
     while lo <= bounds["hi"]:

@@ -76,7 +76,8 @@ def test_scan_tar_corrupt_blob_and_binary_member_not_fatal(spark):
     assert by[(1, "ok.txt")].content == "hello"
     assert by[(1, "bin.dat")].content is None
     assert by[(1, "bin.dat")].size == 3
-    assert by[(2, "")].content is None  # corrupt-archive flag row
+    assert by[(2, None)].content is None  # corrupt-archive flag row
+    assert by[(2, None)].member_name is None  # NULL marker, not ""
 
 
 def test_scan_tar_truncated_mid_member_not_fatal(spark):
@@ -99,7 +100,7 @@ def test_scan_tar_truncated_mid_member_not_fatal(spark):
         [(1, blob[:700]), (2, blob[:3100]), (3, blob)],
         "archive_id long, blob binary")).collect()
     by = {(r.archive_id, r.member_name): r for r in rows}
-    assert by[(1, "")].content is None          # cut inside a.txt's data
+    assert by[(1, None)].content is None        # cut inside a.txt's data
     assert by[(2, "a.txt")].content == "x" * 600  # survived the cut
-    assert by[(2, "")].content is None          # cut inside b.txt's data
+    assert by[(2, None)].content is None        # cut inside b.txt's data
     assert by[(3, "b.txt")].size == 2400        # intact blob unaffected

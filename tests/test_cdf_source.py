@@ -235,3 +235,44 @@ def test_cdf_stream_schema_pinned_across_midstream_evolution(spark, tbl_dir):
     assert got[("r1", "a")]["_change_type"] == "insert"
     assert got[("r2", "b")]["_change_type"] == "insert"
     assert "extra" not in got[("r2", "b")]
+
+
+def test_cdf_stream_midstream_widening_raises_contract_error(spark, tbl_dir):
+    """Mid-stream type WIDENING (int→long) is harder than a mid-stream
+    column add: stored values exceeding the pinned narrower type cannot
+    be represented in the frozen query schema at all. The batch kernel
+    must fail with an error naming the schema evolution and the remedy
+    (restart to re-pin), not a bare ArrowInvalid from deep inside the
+    arrow conversion."""
+    narrow = T.StructType([
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("v", T.IntegerType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    p = os.path.join(tbl_dir, "cdf_widen")
+    t = IceliteTable.create(spark, p, narrow, key_cols=("repo", "path"),
+                            n_buckets=1)
+    t.append_delta(spark.createDataFrame(
+        [("r1", "a", 1, 1, "insert")],
+        T.StructType(narrow.fields
+                     + [T.StructField("op", T.StringType(), False)])),
+        epoch_id="e1")
+
+    ds = IceliteChangeFeed(options={"path": p})
+    reader = ds.streamReader(ds.schema())  # pins v as int
+
+    wide = T.StructType([
+        f if f.name != "v" else T.StructField("v", T.LongType(), True)
+        for f in narrow.fields])
+    t.evolve_schema(wide)
+    t.append_delta(spark.createDataFrame(
+        [("r2", "b", 2**40, 2, "insert")],
+        T.StructType(wide.fields
+                     + [T.StructField("op", T.StringType(), False)])),
+        epoch_id="e2")
+
+    parts = reader.partitions(reader.initialOffset(), reader.latestOffset())
+    with pytest.raises(RuntimeError, match="pinned type.*evolved|widened"):
+        for part in parts:
+            list(reader.read(part))

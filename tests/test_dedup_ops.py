@@ -433,6 +433,7 @@ def test_repetition_stats_hand_built(spark):
         (2, "a perfectly normal short sentence"),
         (3, "header\nbody\nheader\nheader"),      # 2 dup lines of 4
         (4, "single"),                            # no bigrams
+        (5, None),                                # NULL text: NULL metrics
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r.doc_id: (r.top_bigram_frac, r.dup_line_frac)
@@ -441,6 +442,8 @@ def test_repetition_stats_hand_built(spark):
     assert got[2][0] == round(2 / 5, 6) and got[2][1] == 0.0
     assert got[3][1] == 0.5
     assert got[4] == (0.0, 0.0)
+    assert got[5] == (None, None)     # surfaced, not dropped (parity with
+    #                                   quality_score's NULL-metric rows)
 
 
 def test_repetition_stats_match_duckdb_oracle(spark):
@@ -472,10 +475,14 @@ lines AS (
   FROM d, unnest(l) AS u(ln)
   GROUP BY d.doc_id, len(l)
 )
-SELECT li.doc_id,
-       round(coalesce(tb.top_c * 2.0 / tb.n_tokens, 0.0), 6) AS top_bigram_frac,
+SELECT docs.doc_id,
+       CASE WHEN li.doc_id IS NULL THEN NULL
+            ELSE round(coalesce(tb.top_c * 2.0 / tb.n_tokens, 0.0), 6)
+       END AS top_bigram_frac,
        round(n_dup_lines * 1.0 / n_lines, 6) AS dup_line_frac
-FROM lines li LEFT JOIN topbg tb ON tb.doc_id = li.doc_id
+FROM documents docs
+LEFT JOIN lines li ON li.doc_id = docs.doc_id
+LEFT JOIN topbg tb ON tb.doc_id = docs.doc_id
 """
     res = compare_query(spark, SF_TINY, textops.repetition_stats(docs), oracle)
     assert res["ok"], res

@@ -92,3 +92,13 @@ def test_null_sample_bin_flagged_not_fatal(spark):
         [("x-switch.json", rec.encode())],
         "member_name string, content binary")).collect()
     assert len(out) == 1 and out[0].decode_error is True
+
+
+def test_non_object_record_flagged_not_fatal(spark):
+    """A syntactically-valid but non-object top-level record (`42`,
+    `"x"`, `[..]`) must become a flag row under the same decode-error
+    envelope as unparsable JSON — not an AttributeError at
+    obj.get('sample') that escapes the envelope and kills the task."""
+    for blob in (b'42 {"sample": []}', b'"str"', b'[1, 2]'):
+        out = disco.parse_disco(_df(spark, "x-switch.json", blob)).collect()
+        assert len(out) == 1 and out[0].decode_error is True

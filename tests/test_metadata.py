@@ -323,3 +323,49 @@ def test_create_tag_fallback_cleans_torn_file_on_write_failure(
     assert "torncheck" not in t.list_tags()
     v = t.create_tag("torncheck")
     assert t.list_tags()["torncheck"] == v
+
+
+def test_torn_version_file_reclaimed_after_grace(spark, tbl_dir):
+    """A committer SIGKILLed between the O_EXCL fallback's claim and
+    its completed write (no-hardlink filesystems) leaves a truncated
+    vN.json that used to wedge the table forever: readers crashed on
+    json.load and every commit lost to the dead name. An aged torn
+    file must be reclaimed (crash-before-commit semantics) so readers
+    fall back to the last valid version and the next commit re-claims
+    the number; a FRESH torn file (possibly an in-flight write) must
+    raise CorruptSnapshot instead, never be deleted."""
+    import json
+
+    from etl_spark.icelite.table import CorruptSnapshot
+
+    t = _target(spark, os.path.join(tbl_dir, "torn"))
+    apply_epoch(spark, _events(spark, "r", 0, 6), t, None, "e0")
+    v1 = t.current_version()
+    good_state = sorted(tuple(r) for r in t.read().collect())
+
+    torn = t._version_file(v1 + 1)
+    with open(t._version_file(v1)) as f:
+        valid = f.read()
+    with open(torn, "w") as f:
+        f.write(valid[: len(valid) // 2])  # truncated mid-write
+
+    # fresh torn claim: treated as possibly in-flight — hard error
+    t2 = IceliteTable.load(spark, t.path)
+    with pytest.raises(CorruptSnapshot):
+        t2.snapshot()
+    assert os.path.exists(torn)  # never deleted while fresh
+
+    # age it past the grace window: reclaimed transparently
+    old = time.time() - 120
+    os.utime(torn, (old, old))
+    t3 = IceliteTable.load(spark, t.path)
+    snap = t3.snapshot()
+    assert snap.version == v1
+    assert not os.path.exists(torn)  # torn claim reclaimed
+    assert sorted(tuple(r) for r in t3.read().collect()) == good_state
+
+    # the reclaimed number is re-claimable by a real commit
+    apply_epoch(spark, _events(spark, "s", 100, 4), t3, None, "e1")
+    assert t3.current_version() == v1 + 1
+    with open(t3._version_file(v1 + 1)) as f:
+        json.load(f)  # parses: a valid snapshot owns the name now

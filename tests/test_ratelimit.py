@@ -335,3 +335,46 @@ def test_cross_driver_resume_skips_committed_windows(spark, tbl_dir,
                 "last_seq").collect()
     )
     assert state(t) == state(t_pl)
+
+
+def test_legacy_epoch_window_recovered_from_lineage_after_prop_prune(
+        spark, tbl_dir):
+    """Legacy 2-part epoch ids (prefix:lo) encode no window; resume
+    recovers it from the epoch's high_watermark PROPERTY — but those
+    props are deliberately pruned once the epoch's lineage append
+    lands (the steady state for every completed legacy epoch). The
+    property-only fallback then silently skipped the window and a
+    resumed run re-applied it under a new id, duplicating lineage
+    accounting. committed_windows must recover pruned legacy windows
+    from the lineage table itself (hi = max(max_seq) + 1)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark import schemas
+    from etl_spark.operators.apply import apply_epoch, committed_windows
+
+    ev = gen.synthetic_events(spark, 1000, n_repos=10, paths_per_repo=10,
+                              seed=29)
+    t = create_target(spark, os.path.join(tbl_dir, "lgl"), n_buckets=4)
+    l_ = create_lineage(spark, os.path.join(tbl_dir, "lgll"))
+
+    # a pre-window-id run applied [0, 500) under the legacy id format
+    apply_epoch(spark, ev.where(F.col(schemas.SEQ_COL) < 500), t, l_,
+                epoch_id="replay:0")
+    # ...and a second epoch's commit pruned the first's epoch: props
+    apply_epoch(spark, ev.where(F.col(schemas.SEQ_COL).between(500, 699)),
+                t, l_, epoch_id="replay:500:700")
+    assert "epoch:replay:0" not in t.snapshot().properties  # pruned
+
+    # property-only view loses the legacy window; lineage recovers it
+    assert 0 not in committed_windows(t, "replay")
+    cw = committed_windows(t, "replay", l_)
+    assert cw[0] == 500 and cw[500] == 700
+
+    # a resumed replay must jump BOTH committed windows: no event is
+    # re-folded and lineage keeps exactly one accounting row set per
+    # event — 1000 total, not 1500
+    stats = replay(spark, ev, t, l_, epoch_size=500)
+    los = {int(s.epoch_id.split(":")[1]) for s in stats if not s.skipped}
+    assert los and min(los) >= 700
+    totals = l_.read().where("partition_id = -1")
+    assert sum(r.event_count for r in totals.collect()) == 1000

@@ -84,3 +84,24 @@ def test_row_size_stats_sampling_bounds(spark):
     row = row_size_stats(df, fraction=0.01, seed=7).collect()[0]
     # Bernoulli sample: ~100 expected, generous bounds keep this stable
     assert 30 <= row.sampled_rows <= 300
+
+
+def test_struct_to_map_case_colliding_fields_fail_fast(spark):
+    """Lowercasing can collide field names (`Host` + `host`). Spark's
+    case-insensitive resolution cannot even address such a field
+    (AMBIGUOUS_REFERENCE_TO_FIELDS), and a map cannot carry duplicate
+    keys (DUPLICATED_MAP_KEY aborts mid-job) — so the collision must
+    surface as an immediate driver-side TypeError naming both fields,
+    not a mid-job executor failure."""
+    import pytest
+
+    schema = T.StructType([
+        T.StructField("s", T.StructType([
+            T.StructField("Host", T.StringType()),
+            T.StructField("host", T.StringType()),
+            T.StructField("Port", T.LongType()),
+        ])),
+    ])
+    df = spark.createDataFrame([(("upper", "lower", 9),)], schema)
+    with pytest.raises(TypeError, match="'Host' and 'host' collide"):
+        struct_to_map(df, "s")
