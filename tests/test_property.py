@@ -178,7 +178,14 @@ def windowed_tables(draw):
         epochs.append(rows)
     lo_day = draw(st.one_of(st.none(), st.integers(0, 13)))
     hi_day = draw(st.one_of(st.none(), st.integers(0, 13)))
-    return epochs, compact_after, lo_day, hi_day
+    # bound RENDERING dimension: the same instant in every form a
+    # caller can legally pass. The string forms are the class of the
+    # r4-advice silent-row-loss bug (lexicographic compare of a space/
+    # short-date string against the 26-char 'T'-separated stored
+    # bound); the property pins that pruning is format-invariant.
+    lo_form = draw(st.sampled_from(["dt", "date", "iso_t", "iso_space"]))
+    hi_form = draw(st.sampled_from(["dt", "date", "iso_t", "iso_space"]))
+    return epochs, compact_after, lo_day, hi_day, lo_form, hi_form
 
 
 @settings(
@@ -193,15 +200,28 @@ def windowed_tables(draw):
 @given(windowed_tables())
 def test_read_time_window_equals_unpruned_filter(spark, tbl_dir, case):
     """read_time_window == full read() + post-filter for ANY window,
-    op mix, and compaction point (r4 verdict item 8): manifest pruning
-    + the two-phase resolve must never change the answer, only the IO."""
+    op mix, compaction point (r4 verdict item 8), AND bound rendering
+    (datetime / date / 'T'-ISO string / space-separated string — all
+    cast to the same instant by Spark's residual filter, so manifest
+    pruning must treat them identically; string forms compared
+    lexicographically against the stored 26-char bounds silently lost
+    rows before the column-type-driven temporal fix)."""
     import datetime as dt
 
     from pyspark.sql import types as T
 
     from etl_spark.icelite.table import IceliteTable
 
-    epochs, compact_after, lo_day, hi_day = case
+    epochs, compact_after, lo_day, hi_day, lo_form, hi_form = case
+
+    def render(instant, form):
+        if form == "dt":
+            return instant
+        if form == "date":  # callers pass a bare date for midnight
+            return instant.date()
+        if form == "iso_t":
+            return instant.isoformat()
+        return instant.strftime("%Y-%m-%d %H:%M:%S")  # iso_space
     _counter[0] += 1
     schema = T.StructType([
         T.StructField("k", T.StringType(), False),
@@ -228,15 +248,24 @@ def test_read_time_window_equals_unpruned_filter(spark, tbl_dir, case):
         )
         if compact_after == i + 1:
             t.compact(cluster_by=["event_time"])
-    lo = dt.datetime(2024, 3, 1 + lo_day) if lo_day is not None else None
-    hi = dt.datetime(2024, 3, 1 + hi_day, 23) if hi_day is not None else None
+    # instants first (a bare-date rendering can only express midnight,
+    # so the hi instant collapses to midnight under that form — the
+    # reference filter below uses the SAME instant either way)
+    lo_t = dt.datetime(2024, 3, 1 + lo_day) if lo_day is not None else None
+    hi_t = (
+        dt.datetime(2024, 3, 1 + hi_day,
+                    0 if hi_form == "date" else 23)
+        if hi_day is not None else None
+    )
+    lo = render(lo_t, lo_form) if lo_t is not None else None
+    hi = render(hi_t, hi_form) if hi_t is not None else None
     got = sorted(
         tuple(r)
         for r in t.read_time_window("event_time", lo, hi).collect()
     )
     ref = t.read()
-    if lo is not None:
-        ref = ref.where(F.col("event_time") >= F.lit(lo))
-    if hi is not None:
-        ref = ref.where(F.col("event_time") <= F.lit(hi))
+    if lo_t is not None:
+        ref = ref.where(F.col("event_time") >= F.lit(lo_t))
+    if hi_t is not None:
+        ref = ref.where(F.col("event_time") <= F.lit(hi_t))
     assert got == sorted(tuple(r) for r in ref.collect())
