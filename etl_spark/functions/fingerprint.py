@@ -31,7 +31,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-VALID_OPS = frozenset({"insert", "update", "delete", "schema_change"})
+# single source of truth for the validation taxonomy: the JVM
+# predicates (apply._invalid_expr) and these pandas kernels must agree
+# row-for-row (test_fingerprint_jvm_parity), so neither side may carry
+# its own op list
+from etl_spark.schemas import VALID_OPS  # noqa: E402
+
+APPLY_OPS = tuple(op for op in VALID_OPS if op != "schema_change")
 
 
 def _sha256_series(s: pd.Series) -> pd.Series:
@@ -55,9 +61,6 @@ def fingerprint_batch(pdf: pd.DataFrame, key_cols: Sequence[str]) -> pd.DataFram
     reason[null_key & reason.isna()] = "null_key"
     out["reject_reason"] = reason
     return out
-
-
-APPLY_OPS = ("insert", "update", "delete")
 
 
 def dedup_fingerprint_kernel(

@@ -239,6 +239,67 @@ class Snapshot:
         )
 
 
+# how many epoch ids the snapshot ledger retains verbatim (override
+# per table via the "epoch_retention" property). The ledger exists for
+# (a) redelivery idempotency and (b) resume-window recovery; without a
+# bound it is rewritten into EVERY manifest — a streaming sink at one
+# epoch/minute accrues ~526k ids/year, tens of MB re-serialized per
+# commit. 100k ids ≈ 2 MB and a 69-day redelivery horizon at that rate
+# (Delta bounds its txn appId ledger the same way).
+DEFAULT_EPOCH_RETENTION = 100_000
+
+
+def _fold_pruned_epochs(pruned: list[str], props: dict) -> None:
+    """Fold window-encoded epoch ids (``prefix:lo:hi``) dropped from
+    the verbatim ledger into per-prefix MERGED interval summaries
+    (``pruned_epochs:<prefix>`` → ``[[lo, hi), ...]``), so replay
+    resume (committed_windows) and redelivery dedup (epoch_committed)
+    keep answering for them at O(1) manifest cost — epochs commit in
+    seq order per prefix, so the merged list stays ~1 interval.
+    Ids with no parseable window (streaming batch ids, legacy 2-part
+    ids) cannot be folded: their exact-id idempotency expires with the
+    retention horizon, the documented contract."""
+    by_pfx: dict[str, list] = {}
+    for eid in pruned:
+        parts = eid.rsplit(":", 2)
+        if len(parts) == 3:
+            try:
+                by_pfx.setdefault(parts[0], []).append(
+                    [int(parts[1]), int(parts[2])])
+            except ValueError:
+                continue
+    for pfx, ivals in by_pfx.items():
+        key = f"pruned_epochs:{pfx}"
+        merged = sorted([list(x) for x in props.get(key, [])] + ivals)
+        out: list[list[int]] = []
+        for lo, hi in merged:
+            if out and lo <= out[-1][1]:
+                out[-1][1] = max(out[-1][1], hi)
+            else:
+                out.append([lo, hi])
+        props[key] = out
+
+
+def epoch_committed(snap: "Snapshot", epoch_id: str) -> bool:
+    """Idempotency check: the epoch id is in the verbatim ledger, OR
+    its encoded window is covered by a pruned-epochs interval summary
+    (retention folded it). The single predicate every commit path and
+    redelivery short-circuit must use."""
+    if epoch_id in snap.epochs:
+        return True
+    parts = epoch_id.rsplit(":", 2)
+    if len(parts) == 3:
+        try:
+            lo, hi = int(parts[1]), int(parts[2])
+        except ValueError:
+            return False
+        for ilo, ihi in snap.properties.get(
+                f"pruned_epochs:{parts[0]}", []):
+            if ilo <= lo and hi <= ihi:
+                return True
+    return False
+
+
 def _with_sidecars(paths: set[str]) -> set[str]:
     """A data file's key-bloom sidecar (``<path>.bloom``) lives and dies
     with it: maintenance treats the pair as one unit."""
@@ -865,6 +926,12 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
         ndf = full.select(
             [c for c in NARROW if c in full.column_names]
         ).to_pandas()
+        for c in NARROW:
+            if c not in ndf.columns:
+                # a cluster_by column no file carries yet (evolved, no
+                # data written since): null-fill so the winner sort
+                # below is a no-op instead of a KeyError
+                ndf[c] = None
         ndf["__is_base"] = (ndf["__op"] == "base").astype("int8")
         ndf["__pos"] = np.arange(len(ndf), dtype=np.int64)
         df = _resolve(ndf)
@@ -933,6 +1000,13 @@ def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
                     df = rgt.select(
                         [c for c in NARROW if c in rgt.column_names]
                     ).to_pandas()
+                    for c in NARROW:
+                        if c not in df.columns:
+                            # pre-evolution file lacking a cluster_by
+                            # column: null-fill (the permissive concat
+                            # does this for the small path) so the
+                            # chunk sort cannot KeyError mid-task
+                            df[c] = None
                     df["__is_base"] = (df["__op"] == "base").astype("int8")
                     df["__pos"] = np.arange(len(df), dtype=np.int64)
                     keep = df.merge(match, on=keys + RANK, how="inner")
@@ -1127,22 +1201,25 @@ class IceliteTable:
             # claim, never an in-flight one: reclaim it and resolve as
             # if the crashed commit never happened (crash-before-commit
             # semantics — no reader can have seen a parsable state of
-            # this version). The identity re-check before unlink means
-            # a concurrent reclaim+valid-recommit (fresh mtime_ns) is
-            # never deleted.
+            # this version). _reclaim_torn is rename-then-verify, so a
+            # concurrent reclaim+valid-recommit is never destroyed.
             if st is not None and time.time() - st.st_mtime > _TORN_GRACE_SEC:
-                try:
-                    st2 = os.stat(self._version_file(v))
-                    if (st2.st_mtime_ns, st2.st_size) == (
-                            st.st_mtime_ns, st.st_size):
-                        os.unlink(self._version_file(v))
-                        self._snap_cache.pop(v, None)
-                        if version is None:
-                            # re-resolve current: falls back to v-1 (or
-                            # a newer valid commit that landed since)
-                            return self.snapshot(None)
-                except OSError:
-                    pass
+                if self._reclaim_torn(v, st):
+                    if version is None:
+                        # re-resolve current: falls back to v-1 (or a
+                        # newer valid commit that landed since)
+                        return self.snapshot(None)
+                    # explicit pinned version: the torn claim is gone,
+                    # so the version genuinely does not exist — the
+                    # same signal as an expired snapshot, which every
+                    # maintenance caller (history, version_as_of,
+                    # expire_snapshots, vacuum_orphans) already handles
+                    raise FileNotFoundError(self._version_file(v)) from e
+                # not reclaimed: another reclaimer won the race, or a
+                # valid commit re-claimed the name — re-resolve once
+                # against whatever owns it now (a still-torn still-aged
+                # file would have been reclaimed, so this terminates)
+                return self.snapshot(version)
             raise CorruptSnapshot(
                 f"unparsable snapshot manifest {self._version_file(v)!r}: "
                 f"{e} (torn write from a crashed committer? files newer "
@@ -1156,6 +1233,51 @@ class IceliteTable:
                 self._snap_cache.pop(next(iter(self._snap_cache)), None)
             self._snap_cache[v] = (snap, (st.st_mtime_ns, st.st_size))
         return snap
+
+    def _reclaim_torn(self, v: int, st: os.stat_result) -> bool:
+        """Remove an AGED torn version file without a check-then-unlink
+        TOCTOU. A bare ``stat == identity; unlink`` pair is unsound:
+        two reclaimers can both pass the identity check, the first
+        unlinks, a writer re-claims the name with a VALID commit, and
+        the second unlinks the acknowledged commit — silent data loss.
+
+        ``rename()`` is the exclusivity primitive instead: exactly one
+        reclaimer wins the move (losers get ENOENT), and the winner
+        verifies the bytes it ACTUALLY removed — if the moved file
+        unexpectedly parses (a valid commit re-claimed the name between
+        our failed parse and the rename), it is restored via
+        ``os.link`` (same inode, byte-identical) rather than destroyed.
+        Returns True only when a genuinely torn file was removed."""
+        vf = self._version_file(v)
+        trash = f"{vf}.torn.{os.getpid()}.{time.monotonic_ns()}"
+        try:
+            st2 = os.stat(vf)
+            if (st2.st_mtime_ns, st2.st_size) != (st.st_mtime_ns,
+                                                  st.st_size):
+                return False  # replaced since we read it — not ours
+            os.rename(vf, trash)
+        except OSError:
+            return False  # another reclaimer won, or the FS refused
+        try:
+            with open(trash) as f:
+                json.load(f)
+            parses = True
+        except (OSError, ValueError):
+            parses = False
+        if parses:
+            # we moved a VALID commit that won the name after our
+            # parse failure — put it back (exclusive, atomic). If yet
+            # another claim landed meanwhile, leave that one be.
+            try:
+                os.link(trash, vf)
+            except OSError:
+                pass
+        try:
+            os.unlink(trash)
+        except OSError:
+            pass
+        self._snap_cache.pop(v, None)
+        return not parses
 
     # -- reads --------------------------------------------------------------
 
@@ -1785,7 +1907,7 @@ class IceliteTable:
     # -- epoch bookkeeping ---------------------------------------------------
 
     def has_epoch(self, epoch_id: str) -> bool:
-        return epoch_id in self.snapshot().epochs
+        return epoch_committed(self.snapshot(), epoch_id)
 
     def committed_epochs(self) -> list[str]:
         return list(self.snapshot().epochs)
@@ -1886,23 +2008,17 @@ class IceliteTable:
         if not name or not all(c.isalnum() or c in "_-." for c in name):
             raise ValueError(f"invalid tag name: {name!r}")
         snap = self.snapshot(version)
-        # tmp + fsync + O_EXCL link (the _atomic_write_json pattern): a
-        # crash mid-write can never leave a torn tag-<name>.json that
+        # same tmp + fsync + exclusive-place sequence as every commit:
+        # a crash mid-write can never leave a torn tag-<name>.json that
         # wedges list_tags()/expire_snapshots(); racing creators still
-        # get exactly-one-winner via the link EEXIST.
-        path = self._tag_file(name)
-        tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"name": name, "version": snap.version,
-                       "ts": time.time()}, f)
-            f.flush()
-            os.fsync(f.fileno())
+        # get exactly-one-winner. One implementation — any hardening of
+        # the commit write path covers tags automatically.
         try:
-            _place_exclusive(tmp, path)
-        except FileExistsError:
+            _atomic_write_json(self._tag_file(name),
+                               {"name": name, "version": snap.version,
+                                "ts": time.time()})
+        except CommitConflict:
             raise FileExistsError(f"tag exists: {name!r}") from None
-        finally:
-            os.unlink(tmp)
         return snap.version
 
     def list_tags(self) -> dict[str, int]:
@@ -1989,22 +2105,33 @@ class IceliteTable:
         n_buckets: int | None = None,
         operation: str = "append",
     ) -> Snapshot:
+        # a None value is a deletion marker: callers prune properties
+        # they no longer need (e.g. per-epoch crash-recovery props
+        # once the lineage append has committed) so the manifest
+        # does not grow O(epochs^2) over the table's lifetime.
+        props = {
+            k: v
+            for k, v in {**base.properties, **(properties or {})}.items()
+            if v is not None
+        }
+        epochs = base.epochs + ([epoch_id] if epoch_id else [])
+        # the epoch-id ledger gets the same treatment as the props: a
+        # streaming sink would otherwise rewrite an ever-growing list
+        # into every manifest. Window-encoded ids fold into interval
+        # summaries first, so resume and idempotency survive pruning.
+        retention = int(props.get("epoch_retention",
+                                  DEFAULT_EPOCH_RETENTION))
+        if retention > 0 and len(epochs) > retention:
+            pruned, epochs = epochs[:-retention], epochs[-retention:]
+            _fold_pruned_epochs(pruned, props)
         new = Snapshot(
             version=base.version + 1,
             schemas=schemas,
             n_buckets=n_buckets or base.n_buckets,
             key_cols=base.key_cols,
             files=files,
-            # a None value is a deletion marker: callers prune properties
-            # they no longer need (e.g. per-epoch crash-recovery props
-            # once the lineage append has committed) so the manifest
-            # does not grow O(epochs^2) over the table's lifetime.
-            properties={
-                k: v
-                for k, v in {**base.properties, **(properties or {})}.items()
-                if v is not None
-            },
-            epochs=base.epochs + ([epoch_id] if epoch_id else []),
+            properties=props,
+            epochs=epochs,
             ts=time.time(),
             operation=operation,
         )
@@ -2041,7 +2168,7 @@ class IceliteTable:
         for attempt in range(retries):
             _backoff_sleep(attempt)
             snap = self.snapshot()
-            if epoch_id is not None and epoch_id in snap.epochs:
+            if epoch_id is not None and epoch_committed(snap, epoch_id):
                 self.last_commit_retries = attempt
                 return snap
             if written_n_buckets is not None and snap.n_buckets != written_n_buckets:
@@ -2113,7 +2240,7 @@ class IceliteTable:
     ) -> Snapshot:
         """Append-only commit (lineage/manifest tables)."""
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in snap.epochs:
+        if epoch_id is not None and epoch_committed(snap, epoch_id):
             return snap
         schema = snap.current_schema
         new_files = self._write_datafiles(_cast_to(df, schema), schema, len(snap.schemas) - 1,
@@ -2146,7 +2273,7 @@ class IceliteTable:
                 "append_rows_local requires a keyless table; use "
                 "append() on a keyed table"
             )
-        if epoch_id is not None and epoch_id in snap.epochs:
+        if epoch_id is not None and epoch_committed(snap, epoch_id):
             return snap
         schema = snap.current_schema
         _PA = {
@@ -2181,7 +2308,7 @@ class IceliteTable:
         properties: dict | None = None,
     ) -> Snapshot:
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in snap.epochs:
+        if epoch_id is not None and epoch_committed(snap, epoch_id):
             return snap
         schema = snap.current_schema
         new_files = self._write_datafiles(_cast_to(df, schema), schema, len(snap.schemas) - 1,
@@ -2317,7 +2444,7 @@ class IceliteTable:
         the same working set the single write already shuffled.
         """
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in snap.epochs:
+        if epoch_id is not None and epoch_committed(snap, epoch_id):
             return snap
         if not snap.key_cols:
             raise ValueError("merge_lww requires a keyed table")
@@ -2441,7 +2568,7 @@ class IceliteTable:
         ``compact`` folds deltas into the base when read amplification
         grows past the policy threshold."""
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in snap.epochs:
+        if epoch_id is not None and epoch_committed(snap, epoch_id):
             return snap
         _, new_files = self.write_delta_files(
             updates, op_col=op_col, assume_bucketed=assume_bucketed, snap=snap
@@ -2550,7 +2677,7 @@ class IceliteTable:
         directory scans: the write tasks already measured their own
         output."""
         snap = self.snapshot()
-        if epoch_id is not None and epoch_id in snap.epochs:
+        if epoch_id is not None and epoch_committed(snap, epoch_id):
             return snap
         def _sidecar(rel_path: str) -> str | None:
             p = os.path.join(rel, rel_path) + ".bloom"

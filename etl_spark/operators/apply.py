@@ -137,6 +137,26 @@ def _quarantine_dir(qroot: str, epoch_id: str) -> str:
     return os.path.join(qroot, safe)
 
 
+def _invalid_expr() -> tuple:
+    """``(bad_op, invalid)`` predicates shared by the accounting
+    metrics, the quarantine writer, and the winnow winners filter —
+    ONE definition so reject counts and quarantine contents agree by
+    construction instead of by copy-paste.
+
+    NULL-safe: ``op IS NULL`` must count as bad_op. SQL three-valued
+    logic makes ``~isin(NULL)`` evaluate to NULL, so a plain
+    ``when(invalid, 1).otherwise(0)`` silently ACCEPTED null-op events
+    (never rejected, never quarantined, never tripping the quality
+    gate), while the pandas kernels (``isin(None) == False``) rejected
+    them — the explicit ``isNull()`` arm pins the JVM side to the
+    kernels."""
+    bad_op = F.col("op").isNull() | ~F.col("op").isin(*schemas.VALID_OPS)
+    invalid = bad_op
+    for k in schemas.KEY_COLS:
+        invalid = invalid | F.col(k).isNull()
+    return bad_op, invalid
+
+
 def _write_quarantine(events: DataFrame, qroot: str, epoch_id: str) -> None:
     """Dead-letter the epoch's rejected events to ``<qroot>/<epoch>/``
     with a reason column (bad_op | null_key — the same JVM predicate
@@ -146,10 +166,7 @@ def _write_quarantine(events: DataFrame, qroot: str, epoch_id: str) -> None:
     pays the extra scan. Rejects above the quality gate abort the
     epoch instead — quarantine holds the sub-gate tail that was
     previously counted and then silently dropped."""
-    bad_op = ~F.col("op").isin(*schemas.VALID_OPS)
-    invalid = bad_op
-    for k in schemas.KEY_COLS:
-        invalid = invalid | F.col(k).isNull()
+    bad_op, invalid = _invalid_expr()
     (
         events.where(invalid)
         .withColumn(
@@ -308,9 +325,7 @@ def apply_epoch(
         snap0 = target.snapshot()
         if "bucket" in events.columns:
             raise ValueError("events must not carry a 'bucket' column")
-        invalid = ~F.col("op").isin(*schemas.VALID_OPS)
-        for k in schemas.KEY_COLS:
-            invalid = invalid | F.col(k).isNull()
+        _, invalid = _invalid_expr()
         # metrics use ONLY narrow columns (op, keys, seq): adding e.g.
         # sum(length(content)) here would drag the content column into
         # the winseq branch and defeat its columnar pruning — the
@@ -336,6 +351,13 @@ def apply_epoch(
         )
         # NOTE: `events` (not ev1) on the probe side — the observe node
         # must appear exactly once in the plan or metrics double-count.
+        # The probe is FILTERED by the same validity predicate as the
+        # build side: without it, a rejected row (null key / bad op)
+        # whose seq collides with a winning seq would slip through the
+        # seq-only semi-join and be committed as a winner (the kernel's
+        # khash uniqueness guard cannot see a singleton null-key row),
+        # double-counted in rejected AND applied — tripping the
+        # RowStats assert only AFTER the garbage row was durable.
         # winseq_broadcast=False is the large-epoch path (SCALE.md):
         # when the winning-seq set outgrows broadcast (~10^8 winners →
         # 800 MB), a shuffle semi-join on the UNIQUE, uniform seq key
@@ -344,7 +366,7 @@ def apply_epoch(
         # bloom of the build side into the probe scan automatically.
         build = F.broadcast(winseq) if winseq_broadcast else winseq
         obs_w = Observation()
-        winners = events.join(
+        winners = events.where(validp).join(
             build, on=schemas.SEQ_COL, how="left_semi"
         ).observe(
             obs_w,
@@ -512,9 +534,7 @@ def apply_epoch(
         # maxby / cow paths: exactly-once observe() metrics on the raw
         # events (the JVM predicate mirrors the pandas kernel —
         # test_fingerprint_jvm_parity pins them together).
-        invalid = ~F.col("op").isin(*schemas.VALID_OPS)
-        for k in schemas.KEY_COLS:
-            invalid = invalid | F.col(k).isNull()
+        _, invalid = _invalid_expr()
         obs = Observation()
         events = events.observe(
             obs,
@@ -700,6 +720,12 @@ def committed_windows(
         except (TypeError, ValueError):
             continue
         committed[lo] = max(committed.get(lo, lo), hi)
+    # windows whose verbatim ids were dropped by epoch-ledger retention
+    # live on as merged per-prefix intervals (icelite _fold_pruned_epochs)
+    for ilo, ihi in snap.properties.get(
+            f"pruned_epochs:{epoch_prefix}", []):
+        committed[int(ilo)] = max(committed.get(int(ilo), int(ilo)),
+                                  int(ihi))
     if unresolved and lineage is not None:
         ids = [eid for _lo, eid in unresolved]
         hwms = {

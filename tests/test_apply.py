@@ -202,14 +202,17 @@ def test_fingerprint_jvm_parity(spark):
     from etl_spark import schemas
     from etl_spark.functions.fingerprint import parse_validate_fingerprint
 
+    from etl_spark.operators.apply import _invalid_expr
+
     ev = gen.synthetic_events(spark, 2000, n_repos=25, seed=47, corrupt_frac=0.07)
-    # add some null-key rows
+    # add some null-key AND null-op rows (null op is the class SQL
+    # three-valued logic silently accepted before _invalid_expr)
     ev = ev.withColumn(
         "repo", F.when(F.col("seq") % 97 == 0, F.lit(None)).otherwise(F.col("repo"))
+    ).withColumn(
+        "op", F.when(F.col("seq") % 89 == 0, F.lit(None)).otherwise(F.col("op"))
     )
-    jvm_invalid = ~F.col("op").isin(*schemas.VALID_OPS)
-    for k in schemas.KEY_COLS:
-        jvm_invalid = jvm_invalid | F.col(k).isNull()
+    _, jvm_invalid = _invalid_expr()
     n_jvm = ev.where(jvm_invalid).count()
     n_pandas = (
         parse_validate_fingerprint(ev)
@@ -365,3 +368,108 @@ def test_jvm_sha_mode_matches_kernel_sha(spark, tbl_dir):
     apply_epoch(spark, ev, b, lb, epoch_id="e", jvm_sha=True)
     assert final_state(a) == final_state(b)
     assert len(final_state(a)) > 0
+
+
+def test_null_op_rejected_across_modes_and_quarantined(spark, tbl_dir):
+    """op IS NULL must count as bad_op everywhere. SQL three-valued
+    logic made the JVM accounting predicate NULL-blind (~isin(NULL) is
+    NULL, so when(...).otherwise(0) accepted it): null-op events were
+    never rejected, never quarantined, never tripped the quality gate —
+    while the pandas kernels rejected them, so the modes' accounting
+    disagreed. All three modes must now agree AND quarantine the rows."""
+    from etl_spark.operators.apply import read_quarantine
+
+    ev = gen.synthetic_events(spark, 500, n_repos=10, seed=61)
+    ev = ev.withColumn(
+        "op",
+        F.when(F.col("seq") % 50 == 0, F.lit(None)).otherwise(F.col("op")),
+    )
+    expect_rej = ev.where(F.col("op").isNull()).count()
+    assert expect_rej > 0
+    stats, states = {}, {}
+    for mode in ("winnow", "fused", "maxby"):
+        qdir = os.path.join(tbl_dir, f"q_{mode}")
+        t, _ = fresh(spark, os.path.join(tbl_dir, mode))
+        stats[mode] = apply_epoch(spark, ev, t, None, epoch_id="x",
+                                  dedup_mode=mode, quarantine=qdir)
+        states[mode] = final_state(t)
+        assert stats[mode].rejected == expect_rej, mode
+        assert stats[mode].invariant_ok(), mode
+        q = read_quarantine(spark, qdir)
+        assert q.where("reject_reason = 'bad_op'").count() == expect_rej
+    assert states["winnow"] == states["fused"] == states["maxby"]
+
+
+def test_winnow_null_key_seq_collision_rejected_not_committed(
+        spark, tbl_dir):
+    """A rejected row (null key) whose seq collides with a winning seq
+    used to slip through the seq-only semi-join: as the only null-key
+    row in its bucket its key-hash is unique, so the kernel's
+    uniqueness guard cannot see it, and it was committed as a winner —
+    with the RowStats assert firing only AFTER the commit landed. The
+    probe-side validity filter must drop it: the epoch succeeds, the
+    row is rejected-only, and no null-key row reaches the table."""
+    ev = gen.synthetic_events(spark, 200, n_repos=5, seed=43)
+    s = ev.agg(F.max("seq")).collect()[0][0]  # some key's winning seq
+    forged = ev.where(F.col("seq") == s).withColumn(
+        "path", F.lit(None).cast("string"))
+    tgt, lin = fresh(spark, tbl_dir)
+    st = apply_epoch(spark, ev.unionByName(forged), tgt, lin,
+                     epoch_id="nullkey")
+    assert st.rejected == 1 and st.invariant_ok()
+    got = final_state(tgt)
+    assert got and all(r[1] is not None for r in got)  # no NULL path
+    expected = replay_pandas(ev.toPandas())
+    exp = sorted(
+        (r.repo, r.path, r.commit, r.lang, r.content_sha256, r.last_seq)
+        for r in expected.itertuples(index=False)
+    )
+    assert got == exp
+
+
+def test_epoch_ledger_retention_bounds_manifest(spark, tbl_dir):
+    """The epoch-id ledger is rewritten into EVERY manifest, so without
+    retention a one-epoch-per-minute stream makes each commit O(total
+    epochs) — ~526k ids/year of pure growth. With the epoch_retention
+    property, old window-encoded ids fold into a merged per-prefix
+    interval summary: the ledger stays bounded while (a) redelivery of
+    a PRUNED epoch id is still skipped and (b) replay resume still
+    jumps every applied window. Non-window ids expire with the horizon
+    (the documented Delta-style contract)."""
+    from etl_spark.operators.apply import committed_windows
+
+    ev = gen.synthetic_events(spark, 1200, n_repos=12, seed=71)
+    tgt, lin = fresh(spark, tbl_dir)
+    # pin a tiny retention so 12 epochs overflow it
+    tgt._commit_append([], epoch_id=None,
+                       properties={"epoch_retention": 5})
+    stats = replay(spark, ev, tgt, lin, epoch_size=100)
+    assert len(stats) == 12
+    snap = tgt.snapshot()
+    assert len(snap.epochs) <= 5  # ledger bounded
+    summary = snap.properties.get("pruned_epochs:replay")
+    assert summary == [[0, 700]]  # contiguous windows → ONE interval
+    # (a) redelivery of a pruned epoch id is still a no-op. Coverage
+    # semantics: ANY window fully inside the folded interval counts as
+    # committed — every event in it is durably applied, so skipping is
+    # exactly-once-correct even for an id never literally committed
+    assert tgt.has_epoch("replay:0:100") and tgt.has_epoch("replay:300:400")
+    assert tgt.has_epoch("replay:50:150")   # covered ⇒ no-op redelivery
+    assert not tgt.has_epoch("replay:600:800")  # straddles the summary
+    assert not tgt.has_epoch("other:0:100")     # different prefix
+    v0 = tgt.current_version()
+    s = apply_epoch(spark, ev.where("seq < 100"), tgt, lin,
+                    epoch_id="replay:0:100")
+    assert s.skipped and tgt.current_version() == v0
+    # (b) resume sees every window (pruned + retained) and re-applies
+    # nothing
+    cw = committed_windows(tgt, "replay", lin)
+    assert cw[0] >= 700 and max(cw.values()) == 1200
+    stats2 = replay(spark, ev, tgt, lin, epoch_size=100)
+    assert all(x.skipped or x.events_in == 0 for x in stats2) or not stats2
+    # lineage holds exactly one accounting per event
+    tot = sum(r.event_count for r in
+              lin.read().where("partition_id = -1").collect())
+    assert tot == 1200
+    # non-window ids expire with the horizon once pruned
+    assert not tgt.has_epoch("adhoc-batch-1")

@@ -1245,3 +1245,37 @@ def test_commit_and_tag_fall_back_without_hard_links(spark, tbl_dir,
     assert t.tag_version("fb") == t.current_version()
     with pytest.raises(FileExistsError):
         t.create_tag("fb")
+
+
+def test_compact_cluster_by_evolved_column_null_fills(spark, tbl_dir):
+    """cluster_by on a column added by schema evolution must not crash
+    when a pre-evolution file is in the bucket (or when NO file carries
+    the column yet): missing cluster columns null-fill, matching the
+    small path's permissive concat — the chunked pass-2 sort used to
+    KeyError mid-task on exactly this shape."""
+    t = make(spark, tbl_dir, n_buckets=1)
+    t.append_delta(_updf(spark, [("r", f"p{i}", i, i + 1, "insert")
+                                 for i in range(50)]))
+    evolved = T.StructType(
+        SCHEMA.fields + [T.StructField("obs", T.LongType(), True)])
+    t.evolve_schema(evolved)
+    # small path, no file carries obs at all
+    t.compact(cluster_by=["obs"])
+    state0 = sorted(tuple(r) for r in t.read().collect())
+    assert all(r[-1] is None for r in state0)  # obs null-filled
+
+    up = T.StructType(
+        evolved.fields + [T.StructField("op", T.StringType(), False)])
+    t.append_delta(spark.createDataFrame(
+        [("r", f"q{i}", i, 100 + i, i * 7, "insert") for i in range(50)],
+        up))
+    state = sorted(tuple(r) for r in t.read().collect())
+    # chunked path: pre-evolution base file + evolved delta in one bucket
+    t.compact(cluster_by=["obs"], chunk_bytes=1)
+    assert sorted(tuple(r) for r in t.read().collect()) == state
+    # and again via the small path over the mixed-schema bucket
+    t.append_delta(spark.createDataFrame(
+        [("r", "q0", 1, 999, 3, "update")], up))
+    t.compact(cluster_by=["obs"])
+    got = {(r.repo, r.path): r.obs for r in t.read().collect()}
+    assert got[("r", "q0")] == 3 and got[("r", "p0")] is None
