@@ -53,11 +53,43 @@ class ChangeFeedCursor:
     def position(self) -> int:
         """Last fully-processed table version (0 = nothing consumed —
         version 0 is the empty created table, so the first poll
-        delivers all current rows as inserts)."""
+        delivers all current rows as inserts).
+
+        The cursor file is BOUND to its table: ``advance`` records the
+        table path, and a cursor file written for a different table
+        (config typo, copied path) raises loudly instead of silently
+        starting this consumer at the wrong offset — skipped batches
+        on one side, duplicate delivery on the other."""
         if not os.path.exists(self.cursor_path):
             return 0
         with open(self.cursor_path) as f:
-            return int(json.load(f)["version"])
+            d = json.load(f)
+        bound = d.get("table")
+        if bound is not None and os.path.realpath(bound) != os.path.realpath(
+                self.table.path):
+            raise ValueError(
+                f"cursor file {self.cursor_path!r} belongs to table "
+                f"{bound!r}, not {self.table.path!r} — refusing to "
+                "consume from the wrong offset"
+            )
+        return int(d["version"])
+
+    def source_prefix(self, base: str) -> str:
+        """Consumer epoch prefix CARRYING THE SOURCE IDENTITY
+        (``<base><digest-of-source-path>:``). Two sources replicating
+        into one destination must not share a ledger namespace: with a
+        bare ``cdf:`` prefix, source A's committed ``cdf:5`` would
+        fast-forward source B's cursor past B's unreplicated versions
+        1-5 (permanently missing rows) and A's ``cdf:3`` would make
+        the ledger silently skip B's v3 batch. The digest is prefixed
+        with a letter so it can never parse as an integer window
+        bound anywhere."""
+        import hashlib
+
+        d = hashlib.sha256(
+            os.path.realpath(self.table.path).encode()
+        ).hexdigest()[:12]
+        return f"{base}s{d}:"
 
     def poll(self) -> tuple[DataFrame, int] | None:
         """Changes since the cursor, or None if the table hasn't moved.
@@ -89,8 +121,17 @@ class ChangeFeedCursor:
         already-applied window would be applied twice. The destination's
         own ledger records exactly which source version was last
         consumed; trusting it closes the window."""
-        done = [int(e[len(prefix):]) for e in dst.committed_epochs()
-                if e.startswith(prefix)]
+        done = []
+        for e in dst.committed_epochs():
+            if not e.startswith(prefix):
+                continue
+            try:
+                done.append(int(e[len(prefix):]))
+            except ValueError:
+                # a foreign id merely sharing the prefix (e.g. a
+                # window-encoded 'prefix:lo:hi' from a replay run):
+                # not ours — must not wedge every subsequent poll
+                continue
         if done and max(done) > self.position():
             self.advance(max(done))
 
@@ -116,7 +157,7 @@ class ChangeFeedCursor:
 
         Exactly-once from two idempotencies composed: the batch is the
         deterministic net diff between two immutable snapshots, and it
-        lands in ``dst`` under ``epoch_id=cdf:<version>`` — a crash
+        lands in ``dst`` under ``epoch_id=cdf:<source-digest>:<version>`` — a crash
         after the apply but before ``advance`` redelivers the same
         batch, which ``dst``'s epoch ledger skips. Deletes re-apply at
         the TOMBSTONE's seq (``_commit_seq``): the replica's LWW guard
@@ -128,7 +169,8 @@ class ChangeFeedCursor:
 
         Scale: the apply is ``append_delta`` (merge-on-read) — cost per
         step is O(changed keys), never a base rewrite."""
-        self.fast_forward_from(dst, "cdf:")
+        pfx = self.source_prefix("cdf:")
+        self.fast_forward_from(dst, pfx)
         out = self.poll()
         if out is None:
             return None
@@ -143,7 +185,7 @@ class ChangeFeedCursor:
         if not self.table.snapshot().key_cols:
             # keyless source: the feed is pure inserts
             dst.append(ch.drop("_change_type", "_commit_seq"),
-                       epoch_id=f"cdf:{v}")
+                       epoch_id=f"{pfx}{v}")
             self.advance(v)
             return {"version": v, "source": self.table.path}
         ups = (
@@ -159,6 +201,6 @@ class ChangeFeedCursor:
             )
             .drop("_change_type", "_commit_seq")
         )
-        dst.append_delta(ups, epoch_id=f"cdf:{v}")
+        dst.append_delta(ups, epoch_id=f"{pfx}{v}")
         self.advance(v)
         return {"version": v, "source": self.table.path}

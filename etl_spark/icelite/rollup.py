@@ -15,7 +15,7 @@ keyed aggregate table from ``changes_between`` deltas instead:
   cost O(changed groups), never O(rollup) and never O(source).
 - Exactly-once composes the same way as replication: the delta batch
   is a pure function of two immutable snapshots and lands under
-  ``epoch_id=ivm:<version>`` with ``last_seq = source version`` (the
+  ``epoch_id=ivm:<source-digest>:<version>`` with ``last_seq = source version`` (the
   LWW guard makes stale re-application a no-op); the cursor advances
   only after the merge commits.
 - A group whose count reaches zero is deleted, so the rollup's key set
@@ -95,7 +95,8 @@ class RollupView:
         has moved, so the ledger alone cannot catch the redelivery and
         the already-folded window would double-count (positive
         double-counts never trip the n<0 gate)."""
-        self.cursor.fast_forward_from(self.rollup, "ivm:")
+        pfx = self.cursor.source_prefix("ivm:")
+        self.cursor.fast_forward_from(self.rollup, pfx)
         out = self.cursor.poll()
         if out is None:
             return None
@@ -163,7 +164,7 @@ class RollupView:
                     f"rollup at {self.rollup.path} no longer matches "
                     f"the feed — rebuild it from a full read"
                 )
-            self.rollup.merge_lww(updates, epoch_id=f"ivm:{v}",
+            self.rollup.merge_lww(updates, epoch_id=f"{pfx}{v}",
                                   null_safe=True)
             self.cursor.advance(v)
         finally:

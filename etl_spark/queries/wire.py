@@ -2,13 +2,9 @@
 vs DuckDB): tar, compression codecs, text tables, binary records,
 sidestream, paris-traceroute, tcpinfo, snaplog, DISCO, NDT results,
 NDT deltas[] composition (SURVEY.md §2.2/§2.11)."""
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-
-
-from pyspark.sql import DataFrame, SparkSession
-
-from etl_spark.operators import windows
 from etl_spark.queries.base import _read
 
 

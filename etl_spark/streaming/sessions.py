@@ -127,9 +127,14 @@ def sessionize_stream(
         state.update(tuple(live))
         # close when the watermark passes end+gap — no admissible event
         # can extend the session past that point (+1ms floor: Spark
-        # rejects a timeout at or before the current watermark)
+        # rejects a timeout at or before the current watermark).
+        # CEIL the microsecond end to ms: flooring set the timeout up
+        # to 1ms BEFORE the true end+gap boundary, so an event landing
+        # exactly at end+gap (which the merge rule above and the batch
+        # oracle fold INTO the session) could arrive after the session
+        # was already emitted — forking a divergent second session
         state.setTimeoutTimestamp(
-            max(live[1] // 1000 + gap_seconds * 1000,
+            max((live[1] + 999) // 1000 + gap_seconds * 1000,
                 state.getCurrentWatermarkMs() + 1))
         if done:
             yield pd.DataFrame(

@@ -27,6 +27,7 @@ per epoch, and (c) merge_lww is monotone per row (seq guard).
 from __future__ import annotations
 
 import os
+import shutil
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,30 +62,49 @@ def write_event_chunks(
 ) -> int:
     """Write a bounded event stream as ordered parquet chunk files —
     the sandbox's WAL segments. One file per seq range, zero-padded
-    names so listing order == log order. Returns the chunk count."""
+    names so listing order == log order. Returns the chunk count.
+
+    ONE Spark job regardless of chunk count: rows hash-repartition on
+    their chunk ordinal and ``partitionBy`` writes every chunk file in
+    that single pass — the previous per-chunk filter loop re-executed
+    the full upstream plan O(n_chunks) times (2000 sequential jobs for
+    1M events at chunk_size=500). Seq ranges with no events produce no
+    file (the tailer lists whatever exists; names stay ordered)."""
+    if chunk_size <= 0:
+        # chunk_size=0 used to loop forever (lo += 0)
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
     os.makedirs(out_dir, exist_ok=True)
     bounds = events.agg(
         F.min(seq_col).alias("lo"), F.max(seq_col).alias("hi")
     ).collect()[0]
     if bounds["lo"] is None:
         return 0
-    n = 0
-    lo = bounds["lo"]
-    while lo <= bounds["hi"]:
-        hi = lo + chunk_size
-        chunk = events.where((F.col(seq_col) >= lo) & (F.col(seq_col) < hi))
-        tmp = os.path.join(out_dir, f"_tmp_{lo}")
-        chunk.coalesce(1).write.mode("overwrite").parquet(tmp)
-        part = [f for f in os.listdir(tmp) if f.endswith(".parquet")][0]
-        os.rename(
-            os.path.join(tmp, part),
-            os.path.join(out_dir, f"chunk_{lo:015d}.parquet"),
+    base = int(bounds["lo"])
+    tmp = os.path.join(out_dir, f"_tmp_{base}")
+    (
+        events.withColumn(
+            "__chunk",
+            ((F.col(seq_col) - F.lit(base)) / chunk_size).cast("long"),
         )
-        for junk in os.listdir(tmp):
-            os.unlink(os.path.join(tmp, junk))
-        os.rmdir(tmp)
-        lo = hi
+        .repartition("__chunk")  # one task owns a chunk ⇒ one file each
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(tmp)
+    )
+    n = 0
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("__chunk="):
+            continue
+        k = int(d.split("=", 1)[1])
+        part = [f for f in os.listdir(os.path.join(tmp, d))
+                if f.endswith(".parquet")][0]
+        os.rename(
+            os.path.join(tmp, d, part),
+            os.path.join(out_dir,
+                         f"chunk_{base + k * chunk_size:015d}.parquet"),
+        )
         n += 1
+    shutil.rmtree(tmp)
     return n
 
 

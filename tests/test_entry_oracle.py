@@ -83,3 +83,23 @@ def test_consolidated_variant_matches_oracle(spark, name):
         sql = sql.format(re=parsing.PATH_RE)
     res = compare_query(spark, SF_TINY, fn(spark, SF_TINY), sql)
     assert res["ok"], {k: v for k, v in res.items() if k != "sample_diff"}
+
+
+_WIRE_VARIANT_ORACLES = {
+    # wire-format pairs kept OUT of the 50-slot registry (their decode
+    # coverage is subsumed by src_sidestream_decode / src_snaplog_decode
+    # there); the standalone surfaces keep their own oracle proof here
+    # so the pairs cannot rot unverified
+    "f_text_table_decode": "_TEXT_TABLE_ORACLE",
+    "f_binary_decode": "_BINARY_DECODE_ORACLE",
+}
+
+
+@pytest.mark.parametrize("name", sorted(_WIRE_VARIANT_ORACLES))
+def test_wire_variant_matches_oracle(spark, name):
+    from etl_spark.queries import wire
+
+    fn = getattr(wire, name)
+    sql = getattr(wire, _WIRE_VARIANT_ORACLES[name])
+    res = compare_query(spark, SF_TINY, fn(spark, SF_TINY), sql)
+    assert res["ok"], {k: v for k, v in res.items() if k != "sample_diff"}

@@ -1279,3 +1279,58 @@ def test_compact_cluster_by_evolved_column_null_fills(spark, tbl_dir):
     t.compact(cluster_by=["obs"])
     got = {(r.repo, r.path): r.obs for r in t.read().collect()}
     assert got[("r", "q0")] == 3 and got[("r", "p0")] is None
+
+
+def test_two_sources_replicating_one_destination_stay_isolated(
+        spark, tbl_dir):
+    """Two sources replicating into ONE destination must not share a
+    ledger/cursor namespace: with the old bare 'cdf:' prefix, source
+    A's committed 'cdf:5' fast-forwarded source B's cursor past B's
+    never-replicated versions (permanently missing rows), and A's
+    'cdf:3' made the ledger silently skip B's v3 batch. Source-digest
+    prefixes keep them isolated; foreign id shapes sharing the prefix
+    must be skipped, not crash fast_forward_from."""
+    from etl_spark.icelite.changefeed import ChangeFeedCursor
+
+    a = IceliteTable.create(spark, os.path.join(tbl_dir, "srcA"), SCHEMA,
+                            key_cols=("repo", "path"), n_buckets=2)
+    b = IceliteTable.create(spark, os.path.join(tbl_dir, "srcB"), SCHEMA,
+                            key_cols=("repo", "path"), n_buckets=2)
+    dst = IceliteTable.create(spark, os.path.join(tbl_dir, "dst"), SCHEMA,
+                              key_cols=("repo", "path"), n_buckets=2)
+    ca = ChangeFeedCursor(a, os.path.join(tbl_dir, "ca.json"))
+    cb = ChangeFeedCursor(b, os.path.join(tbl_dir, "cb.json"))
+
+    # A commits 5 versions and replicates; B then replicates ITS v1-2
+    for i in range(5):
+        a.append_delta(_updf(spark, [("ra", f"p{i}", i, i + 1, "insert")]))
+    assert ca.replicate(dst) is not None
+    for i in range(2):
+        b.append_delta(_updf(spark, [("rb", f"q{i}", i, i + 1, "insert")]))
+    # a window-encoded foreign epoch on dst must not wedge the poll
+    dst._commit_append([], epoch_id="cdf:0:100", properties=None)
+    assert cb.replicate(dst) is not None
+    got = {(r.repo, r.path) for r in dst.read().collect()}
+    assert {("ra", f"p{i}") for i in range(5)} <= got  # A all present
+    assert {("rb", f"q{i}") for i in range(2)} <= got  # B NOT skipped
+    # cursors advanced independently to each source's own version
+    assert ca.position() == a.current_version()
+    assert cb.position() == b.current_version()
+
+
+def test_cursor_file_bound_to_table(spark, tbl_dir):
+    """A cursor file written for table A, pointed at table B (config
+    typo), must raise loudly instead of silently consuming B from A's
+    offset (skipped batches or duplicate delivery)."""
+    from etl_spark.icelite.changefeed import ChangeFeedCursor
+
+    a = make(spark, tbl_dir)
+    b = IceliteTable.create(spark, os.path.join(tbl_dir, "other"), SCHEMA,
+                            key_cols=("repo", "path"), n_buckets=2)
+    ca = ChangeFeedCursor(a, os.path.join(tbl_dir, "cur.json"))
+    a.append_delta(_updf(spark, [("r", "p", 1, 1, "insert")]))
+    out = ca.poll()
+    ca.advance(out[1])
+    cb = ChangeFeedCursor(b, os.path.join(tbl_dir, "cur.json"))
+    with pytest.raises(ValueError, match="belongs to table"):
+        cb.poll()

@@ -140,3 +140,15 @@ def test_adaptive_drain_adapts_across_waves(spark, tbl_dir):
                        n_buckets=8)
     replay(spark, ev, t2, None, epoch_size=500)
     assert final_state(tgt) == final_state(t2)
+
+
+def test_write_event_chunks_rejects_nonpositive_chunk(spark, tmp_path):
+    """chunk_size=0 used to loop forever (lo += 0, one Spark job per
+    spin); it must raise immediately instead."""
+    import pytest
+
+    from etl_spark import gen
+
+    ev = gen.synthetic_events(spark, 10, n_repos=2, seed=3)
+    with pytest.raises(ValueError, match="chunk_size"):
+        write_event_chunks(ev, str(tmp_path / "chunks"), chunk_size=0)
