@@ -53,7 +53,16 @@ def _probe_idx(hashes: np.ndarray, m: int, k: int) -> np.ndarray:
 
 
 def build(hashes, bits_per_key: int = 10, k: int = 7) -> bytes:
-    """Serialize a bloom filter over int64 key hashes."""
+    """Serialize a bloom filter over int64 key hashes.
+
+    ``k`` is capped at the range the reader accepts: may_contain_any
+    fails open on k > 64, so a sidecar built past that would verify and
+    round-trip yet silently never prune — storage cost paid forever,
+    zero benefit, no warning. Raise at build time instead."""
+    if not 1 <= k <= 64:
+        raise ValueError(
+            f"k must be in [1, 64] (the reader fails open beyond it), "
+            f"got {k}")
     h = np.asarray(hashes, dtype=np.int64)
     n = max(len(h), 1)
     m = 1 << max(6, int(n * bits_per_key - 1).bit_length())

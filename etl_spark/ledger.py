@@ -106,7 +106,12 @@ class SchemaLedger:
         extra = [c for c in df.columns if c not in known and not c.startswith("__")]
         if extra:
             raise ValueError(f"columns not in ledger v{self.latest.schema_version}: {extra}")
-        return _cast_to(df, self.latest.schema)
+        # engine-internal __ markers (e.g. a change feed's __op) are
+        # exempt from the unknown-column error AND preserved through
+        # the projection — exempting them only to let _cast_to drop
+        # them would silently turn deletes into upserts downstream
+        return _cast_to(df, self.latest.schema,
+                        extra=[c for c in df.columns if c.startswith("__")])
 
     def version_for_seq(self, seq: int) -> int:
         v = self.entries[0].schema_version

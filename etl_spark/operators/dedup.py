@@ -136,7 +136,16 @@ def patch_fold(
         ).alias("__lifecycle"),
     ]
     for c in carry_cols:
-        aggs.append(F.max_by(F.col(c), seq).alias(c))
+        # carry semantics = LAST NON-NULL by seq (DuckDB arg_max skips
+        # NULL value args — the oracle contract): a patch that elides a
+        # carry column must not clobber the previously-set value with
+        # NULL. Unlike patch_cols there is no insert-reset — a carry
+        # column (commit id, offset) is provenance carried forward, not
+        # row content a full image can null out.
+        aggs.append(
+            F.expr(f"max_by({c}, {seq_col}) FILTER (WHERE {c} IS NOT NULL)")
+            .alias(c)
+        )
     for c in patch_cols:
         aggs.append(
             F.expr(

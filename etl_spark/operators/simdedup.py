@@ -36,6 +36,47 @@ BAND_SIZE = 4  # → 4 bands
 from etl_spark.util import spread as _spread
 
 
+def _bucket_pairs(rows: DataFrame, group_cols, collect_expr,
+                  pair_struct_sql: str, max_bucket: int,
+                  order_col: str = "doc_id") -> DataFrame:
+    """Bounded within-bucket pair enumeration — the ONE implementation
+    every sketch→band→bucket candidate generator shares (LSH bands,
+    simhash byte bands, winnowing fingerprint buckets), so the two
+    load-bearing invariants live in one place:
+
+    - the ``row_number() <= max_bucket`` cap runs BEFORE
+      ``collect_list`` (its window exchange is reused by the groupBy),
+      bounding the aggregation buffer at max_bucket members instead of
+      materializing a degenerate bucket in memory;
+    - members are sorted, and x at 0-based position i pairs with every
+      LATER member — the 1-based ``slice(ms, i + 2, size(ms))`` start,
+      clamping to empty at the end — so each unordered pair is emitted
+      exactly once per bucket with doc_a < doc_b.
+
+    ``pair_struct_sql`` names the output struct built from pair
+    members ``x`` and ``y`` (each a ``collect_expr`` element)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(order_col)
+    members = (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_bucket)
+        .groupBy(*group_cols)
+        .agg(F.sort_array(F.collect_list(collect_expr)).alias("ms"))
+        .where(F.size("ms") >= 2)
+    )
+    pair = F.explode(
+        F.flatten(
+            F.expr(
+                "transform(ms, (x, i) -> "
+                "transform(slice(ms, i + 2, size(ms)), y -> "
+                f"{pair_struct_sql}))"
+            )
+        )
+    )
+    return members.select(pair.alias("p")).select("p.*")
+
+
 def shingles(docs: DataFrame, n: int = 5,
              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Distinct character n-gram shingles per document."""
@@ -43,6 +84,11 @@ def shingles(docs: DataFrame, n: int = 5,
     sh = F.explode(F.transform(idx, lambda i: F.col(text_col).substr(i, F.lit(n))))
     return (
         _spread(docs).select(F.col(id_col).alias("doc_id"), sh.alias("shingle"))
+        # NULL text used to contribute a phantom {NULL} shingle set:
+        # it inflated the doc's size count (pairs scored 0.0 against
+        # it instead of NULL = unscorable) and gave every NULL-text
+        # doc an identical garbage minhash signature
+        .where(F.length("shingle") > 0)
         .distinct()
     )
 
@@ -140,51 +186,31 @@ def lsh_candidate_pairs(
     size you accept k²/2 pairs for; the default (4096 → ≤8.4M pairs
     per bucket) never triggers on non-adversarial corpora.
     Returns a pure lazy plan — nothing cached, no eager actions."""
-    from pyspark.sql import Window
-
     sig = minhash_signatures(docs, n, n_perms)
     bands = lsh_bands(sig, band_size, n_perms, keep_cols=("sig",))
-    w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
-    members = (
-        bands.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= max_bucket)
-        .groupBy("band", "band_hash")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "sig"))
-            ).alias("ms")
-        )
-        .where(F.size("ms") >= 2)
-    )
-    # ordered pairs within the bucket: x at 0-based i pairs with every
-    # later member (1-based slice start i+2); slice clamps at the end
-    pair = F.explode(
-        F.flatten(
-            F.expr(
-                "transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), y -> "
-                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                "x.sig AS sig_a, y.sig AS sig_b)))"
-            )
-        )
+    pairs = _bucket_pairs(
+        bands, ("band", "band_hash"), F.struct("doc_id", "sig"),
+        "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+        "x.sig AS sig_a, y.sig AS sig_b)", max_bucket,
     )
     matches = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v)
     )
-    est = (
-        members.select(pair.alias("p"))
-        .select("p.*")
-        .select(
+    return (
+        pairs.select(
             "doc_a",
             "doc_b",
             F.round(matches / F.lit(float(n_perms)), 6).alias("est_jaccard"),
         )
+        # threshold BEFORE the pair-dedup shuffle: the estimate is
+        # identical for every band-copy of a pair, so below-threshold
+        # copies need never ride the groupBy exchange
+        .where(F.col("est_jaccard") >= min_est_jaccard)
         # a pair colliding in k bands appears k times with the SAME
         # estimate — first() is deterministic here
         .groupBy("doc_a", "doc_b")
         .agg(F.first("est_jaccard").alias("est_jaccard"))
     )
-    return est.where(F.col("est_jaccard") >= min_est_jaccard)
 
 
 _HEX = "0123456789abcdef"
@@ -239,11 +265,15 @@ def simhash_bucket_overflow(docs: DataFrame,
 
 def simhash(docs: DataFrame, bits: int = 32,
             id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """32-bit SimHash over distinct whitespace tokens.
+    """SimHash over distinct whitespace tokens (default 32-bit; up to
+    64 — bit b < 32 of the 64-bit sketch equals the 32-bit sketch's
+    bit b, so widening is a strict refinement).
 
-    bit b of md5(token)'s first 8 hex digits votes +1/-1; the sign of
+    bit b of md5(token)'s first 16 hex digits votes +1/-1; the sign of
     the per-bit sum sets the sketch bit. Pure integer arithmetic so
     any SQL engine reproduces it bit-for-bit."""
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = (
         _spread(docs).select(
             F.col(id_col).alias("doc_id"),
@@ -271,8 +301,15 @@ def simhash(docs: DataFrame, bits: int = 32,
     )
     sketch = None
     for b in range(bits):
-        term = F.when(F.col(f"s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
-        sketch = term if sketch is None else sketch + term
+        # shiftleft + bitwiseOR, not a Python literal + sum: F.lit(1 << 63)
+        # overflows LongType at plan build, so the documented 64-bit
+        # widening path (simhash_near_pairs' exactness mitigation) would
+        # die before running; shiftleft(1L, 63) is the correct
+        # two's-complement sign bit and OR has no overflow semantics
+        term = F.when(
+            F.col(f"s{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sketch = term if sketch is None else sketch.bitwiseOR(term)
     return agg.select("doc_id", sketch.alias("simhash"))
 
 
@@ -297,8 +334,6 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     approximate recall for members past the cap. At that corpus size
     raise ``max_bucket`` (cost is k^2/2 pairs per bucket) or widen the
     sketch to 64 bits / 8 bands before relying on exactness."""
-    from pyspark.sql import Window
-
     sh = simhash(docs)
     byte = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx")
     banded = sh.select(
@@ -307,31 +342,13 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         "byte_val",
         F.expr("shiftright(simhash, CAST(byte_idx * 8 AS INT)) & 255"),
     )
-    w = Window.partitionBy("byte_idx", "byte_val").orderBy("doc_id")
-    members = (
-        banded.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= max_bucket)
-        .groupBy("byte_idx", "byte_val")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("doc_id", "simhash"))
-            ).alias("ms")
+    return (
+        _bucket_pairs(
+            banded, ("byte_idx", "byte_val"),
+            F.struct("doc_id", "simhash"),
+            "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
+            "x.simhash AS sh_a, y.simhash AS sh_b)", max_bucket,
         )
-        .where(F.size("ms") >= 2)
-    )
-    pair = F.explode(
-        F.flatten(
-            F.expr(
-                "transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), y -> "
-                "struct(x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                "x.simhash AS sh_a, y.simhash AS sh_b)))"
-            )
-        )
-    )
-    pairs = (
-        members.select(pair.alias("p"))
-        .select("p.*")
         # Hamming filter BEFORE the distinct: far fewer rows reach the
         # dedup shuffle (a pair can collide in up to 4 byte bands)
         .withColumn("hamming", F.expr("bit_count(sh_a ^ sh_b)"))
@@ -339,7 +356,6 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
         .select("doc_a", "doc_b", "hamming")
         .distinct()
     )
-    return pairs
 
 
 def winnow_fingerprints(docs: DataFrame, k: int = 5, w: int = 4,
@@ -401,29 +417,10 @@ def winnow_candidate_pairs(docs: DataFrame, k: int = 5, w: int = 4,
     for a large doc fraction — so ``min_shared`` >= 2 (default) plus
     the valve is the practical operating point; use
     ``winnow_bucket_overflow`` to see what the valve would truncate."""
-    from pyspark.sql import Window
-
     fps = winnow_fingerprints(docs, k, w)
-    win = Window.partitionBy("fp").orderBy("doc_id")
-    members = (
-        fps.withColumn("__rn", F.row_number().over(win))
-        .where(F.col("__rn") <= max_bucket)
-        .groupBy("fp")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ms"))
-        .where(F.size("ms") >= 2)
-    )
-    pair = F.explode(
-        F.flatten(
-            F.expr(
-                "transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), y -> "
-                "struct(x AS doc_a, y AS doc_b)))"
-            )
-        )
-    )
     return (
-        members.select(pair.alias("p"))
-        .select("p.*")
+        _bucket_pairs(fps, ("fp",), F.col("doc_id"),
+                      "struct(x AS doc_a, y AS doc_b)", max_bucket)
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
@@ -455,15 +452,26 @@ def winnow_containment(docs: DataFrame, pairs: DataFrame,
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_b"))
+    # LEFT size joins: a candidate pair naming a doc with no
+    # fingerprints at all (NULL text, text shorter than k) must come
+    # back with containment NULL ("unscorable"), not silently vanish —
+    # a verify stage returning fewer rows than its candidate list makes
+    # "not duplicate" and "unscored" indistinguishable downstream
     return (
         pairs.select("doc_a", "doc_b").join(inter, ["doc_a", "doc_b"], "left")
         .na.fill({"n_shared": 0})
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
+        .join(za, "doc_a", "left")
+        .join(zb, "doc_b", "left")
         .select(
             "doc_a", "doc_b", "n_shared",
-            F.round(
-                F.col("n_shared") / F.least(F.col("n_a"), F.col("n_b")), 6
+            # explicit NULL guard: F.least IGNORES NULLs, so a missing
+            # size would silently score 0.0 against the present one
+            F.when(
+                F.col("n_a").isNotNull() & F.col("n_b").isNotNull(),
+                F.round(
+                    F.try_divide(F.col("n_shared"),
+                                 F.least(F.col("n_a"), F.col("n_b"))), 6
+                ),
             ).alias("containment"),
         )
     )
@@ -500,16 +508,21 @@ def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5) -> DataFr
     )
     za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    # LEFT size joins + try_divide: a pair naming a shingle-less doc
+    # scores NULL ("unscorable") instead of silently dropping out of
+    # the verify output (see winnow_containment)
     return (
         pairs.join(inter, ["doc_a", "doc_b"], "left")
         .na.fill({"n_inter": 0})
-        .join(za, "doc_a")
-        .join(zb, "doc_b")
+        .join(za, "doc_a", "left")
+        .join(zb, "doc_b", "left")
         .select(
             "doc_a",
             "doc_b",
             F.round(
-                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
+                F.try_divide(
+                    F.col("n_inter"),
+                    F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6
             ).alias("jaccard"),
         )
     )

@@ -45,6 +45,23 @@ def cosine_similarity_col(a, b):
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def _topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query top-k over (query_id, neighbor_id,
+    cosine) — ONE implementation of the ranking contract (cosine desc,
+    neighbor_id tie-break, 6-dp rounding upstream) shared by the
+    brute-force, LSH, and IVF paths, so the bit-stability guarantee and
+    the 'nprobe == n_clusters degenerates to exact brute force'
+    equality cannot drift between them."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def cosine_topk_bruteforce(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -71,14 +88,7 @@ def cosine_topk_bruteforce(
             F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(scored, k)
 
 
 def _hyperplane(dim: int, table: int, h: int):
@@ -172,14 +182,7 @@ def cosine_topk_lsh(
         "neighbor_id",
         F.round(cosine_similarity_col(F.col("q_vec"), F.col("c_vec")), 6).alias("cosine"),
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(scored, k)
 
 
 def embedding_near_dup_pairs(
@@ -190,11 +193,30 @@ def embedding_near_dup_pairs(
     n_tables: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket: int = 4096,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via multi-table LSH
     self-join: pairs must collide in at least one table; each surviving
-    pair is scored exactly once (dedup before the dot product)."""
+    pair is scored exactly once (dedup before the dot product).
+
+    ``max_bucket`` is the same safety valve every sibling pair
+    enumerator carries (simdedup's LSH/simhash/winnow buckets): a
+    dedup corpus's large identical-embedding cluster lands in the same
+    bucket in EVERY table, and the uncapped self-join materialized
+    ~tables x N^2/2 rows for it. Bucket membership is capped with a
+    ``row_number() <= max_bucket`` window BEFORE the join (streaming-
+    bounded — no collect_list buffer holding max_bucket vectors), so a
+    bucket costs at most max_bucket^2/2 pairs; members past the cap
+    still collide in their other tables. Run
+    :func:`embedding_bucket_overflow` to see what the valve truncates
+    before relying on exact recall on a new corpus."""
     e = _with_buckets(embeddings, id_col, vec_col, dim, n_planes, n_tables, "id", "vec")
+    w = Window.partitionBy("table", "bucket").orderBy("id")
+    e = (
+        e.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= max_bucket)
+        .drop("__rn")
+    )
     a = e.select("table", "bucket", F.col("id").alias("id_a"), F.col("vec").alias("vec_a"))
     b = e.select("table", "bucket", F.col("id").alias("id_b"), F.col("vec").alias("vec_b"))
     return (
@@ -207,6 +229,28 @@ def embedding_near_dup_pairs(
             F.round(cosine_similarity_col(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
         )
         .where(F.col("cosine") >= min_cosine)
+    )
+
+
+def embedding_bucket_overflow(
+    embeddings: DataFrame,
+    dim: int,
+    n_planes: int = 6,
+    n_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_bucket: int = 4096,
+) -> DataFrame:
+    """``band_bucket_overflow`` twin for the embedding LSH tables:
+    (table, bucket, members) for every bucket exceeding the
+    ``embedding_near_dup_pairs`` valve. Empty result = the cap never
+    engaged and no candidate pair was lost."""
+    e = _with_buckets(embeddings, id_col, vec_col, dim, n_planes,
+                      n_tables, "id", "vec")
+    return (
+        e.groupBy("table", "bucket")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .where(F.col("members") > max_bucket)
     )
 
 
@@ -414,11 +458,4 @@ def cosine_topk_ivf(
             ).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "cosine", "rank")
-    )
+    return _topk(scored, k)

@@ -486,3 +486,54 @@ LEFT JOIN topbg tb ON tb.doc_id = docs.doc_id
 """
     res = compare_query(spark, SF_TINY, textops.repetition_stats(docs), oracle)
     assert res["ok"], res
+
+
+def test_simhash_64bit_widening_is_a_refinement(spark):
+    """The simhash_near_pairs docstring tells users to widen the sketch
+    to 64 bits for exactness — that path used to die at plan build
+    (F.lit(1 << 63) overflows LongType). bits=64 must run, and because
+    bit b is computed independently, the 64-bit sketch's low 32 bits
+    must EQUAL the 32-bit sketch (widening is a strict refinement)."""
+    from etl_spark.operators import simdedup
+
+    rows = [(i, f"tok{i} alpha beta gamma delta-{i % 3}") for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    s32 = {r.doc_id: r.simhash
+           for r in simdedup.simhash(docs, bits=32).collect()}
+    s64 = {r.doc_id: r.simhash
+           for r in simdedup.simhash(docs, bits=64).collect()}
+    assert set(s32) == set(s64) and s32
+    for d, v in s64.items():
+        assert v & 0xFFFFFFFF == s32[d]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bits"):
+        simdedup.simhash(docs, bits=65)
+
+
+def test_verify_stages_surface_unscorable_pairs(spark):
+    """A candidate pair naming a doc with no shingles/fingerprints
+    (NULL text, or text shorter than the gram size) must come back
+    from the verify stage with a NULL score — not silently vanish,
+    which made 'not duplicate' and 'unscored' indistinguishable."""
+    from etl_spark.operators import simdedup
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy cat"),
+         (3, None),
+         (4, "ab")],  # shorter than the 5-gram
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (3, 4)], "doc_a long, doc_b long")
+    jac = {(r.doc_a, r.doc_b): r.jaccard
+           for r in simdedup.ngram_jaccard_pairs(docs, pairs).collect()}
+    assert set(jac) == {(1, 2), (1, 3), (3, 4)}  # every pair surfaced
+    assert jac[(1, 2)] is not None and jac[(1, 2)] > 0
+    assert jac[(1, 3)] is None and jac[(3, 4)] is None
+    con = {(r.doc_a, r.doc_b): r.containment
+           for r in simdedup.winnow_containment(docs, pairs).collect()}
+    assert set(con) == {(1, 2), (1, 3), (3, 4)}
+    assert con[(1, 2)] is not None and con[(1, 2)] > 0
+    assert con[(1, 3)] is None and con[(3, 4)] is None

@@ -158,3 +158,21 @@ def test_oracle_agrees_on_null_carrying_insert(spark):
     oracle = _CDC_PATCH_APPLY_ORACLE.format(events=values)
     res = compare_query(spark, SF_TINY, out, oracle)
     assert res["ok"], res
+
+
+def test_carry_column_survives_eliding_patch(spark):
+    """A minimal-row-image patch that ELIDES a carry column (commit
+    NULL) must not clobber the previously-set value: carry semantics
+    are last NON-NULL by seq — exactly DuckDB arg_max's skip-NULL
+    contract the oracle uses. (Plain max_by returned the winning
+    patch's NULL, silently diverging from the oracle the moment a real
+    feed elided a carry column.)"""
+    out = _fold(spark, [
+        (1, "insert", "r", "p", "c1", "py", "v1"),
+        (2, "patch", "r", "p", None, None, "v2"),   # commit elided
+        (3, "patch", "r", "p", None, "go", None),   # still elided
+    ])
+    r = out[("r", "p")]
+    assert r["commit"] == "c1"  # carried through both eliding patches
+    assert r["lang"] == "go" and r["content"] == "v2"
+    assert r["last_seq"] == 3

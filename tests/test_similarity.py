@@ -150,3 +150,25 @@ def test_ivf_zero_norm_embedding_is_harmless(spark):
              for r in similarity.ivf_assign(emb, cents).collect()}
     assert cells[99] == 0
     assert all(c is not None for c in cells.values())
+
+
+def test_embedding_near_dup_valve_bounds_degenerate_bucket(spark):
+    """A large identical-embedding cluster lands in ONE bucket in every
+    hash table; the uncapped self-join materialized ~tables x N^2/2
+    rows for it. With the valve, pair output is bounded by
+    max_bucket^2/2 and the overflow diagnostic reports the truncation."""
+    from etl_spark.operators.similarity import (
+        embedding_bucket_overflow,
+        embedding_near_dup_pairs,
+    )
+
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_near_dup_pairs(df, dim=4, max_bucket=10).collect()
+    assert 0 < len(pairs) <= 45  # ≤ C(10,2) per table, deduped
+    assert all(r.cosine == 1.0 for r in pairs)
+    over = embedding_bucket_overflow(df, dim=4, max_bucket=10).collect()
+    assert over and all(r.members == 60 for r in over)
+    # default valve never engages on this corpus: full pair set back
+    full = embedding_near_dup_pairs(df, dim=4).collect()
+    assert len(full) == 60 * 59 // 2
