@@ -101,6 +101,9 @@ def bench_queries() -> dict:
     timings["cdc_apply_full"] = round(min(reps), 3)
     rep_log["cdc_apply_full"] = [round(x, 3) for x in reps]
     events_per_sec = round(n_events / timings["cdc_apply_full"], 1)
+    # three full target+lineage copies of the 600k-event apply — drop
+    # them now (they used to leak per run until the disk filled)
+    shutil.rmtree(tmp, ignore_errors=True)
 
     for name in BENCH_QUERIES:
         # getattr fallback: timing names are kept stable across rounds
@@ -418,9 +421,17 @@ def _preserved_blocks(path: str) -> str:
     return "".join(out)
 
 
+_BENCH_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH")
+
+
 def write_baseline_md(s: dict) -> None:
-    os.makedirs("BENCH", exist_ok=True)
-    preserved = _preserved_blocks("BENCH/BASELINE.md")
+    # anchored to the script directory: a --scaling run from any other
+    # cwd used to drop scaling.json/BASELINE.md in <cwd>/BENCH, where
+    # the next bench run (which reads the script-relative path) never
+    # finds them — the north-rule evidence silently vanished and the
+    # regenerated BASELINE.md lost every preserved hand-written block
+    os.makedirs(_BENCH_DIR, exist_ok=True)
+    preserved = _preserved_blocks(os.path.join(_BENCH_DIR, "BASELINE.md"))
     warm = s.get("warmup_epochs", 1)
     md = f"""# BENCH/BASELINE — measured engine performance
 
@@ -521,7 +532,7 @@ fingerprinting, and transactional exactly-once commit.
 """
     if preserved:
         md = md + "\n" + preserved
-    with open("BENCH/BASELINE.md", "w") as f:
+    with open(os.path.join(_BENCH_DIR, "BASELINE.md"), "w") as f:
         f.write(md)
 
 
@@ -545,8 +556,8 @@ def main() -> None:
     if args.scaling:
         s = run_scaling(args.n_small, args.events, args.epochs, reps=args.reps)
         write_baseline_md(s)
-        os.makedirs("BENCH", exist_ok=True)
-        with open(os.path.join("BENCH", "scaling.json"), "w") as f:
+        os.makedirs(_BENCH_DIR, exist_ok=True)
+        with open(os.path.join(_BENCH_DIR, "scaling.json"), "w") as f:
             json.dump(s, f)
         print(json.dumps(s))
         return

@@ -152,6 +152,13 @@ def derived_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver correctness runs get the pure lazy plan."""
     import os
 
+    if os.environ.get("SPARK_GRAFT_MATERIALIZE_EVENTS") == "1":
+        # memo FIRST: once materialized, later calls (every cdc_* bench
+        # query) must not re-pay view registration + analysis of the
+        # two-phase SQL just to throw the plan away
+        path = _MATERIALIZED.get(sf_dir)
+        if path is not None:
+            return spark.read.parquet(path)
     load_tables(spark, sf_dir, ("lineitem",))
     df = spark.sql(derived_events_sql("spark"))
     if os.environ.get("SPARK_GRAFT_MATERIALIZE_EVENTS") != "1":
@@ -223,7 +230,12 @@ def synthetic_events(
         .otherwise("insert")
     )
     if corrupt_frac > 0:
-        op = F.when((h("corrupt") % 10000) < int(corrupt_frac * 10000), F.lit("bogus")).otherwise(op)
+        # ceil to the 1/1e6 grid and never quantize a positive request
+        # to zero: floor at 1/1e4 made corrupt_frac < 1e-4 silently
+        # produce NO corrupt rows (a rejection-path stress run that
+        # tests nothing) and nearly halved small fractions
+        thresh = max(1, int(round(corrupt_frac * 1000000)))
+        op = F.when((h("corrupt") % 1000000) < thresh, F.lit("bogus")).otherwise(op)
 
     lang = F.element_at(F.array(*[F.lit(x) for x in _LANGS]), (h("lang") % 8 + 1).cast("int"))
     commit = F.md5(F.concat(F.lit("c"), tag))

@@ -12,20 +12,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+
+def _kept(arr, every: int):
+    """Every-Nth-plus-last filter shared by thin_array and array_ops."""
+    return F.filter(
+        arr,
+        lambda x, i: (F.pmod(i, F.lit(every)) == 0) | (i == F.size(arr) - 1),
+    )
+
+
+def _trimmed(arr):
+    """Drop-last-element slice shared by overlap_trim and array_ops.
+    greatest(..., 0): slice throws on negative length, so one empty
+    array must not fail the stage."""
+    return F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
+
+
+def _tot(a):
+    return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
+
+
+def _n(a):
+    """NULL-safe element count: size(NULL) is -1 under Spark's legacy
+    default (spark.sql.legacy.sizeOfNull) — a nonsense count that
+    silently corrupts downstream sums. A NULL array counts NULL."""
+    return F.when(a.isNotNull(), F.size(a)).cast("long")
+
+
 def thin_array(docs: DataFrame, col: str = "embedding", every: int = 10,
                id_col: str = "vec_id") -> DataFrame:
     """W2 analog: keep every Nth element plus the last one; report
     scalar digests (count + rounded sum) of the kept values."""
     arr = F.col(col)
-    kept = F.filter(
-        arr,
-        lambda x, i: (F.pmod(i, F.lit(every)) == 0) | (i == F.size(arr) - 1),
-    )
-    total = F.aggregate(kept, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    kept = _kept(arr, every)
     return docs.select(
         F.col(id_col).alias("vec_id"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.round(total, 5).alias("kept_sum"),
+        _n(kept).alias("n_kept"),
+        F.round(_tot(kept), 5).alias("kept_sum"),
     )
 
 
@@ -34,14 +57,11 @@ def overlap_trim(docs: DataFrame, col: str = "embedding",
     """W6 analog (drop-overlap sample): drop the last element, digest
     the remainder."""
     arr = F.col(col)
-    # greatest(..., 0): slice throws on negative length, so one empty
-    # array must not fail the stage
-    trimmed = F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
-    total = F.aggregate(trimmed, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    trimmed = _trimmed(arr)
     return docs.select(
         F.col(id_col).alias("vec_id"),
-        F.size(trimmed).cast("long").alias("n_after_trim"),
-        F.round(total, 5).alias("trim_sum"),
+        _n(trimmed).alias("n_after_trim"),
+        F.round(_tot(trimmed), 5).alias("trim_sum"),
     )
 
 
@@ -50,7 +70,7 @@ def last_element_summary(docs: DataFrame, col: str = "embedding",
     """A2 analog (ndt7 summary): scalar aggregates of an array column —
     first/last elements, extremes, mean — all inside one projection."""
     arr = F.col(col)
-    total = F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+    total = _tot(arr)
     # try_element_at / try_divide: an empty array yields NULL digests
     # instead of an ANSI out-of-bounds / divide-by-zero stage abort
     return docs.select(
@@ -70,26 +90,19 @@ def array_ops(docs: DataFrame, col: str = "embedding", every: int = 10,
     all three array capabilities, and the plan reads the array column
     once instead of three times."""
     arr = F.col(col)
-    kept = F.filter(
-        arr,
-        lambda x, i: (F.pmod(i, F.lit(every)) == 0) | (i == F.size(arr) - 1),
-    )
     # empty-array safe: slice throws on negative length, element_at /
     # divide abort under ANSI — one degenerate row must not fail a scan
-    trimmed = F.slice(arr, 1, F.greatest(F.size(arr) - 1, F.lit(0)))
-
-    def tot(a):
-        return F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double"))
-
+    kept = _kept(arr, every)
+    trimmed = _trimmed(arr)
     return docs.select(
         F.col(id_col).alias("vec_id"),
-        F.size(kept).cast("long").alias("n_kept"),
-        F.round(tot(kept), 5).alias("kept_sum"),
-        F.size(trimmed).cast("long").alias("n_after_trim"),
-        F.round(tot(trimmed), 5).alias("trim_sum"),
+        _n(kept).alias("n_kept"),
+        F.round(_tot(kept), 5).alias("kept_sum"),
+        _n(trimmed).alias("n_after_trim"),
+        F.round(_tot(trimmed), 5).alias("trim_sum"),
         F.round(F.try_element_at(arr, F.lit(1)).cast("double"), 6).alias("first_val"),
         F.round(F.try_element_at(arr, F.lit(-1)).cast("double"), 6).alias("last_val"),
         F.round(F.array_min(arr).cast("double"), 6).alias("min_val"),
         F.round(F.array_max(arr).cast("double"), 6).alias("max_val"),
-        F.round(F.try_divide(tot(arr), F.size(arr)), 6).alias("mean_val"),
+        F.round(F.try_divide(_tot(arr), F.size(arr)), 6).alias("mean_val"),
     )

@@ -41,13 +41,26 @@ def asof_join(
     """Left as-of join: events + latest ``value_cols`` from ``dim``
     where ``dim.dim_ts <= events.events_ts`` per key (NULL when no
     version precedes the event)."""
+    from pyspark.sql import types as T
+
     keys = list(key_cols)
     vals = list(value_cols)
     ecols = [c for c in events.columns]
 
+    # the dim payload rides as ONE struct column, filled whole-ROW:
+    # per-column last(ignorenulls) could not distinguish an event-row
+    # placeholder NULL from a genuinely NULL dim attribute (an older
+    # version's value leaked through a newer version's NULL — SQL ASOF
+    # semantics return the NULL), and could stitch the output from
+    # DIFFERENT dim versions when value columns null independently.
+    # A dim row's struct is non-null even when every field is null, so
+    # last(struct, ignorenulls) picks exactly the latest preceding
+    # version and its fields extract with their own NULLs intact.
+    payload_t = T.StructType([T.StructField(v, dim.schema[v].dataType,
+                                            True) for v in vals])
     e = events.select(
         *[F.col(c) for c in ecols],
-        *[F.lit(None).cast(dim.schema[v].dataType).alias(f"__v_{v}") for v in vals],
+        F.lit(None).cast(payload_t).alias("__dim"),
         F.col(events_ts).alias("__ts"),
         F.lit(0).alias("__is_dim"),
     )
@@ -58,10 +71,10 @@ def asof_join(
             for c in ecols
             if c not in keys
         ],
-        *[F.col(v).alias(f"__v_{v}") for v in vals],
+        F.struct(*[F.col(v).alias(v) for v in vals]).alias("__dim"),
         F.col(dim_ts).alias("__ts"),
         F.lit(1).alias("__is_dim"),
-    ).select(*ecols, *[f"__v_{v}" for v in vals], "__ts", "__is_dim")
+    ).select(*ecols, "__dim", "__ts", "__is_dim")
 
     w = (
         Window.partitionBy(*keys)
@@ -70,19 +83,20 @@ def asof_join(
             # deterministic tie-break when multiple dim versions share
             # (key, dim_ts) — a dirty-dimension case: the greatest
             # payload wins, so replays enrich identically instead of
-            # picking whichever duplicate the sort placed last
-            F.struct(*[F.col(f"__v_{v}") for v in vals]).asc(),
+            # picking whichever duplicate the sort placed last. The
+            # single struct column is the ORIGINAL payload throughout
+            # (nothing rewrites it mid-plan), so the tie order is
+            # stable by construction.
+            F.col("__dim").asc(),
         )
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = e.unionByName(d)
-    for v in vals:
-        filled = filled.withColumn(
-            f"__v_{v}", F.last(f"__v_{v}", ignorenulls=True).over(w)
-        )
+    filled = e.unionByName(d).withColumn(
+        "__dim", F.last("__dim", ignorenulls=True).over(w)
+    )
     return (
         filled.where(F.col("__is_dim") == 0)
-        .select(*ecols, *[F.col(f"__v_{v}").alias(v) for v in vals])
+        .select(*ecols, *[F.col("__dim")[v].alias(v) for v in vals])
     )
 
 

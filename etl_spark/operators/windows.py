@@ -41,10 +41,18 @@ def change_points(events: DataFrame) -> DataFrame:
     how many times event_type changed along the stream, and the ids
     where it changed."""
     w = _w()
+    # null-safe inequality: `!=` yields NULL for NULL→'a' / 'a'→NULL,
+    # which when().otherwise(0) counted as UNCHANGED — real transitions
+    # involving a NULL event_type were silently missed. row_number
+    # guards the stream head (lag NULL there is "no previous event",
+    # not a change).
     marked = events.select(
         "user_id",
         "event_id",
-        (F.col("event_type") != F.lag("event_type").over(w)).alias("changed"),
+        (
+            (F.row_number().over(w) > 1)
+            & ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w))
+        ).alias("changed"),
     )
     return marked.groupBy("user_id").agg(
         F.sum(F.when(F.col("changed"), 1).otherwise(0)).cast("long").alias("n_changes"),

@@ -45,7 +45,12 @@ WINDOW w  AS (PARTITION BY user_id ORDER BY ts, event_id),
 _W_CHANGE_POINTS_ORACLE = """
 WITH marked AS (
   SELECT user_id,
-         (event_type <> lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS changed
+         -- IS DISTINCT FROM: null-safe, matching the engine's
+         -- eqNullSafe (transitions involving NULL count); the
+         -- row_number guard keeps the stream head from counting
+         ((row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1)
+          AND (event_type IS DISTINCT FROM
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS changed
   FROM events
 )
 SELECT user_id, coalesce(CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_changes

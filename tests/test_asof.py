@@ -98,3 +98,23 @@ def test_asof_join_ties_on_dim_ts_are_deterministic(spark):
         rows = asof_join(ev, dim, ["key"], "ts", "dim_ts", ["val"]).collect()
         outs.add(tuple(sorted((r.event_id, r.val) for r in rows)))
     assert outs == {((1, "v_b"), (2, "v_0"))}
+
+
+def test_asof_null_dim_value_not_overridden_by_older_version(spark):
+    """SQL ASOF semantics: the LATEST preceding dim version wins as a
+    whole ROW, including its NULLs. Per-column last(ignorenulls)
+    let an older version's value leak through a newer version's NULL
+    (and could stitch the output from different versions when columns
+    null independently) — the whole-row struct fill must not."""
+    from etl_spark.operators.asof import asof_join
+
+    ev = spark.createDataFrame(
+        [("k", 10, 1)], "key string, ts long, event_id long")
+    dim = spark.createDataFrame(
+        [("k", 1, "A", "x1"), ("k", 5, None, "x2")],
+        "key string, dim_ts long, v string, w string")
+    rows = asof_join(ev, dim, ["key"], "ts", "dim_ts", ["v", "w"]).collect()
+    assert len(rows) == 1
+    # latest version (dim_ts=5) applies whole-row: v is ITS NULL, not
+    # the older version's 'A'; w comes from the SAME version
+    assert rows[0].v is None and rows[0].w == "x2"

@@ -103,3 +103,20 @@ def test_wire_variant_matches_oracle(spark, name):
     sql = getattr(wire, _WIRE_VARIANT_ORACLES[name])
     res = compare_query(spark, SF_TINY, fn(spark, SF_TINY), sql)
     assert res["ok"], {k: v for k, v in res.items() if k != "sample_diff"}
+
+
+def test_change_points_counts_null_transitions(spark):
+    """`!=` is NULL-blind: 'a'→NULL and NULL→'b' are real transitions
+    the old predicate silently skipped (NULL comparison → otherwise(0)).
+    eqNullSafe + the stream-head guard count them; the DuckDB oracle's
+    IS DISTINCT FROM matches."""
+    from etl_spark.operators.windows import change_points
+
+    ev = spark.createDataFrame(
+        [(1, 1, 1, "a"), (1, 2, 2, None), (1, 3, 3, "b"),
+         (2, 4, 1, None), (2, 5, 2, None)],
+        "user_id long, event_id long, ts long, event_type string")
+    got = {r.user_id: (r.n_changes, list(r.change_event_ids))
+           for r in change_points(ev).collect()}
+    assert got[1] == (2, [2, 3])   # a→NULL and NULL→b both count
+    assert got[2] == (0, [])       # NULL→NULL is not a change
