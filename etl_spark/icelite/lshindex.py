@@ -1,0 +1,294 @@
+"""Incremental MinHash-LSH near-dup index maintained from the change feed.
+
+At 100 TB, near-duplicate detection cannot re-sketch the corpus per
+ingest batch: ``lsh_candidate_pairs`` is one full pass over every
+document (shingle explode → n_perms md5s per shingle → groupBy), so a
+pipeline that re-runs it after each CDC epoch pays O(corpus) for an
+O(batch) change. ``LshIndexView`` maintains the banded index as a
+QUERYABLE icelite table from ``changes_between`` deltas instead — the
+dedup analog of ``RollupView``'s additive aggregates, and the piece
+that ties the CDC engine to the training-data ops: "does this incoming
+document near-duplicate anything already ingested?" becomes a
+bucket-pruned point lookup, never a corpus scan.
+
+Index table (key = ``(band, band_hash)``):
+
+- ``members``  — the bucket's doc ids, sorted, capped at ``max_bucket``
+  (the same safety valve, with the same first-``max_bucket``-by-id
+  rule, as the batch enumerators in ``operators/simdedup.py``).
+- ``n_total``  — the TRUE live membership count, additive (+1 per
+  post-image band row, −1 per pre-image band row). ``n_total >
+  size(members)`` is the overflow diagnostic: candidates from that
+  bucket are a subset until a rebuild, exactly the batch valve's
+  documented degradation. A negative ``n_total`` aborts BEFORE the
+  merge commits — the index diverged from the feed (out-of-band edit).
+- ``last_seq`` — the source version that last touched the bucket.
+
+Maintenance is EXACT because the sketch is deterministic: the band
+rows of a pre-image (md5 minhash over its shingles — no RNG state)
+are byte-identical to the rows inserted when that version landed, so
+``array_except`` removes precisely them. A document whose update
+leaves a band unchanged emits a cancelling del+add on the same key; a
+NULL-text document sketches to zero band rows on both sides (the batch
+operators' contract: never a candidate).
+
+Exactly-once composes the same way as replication/rollup maintenance:
+each refresh lands under ``epoch_id = lsh:<source-digest>:<version>``
+with ``last_seq = version`` (stale re-application is a ledger no-op),
+the cursor advances only after the merge commits, and crash recovery
+re-syncs the cursor from the index's own committed epochs before
+polling.
+
+Scale shape per refresh: one change-feed read (touched buckets only),
+one sketch pass over the BATCH (not the corpus), one groupBy on
+``(band, band_hash)`` whose aggregation buffer is bounded by the
+``row_number() <= max_bucket`` valve, one bucket-pruned
+``read_matching`` of the touched index rows, one MERGE. Nothing is
+O(index) and nothing is O(corpus).
+
+Reference anchor: the reference dedups at task granularity with a
+per-table dedup pass before load (etl_worker.go / dedup docs); this
+engine generalizes it to content-level near-dup kept incrementally
+current by the change feed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.icelite.changefeed import ChangeFeedCursor
+from etl_spark.icelite.table import IceliteTable
+from etl_spark.operators.simdedup import (
+    BAND_SIZE,
+    N_PERMS,
+    lsh_bands,
+    minhash_signatures,
+)
+
+_ADDS = ("insert", "update_postimage")
+_DELS = ("delete", "update_preimage")
+
+
+class LshIndexDiverged(Exception):
+    """A maintenance delta would drive a bucket's live count negative —
+    the index no longer matches the feed; rebuild it from a full read."""
+
+
+class LshIndexView:
+    def __init__(self, source: IceliteTable, index: IceliteTable,
+                 cursor_path: str, id_col: str, text_col: str = "text",
+                 n: int = 5, n_perms: int = N_PERMS,
+                 band_size: int = BAND_SIZE, max_bucket: int = 4096):
+        self.source = source
+        self.index = index
+        self.cursor = ChangeFeedCursor(source, cursor_path)
+        self.id_col = id_col
+        self.text_col = text_col
+        self.n = n
+        self.n_perms = n_perms
+        self.band_size = band_size
+        self.max_bucket = max_bucket
+
+    @staticmethod
+    def create(spark: SparkSession, source: IceliteTable, path: str,
+               cursor_path: str, id_col: str, text_col: str = "text",
+               n: int = 5, n_perms: int = N_PERMS,
+               band_size: int = BAND_SIZE, max_bucket: int = 4096,
+               n_buckets: int = 16) -> "LshIndexView":
+        """Create the index table keyed by ``(band, band_hash)``. The
+        member element type mirrors the source id column's type."""
+        src_schema = source.snapshot().current_schema
+        id_t = src_schema[id_col].dataType
+        schema = T.StructType([
+            T.StructField("band", T.IntegerType(), False),
+            T.StructField("band_hash", T.StringType(), False),
+            # element containsNull stays True: members never hold NULLs
+            # by construction, but parquet does not round-trip the
+            # non-null element flag, so a False declaration would make
+            # every read-side adapt a refused narrowing cast
+            T.StructField("members", T.ArrayType(id_t, True), False),
+            T.StructField("n_total", T.LongType(), False),
+            T.StructField("last_seq", T.LongType(), False),
+        ])
+        index = IceliteTable.create(
+            spark, path, schema, key_cols=("band", "band_hash"),
+            n_buckets=n_buckets,
+        )
+        return LshIndexView(source, index, cursor_path, id_col, text_col,
+                            n, n_perms, band_size, max_bucket)
+
+    # -- sketch (shared with the batch operators) ---------------------------
+
+    def _band_rows(self, docs: DataFrame) -> DataFrame:
+        """(doc_id, band, band_hash) — the EXACT derivation the batch
+        ``lsh_candidate_pairs`` uses, so index maintenance and batch
+        recompute can never disagree on what collides."""
+        renamed = docs.select(
+            F.col(self.id_col).alias("doc_id"),
+            F.col(self.text_col).alias("text"),
+        )
+        sig = minhash_signatures(renamed, self.n, self.n_perms)
+        return lsh_bands(sig, self.band_size, self.n_perms).select(
+            "doc_id", "band", "band_hash"
+        )
+
+    # -- maintenance ---------------------------------------------------------
+
+    def refresh(self) -> dict | None:
+        """One maintenance step: poll the feed, fold pre/post-image
+        band rows into the index, advance. Returns None when caught up."""
+        from pyspark.sql import Window
+
+        pfx = self.cursor.source_prefix("lsh:")
+        self.cursor.fast_forward_from(self.index, pfx)
+        out = self.cursor.poll()
+        if out is None:
+            return None
+        ch, v = out
+
+        cols = (self.id_col, self.text_col)
+        pre = ch.where(F.col("_change_type").isin(*_DELS)).select(*cols)
+        post = ch.where(F.col("_change_type").isin(*_ADDS)).select(*cols)
+        b = (
+            self._band_rows(post).withColumn("__sgn", F.lit(1))
+            .unionByName(
+                self._band_rows(pre).withColumn("__sgn", F.lit(-1)))
+        )
+        # the max_bucket valve, applied to the ADD side before
+        # collect_list exactly as in simdedup._bucket_pairs: adds sort
+        # FIRST (by doc id) inside each bucket so their row_number is
+        # dense 1..n_adds; dels are never capped — a removal must
+        # always apply or deleted docs would linger as candidates.
+        # n_total stays exact either way (summed over UNCAPPED rows).
+        # The window's exchange is reused by the groupBy (same keys).
+        w = Window.partitionBy("band", "band_hash").orderBy(
+            F.col("__sgn").desc(), F.col("doc_id"))
+        deltas = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .groupBy("band", "band_hash")
+            .agg(
+                F.sort_array(F.collect_list(F.when(
+                    (F.col("__sgn") == 1)
+                    & (F.col("__rn") <= self.max_bucket),
+                    F.col("doc_id")))).alias("__adds"),
+                F.collect_list(F.when(
+                    F.col("__sgn") == -1, F.col("doc_id"))).alias("__dels"),
+                F.sum("__sgn").cast("long").alias("__d_n"),
+            )
+            .persist()
+        )
+        try:
+            cur = self.index.read_matching(
+                deltas.select("band", "band_hash"),
+                columns=["band", "band_hash", "members", "n_total"])
+            # delta keys renamed: cur's plan CONTAINS deltas
+            # (read_matching probes it) — see RollupView for the
+            # self-join-ambiguity rationale. Keys are non-null by
+            # schema, so plain equality is safe here.
+            d2 = deltas.select(
+                F.col("band").alias("__g_band"),
+                F.col("band_hash").alias("__g_band_hash"),
+                "__adds", "__dels", "__d_n",
+            )
+            j = cur.join(
+                d2,
+                [F.col("band") == F.col("__g_band"),
+                 F.col("band_hash") == F.col("__g_band_hash")],
+                "full_outer",
+            )
+            merged = F.array_sort(F.array_union(
+                F.array_except(
+                    F.coalesce(F.col("members"),
+                               F.array().cast(cur.schema["members"].dataType)),
+                    F.coalesce(F.col("__dels"),
+                               F.array().cast(cur.schema["members"].dataType)),
+                ),
+                F.coalesce(F.col("__adds"),
+                           F.array().cast(cur.schema["members"].dataType)),
+            ))
+            n_new = (F.coalesce(F.col("n_total"), F.lit(0))
+                     + F.coalesce(F.col("__d_n"), F.lit(0)))
+            updates = j.select(
+                F.coalesce(F.col("band"), F.col("__g_band")).alias("band"),
+                F.coalesce(F.col("band_hash"),
+                           F.col("__g_band_hash")).alias("band_hash"),
+                F.slice(merged, 1, self.max_bucket).alias("members"),
+                n_new.alias("n_total"),
+                F.lit(v).cast("long").alias("last_seq"),
+                F.when(n_new <= 0, F.lit("delete"))
+                .otherwise(F.lit("insert")).alias("op"),
+            )
+            # divergence gate BEFORE the merge commits; changed buckets
+            # only — a small job
+            if updates.where(F.col("n_total") < 0).limit(1).count() > 0:
+                raise LshIndexDiverged(
+                    f"delta to v{v} drives a bucket count negative; the "
+                    f"index at {self.index.path} no longer matches the "
+                    f"feed — rebuild it from a full read"
+                )
+            self.index.merge_lww(updates, epoch_id=f"{pfx}{v}")
+            self.cursor.advance(v)
+        finally:
+            deltas.unpersist()
+        return {"version": v, "index": self.index.path}
+
+    # -- queries -------------------------------------------------------------
+
+    def candidate_pairs(self) -> DataFrame:
+        """(doc_a, doc_b), a < b — every bucket-colliding pair in the
+        index. Equals the pair set of the batch
+        ``lsh_candidate_pairs(min_est_jaccard=0.0)`` over the source's
+        current state whenever no bucket has overflowed (members are
+        already sorted, so the nested-transform enumeration emits each
+        unordered pair once per bucket; the groupBy collapses
+        multi-band collisions). No signature ride-along here — the
+        verify stage (``ngram_jaccard_pairs``) scores candidates
+        against source text, the documented two-stage shape."""
+        idx = self.index.read().where(F.size("members") >= 2)
+        pair = F.explode(
+            F.flatten(
+                F.expr(
+                    "transform(members, (x, i) -> "
+                    "transform(slice(members, i + 2, size(members)), y -> "
+                    "struct(x AS doc_a, y AS doc_b)))"
+                )
+            )
+        )
+        return (
+            idx.select(pair.alias("p")).select("p.*")
+            .groupBy("doc_a", "doc_b").agg(F.lit(1).alias("__one"))
+            .drop("__one")
+        )
+
+    def candidates_for(self, docs: DataFrame) -> DataFrame:
+        """(query_id, match_id) — indexed documents sharing any band
+        bucket with a document in ``docs`` (columns ``id_col`` +
+        ``text_col``). THE incremental serving path: the probe batch is
+        sketched (O(batch)), the index is opened only at the probed
+        buckets (``read_matching``: bucket pruning + key blooms), and a
+        broadcast semi-join selects the rows — never a corpus scan.
+        Self-matches (a probe doc already indexed) are dropped."""
+        b = self._band_rows(docs)
+        hits = self.index.read_matching(
+            b.select("band", "band_hash"),
+            columns=["band", "band_hash", "members"])
+        m = F.explode("members").alias("match_id")
+        return (
+            b.join(hits, ["band", "band_hash"])
+            .select(F.col("doc_id").alias("query_id"), m)
+            .where(F.col("query_id") != F.col("match_id"))
+            .groupBy("query_id", "match_id").agg(F.lit(1).alias("__one"))
+            .drop("__one")
+        )
+
+    def overflowed_buckets(self) -> DataFrame:
+        """Buckets whose stored members are a SUBSET of live membership
+        (the max_bucket valve truncated them): candidates from these
+        buckets degrade until a rebuild — the runtime signal, same
+        contract as ``band_bucket_overflow`` for the batch path."""
+        return self.index.read().where(
+            F.col("n_total") > F.size("members")
+        ).select("band", "band_hash", "n_total",
+                 F.size("members").cast("long").alias("n_stored"))

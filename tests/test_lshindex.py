@@ -1,0 +1,240 @@
+"""Incremental LSH index maintenance (icelite/lshindex.py): the
+change-feed-maintained index must agree with a batch recompute over
+the source's final state, survive redelivery/crash windows, track
+overflow honestly, and serve probe batches without a corpus scan."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.icelite.lshindex import LshIndexDiverged, LshIndexView
+from etl_spark.icelite.table import IceliteTable
+from etl_spark.operators.simdedup import lsh_candidate_pairs
+
+SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("text", T.StringType(), True),
+    T.StructField("last_seq", T.LongType(), False),
+])
+
+
+def _text(i: int, fam: int) -> str:
+    # family-correlated text: docs in one family share long substrings
+    # (real LSH collisions), families differ
+    base = f"the quick brown fox family {fam} jumps over the lazy dog "
+    return base * 3 + f"tail of document {i}"
+
+
+def make_source(spark, tbl_dir):
+    return IceliteTable.create(
+        spark, os.path.join(tbl_dir, "src"), SCHEMA,
+        key_cols=("doc_id",), n_buckets=4,
+    )
+
+
+def make_view(spark, tbl_dir, src, **kw):
+    return LshIndexView.create(
+        spark, src, os.path.join(tbl_dir, "lsh_idx"),
+        os.path.join(tbl_dir, "lsh_cursor"), "doc_id", "text",
+        n_buckets=4, **kw,
+    )
+
+
+def rows(spark, data):
+    return spark.createDataFrame(data, SCHEMA)
+
+
+def batch_pairs(spark, src):
+    """Ground truth: batch LSH pairs over the source's CURRENT state."""
+    docs = src.read().select("doc_id", "text")
+    got = lsh_candidate_pairs(docs, min_est_jaccard=0.0).collect()
+    return {(r.doc_a, r.doc_b) for r in got}
+
+
+def index_pairs(view):
+    return {(r.doc_a, r.doc_b) for r in view.candidate_pairs().collect()}
+
+
+def test_incremental_equals_batch_through_insert_update_delete(
+        spark, tbl_dir):
+    """The flagship invariant: after inserts, content updates (which
+    move docs between buckets), deletes, and an unchanged-band update,
+    the incrementally maintained index enumerates EXACTLY the pair set
+    a batch recompute over final state produces."""
+    src = make_source(spark, tbl_dir)
+    view = make_view(spark, tbl_dir, src)
+
+    # epoch 1: 12 docs in 3 families
+    src.merge_lww(rows(spark, [
+        (i, _text(i, i % 3), i + 1) for i in range(12)
+    ]).withColumn("op", F.lit("insert")))
+    assert view.refresh() is not None
+    assert index_pairs(view) == batch_pairs(spark, src)
+
+    # epoch 2: move docs 0,1 to family 9 (bucket moves), rewrite doc 2
+    # with IDENTICAL text (pre/post band rows cancel), delete docs 3,4
+    src.merge_lww(rows(spark, [
+        (0, _text(0, 9), 100), (1, _text(1, 9), 101),
+        (2, _text(2, 2), 102),
+        (3, None, 103), (4, None, 104),
+    ]).withColumn(
+        "op", F.when(F.col("doc_id").isin(3, 4), "delete")
+        .otherwise(F.lit("update"))))
+    assert view.refresh() is not None
+    want = batch_pairs(spark, src)
+    assert (3 not in {d for p in want for d in p}
+            and 4 not in {d for p in want for d in p})
+    assert index_pairs(view) == want
+
+    # epoch 3: delete an entire family; re-insert a deleted id with
+    # new content
+    src.merge_lww(rows(spark, [
+        (6, None, 200), (9, None, 201),
+        (3, _text(3, 9), 202),
+    ]).withColumn(
+        "op", F.when(F.col("doc_id") == 3, "insert")
+        .otherwise(F.lit("delete"))))
+    assert view.refresh() is not None
+    assert index_pairs(view) == batch_pairs(spark, src)
+    # caught up: no-op poll
+    assert view.refresh() is None
+
+
+def test_null_text_docs_never_indexed(spark, tbl_dir):
+    """NULL-text docs sketch to zero band rows on insert AND on their
+    pre-image at delete — never candidates, never divergence."""
+    src = make_source(spark, tbl_dir)
+    view = make_view(spark, tbl_dir, src)
+    src.merge_lww(rows(spark, [
+        (1, None, 1), (2, _text(2, 0), 2), (3, _text(3, 0), 3),
+    ]).withColumn("op", F.lit("insert")))
+    view.refresh()
+    assert index_pairs(view) == {(2, 3)}
+    src.merge_lww(rows(spark, [(1, None, 10)]).withColumn(
+        "op", F.lit("delete")))
+    view.refresh()
+    assert index_pairs(view) == {(2, 3)}
+
+
+def test_candidates_for_probes_without_indexing(spark, tbl_dir):
+    """The serving path: a probe batch returns its indexed near-dup
+    candidates (and nothing from foreign families); probing does not
+    mutate the index."""
+    src = make_source(spark, tbl_dir)
+    view = make_view(spark, tbl_dir, src)
+    src.merge_lww(rows(spark, [
+        (i, _text(i, i % 2), i + 1) for i in range(8)
+    ]).withColumn("op", F.lit("insert")))
+    view.refresh()
+    v_before = view.index.current_version()
+
+    probe = spark.createDataFrame(
+        [(100, _text(100, 0)), (101, "completely unrelated text with "
+                                     "no shared shingles qzxv")],
+        "doc_id long, text string")
+    got = {(r.query_id, r.match_id)
+           for r in view.candidates_for(probe).collect()}
+    # ground truth: batch LSH over indexed ∪ probe docs, restricted to
+    # (probe, indexed) pairs — LSH collisions are hash-determined, not
+    # family-determined, so the exact oracle is the batch recompute
+    union = src.read().select("doc_id", "text").unionByName(probe)
+    want = {
+        (b, a) if a < 100 else (a, b)
+        for (a, b) in {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(
+            union, min_est_jaccard=0.0).collect()}
+        if (a >= 100) != (b >= 100)
+    }
+    assert got == want
+    # same-family docs DO collide; the unrelated probe finds nothing
+    assert {m for (q, m) in got if q == 100} >= {0, 2}
+    assert not {m for (q, m) in got if q == 101}
+    assert view.index.current_version() == v_before
+
+    # probing a doc that IS indexed drops the self-match
+    probe2 = spark.createDataFrame([(0, _text(0, 0))],
+                                   "doc_id long, text string")
+    got2 = {(r.query_id, r.match_id)
+            for r in view.candidates_for(probe2).collect()}
+    assert (0, 0) not in got2
+    assert {m for (q, m) in got2} >= {2, 4, 6}
+
+
+def test_redelivery_after_crash_before_advance(spark, tbl_dir):
+    """Process dies after the index merge but before cursor advance:
+    the next refresh must fast-forward from the index's committed
+    epochs and apply nothing twice (n_total would double-count)."""
+    src = make_source(spark, tbl_dir)
+    view = make_view(spark, tbl_dir, src)
+    src.merge_lww(rows(spark, [
+        (i, _text(i, 0), i + 1) for i in range(4)
+    ]).withColumn("op", F.lit("insert")))
+    view.refresh()
+
+    def total(v):
+        return v.index.read().agg(F.sum("n_total")).collect()[0][0]
+
+    # each live doc contributes EXACTLY n_bands (=4) band rows, so the
+    # bucket-count sum is 4 × live docs — double-counting a redelivered
+    # window inflates it regardless of which buckets collide
+    assert total(view) == 4 * 4
+
+    # simulate the crash window: rewind the cursor, source moves on
+    os.remove(view.cursor.cursor_path)
+    src.merge_lww(rows(spark, [(50, _text(50, 1), 500)]).withColumn(
+        "op", F.lit("insert")))
+    view2 = LshIndexView(src, view.index, view.cursor.cursor_path,
+                         "doc_id", "text")
+    view2.refresh()
+    assert total(view2) == 4 * 5, "redelivered window double-counted"
+    assert index_pairs(view2) == batch_pairs(spark, src)
+
+
+def test_overflow_cap_and_divergence_gate(spark, tbl_dir):
+    """max_bucket caps stored members (first-N-by-id, the batch valve
+    rule) while n_total stays exact; overflowed_buckets surfaces it;
+    an out-of-band index edit trips the divergence gate on the next
+    delete-heavy refresh."""
+    src = make_source(spark, tbl_dir)
+    view = make_view(spark, tbl_dir, src, max_bucket=3)
+    # 6 docs with IDENTICAL text: every band bucket holds all 6
+    src.merge_lww(rows(spark, [
+        (i, "same text for everyone " * 4, i + 1) for i in range(6)
+    ]).withColumn("op", F.lit("insert")))
+    view.refresh()
+    idx = view.index.read().collect()
+    assert idx and all(r.n_total == 6 and len(r.members) == 3
+                       and list(r.members) == [0, 1, 2] for r in idx)
+    ovf = view.overflowed_buckets().collect()
+    assert ovf and all(r.n_total == 6 and r.n_stored == 3 for r in ovf)
+    # pairs degrade to the stored subset — gracefully, not quadratically
+    assert index_pairs(view) == {(0, 1), (0, 2), (1, 2)}
+
+    # out-of-band edit: zero every n_total, then delete all 6 docs —
+    # the fold would drive counts negative and must abort pre-commit
+    edited = view.index.read().withColumn(
+        "n_total", F.lit(0).cast("long")).withColumn(
+        "last_seq", F.lit(999).cast("long")).withColumn(
+        "op", F.lit("update"))
+    view.index.merge_lww(edited)
+    src.merge_lww(rows(spark, [
+        (i, None, 100 + i) for i in range(6)
+    ]).withColumn("op", F.lit("delete")))
+    v_before = view.index.current_version()
+    with pytest.raises(LshIndexDiverged):
+        view.refresh()
+    assert view.index.current_version() == v_before  # nothing committed
+
+
+def test_index_pairs_match_batch_on_empty_and_single_doc(spark, tbl_dir):
+    src = make_source(spark, tbl_dir)
+    view = make_view(spark, tbl_dir, src)
+    assert view.refresh() is None          # nothing to do on v0
+    assert index_pairs(view) == set()
+    src.merge_lww(rows(spark, [(1, _text(1, 0), 1)]).withColumn(
+        "op", F.lit("insert")))
+    view.refresh()
+    assert index_pairs(view) == set() == batch_pairs(spark, src)
