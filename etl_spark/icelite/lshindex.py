@@ -234,6 +234,52 @@ class LshIndexView:
             deltas.unpersist()
         return {"version": v, "index": self.index.path}
 
+    def rebuild(self) -> dict:
+        """Full recompute of the index from the source's CURRENT
+        snapshot — the recovery path after ``LshIndexDiverged`` (an
+        out-of-band index edit) or to restore buckets the
+        ``max_bucket`` valve truncated. O(corpus) by definition; run
+        it offline (no concurrent ``refresh`` — the single-operator
+        maintenance contract).
+
+        Implemented as ``overwrite``, not a merge: absolute state
+        replaces the file set wholesale, so corrupt rows — including
+        rows whose ``last_seq`` was poisoned ABOVE any source version,
+        which a merge's LWW guard could never override and which would
+        silently swallow every later refresh — are simply gone, while
+        the epoch ledger carries forward (stale refresh redelivery
+        stays a no-op). Crash-safe: the overwrite lands under the same
+        ``lsh:<digest>:<v>`` id a refresh reaching v would use, so a
+        crash between overwrite and advance is healed by the next
+        refresh's ledger fast-forward; when that id was already
+        committed (repairing at a version a refresh already folded)
+        the cursor is already at v — no crash window — and the
+        overwrite runs unledgered (absolute state is idempotent)."""
+        from pyspark.sql import Window
+
+        v = self.source.current_version()
+        b = self._band_rows(
+            self.source.read().select(self.id_col, self.text_col))
+        w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
+        new = (
+            b.withColumn("__rn", F.row_number().over(w))
+            .groupBy("band", "band_hash")
+            .agg(
+                F.sort_array(F.collect_list(F.when(
+                    F.col("__rn") <= self.max_bucket,
+                    F.col("doc_id")))).alias("members"),
+                F.count(F.lit(1)).cast("long").alias("n_total"),
+            )
+            .withColumn("last_seq", F.lit(v).cast("long"))
+        )
+        pfx = self.cursor.source_prefix("lsh:")
+        eid = f"{pfx}{v}"
+        already = eid in set(self.index.committed_epochs())
+        self.index.overwrite(new, epoch_id=None if already else eid)
+        if v > self.cursor.position():
+            self.cursor.advance(v)
+        return {"version": v, "index": self.index.path, "rebuilt": True}
+
     # -- queries -------------------------------------------------------------
 
     def candidate_pairs(self) -> DataFrame:

@@ -229,6 +229,68 @@ def test_overflow_cap_and_divergence_gate(spark, tbl_dir):
     assert view.index.current_version() == v_before  # nothing committed
 
 
+def test_rebuild_recovers_divergence_and_truncation(spark, tbl_dir):
+    """rebuild() is the documented recovery path: it must repair an
+    out-of-band edit EVEN when the corrupt rows carry last_seq above
+    any source version (a merge's LWW guard could never override
+    those), restore members a smaller valve truncated, and leave the
+    view refreshable afterwards."""
+    src = make_source(spark, tbl_dir)
+    view = make_view(spark, tbl_dir, src, max_bucket=3)
+    src.merge_lww(rows(spark, [
+        (i, "same text for everyone " * 4, i + 1) for i in range(6)
+    ]).withColumn("op", F.lit("insert")))
+    view.refresh()
+    assert view.overflowed_buckets().count() > 0
+
+    # poison the index out-of-band with an ABSURDLY high last_seq
+    poisoned = view.index.read().withColumn(
+        "n_total", F.lit(1).cast("long")).withColumn(
+        "last_seq", F.lit(10**15).cast("long")).withColumn(
+        "op", F.lit("update"))
+    view.index.merge_lww(poisoned)
+
+    # rebuild with a wider valve over the same index table
+    wide = LshIndexView(src, view.index, view.cursor.cursor_path,
+                        "doc_id", "text", max_bucket=100)
+    out = wide.rebuild()
+    assert out["rebuilt"] and out["version"] == src.current_version()
+    idx = wide.index.read().collect()
+    assert idx and all(r.n_total == 6 and list(r.members) == list(range(6))
+                       for r in idx)
+    assert wide.overflowed_buckets().count() == 0
+    assert index_pairs(wide) == batch_pairs(spark, src)
+
+    # the view keeps working: a later source epoch folds incrementally
+    # (seq v+1 > rebuild's v — the overwrite reset poisoned seqs)
+    src.merge_lww(rows(spark, [(0, None, 50)]).withColumn(
+        "op", F.lit("delete")))
+    assert wide.refresh() is not None
+    assert index_pairs(wide) == batch_pairs(spark, src)
+    assert all(r.n_total == 5 for r in wide.index.read().collect())
+
+
+def test_compaction_preserves_index_and_refreshability(spark, tbl_dir):
+    """Compacting the SOURCE (change feed must not fabricate diffs
+    across rewritten buckets) and the INDEX (MoR resolve of the
+    maintained rows) both leave pairs and future refreshes exact."""
+    src = make_source(spark, tbl_dir)
+    view = make_view(spark, tbl_dir, src)
+    src.merge_lww(rows(spark, [
+        (i, _text(i, i % 2), i + 1) for i in range(8)
+    ]).withColumn("op", F.lit("insert")))
+    view.refresh()
+    before = index_pairs(view)
+    src.compact()
+    view.index.compact()
+    assert index_pairs(view) == before
+    assert view.refresh() is None  # compaction is not a change
+    src.merge_lww(rows(spark, [(0, None, 99)]).withColumn(
+        "op", F.lit("delete")))
+    view.refresh()
+    assert index_pairs(view) == batch_pairs(spark, src)
+
+
 def test_index_pairs_match_batch_on_empty_and_single_doc(spark, tbl_dir):
     src = make_source(spark, tbl_dir)
     view = make_view(spark, tbl_dir, src)
@@ -238,3 +300,63 @@ def test_index_pairs_match_batch_on_empty_and_single_doc(spark, tbl_dir):
         "op", F.lit("insert")))
     view.refresh()
     assert index_pairs(view) == set() == batch_pairs(spark, src)
+
+
+def test_property_random_epochs_fold_to_batch(spark, tmp_path_factory):
+    """Hypothesis-drawn op sequences over a tiny id space (dense
+    insert→update→delete→re-insert chains, NULL texts, duplicate
+    content): after EVERY folded epoch the index pair set equals a
+    batch recompute over the source's state at that version, and the
+    bucket-count sum equals n_bands × live sketchable docs."""
+    import shutil
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    texts = [_text(0, 0), _text(1, 0), _text(0, 1), None,
+             "short", "same text for everyone " * 4]
+
+    @st.composite
+    def epochs(draw):
+        n_epochs = draw(st.integers(min_value=1, max_value=3))
+        out, seq = [], 0
+        for _ in range(n_epochs):
+            ids = draw(st.lists(st.integers(min_value=0, max_value=5),
+                                min_size=1, max_size=5, unique=True))
+            ev = []
+            for i in ids:
+                seq += 1
+                op = draw(st.sampled_from(
+                    ["insert", "update", "update", "delete"]))
+                ev.append((i, draw(st.sampled_from(texts)), seq, op))
+            out.append(ev)
+        return out
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(epochs())
+    def run(eps):
+        d = str(tmp_path_factory.mktemp("lshprop"))
+        try:
+            src = make_source(spark, d)
+            view = make_view(spark, d, src)
+            for ev in eps:
+                batch = spark.createDataFrame(
+                    [(i, t, s) for (i, t, s, _op) in ev], SCHEMA
+                ).join(
+                    spark.createDataFrame(
+                        [(i, op) for (i, _t, _s, op) in ev],
+                        "doc_id long, op string"),
+                    "doc_id")
+                src.merge_lww(batch)
+                view.refresh()
+                assert index_pairs(view) == batch_pairs(spark, src)
+                live = src.read().where(
+                    F.col("text").isNotNull()).count()
+                got = view.index.read().agg(
+                    F.coalesce(F.sum("n_total"), F.lit(0))).collect()[0][0]
+                assert got == 4 * live
+        finally:
+            shutil.rmtree(d, ignore_errors=True)
+
+    run()
