@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import shutil
 import os
 import subprocess
 import sys
@@ -178,8 +179,68 @@ def bench_queries() -> dict:
         ch_secs.append(time.time() - t0)
     timings["cdc_changelog_12M"] = round(min(ch_secs), 3)
     rep_log["cdc_changelog_12M"] = [round(x, 3) for x in ch_secs]
-    import shutil
     shutil.rmtree(tmp12, ignore_errors=True)
+
+    # incremental LSH index maintenance (icelite/lshindex.py): the
+    # O(corpus)-build vs O(batch)-refresh evidence. 50k synthetic docs
+    # in 1000 content families (deterministic md5 text — real band
+    # collisions), built once via rebuild(), then two 500-doc UPDATE
+    # epochs folded via refresh() (each pays the full maintenance
+    # path: pre+post sketch, touched-bucket read_matching, merge).
+    # Recorded OUTSIDE the suite total so cross-round totals stay
+    # comparable; at 10^8 docs the build:refresh ratio is the point —
+    # a per-epoch recompute would be ~corpus/batch (=100x here) while
+    # refresh stays flat in corpus size (touched buckets only).
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from etl_spark.icelite.lshindex import LshIndexView
+    from etl_spark.icelite.table import IceliteTable
+
+    tmpl = tempfile.mkdtemp(prefix="bench_lsh_", dir=store)
+    n_docs, n_fams, n_upd = 50_000, 1000, 500
+    doc_schema = T.StructType([
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+
+    def doc_frame(lo: int, hi: int, rev: int):
+        # family-shared prefix (6 md5 terms) + per-doc+revision tail:
+        # ~230 chars, deterministic, family members truly collide
+        d = spark.range(lo, hi).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[F.md5(F.concat(F.lit(f"fam{k}:"),
+                                 (F.col("id") % n_fams).cast("string")))
+                  for k in range(6)],
+                F.md5(F.concat(F.lit(f"doc{rev}:"),
+                               F.col("id").cast("string"))),
+            ).alias("text"),
+            (F.col("id") + F.lit(rev * n_docs)).cast("long")
+            .alias("last_seq"),
+        )
+        return d.withColumn("op", F.lit("insert" if rev == 0 else "update"))
+
+    lsh_src = IceliteTable.create(spark, f"{tmpl}/src", doc_schema,
+                                  key_cols=("doc_id",), n_buckets=32)
+    lsh_src.merge_lww(doc_frame(0, n_docs, 0))
+    view = LshIndexView.create(spark, lsh_src, f"{tmpl}/idx",
+                               f"{tmpl}/cur", "doc_id", "text",
+                               n_buckets=32)
+    t0 = time.time()
+    view.rebuild()
+    lsh_build_sec = round(time.time() - t0, 3)
+    refresh_secs = []
+    for r in (1, 2):  # stateful — each rep is its own update epoch
+        lsh_src.merge_lww(doc_frame(0, n_upd, r))
+        t0 = time.time()
+        view.refresh()
+        refresh_secs.append(time.time() - t0)
+    lsh_refresh_sec = round(min(refresh_secs), 3)
+    rep_log["lsh_index_refresh"] = [round(x, 3) for x in refresh_secs]
+    shutil.rmtree(tmpl, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     spark.stop()
@@ -195,6 +256,14 @@ def bench_queries() -> dict:
         "synthetic_events": n_timed,
         "synthetic_events_per_sec": syn_events_per_sec,
         "changelog_rows": n_changes,
+        # incremental-vs-batch near-dup maintenance (see comment above)
+        "lsh_index": {
+            "docs": n_docs, "update_batch": n_upd,
+            "build_sec": lsh_build_sec,
+            "refresh_sec": lsh_refresh_sec,
+            "build_over_refresh": round(
+                lsh_build_sec / max(lsh_refresh_sec, 1e-9), 1),
+        },
         # every rep behind each recorded min (r4 verdict item 4): the
         # judge adjudicates host noise from the spread, no re-run needed
         "rep_secs": rep_log,
@@ -289,11 +358,10 @@ def apply_worker(cores: int, n_events: int, epochs: int, shared_dir: str) -> Non
     # protocol, analyzed in BENCH/BASELINE.md) makes the timed number
     # measure steady-state compaction — the realistic regime for a
     # maintenance pass that runs continuously at 100 TB.
-    import shutil as _shutil
     warm_copy = os.path.join(tmp, "warm_compact")
-    _shutil.copytree(tgt.path, warm_copy)
+    shutil.copytree(tgt.path, warm_copy)
     IceliteTable.load(spark, warm_copy).compact()
-    _shutil.rmtree(warm_copy, ignore_errors=True)
+    shutil.rmtree(warm_copy, ignore_errors=True)
     t0 = time.time()
     tgt.compact()
     compact_time = time.time() - t0
@@ -303,7 +371,6 @@ def apply_worker(cores: int, n_events: int, epochs: int, shared_dir: str) -> Non
     # is noise-bound; kernel_sum must be ~constant across core counts
     ks = tgt.last_compact_task_secs
     spark.stop()
-    import shutil
     shutil.rmtree(tmp, ignore_errors=True)
     print(json.dumps({"cores": cores, "epoch_times": epoch_times,
                       "warm_epochs": 2, "compact_sec": compact_time,
@@ -321,8 +388,7 @@ def run_scaling(n_small: int, n_events: int, epochs: int, reps: int = 2) -> dict
     recovers the machine's true capability (both configs get the same
     treatment)."""
     results = {}
-    import shutil as _sh
-    have_taskset = _sh.which("taskset") is not None
+    have_taskset = shutil.which("taskset") is not None
     store = "/dev/shm" if os.path.isdir("/dev/shm") else None
     shared_dir = tempfile.mkdtemp(prefix="scale_shared_", dir=store)
     try:
@@ -358,7 +424,7 @@ def run_scaling(n_small: int, n_events: int, epochs: int, reps: int = 2) -> dict
                     r = prev
             results[cores] = r
     finally:
-        _sh.rmtree(shared_dir, ignore_errors=True)
+        shutil.rmtree(shared_dir, ignore_errors=True)
     small, big = results[n_small], results[n_small * 4]
     warm = small["warm_epochs"]
     t_small = sum(small["epoch_times"][warm:])
