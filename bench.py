@@ -465,6 +465,7 @@ _PRESERVED_SECTIONS = (
     "## Change-feed read-back",
     "## Compaction scaling: overhead-bound",
     "## Winner sha256 placement A/B",
+    "## Incremental LSH index",
 )
 
 
