@@ -39,8 +39,8 @@ from etl_spark.queries.cdc import (
     _CDC_OP_STATS_ORACLE,
     _CDC_PATCH_APPLY_ORACLE,
     _CDC_ROLLUP_ORACLE,
+    _CDC_WAL_ORACLE,
     cdc_changelog,
-    cdc_events,
     cdc_final_state,
     cdc_fingerprint,
     cdc_lww,
@@ -48,6 +48,7 @@ from etl_spark.queries.cdc import (
     cdc_op_stats,
     cdc_patch_apply,
     cdc_rollup,
+    cdc_wal_roundtrip,
 )
 from etl_spark.queries.docs import (
     _CODE_SCAN_ORACLE,
@@ -156,8 +157,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     payload variants, duplicate relational demos) into merged queries;
     the per-op variants remain as module functions pinned by pytest."""
     return {
-        # CDC engine (flagship family)
-        "cdc_events": cdc_events,
+        # CDC engine (flagship family); cdc_wal_roundtrip renders every
+        # event as a Debezium-style WAL envelope and decodes it back —
+        # same oracle target as the plain stream check it replaced,
+        # strictly more machinery under proof (sources/walfeed.py)
+        "cdc_wal_roundtrip": cdc_wal_roundtrip,
         "cdc_lww": cdc_lww,
         "cdc_final_state": cdc_final_state,
         "cdc_fingerprint": cdc_fingerprint,
@@ -223,7 +227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     ev = gen.derived_events_sql("duckdb")
     return {
-        "cdc_events": ev,
+        "cdc_wal_roundtrip": _CDC_WAL_ORACLE.format(events=ev),
         "cdc_lww": _CDC_LWW_ORACLE.format(events=ev),
         "cdc_final_state": gen.final_state_sql("duckdb"),
         "cdc_fingerprint": _CDC_FINGERPRINT_ORACLE.format(events=ev),

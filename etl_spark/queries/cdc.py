@@ -17,6 +17,28 @@ def cdc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gen.derived_events(spark, sf_dir)
 
 
+def cdc_wal_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The binlog-tail front door, render-and-parse: every derived
+    change event serialized as a Debezium-style WAL envelope
+    (``sources/walfeed.py`` — op codes c/u/d, delete image in
+    ``before``, lsn/ts_us in ``source``) and decoded back to the
+    canonical frame by the JVM-only ``from_json`` path. The oracle is
+    the raw event template itself, so the identity proves the full
+    envelope round trip: op mapping, image-side selection, lsn→seq and
+    micros→timestamp recovery. Subsumes the plain ``cdc_events``
+    stream check (same oracle target, strictly more machinery under
+    proof). Zero shuffles beyond the shared fixture derivation; the
+    decode itself is one whole-stage-codegen projection."""
+    from etl_spark.sources.walfeed import (
+        decode_wal_envelope,
+        render_wal_envelope,
+        wal_events,
+    )
+
+    ev = gen.derived_events(spark, sf_dir)
+    return wal_events(decode_wal_envelope(render_wal_envelope(ev)))
+
+
 def cdc_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-writer-wins winner per key — via the SALTED two-phase plan
     (partial max per (key, salt) → final per key), the hot-key-safe
@@ -169,6 +191,15 @@ FROM ranked WHERE rn = 1 AND op <> 'delete'
 GROUP BY lang
 """
 
+
+# the WAL round trip decodes event_time from envelope micros, so the
+# canonical output is timestamp-typed; the oracle casts the template's
+# date column to match (midnight UTC — lossless for date-granular data)
+_CDC_WAL_ORACLE = """
+SELECT seq, op, repo, path, commit, lang, content, schema_version,
+       CAST(event_time AS TIMESTAMP) AS event_time
+FROM ({events}) ev
+"""
 
 _CDC_LWW_ORACLE = """
 WITH events AS ({events}),

@@ -1,0 +1,323 @@
+"""Debezium/WAL-style JSON change-event envelopes: render + decode.
+
+The north-star ingest surface is a binlog/WAL tail — ordered change
+events (insert/update/delete/schema-change) applied to the lake. The
+engine's canonical event frame (schemas.EVENTS_V*) is what the apply
+path consumes; THIS module is the wire format in front of it: the
+publicly documented Debezium-style JSON envelope
+(``{"payload": {"before", "after", "source", "op", "ts_ms"}}``) with
+op codes ``c``/``u``/``d``/``r`` plus an in-stream schema-change
+message, decoded to the canonical frame entirely with JVM expressions
+(one ``from_json`` against an explicit StructType — never runtime
+inference, never per-row Python).
+
+Reference anchor: the reference's ingest envelope is the task queue +
+archive-path convention that routes each blob to its parser
+(etl_worker.go, task/task.go); schema versions ride the
+UpdateTable-else-Create evolution command (cmd/update-schema/
+update.go:70-104). This module is that same routing-plus-versioning
+contract re-expressed for a CDC log: the envelope routes each record
+to the data path or the schema-change path, and schema-change events
+append SchemaLedger entries instead of a deploy-time UpdateTable.
+
+Decode contract (same error taxonomy as every wire decoder here):
+
+- malformed JSON / missing required fields → ``corrupt = true``, raw
+  retained (quarantine shape); the task never dies on one bad record.
+- a blank value (Kafka tombstone after a delete) → ``tombstone =
+  true``; dropped by ``wal_events`` but visible for accounting.
+- ``op`` codes: ``c``→insert, ``u``→update, ``d``→delete (row image
+  from ``before``), ``r``→insert (snapshot read), ``sc``→
+  schema_change. Unknown codes are corrupt.
+- ``seq`` is ``source.lsn`` — the total order the LWW dedup ranks on.
+- ``event_time`` prefers ``source.ts_us`` (microsecond fidelity; the
+  envelope is JSON, so timestamps travel as integers, never as
+  locale-dependent strings), falling back to ``payload.ts_ms``.
+
+Scale shape: decode is one whole-stage-codegen projection over the
+raw lines (plan-gated JVM-only in tests/test_plans.py); schema-change
+events are metadata-rate (a driver-side bounded collect builds the
+ledger), and the data path never shuffles — ordering is ranked later
+by the salted LWW aggregation, not by a global sort here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.ledger import LedgerEntry, SchemaLedger
+
+# canonical-event metadata columns that ride the envelope itself, not
+# the row image (before/after carry the PAYLOAD columns only)
+_META_COLS = ("seq", "op", "schema_version", "event_time")
+
+# wire op code → canonical op (VALID_OPS in schemas.py)
+_OP_CASES = (("c", "insert"), ("u", "update"), ("d", "delete"),
+             ("r", "insert"), ("sc", "schema_change"))
+
+_SCHEMA_CHANGE = T.StructType([
+    T.StructField("version", T.IntegerType(), True),
+    T.StructField("ddl", T.StringType(), True),
+    T.StructField("columns", T.ArrayType(T.StructType([
+        T.StructField("name", T.StringType(), True),
+        T.StructField("type", T.StringType(), True),
+        T.StructField("nullable", T.BooleanType(), True),
+        T.StructField("doc", T.StringType(), True),
+    ])), True),
+])
+
+# wire type name → Spark type, the add/widen vocabulary a schema-change
+# event may carry (ledger entries are built from these; an unknown name
+# is a LOUD error — an unregistered type must not silently pass,
+# ledger.normalize's own contract)
+_WIRE_TYPES = {
+    "string": T.StringType(), "long": T.LongType(),
+    "bigint": T.LongType(), "int": T.IntegerType(),
+    "integer": T.IntegerType(), "double": T.DoubleType(),
+    "float": T.FloatType(), "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(), "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+
+def row_image_schema(event_schema: T.StructType) -> T.StructType:
+    """The before/after image: the event schema's payload columns
+    (everything the envelope itself does not carry)."""
+    return T.StructType(
+        [f for f in event_schema.fields if f.name not in _META_COLS]
+    )
+
+
+def envelope_schema(event_schema: T.StructType) -> T.StructType:
+    """Explicit StructType ``from_json`` parses against. Built from the
+    ledger's LATEST event schema: older-version envelopes simply lack
+    the newer image keys and decode to NULL there (ledger.normalize's
+    missing-column contract, applied at parse time for free)."""
+    img = row_image_schema(event_schema)
+    source = T.StructType([
+        T.StructField("connector", T.StringType(), True),
+        T.StructField("ts_us", T.LongType(), True),
+        T.StructField("lsn", T.LongType(), True),
+        T.StructField("tx_id", T.StringType(), True),
+        T.StructField("schema_version", T.IntegerType(), True),
+    ])
+    payload = T.StructType([
+        T.StructField("before", img, True),
+        T.StructField("after", img, True),
+        T.StructField("source", source, True),
+        T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("schema_change", _SCHEMA_CHANGE, True),
+    ])
+    return T.StructType([T.StructField("payload", payload, True)])
+
+
+def render_wal_envelope(events: DataFrame, connector: str = "walfeed",
+                        keep: tuple = ()) -> DataFrame:
+    """Canonical event frame → one envelope JSON line per event
+    (column ``raw``). The producer side of the wire, used by the
+    render-and-parse driver query and the stream fixtures; deletes
+    carry the image in ``before`` (full row image, content already
+    NULL), upserts in ``after`` — ``to_json`` omits the absent side.
+    Pure JVM (struct build + ``to_json``). ``keep`` names extra
+    metadata columns to carry alongside ``raw`` (e.g. a chunk ordinal
+    for the WAL writer) — they never enter the envelope image."""
+    img_cols = [f.name for f in events.schema.fields
+                if f.name not in _META_COLS and f.name not in keep]
+    img = F.struct(*[F.col(c) for c in img_cols])
+    op = F.col("op")
+    code = F.when(op == "insert", F.lit("c")) \
+        .when(op == "update", F.lit("u")) \
+        .when(op == "delete", F.lit("d")) \
+        .when(op == "schema_change", F.lit("sc"))
+    ts_us = F.unix_micros(F.col("event_time").cast("timestamp"))
+    payload = F.struct(
+        F.when(op == "delete", img).alias("before"),
+        F.when(op.isin("insert", "update"), img).alias("after"),
+        F.struct(
+            F.lit(connector).alias("connector"),
+            ts_us.alias("ts_us"),
+            F.col("seq").cast("long").alias("lsn"),
+            F.lit(None).cast("string").alias("tx_id"),
+            F.col("schema_version").cast("int").alias("schema_version"),
+        ).alias("source"),
+        code.alias("op"),
+        F.floor(ts_us / 1000).cast("long").alias("ts_ms"),
+    )
+    return events.select(
+        F.to_json(F.struct(payload.alias("payload"))).alias("raw"),
+        *[F.col(c) for c in keep],
+    )
+
+
+def schema_change_envelope(version: int, ddl: str, columns: list,
+                           seq: int, ts_us: int | None = None,
+                           connector: str = "walfeed") -> str:
+    """One schema-change envelope line (driver-side helper — these are
+    metadata-rate). ``columns`` is the MIGRATION DELTA: the columns
+    this version adds/widens, as (name, wire_type, nullable, doc)
+    tuples — the same vocabulary LedgerEntry.migration records."""
+    import json
+
+    return json.dumps({"payload": {
+        "source": {"connector": connector, "ts_us": ts_us, "lsn": seq,
+                   "schema_version": version},
+        "op": "sc",
+        "schema_change": {
+            "version": version, "ddl": ddl,
+            "columns": [{"name": n, "type": t, "nullable": bool(nl),
+                         "doc": doc}
+                        for (n, t, nl, doc) in columns],
+        },
+    }})
+
+
+def decode_wal_envelope(raw_df: DataFrame, raw_col: str = "raw",
+                        ledger: SchemaLedger | None = None) -> DataFrame:
+    """Envelope lines → canonical event frame + error/tombstone flags.
+
+    Output: the ledger's latest event columns, plus ``corrupt``
+    (malformed JSON, unknown op, missing lsn, upsert without an
+    ``after`` image — raw retained for quarantine), ``tombstone``
+    (blank/null value — the Kafka after-delete marker), and
+    ``schema_change`` (non-null only on ``sc`` rows; feed it to
+    ``ledger_with_wal_changes``). One ``from_json`` projection —
+    whole-stage codegen, zero Python, zero shuffle."""
+    ledger = ledger or SchemaLedger.default()
+    event_schema = ledger.latest.schema
+    env_t = envelope_schema(event_schema)
+    raw = F.col(raw_col)
+    p = F.from_json(raw, env_t)["payload"]
+
+    tomb = raw.isNull() | (F.trim(raw) == "") | (F.trim(raw) == "null")
+    op_code = p["op"]
+    canon = F.coalesce(
+        *[F.when(op_code == c, F.lit(o)) for c, o in _OP_CASES]
+    )
+    img = F.when(op_code == "d", p["before"]).otherwise(p["after"])
+    seq = p["source"]["lsn"]
+    event_time = F.coalesce(
+        F.timestamp_micros(p["source"]["ts_us"]),
+        F.timestamp_millis(p["ts_ms"]),
+    )
+    corrupt = ~tomb & (
+        p.isNull()
+        | canon.isNull()
+        | seq.isNull()
+        | (canon.isin("insert", "update") & img.isNull())
+        | ((canon == "delete") & img.isNull())
+        | ((canon == "schema_change") & p["schema_change"].isNull())
+    )
+    img_cols = [
+        img[f.name].alias(f.name)
+        for f in row_image_schema(event_schema).fields
+    ]
+    return raw_df.select(
+        seq.cast("long").alias("seq"),
+        canon.alias("op"),
+        *img_cols,
+        F.coalesce(p["source"]["schema_version"],
+                   F.lit(ledger.entries[0].schema_version))
+        .cast("int").alias("schema_version"),
+        event_time.alias("event_time"),
+        F.coalesce(corrupt, F.lit(True)).alias("corrupt"),
+        tomb.alias("tombstone"),
+        p["schema_change"].alias("schema_change"),
+        raw.alias(raw_col),
+    )
+
+
+def wal_events(decoded: DataFrame,
+               ledger: SchemaLedger | None = None) -> DataFrame:
+    """The clean DATA stream: canonical event columns only, in the
+    ledger's latest column order — what apply_epoch consumes. Corrupt
+    rows, tombstones and schema-change messages are filtered (route
+    corrupt rows to quarantine via ``wal_corrupt`` upstream)."""
+    ledger = ledger or SchemaLedger.default()
+    cols = [f.name for f in ledger.latest.schema.fields]
+    return decoded.where(
+        ~F.col("corrupt") & ~F.col("tombstone")
+        & (F.col("op") != "schema_change")
+    ).select(*cols)
+
+
+def wal_corrupt(decoded: DataFrame, raw_col: str = "raw") -> DataFrame:
+    """Corrupt envelopes with their raw lines — the dead-letter feed."""
+    return decoded.where(F.col("corrupt")).select("seq", "op", raw_col)
+
+
+def wal_schema_changes(decoded: DataFrame) -> DataFrame:
+    """Schema-change messages: (seq, version, ddl, columns). Metadata
+    rate by construction — safe to collect on the driver."""
+    return decoded.where(
+        ~F.col("corrupt") & (F.col("op") == "schema_change")
+    ).select(
+        "seq",
+        F.col("schema_change")["version"].alias("version"),
+        F.col("schema_change")["ddl"].alias("ddl"),
+        F.col("schema_change")["columns"].alias("columns"),
+    )
+
+
+def ledger_with_wal_changes(ledger: SchemaLedger,
+                            changes: DataFrame) -> SchemaLedger:
+    """Fold in-stream schema-change events into a NEW SchemaLedger.
+
+    Each event appends one entry: the previous latest schema plus the
+    event's delta columns (add-only here; the evolve_schema gate on the
+    target enforces widen rules when the new schema reaches storage).
+    ``effective_seq`` is the event's seq — data rows AFTER the change
+    carry the new version, exactly version_for_seq's contract. Loud
+    failures (never silent drift): non-monotonic versions, a column
+    that already exists with a DIFFERENT type, or an unknown wire type.
+    """
+    rows = sorted(changes.collect(), key=lambda r: r["seq"])
+    entries = list(ledger.entries)
+    for r in rows:
+        prev = entries[-1]
+        if r["version"] <= prev.schema_version:
+            raise ValueError(
+                f"schema-change at seq {r['seq']} carries version "
+                f"{r['version']} ≤ ledger latest {prev.schema_version}"
+            )
+        fields = list(prev.schema.fields)
+        have = {f.name: f.dataType for f in fields}
+        docs = {}
+        migration = []
+        for c in (r["columns"] or []):
+            t = _WIRE_TYPES.get((c["type"] or "").lower())
+            if t is None:
+                raise ValueError(
+                    f"schema-change at seq {r['seq']}: unknown wire type "
+                    f"{c['type']!r} for column {c['name']!r}"
+                )
+            if c["name"] in have:
+                if have[c["name"]] != t:
+                    raise ValueError(
+                        f"schema-change at seq {r['seq']}: column "
+                        f"{c['name']!r} exists as "
+                        f"{have[c['name']].simpleString()}, event says "
+                        f"{t.simpleString()} — widen via evolve_schema, "
+                        f"not a redefinition"
+                    )
+                continue  # idempotent re-statement
+            nullable = True if c["nullable"] is None else bool(c["nullable"])
+            fields.append(T.StructField(c["name"], t, nullable))
+            migration.append(f"add:{c['name']},{t.simpleString()}")
+            if c["doc"]:
+                docs[c["name"]] = c["doc"]
+        entries.append(LedgerEntry(
+            int(r["version"]), int(r["seq"]), T.StructType(fields),
+            ";".join(migration) or (r["ddl"] or "noop"),
+            descriptions=docs or None,
+        ))
+    return SchemaLedger(entries)
+
+
+def is_wal_envelope(raw_col: str = "raw") -> Column:
+    """Cheap pre-filter (F2 IsParsable analog): the line LOOKS like an
+    envelope — pushes as a JVM predicate before the from_json."""
+    c = F.trim(F.col(raw_col))
+    return c.startswith("{") & c.contains('"payload"')

@@ -52,6 +52,13 @@ class TailerConfig:
     ledger: SchemaLedger | None = field(default=None)
     # dead-letter dir for sub-gate rejects (None = count-and-drop)
     quarantine: str | None = None
+    # envelope=True: events_dir holds Debezium-style WAL envelope JSONL
+    # chunks (sources/walfeed.py) instead of canonical parquet; each
+    # micro-batch decodes, dead-letters corrupt lines, folds in-stream
+    # schema-change events into the ledger (persisted beside the
+    # checkpoint so a restart keeps decoding post-evolution columns),
+    # then applies exactly as the parquet path
+    envelope: bool = False
 
     def event_schema(self):
         return schemas.events_schema(self.schema_version)
@@ -108,9 +115,141 @@ def write_event_chunks(
     return n
 
 
+def write_wal_chunks(
+    events: DataFrame, out_dir: str, chunk_size: int, seq_col: str = "seq"
+) -> int:
+    """Render canonical events as WAL-envelope JSONL chunk files — the
+    text twin of ``write_event_chunks`` (same single-job partitionBy
+    shape, same ordered names), for the ``envelope=True`` tailer."""
+    from etl_spark.sources.walfeed import render_wal_envelope
+
+    if chunk_size <= 0:
+        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = events.agg(
+        F.min(seq_col).alias("lo"), F.max(seq_col).alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return 0
+    base = int(bounds["lo"])
+    lines = render_wal_envelope(events, keep=(seq_col,)).withColumn(
+        "__chunk", ((F.col(seq_col) - F.lit(base)) / chunk_size).cast("long")
+    )
+    tmp = os.path.join(out_dir, f"_tmp_{base}")
+    (
+        lines.select(F.col("raw").alias("value"), "__chunk")
+        .repartition("__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .text(tmp)
+    )
+    n = 0
+    for d in sorted(os.listdir(tmp)):
+        if not d.startswith("__chunk="):
+            continue
+        k = int(d.split("=", 1)[1])
+        part = [f for f in os.listdir(os.path.join(tmp, d))
+                if f.endswith(".txt")][0]
+        os.rename(
+            os.path.join(tmp, d, part),
+            os.path.join(out_dir,
+                         f"chunk_{base + k * chunk_size:015d}.jsonl"),
+        )
+        n += 1
+    shutil.rmtree(tmp)
+    return n
+
+
+def _wal_ledger_path(cfg: TailerConfig) -> str:
+    return os.path.join(cfg.checkpoint_dir, "wal_ledger.json")
+
+
+def _load_wal_ledger(cfg: TailerConfig) -> SchemaLedger | None:
+    """The persisted in-stream-evolved ledger, if any. Without this a
+    restart after a schema-change event would decode with the stale
+    configured ledger — ``from_json`` IGNORES unknown JSON keys, so
+    post-evolution columns would silently drop, not error."""
+    p = _wal_ledger_path(cfg)
+    if not os.path.exists(p):
+        return None
+    with open(p, "r", encoding="utf-8") as fh:
+        return SchemaLedger.from_json(fh.read())
+
+
+def _save_wal_ledger(cfg: TailerConfig, ledger: SchemaLedger) -> None:
+    # tmp+rename: a torn ledger file must never be loadable. Written
+    # BEFORE apply_epoch — a crash between the two leaves the ledger
+    # ahead of the data, which is harmless (add-only, decode of
+    # pre-change rows is unchanged) where behind = silent column loss.
+    p = _wal_ledger_path(cfg)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(ledger.to_json())
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, p)
+
+
+def _decode_wal_batch(cfg: TailerConfig, state: dict, batch_df: DataFrame,
+                      epoch_id: str) -> DataFrame:
+    """Envelope micro-batch → canonical event frame: decode, dead-letter
+    corrupt lines, fold schema-change events (two-pass decode only on
+    the metadata-rate batches that carry one), persist the ledger."""
+    from etl_spark.operators.apply import EpochQualityError
+    from etl_spark.sources import walfeed
+
+    led = state.get("ledger") or _load_wal_ledger(cfg) or cfg.ledger \
+        or SchemaLedger.default()
+    dec = walfeed.decode_wal_envelope(batch_df, raw_col="value", ledger=led)
+    dec = dec.persist()
+    try:
+        t = dec.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("corrupt").cast("long")).alias("bad"),
+            F.sum(((F.col("op") == "schema_change") & ~F.col("corrupt"))
+                  .cast("long")).alias("sc"),
+        ).collect()[0]
+        if (t["bad"] or 0) > 0:
+            if cfg.quarantine:
+                from etl_spark.operators.apply import _quarantine_dir
+
+                walfeed.wal_corrupt(dec, raw_col="value").write.mode(
+                    "overwrite"
+                ).parquet(_quarantine_dir(cfg.quarantine, f"{epoch_id}:wal"))
+            if t["bad"] / max(t["n"], 1) > cfg.max_reject_frac:
+                raise EpochQualityError(
+                    f"epoch {epoch_id}: {t['bad']}/{t['n']} corrupt WAL "
+                    f"envelopes exceeds max_reject_frac="
+                    f"{cfg.max_reject_frac}"
+                )
+        if (t["sc"] or 0) > 0:
+            led = walfeed.ledger_with_wal_changes(
+                led, walfeed.wal_schema_changes(dec))
+            _save_wal_ledger(cfg, led)
+            # re-decode with the evolved schema: the SAME batch may
+            # carry data rows that already use the new columns
+            dec2 = walfeed.decode_wal_envelope(
+                batch_df, raw_col="value", ledger=led)
+            events = walfeed.wal_events(dec2, ledger=led)
+        else:
+            events = walfeed.wal_events(dec, ledger=led)
+        state["ledger"] = led
+        # materialize before unpersist (apply_epoch re-reads its input
+        # several times; events is a projection over dec)
+        return events.localCheckpoint(eager=True)
+    finally:
+        dec.unpersist()
+
+
 def _foreach_batch(cfg: TailerConfig):
+    state: dict = {}
+
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        epoch_id = f"{cfg.epoch_prefix}:{batch_id}"
+        if cfg.envelope:
+            batch_df = _decode_wal_batch(cfg, state, batch_df, epoch_id)
         target = IceliteTable.load(spark, cfg.target_path)
         lineage = (
             IceliteTable.load(spark, cfg.lineage_path) if cfg.lineage_path else None
@@ -120,8 +259,9 @@ def _foreach_batch(cfg: TailerConfig):
             batch_df,
             target,
             lineage,
-            epoch_id=f"{cfg.epoch_prefix}:{batch_id}",
-            ledger=cfg.ledger,
+            epoch_id=epoch_id,
+            ledger=(state.get("ledger") or cfg.ledger) if cfg.envelope
+            else cfg.ledger,
             max_reject_frac=cfg.max_reject_frac,
             quarantine=cfg.quarantine,
         )
@@ -138,11 +278,21 @@ def start_tailer(
     """Start the change-log tailer. ``available_now=True`` drains all
     currently-visible chunks then stops (resumable batch); a
     processing_interval gives a long-running tail."""
-    reader = (
-        spark.readStream.schema(cfg.event_schema())
-        .option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
-        .parquet(cfg.events_dir)
-    )
+    if cfg.envelope:
+        # WAL envelope JSONL chunks: schema is just the raw line — the
+        # decode (and its explicit envelope StructType) runs per batch
+        # in _decode_wal_batch against the CURRENT ledger
+        reader = (
+            spark.readStream
+            .option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
+            .text(cfg.events_dir)
+        )
+    else:
+        reader = (
+            spark.readStream.schema(cfg.event_schema())
+            .option("maxFilesPerTrigger", str(cfg.max_files_per_trigger))
+            .parquet(cfg.events_dir)
+        )
     writer = (
         reader.writeStream.foreachBatch(_foreach_batch(cfg))
         .option("checkpointLocation", cfg.checkpoint_dir)

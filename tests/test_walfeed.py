@@ -1,0 +1,278 @@
+"""Debezium/WAL-style envelope wire format: render → decode round
+trip, error taxonomy (corrupt / tombstone), in-stream schema-change
+events folding into the SchemaLedger, and the full decode → apply →
+final-state integration — the binlog-tail front door of the engine."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark import gen
+from etl_spark.ledger import SchemaLedger
+from etl_spark.operators.apply import apply_epoch, create_lineage, create_target
+from etl_spark.sources.walfeed import (
+    decode_wal_envelope,
+    is_wal_envelope,
+    ledger_with_wal_changes,
+    render_wal_envelope,
+    schema_change_envelope,
+    wal_corrupt,
+    wal_events,
+    wal_schema_changes,
+)
+from tests.conftest import SF_TINY
+
+
+def _events(spark):
+    return gen.derived_events(spark, SF_TINY)
+
+
+def test_roundtrip_is_exact(spark):
+    ev = _events(spark)
+    dec = decode_wal_envelope(render_wal_envelope(ev))
+    assert dec.where(F.col("corrupt") | F.col("tombstone")).count() == 0
+    back = wal_events(dec)
+    cols = [f.name for f in SchemaLedger.default().latest.schema.fields]
+    # event_time: fixture is date-typed, envelope carries micros —
+    # compare in timestamp space
+    a = ev.select(*[F.col(c).cast("timestamp").alias(c) if c == "event_time"
+                    else F.col(c) for c in cols])
+    assert back.exceptAll(a).count() == 0
+    assert a.exceptAll(back).count() == 0
+
+
+def test_delete_image_rides_before(spark):
+    ev = _events(spark).where(F.col("op") == "delete").limit(5)
+    raw = render_wal_envelope(ev).collect()
+    assert all('"before"' in r["raw"] and '"after"' not in r["raw"]
+               for r in raw)
+    dec = decode_wal_envelope(spark.createDataFrame(raw))
+    got = dec.select("op", "content", "repo").collect()
+    assert all(r["op"] == "delete" and r["content"] is None
+               and r["repo"] is not None for r in got)
+
+
+def test_corrupt_and_tombstone_taxonomy(spark):
+    rows = [
+        ("{not json",),                                   # malformed
+        ('{"payload": {"op": "x", "source": {"lsn": 1}}}',),  # bad op
+        ('{"payload": {"op": "c", "source": {}}}',),      # no lsn
+        ('{"payload": {"op": "c", "source": {"lsn": 7}}}',),  # no image
+        ('{"payload": {"op": "d", "source": {"lsn": 8}}}',),  # no image
+        ("",),                                            # tombstone
+        ("null",),                                        # tombstone
+        ('{"payload": {"op": "c", "source": {"lsn": 9}, '
+         '"after": {"repo": "r", "path": "p"}}}',),       # valid
+    ]
+    df = spark.createDataFrame(rows, T.StructType(
+        [T.StructField("raw", T.StringType(), True)]))
+    dec = decode_wal_envelope(df)
+    assert dec.where(F.col("corrupt")).count() == 5
+    assert dec.where(F.col("tombstone")).count() == 2
+    ok = wal_events(dec)
+    assert ok.count() == 1
+    r = ok.collect()[0]
+    assert (r["seq"], r["op"], r["repo"], r["path"]) == (9, "insert", "r", "p")
+    # dead-letter feed carries the raw line for triage
+    assert wal_corrupt(dec).where(F.col("raw").contains("not json")).count() == 1
+
+
+def test_snapshot_read_maps_to_insert(spark):
+    df = spark.createDataFrame(
+        [('{"payload": {"op": "r", "source": {"lsn": 3}, '
+          '"after": {"repo": "a", "path": "b", "content": "x"}}}',)],
+        "raw string")
+    r = wal_events(decode_wal_envelope(df)).collect()[0]
+    assert r["op"] == "insert" and r["content"] == "x"
+
+
+def test_is_wal_envelope_prefilter(spark):
+    df = spark.createDataFrame(
+        [('{"payload": {}}',), ("K: 1 2 3",), ("<xml/>",)], "raw string")
+    assert df.where(is_wal_envelope()).count() == 1
+
+
+def test_schema_change_folds_into_ledger(spark):
+    lines = [
+        schema_change_envelope(
+            2, "ALTER TABLE events ADD COLUMN content_encoding STRING",
+            [("content_encoding", "string", True, "encoding of content"),
+             ("size_bytes", "long", True, None)],
+            seq=500),
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "raw string")
+    dec = decode_wal_envelope(df)
+    assert dec.where(F.col("corrupt")).count() == 0
+    ch = wal_schema_changes(dec)
+    led = ledger_with_wal_changes(SchemaLedger.default(), ch)
+    assert led.latest.schema_version == 2
+    assert led.version_for_seq(499) == 1 and led.version_for_seq(500) == 2
+    names = {f.name for f in led.latest.schema.fields}
+    assert {"content_encoding", "size_bytes"} <= names
+    # the wire ledger equals the shipped fixture ledger, descriptions
+    # folding the same way
+    ref = SchemaLedger.default(v2_effective_seq=500)
+    assert led.latest.schema == ref.latest.schema
+    assert led.merged_descriptions()["content_encoding"] == \
+        "encoding of content"
+
+
+def test_schema_change_rejects_drift(spark):
+    import pytest
+
+    base = SchemaLedger.default()
+    bad_type = spark.createDataFrame(
+        [(schema_change_envelope(2, "ddl", [("x", "uuid", True, None)], 9),)],
+        "raw string")
+    with pytest.raises(ValueError, match="unknown wire type"):
+        ledger_with_wal_changes(
+            base, wal_schema_changes(decode_wal_envelope(bad_type)))
+    redefine = spark.createDataFrame(
+        [(schema_change_envelope(2, "ddl", [("content", "long", True, None)],
+                                 9),)], "raw string")
+    with pytest.raises(ValueError, match="exists as"):
+        ledger_with_wal_changes(
+            base, wal_schema_changes(decode_wal_envelope(redefine)))
+    stale = spark.createDataFrame(
+        [(schema_change_envelope(1, "ddl", [("y", "string", True, None)],
+                                 9),)], "raw string")
+    with pytest.raises(ValueError, match="≤ ledger latest"):
+        ledger_with_wal_changes(
+            base, wal_schema_changes(decode_wal_envelope(stale)))
+
+
+def test_wal_stream_with_midstream_schema_change_applies(spark, tbl_dir):
+    """End to end: v1 envelopes + an in-stream schema change + v2
+    envelopes carrying the new columns → decode → ledger fold →
+    apply_epoch → the target holds the v2 columns for post-change
+    rows and NULLs for pre-change rows."""
+    v1 = spark.createDataFrame(
+        [(i, "insert", f"r{i % 3}", f"p{i}", f"c{i}", "py", f"body {i}",
+          1, None) for i in range(1, 6)],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_version int, "
+        "event_time timestamp")
+    sc_line = schema_change_envelope(
+        2, "ADD COLUMNS", [("content_encoding", "string", True, None),
+                           ("size_bytes", "long", True, None)], seq=6)
+    v2_led = SchemaLedger.default(v2_effective_seq=6)
+    v2 = spark.createDataFrame(
+        [(i, "insert", "r9", f"q{i}", f"c{i}", "go", f"body {i}", 2, None,
+          "utf-8", 100 + i) for i in range(7, 10)],
+        v2_led.latest.schema)
+    raw = (render_wal_envelope(v1)
+           .unionByName(spark.createDataFrame([(sc_line,)], "raw string"))
+           .unionByName(render_wal_envelope(v2)))
+    # decode against the PRE-change ledger to find the schema events,
+    # fold, then decode data with the post-change ledger — the two-pass
+    # shape a real tailer runs per micro-batch (schema events are rare;
+    # pass 1 is the same cheap projection either way)
+    led0 = SchemaLedger.default()
+    led = ledger_with_wal_changes(
+        led0, wal_schema_changes(decode_wal_envelope(raw, ledger=led0)))
+    ev = wal_events(decode_wal_envelope(raw, ledger=led), ledger=led)
+    assert ev.count() == 8
+    tgt = create_target(spark, os.path.join(tbl_dir, "t"), n_buckets=4,
+                        schema_version=2)
+    lin = create_lineage(spark, os.path.join(tbl_dir, "l"))
+    apply_epoch(spark, ev, tgt, lin, epoch_id="wal:1", ledger=led)
+    out = tgt.read()
+    assert out.count() == 8
+    assert out.where(F.col("content_encoding") == "utf-8").count() == 3
+    assert out.where(F.col("repo").startswith("r") &
+                     F.col("content_encoding").isNull()).count() == 5
+
+
+def _v1_rows(spark, seqs, repo="r1"):
+    return spark.createDataFrame(
+        [(i, "insert", repo, f"p{i}", f"c{i}", "py", f"body {i}", 1, None)
+         for i in seqs],
+        "seq long, op string, repo string, path string, commit string, "
+        "lang string, content string, schema_version int, "
+        "event_time timestamp")
+
+
+def _v2_rows(spark, seqs):
+    led = SchemaLedger.default(v2_effective_seq=0)
+    return spark.createDataFrame(
+        [(i, "insert", "r2", f"q{i}", f"c{i}", "go", f"body {i}", 2, None,
+          "utf-8", 10 + i) for i in seqs],
+        led.latest.schema)
+
+
+def test_wal_tailer_end_to_end_with_restart(spark, tbl_dir):
+    """The streaming front door: envelope JSONL chunks → decode →
+    corrupt dead-letter → in-stream schema change evolving the ledger
+    (persisted beside the checkpoint) → exactly-once apply; then a
+    FRESH tailer (restart) keeps decoding v2 columns via the persisted
+    ledger — the silent-column-loss restart hazard."""
+    from etl_spark.operators.apply import create_lineage, create_target
+    from etl_spark.streaming.stream import (
+        TailerConfig,
+        run_to_completion,
+        write_wal_chunks,
+    )
+
+    wal = os.path.join(tbl_dir, "wal")
+    q = os.path.join(tbl_dir, "quar")
+    create_target(spark, os.path.join(tbl_dir, "t"), n_buckets=4)
+    create_lineage(spark, os.path.join(tbl_dir, "l"))
+
+    def cfg():  # fresh config+closure each phase ≡ process restart
+        return TailerConfig(
+            events_dir=wal, target_path=os.path.join(tbl_dir, "t"),
+            lineage_path=os.path.join(tbl_dir, "l"),
+            checkpoint_dir=os.path.join(tbl_dir, "ckpt"),
+            envelope=True, quarantine=q, max_reject_frac=0.5,
+        )
+
+    # phase A: v1 chunk, then one chunk holding the schema change, a
+    # corrupt line AND a v2 data row (same-batch evolve+decode path)
+    assert write_wal_chunks(_v1_rows(spark, range(1, 6)), wal, 5) == 1
+    sc = schema_change_envelope(
+        2, "ADD COLUMNS",
+        [("content_encoding", "string", True, None),
+         ("size_bytes", "long", True, None)], seq=6)
+    v2_line = render_wal_envelope(_v2_rows(spark, [7])).collect()[0]["raw"]
+    with open(os.path.join(wal, "chunk_000000000000006.jsonl"), "w") as fh:
+        fh.write(sc + "\n{corrupt\n" + v2_line + "\n")
+    run_to_completion(spark, cfg(), timeout_s=300)
+
+    from etl_spark.icelite.table import IceliteTable
+
+    tgt = IceliteTable.load(spark, os.path.join(tbl_dir, "t"))
+    out = tgt.read()
+    assert out.count() == 6
+    assert out.where(F.col("content_encoding") == "utf-8").count() == 1
+    # ledger persisted beside the checkpoint at version 2
+    with open(os.path.join(tbl_dir, "ckpt", "wal_ledger.json")) as fh:
+        assert SchemaLedger.from_json(fh.read()).latest.schema_version == 2
+    # corrupt line dead-lettered with its raw text
+    dead = spark.read.parquet(f"{q}/*wal*")
+    assert dead.count() == 1 and "corrupt" in dead.collect()[0]["value"]
+
+    # phase B: restart (fresh closure/state) + more v2 chunks — the
+    # persisted ledger must drive the decode or these columns vanish
+    assert write_wal_chunks(_v2_rows(spark, range(10, 13)), wal, 10) == 1
+    run_to_completion(spark, cfg(), timeout_s=300)
+    out = tgt.read()
+    assert out.count() == 9
+    assert out.where(F.col("content_encoding") == "utf-8").count() == 4
+    assert out.where(F.col("size_bytes") > 0).count() == 4
+
+
+def test_decode_plan_is_jvm_only(spark):
+    from etl_spark.plans import count_exchanges, explain_str
+
+    raw = spark.range(100).select(F.concat(
+        F.lit('{"payload": {"op": "c", "source": {"lsn": '),
+        F.col("id"),
+        F.lit('}, "after": {"repo": "r", "path": "p"}}}'),
+    ).alias("raw"))
+    dec = wal_events(decode_wal_envelope(raw))
+    plan = explain_str(dec)
+    assert "EvalPython" not in plan  # no Python in the decode path
+    assert count_exchanges(dec) == 0  # pure projection: zero shuffles
