@@ -32,6 +32,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
+    "cdc_wal_roundtrip",
     "cdc_lww",
     "cdc_fingerprint",
     "q1_pricing_summary",

@@ -90,6 +90,7 @@ def cmd_stream(args) -> int:
         checkpoint_dir=args.checkpoint,
         max_files_per_trigger=args.max_files,
         quarantine=getattr(args, "quarantine", None),
+        envelope=getattr(args, "envelope", False),
     )
     if args.follow:
         q = start_tailer(spark, cfg, available_now=False,
@@ -351,6 +352,10 @@ def main() -> int:
     p.add_argument("--interval", default="10 seconds")
     p.add_argument("--quarantine", default=None,
                    help="dead-letter dir for sub-gate rejected events")
+    p.add_argument("--envelope", action="store_true",
+                   help="WAL dir holds Debezium-style envelope JSONL "
+                        "chunks (decode + in-stream schema changes) "
+                        "instead of canonical parquet")
 
     p = sub.add_parser("compact")
     p.add_argument("--final-below-seq", type=int, default=None,

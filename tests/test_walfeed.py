@@ -264,6 +264,45 @@ def test_wal_tailer_end_to_end_with_restart(spark, tbl_dir):
     assert out.where(F.col("size_bytes") > 0).count() == 4
 
 
+def test_fuzz_envelope_decoder_never_crashes(spark):
+    """Same envelope-fuzz contract as the binary wire decoders
+    (tests/test_fuzz_decoders.py): seeded byte flips / truncations /
+    garbage prefixes / splices of a VALID envelope line — the job must
+    complete and every mutant either decodes or lands flagged."""
+    import random
+
+    base = render_wal_envelope(_v1_rows(spark, [1])).collect()[0]["raw"]
+    rng = random.Random(7)
+    raw = base.encode()
+    muts = [raw]
+    for i in range(24):
+        b = bytearray(raw)
+        mode = i % 4
+        if mode == 0:
+            for _ in range(rng.randrange(1, 17)):
+                p = rng.randrange(len(b))
+                b[p] ^= rng.randrange(1, 256)
+        elif mode == 1:
+            b = b[: rng.randrange(len(b))]
+        elif mode == 2:
+            b = bytearray(rng.randbytes(rng.randrange(1, 64))) + b
+        else:
+            if len(b) > 64:
+                n = rng.randrange(8, 32)
+                src = rng.randrange(len(b) - n)
+                dst = rng.randrange(len(b) - n)
+                b[dst:dst + n] = b[src:src + n]
+        muts.append(bytes(b))
+    df = spark.createDataFrame(
+        [(m.decode("utf-8", errors="replace"),) for m in muts], "raw string")
+    out = decode_wal_envelope(df).collect()
+    assert len(out) == len(muts)
+    for r in out:  # decoded-or-flagged, never a crash or a limbo row
+        assert (r["corrupt"] or r["tombstone"]
+                or r["op"] in ("insert", "update", "delete",
+                               "schema_change"))
+
+
 def test_decode_plan_is_jvm_only(spark):
     from etl_spark.plans import count_exchanges, explain_str
 
