@@ -278,10 +278,32 @@ def ledger_with_wal_changes(ledger: SchemaLedger,
     for r in rows:
         prev = entries[-1]
         if r["version"] <= prev.schema_version:
-            raise ValueError(
-                f"schema-change at seq {r['seq']} carries version "
-                f"{r['version']} ≤ ledger latest {prev.schema_version}"
-            )
+            # at-least-once redelivery: the tailer persists the folded
+            # ledger BEFORE the epoch commit, so a crash between the
+            # two replays this event against a ledger that already
+            # carries it — an identical re-statement must be a no-op
+            # (a conflicting one is still drift and still raises), or
+            # the stream would wedge permanently on restart
+            existing = next((e for e in entries
+                             if e.schema_version == r["version"]), None)
+            if existing is None:
+                raise ValueError(
+                    f"schema-change at seq {r['seq']} carries version "
+                    f"{r['version']} ≤ ledger latest "
+                    f"{prev.schema_version} with no matching entry"
+                )
+            have = {f.name: f.dataType for f in existing.schema.fields}
+            for c in (r["columns"] or []):
+                t = _WIRE_TYPES.get((c["type"] or "").lower())
+                if t is None or have.get(c["name"]) != t:
+                    raise ValueError(
+                        f"schema-change redelivery at seq {r['seq']} "
+                        f"conflicts with committed v{r['version']}: "
+                        f"column {c['name']!r} is "
+                        f"{have.get(c['name']) and have[c['name']].simpleString()}"
+                        f" in the ledger, event says {c['type']!r}"
+                    )
+            continue
         fields = list(prev.schema.fields)
         have = {f.name: f.dataType for f in fields}
         docs = {}

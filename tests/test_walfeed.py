@@ -136,12 +136,45 @@ def test_schema_change_rejects_drift(spark):
     with pytest.raises(ValueError, match="exists as"):
         ledger_with_wal_changes(
             base, wal_schema_changes(decode_wal_envelope(redefine)))
+    # a stale version re-stating columns the committed entry lacks is
+    # drift, not redelivery (identical re-statements are no-ops — see
+    # test_schema_change_redelivery_is_idempotent)
     stale = spark.createDataFrame(
         [(schema_change_envelope(1, "ddl", [("y", "string", True, None)],
                                  9),)], "raw string")
-    with pytest.raises(ValueError, match="≤ ledger latest"):
+    with pytest.raises(ValueError, match="conflicts with committed"):
         ledger_with_wal_changes(
             base, wal_schema_changes(decode_wal_envelope(stale)))
+    gap = spark.createDataFrame(
+        [(schema_change_envelope(0, "ddl", [("y", "string", True, None)],
+                                 9),)], "raw string")
+    with pytest.raises(ValueError, match="no matching entry"):
+        ledger_with_wal_changes(
+            base, wal_schema_changes(decode_wal_envelope(gap)))
+
+
+def test_schema_change_redelivery_is_idempotent(spark):
+    """Crash window: ledger persisted, epoch not committed, batch
+    redelivered — re-folding the SAME schema-change event must be a
+    no-op (the stream would otherwise wedge permanently on restart),
+    while a CONFLICTING re-statement of a committed version still
+    raises."""
+    import pytest
+
+    ch = wal_schema_changes(decode_wal_envelope(spark.createDataFrame(
+        [(schema_change_envelope(
+            2, "ddl", [("content_encoding", "string", True, None)], 50),)],
+        "raw string")))
+    led1 = ledger_with_wal_changes(SchemaLedger.default(), ch)
+    led2 = ledger_with_wal_changes(led1, ch)  # redelivery
+    assert len(led2.entries) == len(led1.entries)
+    assert led2.latest.schema == led1.latest.schema
+    conflict = wal_schema_changes(decode_wal_envelope(spark.createDataFrame(
+        [(schema_change_envelope(
+            2, "ddl", [("content_encoding", "long", True, None)], 50),)],
+        "raw string")))
+    with pytest.raises(ValueError, match="conflicts with committed"):
+        ledger_with_wal_changes(led1, conflict)
 
 
 def test_wal_stream_with_midstream_schema_change_applies(spark, tbl_dir):
