@@ -133,6 +133,34 @@ WHERE rn = 1 AND op <> 'delete'
 """
 
 
+def state_as_of_sql(dialect: str, as_of_seq: int,
+                    lineitem: str = "lineitem",
+                    with_seq: bool = False) -> str:
+    """Source-table state at WAL position ``as_of_seq`` — the
+    consistent snapshot a CDC bootstrap loads before tailing.
+
+    Per (repo, path): the max-seq event with seq <= as_of_seq wins; a
+    winning delete means the key does not exist in the snapshot.
+    Carries RAW ``content`` (the bootstrap path computes its own
+    sha256, like any snapshot read of the source DB); ``with_seq``
+    additionally exposes each row's winning seq for sources that track
+    per-row versions.
+    """
+    ev = derived_events_sql(dialect, lineitem)
+    seq_col = ", seq" if with_seq else ""
+    return f"""
+WITH events AS ({ev}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY seq DESC) AS rn
+  FROM events
+  WHERE seq <= {int(as_of_seq)}
+)
+SELECT repo, path, commit, lang, content{seq_col}
+FROM ranked
+WHERE rn = 1 AND op <> 'delete'
+"""
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...]) -> None:
     """Register driver parquet tables as temp views."""
     for name in names:

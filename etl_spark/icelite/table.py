@@ -2649,6 +2649,36 @@ class IceliteTable:
         return self._commit_append(new_files, epoch_id, properties,
                                    written_n_buckets=written_n_buckets)
 
+    def write_base_files(
+        self,
+        df: DataFrame,
+        snap: "Snapshot | None" = None,
+    ) -> tuple[str, list[DataFile]]:
+        """Bulk-load write for a keyed table: bucket-partitioned
+        BASE-kind files (no ``__op`` column, no merge-on-read deltas)
+        without committing — the snapshot-then-tail bootstrap path.
+
+        A 100 TB initial load must hit disk exactly once; routing it
+        through ``write_delta_files`` + ``compact`` would write every
+        byte twice and leave readers resolving per-key LWW against a
+        delta layer that, by construction, contains no losers. The
+        caller is responsible for the base-kind contract: one row per
+        key (``bootstrap_epoch`` validates this before invoking).
+        Same write/commit split as ``write_delta_files`` — staged files
+        are invisible until ``commit_add_files``; discard with
+        ``abort_write(rel)``."""
+        snap = snap or self.snapshot()
+        if not snap.key_cols:
+            raise ValueError("write_base_files requires a keyed table")
+        schema = snap.current_schema
+        base_df = _cast_to(df, schema)
+        new_files = self._write_datafiles(
+            base_df, schema, len(snap.schemas) - 1, bucketed=True,
+            kind="base", snap=snap,
+        )
+        rel = new_files[0].path.split(os.sep, 1)[0] if new_files else ""
+        return rel, new_files
+
     def abort_write(self, rel: str) -> None:
         """Discard a staged, uncommitted write (quality-gate abort)."""
         if rel:

@@ -1,0 +1,248 @@
+"""Snapshot-then-tail bootstrap: the CDC cold-start path.
+
+``replay`` reconstructs the target by folding EVERY historical change
+event — correct, but at 10^10 events the history is orders of magnitude
+larger than the table it produces. Real CDC deployments (Debezium's
+initial-snapshot mode, MySQL's ``mysqldump --master-data``) cold-start
+from a CONSISTENT SNAPSHOT of the source taken at a recorded WAL
+position, then tail only the events after that position. This module is
+that flow for the icelite target:
+
+    bootstrap_epoch(snapshot_rows, as_of_seq)   # bulk load, base files
+    replay(events WHERE seq > as_of_seq, ...)   # incremental tail
+
+Scale shape (the reason this exists):
+- The bulk load writes BASE-kind files directly — one shuffle on the
+  bucket key, one disk pass, no merge-on-read delta layer and no
+  compaction double-write. Per-epoch apply cost thereafter is
+  proportional to the tail, never to history.
+- sha256 fingerprinting and all casts stay JVM-side (whole-stage
+  codegen); unlike the winnow path there is no winners semi-join to
+  keep narrow, so there is nothing for a kernel to win here.
+- The key-uniqueness precondition (a consistent snapshot has exactly
+  one row per key) is VALIDATED, not assumed, by a narrow pre-scan of
+  the key columns only (column-pruned; ~% of the full-width load cost).
+
+Correctness contract: for any cut point S, bootstrap(state_at_S) +
+tail(events > S) converges to the same final state as replay(all
+events) — pinned by tests/test_bootstrap.py against the shared
+Spark/DuckDB fixture SQL (gen.state_as_of_sql / gen.final_state_sql).
+All rows loaded by the snapshot carry ``last_seq = as_of_seq`` (or the
+row's own seq when the source tracks per-row versions), so tail events
+— all with seq > as_of_seq — win LWW ties exactly as they would have
+against fully-replayed rows.
+
+Exactly-once: same two-commit protocol as ``apply_epoch`` — the target
+commit carries ``epoch:<id>`` props (including lineage rows) bridging
+the window to the lineage append; redelivery of a committed bootstrap
+is a lineage-backfill no-op. Reference analog: the reference pipeline's
+daily batch reprocessing rebuilds a deployment from archived inputs
+rather than replaying its entire streaming history (SURVEY.md §2 S4
+batch discovery, cloud/gcs/gcs.go:19-60); the snapshot load is that
+batch path expressed against the WAL position.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark import schemas
+from etl_spark.icelite.table import IceliteTable, _adapt_col
+from etl_spark.ledger import SchemaLedger
+from etl_spark.operators.apply import ApplyStats, _epoch_props, replay
+
+
+def bootstrap_epoch(
+    spark: SparkSession,
+    snapshot_rows: DataFrame,
+    target: IceliteTable,
+    lineage: IceliteTable | None,
+    as_of_seq: int,
+    epoch_id: str | None = None,
+    ledger: SchemaLedger | None = None,
+    validate_unique: bool = True,
+) -> ApplyStats:
+    """Bulk-load a consistent source snapshot taken at WAL position
+    ``as_of_seq`` into an EMPTY target as base files.
+
+    ``snapshot_rows`` carries the payload columns (key columns plus
+    whatever subset of the ledger schema the source exposes); an
+    optional ``seq`` column supplies per-row versions (sources that
+    track them), otherwise every row gets ``last_seq = as_of_seq``.
+    ``content_sha256`` is computed here (JVM ``sha2``), never trusted
+    from the caller. Aborts (nothing committed) on: a non-empty target,
+    duplicate keys, null keys, or a per-row seq > as_of_seq — each of
+    those means the snapshot is NOT the consistent cut it claims to be,
+    and loading it would corrupt LWW convergence silently.
+
+    Idempotent per epoch_id (default ``bootstrap:<as_of_seq>``):
+    redelivery completes a possibly-missing lineage append and no-ops,
+    the same crash-recovery contract as ``apply_epoch``.
+    """
+    epoch_id = epoch_id or f"bootstrap:{int(as_of_seq)}"
+    if target.has_epoch(epoch_id):
+        props = target.snapshot().properties.get(f"epoch:{epoch_id}", {})
+        if lineage is not None and not lineage.has_epoch(epoch_id):
+            rows = [tuple(r) for r in props.get("lineage_rows", [])]
+            lineage.append_rows_local(rows, epoch_id=epoch_id)
+        return ApplyStats(epoch_id, 0, 0, 0, 0, None, skipped=True)
+
+    ledger = ledger or SchemaLedger.default()
+    unknown = [
+        c for c in snapshot_rows.columns
+        if c != schemas.SEQ_COL
+        and c not in {f_.name for f_ in ledger.latest.schema.fields}
+    ]
+    if unknown:
+        raise ValueError(f"columns not in ledger: {unknown}")
+    tgt_schema = ledger.described_target_schema()
+    if tgt_schema.json() != target.snapshot().current_schema.json():
+        target.evolve_schema(tgt_schema)
+
+    snap0 = target.snapshot()
+    if snap0.files or snap0.epochs:
+        raise ValueError(
+            "bootstrap_epoch requires an empty target: rows already "
+            "committed would silently lose LWW against snapshot rows "
+            "stamped at the WAL position — tail with replay() instead"
+        )
+
+    key_cols = list(snap0.key_cols)
+    has_row_seq = schemas.SEQ_COL in snapshot_rows.columns
+    if validate_unique:
+        # narrow pre-scan, key columns only (column pruning keeps the
+        # full-width content out of this shuffle); map-side partial
+        # counts collapse hot keys, limit(1) stops at first offender
+        dup = (
+            snapshot_rows.groupBy(*key_cols).count()
+            .where(F.col("count") > 1).limit(1).collect()
+        )
+        if dup:
+            k = {c: dup[0][c] for c in key_cols}
+            raise ValueError(
+                f"snapshot is not a consistent cut: duplicate key {k} "
+                f"({dup[0]['count']} rows) — a source snapshot has "
+                f"exactly one row per key"
+            )
+
+    obs = Observation()
+    null_key = F.lit(False)
+    for k in key_cols:
+        null_key = null_key | F.col(k).isNull()
+    metrics = [
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum(F.when(null_key, 1).otherwise(0)).cast("long").alias("null_keys"),
+        F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes"),
+    ]
+    if has_row_seq:
+        metrics.append(F.max(schemas.SEQ_COL).alias("max_row_seq"))
+    observed = snapshot_rows.observe(obs, *metrics)
+
+    seq_expr = (
+        F.col(schemas.SEQ_COL).cast("long") if has_row_seq
+        else F.lit(int(as_of_seq)).cast("long")
+    )
+    src_t = {f_.name: f_.dataType for f_ in snapshot_rows.schema.fields}
+    sel = []
+    for f_ in snap0.current_schema.fields:
+        if f_.name == "content_sha256":
+            sel.append(F.sha2(F.col("content"), 256).alias("content_sha256"))
+        elif f_.name == "last_seq":
+            sel.append(seq_expr.alias("last_seq"))
+        elif f_.name in src_t:
+            sel.append(_adapt_col(F.col(f_.name), src_t[f_.name],
+                                  f_.dataType).alias(f_.name))
+        else:
+            sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
+
+    rel, new_files = target.write_base_files(observed.select(*sel), snap=snap0)
+    try:
+        m = obs.get
+        rows_in = int(m["rows_in"])
+        if int(m["null_keys"] or 0) > 0:
+            raise ValueError(
+                f"snapshot carries {m['null_keys']} null-key rows — "
+                f"a corrupt snapshot aborts wholesale (there is no "
+                f"per-row reject lane in a bulk load)"
+            )
+        if has_row_seq and m["max_row_seq"] is not None \
+                and int(m["max_row_seq"]) > int(as_of_seq):
+            raise ValueError(
+                f"snapshot row seq {m['max_row_seq']} exceeds the "
+                f"claimed WAL position {as_of_seq} — the cut is not "
+                f"consistent"
+            )
+    except Exception:
+        target.abort_write(rel)
+        raise
+
+    def _seq_bound(f_, idx, default):
+        b = (f_.stats or {}).get("last_seq")
+        try:
+            return int(b[idx]) if b is not None else default
+        except (TypeError, ValueError):
+            return default
+    lineage_rows = sorted(
+        (epoch_id, f_.bucket, f_.rows,
+         _seq_bound(f_, 0, int(as_of_seq)), _seq_bound(f_, 1, int(as_of_seq)),
+         f_.bytes, 0)
+        for f_ in new_files
+    ) + [
+        (epoch_id, -1, rows_in, None, int(as_of_seq),
+         int(m["bytes"] or 0), 0)
+    ]
+    props = _epoch_props(epoch_id, rows_in, 0, int(as_of_seq), lineage_rows,
+                         target=target, lineage=lineage)
+    target.commit_add_files(new_files, epoch_id=epoch_id, properties=props,
+                            written_n_buckets=snap0.n_buckets)
+    if lineage is not None:
+        lineage.append_rows_local(lineage_rows, epoch_id=epoch_id)
+    applied = sum(f_.rows for f_ in new_files)
+    stats = ApplyStats(
+        epoch_id, rows_in, applied, 0, 0, int(as_of_seq),
+        commit_retries=getattr(target, "last_commit_retries", 0),
+    )
+    assert stats.invariant_ok(), f"RowStats invariant violated: {stats}"
+    return stats
+
+
+def bootstrap_watermark(target: IceliteTable,
+                        epoch_prefix: str = "bootstrap") -> int | None:
+    """WAL position of the committed bootstrap, or None.
+
+    The resume point for the tail: the position is encoded in the
+    epoch id (``bootstrap:<seq>``), so a restarted driver recovers it
+    from the target's own epoch ledger — no side-channel state."""
+    wms = []
+    for e in target.snapshot().epochs:
+        pfx, _, seq = e.partition(":")
+        if pfx == epoch_prefix and seq.lstrip("-").isdigit():
+            wms.append(int(seq))
+    return max(wms) if wms else None
+
+
+def bootstrap_then_tail(
+    spark: SparkSession,
+    snapshot_rows: DataFrame,
+    events: DataFrame,
+    target: IceliteTable,
+    lineage: IceliteTable | None,
+    as_of_seq: int,
+    epoch_size: int,
+    ledger: SchemaLedger | None = None,
+    merge_mode: str = "delta",
+    quarantine: str | None = None,
+) -> list[ApplyStats]:
+    """Full cold-start: snapshot load, then seq-ordered tail of
+    ``events`` strictly after ``as_of_seq``. Every stage is idempotent,
+    so re-running after a crash at ANY point (mid-bootstrap, between
+    bootstrap and tail, mid-tail) converges: the bootstrap epoch skips
+    if committed, and ``replay`` jumps committed tail windows."""
+    stats = [bootstrap_epoch(spark, snapshot_rows, target, lineage,
+                             as_of_seq, ledger=ledger)]
+    tail = events.where(F.col(schemas.SEQ_COL) > int(as_of_seq))
+    stats += replay(spark, tail, target, lineage, epoch_size,
+                    ledger=ledger, epoch_prefix="tail",
+                    merge_mode=merge_mode, quarantine=quarantine)
+    return stats

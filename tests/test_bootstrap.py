@@ -1,0 +1,177 @@
+"""Snapshot-then-tail bootstrap: convergence with full replay at any
+cut point, base-file bulk load, consistency validation, idempotent
+redelivery, and crash-at-any-point resume."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark import gen
+from etl_spark.ledger import SchemaLedger
+from etl_spark.operators.apply import apply_epoch, create_lineage, create_target, replay
+from etl_spark.operators.bootstrap import (
+    bootstrap_epoch,
+    bootstrap_then_tail,
+    bootstrap_watermark,
+)
+
+from .conftest import SF_TINY
+
+STATE_COLS = ["repo", "path", "commit", "lang", "content_sha256"]
+
+
+def fresh(spark, tbl_dir, n_buckets=8):
+    tgt = create_target(spark, os.path.join(tbl_dir, "target"), n_buckets=n_buckets)
+    lin = create_lineage(spark, os.path.join(tbl_dir, "lineage"))
+    return tgt, lin
+
+
+def state(tgt):
+    return sorted(tuple(r) for r in tgt.read().select(*STATE_COLS).collect())
+
+
+@pytest.fixture(scope="module")
+def fixture_frames(spark):
+    gen.load_tables(spark, SF_TINY, ("lineitem",))
+    events = spark.sql(gen.derived_events_sql("spark"))
+    max_seq = events.agg(F.max("seq")).collect()[0][0]
+    cut = max_seq // 2
+    snap = spark.sql(gen.state_as_of_sql("spark", cut))
+    expected = sorted(
+        tuple(r)
+        for r in spark.sql(gen.final_state_sql("spark")).collect()
+    )
+    return events, snap, cut, expected
+
+
+def test_bootstrap_tail_matches_full_replay(spark, tbl_dir, fixture_frames):
+    events, snap, cut, expected = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    stats = bootstrap_then_tail(
+        spark, snap, events, tgt, lin, as_of_seq=cut, epoch_size=2000)
+    assert stats[0].applied == stats[0].events_in > 0
+    assert all(s.invariant_ok() for s in stats)
+    assert state(tgt) == expected
+    # lineage carries the bootstrap epoch: per-bucket rows + totals
+    lrows = lin.read().where(F.col("epoch_id") == stats[0].epoch_id).collect()
+    assert sum(r.event_count for r in lrows if r.partition_id >= 0) \
+        == stats[0].applied
+    totals = [r for r in lrows if r.partition_id == -1]
+    assert len(totals) == 1 and totals[0].max_seq == cut
+
+
+def test_bootstrap_writes_base_files_only(spark, tbl_dir, fixture_frames):
+    _, snap, cut, _ = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut)
+    kinds = {f_.kind for f_ in tgt.snapshot().files}
+    assert kinds == {"base"}
+    # bulk load stamps the WAL position as every row's last_seq
+    seqs = tgt.read().select("last_seq").distinct().collect()
+    assert [r.last_seq for r in seqs] == [cut]
+    assert bootstrap_watermark(tgt) == cut
+
+
+def test_bootstrap_with_per_row_seq(spark, tbl_dir, fixture_frames):
+    """A source tracking per-row versions keeps them as last_seq; the
+    tail still converges (every tail seq > every snapshot seq)."""
+    events, _, cut, expected = fixture_frames
+    snap_seq = spark.sql(gen.state_as_of_sql("spark", cut, with_seq=True))
+    tgt, lin = fresh(spark, tbl_dir)
+    stats = bootstrap_then_tail(
+        spark, snap_seq, events, tgt, lin, as_of_seq=cut, epoch_size=2000)
+    assert all(s.invariant_ok() for s in stats)
+    assert state(tgt) == expected
+    assert tgt.read().agg(F.max("last_seq")).collect()[0][0] \
+        == events.agg(F.max("seq")).collect()[0][0]
+
+
+def test_bootstrap_redelivery_skips_and_backfills_lineage(
+        spark, tbl_dir, fixture_frames):
+    _, snap, cut, _ = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    s1 = bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut)
+    v1 = tgt.current_version()
+    s2 = bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut)
+    assert s2.skipped and tgt.current_version() == v1
+    # crash between target commit and lineage append: a fresh lineage
+    # table stands in for the lost append — redelivery completes it
+    lin2 = create_lineage(spark, os.path.join(tbl_dir, "lineage2"))
+    s3 = bootstrap_epoch(spark, snap, tgt, lin2, as_of_seq=cut)
+    assert s3.skipped
+    assert lin2.read().where(
+        F.col("epoch_id") == s1.epoch_id).count() > 0
+
+
+def test_resume_at_any_point_converges(spark, tbl_dir, fixture_frames):
+    """Kill between bootstrap and tail, and mid-tail: re-running the
+    whole flow skips committed work and converges."""
+    events, snap, cut, expected = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    # crash after bootstrap only
+    bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut)
+    # crash mid-tail: apply just the first tail window manually
+    tail = events.where(F.col("seq") > cut)
+    lo = tail.agg(F.min("seq")).collect()[0][0]
+    first = tail.where(F.col("seq") < lo + 1500)
+    replay(spark, first, tgt, lin, epoch_size=1500, epoch_prefix="tail")
+    v_mid = tgt.current_version()
+    # full restart of the whole flow
+    stats = bootstrap_then_tail(
+        spark, snap, events, tgt, lin, as_of_seq=cut, epoch_size=1500)
+    assert stats[0].skipped
+    # the already-committed first tail window was jumped, not re-folded:
+    # the resumed run saw only the not-yet-applied remainder
+    assert sum(s.events_in for s in stats[1:]) \
+        == tail.count() - first.count()
+    assert state(tgt) == expected
+    assert tgt.current_version() > v_mid
+
+
+def test_bootstrap_requires_empty_target(spark, tbl_dir, fixture_frames):
+    events, snap, cut, _ = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    apply_epoch(spark, events.where(F.col("seq") <= 100), tgt, lin, "e1")
+    with pytest.raises(ValueError, match="empty target"):
+        bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut)
+
+
+def test_bootstrap_rejects_duplicate_keys(spark, tbl_dir, fixture_frames):
+    _, snap, cut, _ = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    dup = snap.unionAll(snap.limit(1))
+    with pytest.raises(ValueError, match="duplicate key"):
+        bootstrap_epoch(spark, dup, tgt, lin, as_of_seq=cut)
+    assert tgt.snapshot().files == []
+
+
+def test_bootstrap_aborts_on_null_keys_and_future_seqs(
+        spark, tbl_dir, fixture_frames):
+    _, snap, cut, _ = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    bad = snap.unionAll(
+        snap.limit(1).withColumn("path", F.lit(None).cast("string")))
+    with pytest.raises(ValueError, match="null-key"):
+        bootstrap_epoch(spark, bad, tgt, lin, as_of_seq=cut,
+                        validate_unique=False)
+    assert tgt.snapshot().files == []  # staged write aborted
+    snap_seq = spark.sql(gen.state_as_of_sql("spark", cut, with_seq=True))
+    with pytest.raises(ValueError, match="not consistent"):
+        bootstrap_epoch(spark, snap_seq, tgt, lin, as_of_seq=cut - 10**6)
+    assert tgt.snapshot().files == []
+
+
+def test_bootstrap_with_evolved_ledger(spark, tbl_dir, fixture_frames):
+    """A v2 ledger evolves the empty target before the load; snapshot
+    columns the source lacks null-fill."""
+    _, snap, cut, _ = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    led = SchemaLedger.default(v2_effective_seq=0)
+    stats = bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut, ledger=led)
+    cols = set(tgt.read().columns)
+    assert {"content_encoding", "size_bytes"} <= cols
+    assert tgt.read().where(F.col("content_encoding").isNotNull()).count() == 0
+    assert stats.applied == stats.events_in
