@@ -40,6 +40,7 @@ from etl_spark.queries.cdc import (
     _CDC_PATCH_APPLY_ORACLE,
     _CDC_ROLLUP_ORACLE,
     _CDC_WAL_ORACLE,
+    cdc_bootstrap_tail,
     cdc_changelog,
     cdc_final_state,
     cdc_fingerprint,
@@ -83,7 +84,6 @@ from etl_spark.queries.rel import (
     _ASOF_ORACLE,
     _GROUP_COJOIN_ORACLE,
     _NATION_REVENUE_ORACLE,
-    _Q1_ORACLE,
     _RANGE_JOIN_ORACLE,
     j_asof_enrich,
     j_group_cojoin,
@@ -173,6 +173,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (insert -> upsert -> tombstone -> compact -> explode); took
         # the slot of w_thin, whose thinning coverage arr_ops duplicates
         "cdc_nested_store": cdc_nested_store,
+        # cold-start convergence: snapshot bulk-load at the midpoint +
+        # tail of the remaining events == full-history replay (same
+        # final-state oracle, the bootstrap path under proof); took the
+        # slot of q1_pricing_summary, a TPC-H demo whose aggregation
+        # coverage agg_rollup/value_percentiles/w_windowed_counts carry
+        "cdc_bootstrap_tail": cdc_bootstrap_tail,
         # ordered-stream window operators
         "w_lag_delta": w_lag_delta,
         "w_change_points": w_change_points,
@@ -184,7 +190,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_lead_discard": w_lead_discard,
         "w_topk_per_group": w_topk_per_group,
         # relational / joins
-        "q1_pricing_summary": relational.q1_pricing_summary,
         "nation_revenue": relational.nation_revenue,
         "j_group_cojoin": j_group_cojoin,
         "j_asof_enrich": j_asof_enrich,
@@ -236,6 +241,7 @@ def oracle_sql() -> dict[str, str]:
         "cdc_rollup": _CDC_ROLLUP_ORACLE.format(events=ev),
         "cdc_patch_apply": _CDC_PATCH_APPLY_ORACLE.format(events=ev),
         "cdc_nested_store": _CDC_NESTED_ORACLE,
+        "cdc_bootstrap_tail": gen.final_state_sql("duckdb"),
         "w_lag_delta": _W_LAG_DELTA_ORACLE,
         "w_change_points": _W_CHANGE_POINTS_ORACLE,
         "w_json_props": _W_JSON_PROPS_ORACLE,
@@ -245,7 +251,6 @@ def oracle_sql() -> dict[str, str]:
         "w_hier_rollup": _HIER_ROLLUP_ORACLE,
         "w_lead_discard": _LEAD_DISCARD_ORACLE,
         "w_topk_per_group": _TOPK_ORACLE,
-        "q1_pricing_summary": _Q1_ORACLE,
         "nation_revenue": _NATION_REVENUE_ORACLE,
         "j_group_cojoin": _GROUP_COJOIN_ORACLE,
         "j_asof_enrich": _ASOF_ORACLE,

@@ -182,6 +182,47 @@ def bench_queries() -> dict:
     rep_log["cdc_changelog_12M"] = [round(x, 3) for x in ch_secs]
     shutil.rmtree(tmp12, ignore_errors=True)
 
+    # cold-start bulk load (operators/bootstrap.py): a 2M-unique-key
+    # consistent snapshot straight to base files — one shuffle, sha256
+    # in whole-stage codegen, key-uniqueness validated pre-commit. The
+    # comparison that matters is per WINNER ROW WRITTEN (full-width
+    # rows that hit disk), not events/sec (most events are losers the
+    # winnow discards from a narrow scan): the bulk load writes rows
+    # several times faster than the apply path lands winners, and a
+    # cold start replays a table-sized snapshot instead of a
+    # history-sized event stream — both factors compound at 10^10.
+    from pyspark.sql import functions as F
+
+    from etl_spark.operators.bootstrap import bootstrap_epoch
+
+    tmpb = tempfile.mkdtemp(prefix="bench_boot_", dir=store)
+    n_boot = 2_000_000
+    boot_snap = spark.range(0, n_boot, 1, 128).select(
+        F.concat(F.lit("org"), (F.col("id") % 512).cast("string"),
+                 F.lit("/repo"), (F.col("id") % 4096).cast("string"))
+        .alias("repo"),
+        F.concat(F.lit("src/f"), F.col("id").cast("string"), F.lit(".txt"))
+        .alias("path"),
+        F.md5(F.concat(F.lit("c"), F.col("id").cast("string")))
+        .alias("commit"),
+        F.lit("python").alias("lang"),
+        F.concat(F.lit("// boot "), F.col("id").cast("string"), F.lit(" "),
+                 F.repeat(F.md5(F.concat(F.lit("b"),
+                                         F.col("id").cast("string"))),
+                          (F.col("id") % 32 + 1).cast("int")))
+        .alias("content"),
+    )
+    boot_secs = []
+    for r in range(2):  # fresh target per rep (bootstrap requires empty)
+        tgtb = create_target(spark, f"{tmpb}/target{r}", n_buckets=64)
+        t0 = time.time()
+        bootstrap_epoch(spark, boot_snap, tgtb, None, as_of_seq=n_boot)
+        boot_secs.append(time.time() - t0)
+    timings["cdc_bootstrap_2M"] = round(min(boot_secs), 3)
+    rep_log["cdc_bootstrap_2M"] = [round(x, 3) for x in boot_secs]
+    boot_rows_per_sec = round(n_boot / timings["cdc_bootstrap_2M"], 1)
+    shutil.rmtree(tmpb, ignore_errors=True)
+
     # incremental LSH index maintenance (icelite/lshindex.py): the
     # O(corpus)-build vs O(batch)-refresh evidence. 50k synthetic docs
     # in 1000 content families (deterministic md5 text — real band
@@ -257,6 +298,8 @@ def bench_queries() -> dict:
         "synthetic_events": n_timed,
         "synthetic_events_per_sec": syn_events_per_sec,
         "changelog_rows": n_changes,
+        "bootstrap_rows": n_boot,
+        "bootstrap_rows_per_sec": boot_rows_per_sec,
         # incremental-vs-batch near-dup maintenance (see comment above)
         "lsh_index": {
             "docs": n_docs, "update_batch": n_upd,

@@ -65,6 +65,37 @@ def cdc_final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tgt.read().select("repo", "path", "commit", "lang", "content_sha256")
 
 
+def cdc_bootstrap_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC cold-start through the REAL engine: a consistent source
+    snapshot at the stream's midpoint bulk-loads as base files
+    (``bootstrap_epoch`` — one shuffle, sha256 in whole-stage codegen,
+    consistency validated before commit), then ``replay`` tails only
+    the events after the recorded WAL position. The oracle is the full
+    final-state SQL: for ANY cut point, snapshot-then-tail must equal
+    folding all of history — the convergence contract that lets a
+    10^10-event deployment cold-start from a table-sized snapshot
+    instead of a history-sized replay (Debezium initial-snapshot mode;
+    reference analog: batch reprocessing from archived inputs,
+    cloud/gcs/gcs.go:19-60)."""
+    from etl_spark.operators.bootstrap import bootstrap_then_tail
+
+    ev = gen.derived_events(spark, sf_dir)
+    cut = ev.agg(F.floor(F.max("seq") / 2).cast("long")).collect()[0][0]
+    # the "source DB at position cut": LWW winners of the prefix,
+    # deletes removed, raw content (the bootstrap computes its own sha)
+    snap = (
+        lww_latest(ev.where(F.col("seq") <= cut), ("repo", "path"), "seq")
+        .where(F.col("op") != "delete")
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    tmp = scratch_dir("icelite_boot_")
+    tgt = create_target(spark, f"{tmp}/target", n_buckets=32)
+    lin = create_lineage(spark, f"{tmp}/lineage")
+    bootstrap_then_tail(spark, snap, ev, tgt, lin, as_of_seq=cut,
+                        epoch_size=1 << 60)
+    return tgt.read().select("repo", "path", "commit", "lang", "content_sha256")
+
+
 def cdc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vectorized mapInPandas sha256 — proves Arrow-UDF parity."""
     ev = gen.derived_events(spark, sf_dir)
