@@ -59,6 +59,14 @@ class TailerConfig:
     # checkpoint so a restart keeps decoding post-evolution columns),
     # then applies exactly as the parquet path
     envelope: bool = False
+    # tail start for a bootstrapped target: events with seq <= this are
+    # filtered per micro-batch. They are convergence-HARMLESS without
+    # the filter — bootstrap stamps every loaded row last_seq = the WAL
+    # position, so any pre-position event loses merge-on-read LWW to
+    # the base row (tests pin this) — but folding them wastes an apply
+    # per stale chunk and pollutes lineage counts; pass
+    # bootstrap_watermark(target) to skip them at the scan.
+    start_after_seq: int | None = None
 
     def event_schema(self):
         return schemas.events_schema(self.schema_version)
@@ -250,6 +258,9 @@ def _foreach_batch(cfg: TailerConfig):
         epoch_id = f"{cfg.epoch_prefix}:{batch_id}"
         if cfg.envelope:
             batch_df = _decode_wal_batch(cfg, state, batch_df, epoch_id)
+        if cfg.start_after_seq is not None:
+            batch_df = batch_df.where(
+                F.col(schemas.SEQ_COL) > int(cfg.start_after_seq))
         target = IceliteTable.load(spark, cfg.target_path)
         lineage = (
             IceliteTable.load(spark, cfg.lineage_path) if cfg.lineage_path else None

@@ -73,6 +73,28 @@ def cmd_apply(args) -> int:
     return 0
 
 
+def cmd_bootstrap(args) -> int:
+    """Cold start: bulk-load a consistent source snapshot (parquet)
+    taken at --as-of-seq into a fresh target as base files, then tail
+    with `stream --start-after bootstrap` (or `apply` on seq > pos)."""
+    from etl_spark.icelite.table import IceliteTable
+    from etl_spark.operators.apply import create_lineage, create_target
+    from etl_spark.operators.bootstrap import bootstrap_epoch
+
+    spark = _spark(args)
+    if not IceliteTable.exists(args.target):
+        create_target(spark, args.target, n_buckets=args.buckets)
+    if args.lineage and not IceliteTable.exists(args.lineage):
+        create_lineage(spark, args.lineage)
+    target = IceliteTable.load(spark, args.target)
+    lineage = IceliteTable.load(spark, args.lineage) if args.lineage else None
+    snap = spark.read.parquet(args.snapshot)
+    stats = bootstrap_epoch(spark, snap, target, lineage,
+                            as_of_seq=args.as_of_seq)
+    print(json.dumps(stats.__dict__))
+    return 0
+
+
 def cmd_stream(args) -> int:
     from etl_spark.operators.apply import create_lineage, create_target
     from etl_spark.icelite.table import IceliteTable
@@ -83,6 +105,16 @@ def cmd_stream(args) -> int:
         create_target(spark, args.target)
     if args.lineage and not IceliteTable.exists(args.lineage):
         create_lineage(spark, args.lineage)
+    start_after = getattr(args, "start_after", None)
+    if start_after == "bootstrap":
+        from etl_spark.operators.bootstrap import bootstrap_watermark
+
+        start_after = bootstrap_watermark(IceliteTable.load(spark, args.target))
+        if start_after is None:
+            raise SystemExit(
+                "--start-after bootstrap: target has no committed "
+                "bootstrap epoch"
+            )
     cfg = TailerConfig(
         events_dir=args.wal,
         target_path=args.target,
@@ -91,6 +123,7 @@ def cmd_stream(args) -> int:
         max_files_per_trigger=args.max_files,
         quarantine=getattr(args, "quarantine", None),
         envelope=getattr(args, "envelope", False),
+        start_after_seq=None if start_after is None else int(start_after),
     )
     if args.follow:
         q = start_tailer(spark, cfg, available_now=False,
@@ -342,6 +375,18 @@ def main() -> int:
     p.add_argument("--quarantine", default=None,
                    help="dead-letter dir for sub-gate rejected events")
 
+    p = sub.add_parser("bootstrap")
+    p.add_argument("--snapshot", required=True,
+                   help="parquet dir holding the consistent source "
+                        "snapshot (one row per key; optional per-row "
+                        "seq column)")
+    p.add_argument("--target", required=True)
+    p.add_argument("--lineage", default=None)
+    p.add_argument("--as-of-seq", type=int, required=True,
+                   help="WAL position the snapshot was taken at; the "
+                        "tail resumes after it")
+    p.add_argument("--buckets", type=int, default=64)
+
     p = sub.add_parser("stream")
     p.add_argument("--wal", required=True)
     p.add_argument("--target", required=True)
@@ -356,6 +401,10 @@ def main() -> int:
                    help="WAL dir holds Debezium-style envelope JSONL "
                         "chunks (decode + in-stream schema changes) "
                         "instead of canonical parquet")
+    p.add_argument("--start-after", default=None,
+                   help="skip events with seq <= N per micro-batch; "
+                        "the literal 'bootstrap' resolves N from the "
+                        "target's committed bootstrap epoch")
 
     p = sub.add_parser("compact")
     p.add_argument("--final-below-seq", type=int, default=None,
@@ -423,6 +472,7 @@ def main() -> int:
     args = ap.parse_args()
     return {
         "init": cmd_init, "apply": cmd_apply, "stream": cmd_stream,
+        "bootstrap": cmd_bootstrap,
         "compact": cmd_compact, "split": cmd_split, "expire": cmd_expire,
         "mirror": cmd_mirror, "rollup": cmd_rollup,
         "status": cmd_status, "verify": cmd_verify, "history": cmd_history,

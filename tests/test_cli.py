@@ -113,3 +113,51 @@ def test_cli_rollup(spark, tbl_dir, capsys):
                  IceliteTable.load(spark, t).read()
                  .groupBy("lang").count().collect())
     assert got == exp and got
+
+
+def test_cli_bootstrap_then_stream(spark, tbl_dir, capsys):
+    """Cold-start lifecycle via the CLI: bootstrap from a snapshot
+    parquet at --as-of-seq, then stream --start-after bootstrap over
+    the full WAL (pre-position segments present but skipped)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark import schemas
+    from etl_spark.operators.apply import create_target, replay
+    from etl_spark.operators.dedup import lww_latest
+    from etl_spark.streaming.stream import write_event_chunks
+
+    ev = gen.synthetic_events(spark, 2000, n_repos=15, seed=97)
+    cut = 1000
+    snap_dir = os.path.join(tbl_dir, "snapshot")
+    (
+        lww_latest(ev.where(F.col("seq") <= cut), schemas.KEY_COLS, "seq")
+        .where(F.col("op") != "delete")
+        .select("repo", "path", "commit", "lang", "content")
+        .write.parquet(snap_dir)
+    )
+    wal = os.path.join(tbl_dir, "wal")
+    write_event_chunks(ev, wal, chunk_size=500)
+
+    t, lin = os.path.join(tbl_dir, "t"), os.path.join(tbl_dir, "l")
+    assert cli.cmd_bootstrap(_ns(
+        snapshot=snap_dir, target=t, lineage=lin, as_of_seq=cut, buckets=8,
+    )) == 0
+    boot = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert boot["applied"] == boot["events_in"] > 0
+    assert cli.cmd_stream(_ns(
+        wal=wal, target=t, lineage=lin,
+        checkpoint=os.path.join(tbl_dir, "ckpt"), max_files=4,
+        follow=False, interval="1 seconds", start_after="bootstrap",
+    )) == 0
+
+    from etl_spark.icelite.table import IceliteTable
+
+    ref = create_target(spark, os.path.join(tbl_dir, "ref"), n_buckets=8)
+    replay(spark, ev, ref, None, epoch_size=500)
+    got = sorted(tuple(r) for r in IceliteTable.load(spark, t).read()
+                 .select("repo", "path", "commit", "lang",
+                         "content_sha256").collect())
+    exp = sorted(tuple(r) for r in ref.read()
+                 .select("repo", "path", "commit", "lang",
+                         "content_sha256").collect())
+    assert got == exp

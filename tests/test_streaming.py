@@ -152,3 +152,70 @@ def test_write_event_chunks_rejects_nonpositive_chunk(spark, tmp_path):
     ev = gen.synthetic_events(spark, 10, n_repos=2, seed=3)
     with pytest.raises(ValueError, match="chunk_size"):
         write_event_chunks(ev, str(tmp_path / "chunks"), chunk_size=0)
+
+
+def test_stream_tail_after_bootstrap(spark, tbl_dir):
+    """Cold start: bootstrap the target from a snapshot at seq=cut,
+    then tail the FULL WAL (pre-cut segments included).
+
+    With start_after_seq the pre-cut chunks are filtered at the scan;
+    without it they must be convergence-harmless anyway — bootstrap
+    stamps every loaded row last_seq = cut, so any pre-cut event loses
+    merge-on-read LWW to the base row. Both targets must equal the
+    plain batch replay of the whole stream."""
+    from pyspark.sql import functions as F
+
+    from etl_spark import schemas
+    from etl_spark.operators.bootstrap import bootstrap_epoch, bootstrap_watermark
+    from etl_spark.operators.dedup import lww_latest
+
+    def content_state(tgt):
+        return sorted(
+            tuple(r)
+            for r in tgt.read()
+            .select("repo", "path", "commit", "lang", "content_sha256")
+            .collect()
+        )
+
+    ev = gen.synthetic_events(spark, 2000, n_repos=30, seed=41)
+    cut = 1000
+    snap = (
+        lww_latest(ev.where(F.col("seq") <= cut), schemas.KEY_COLS, "seq")
+        .where(F.col("op") != "delete")
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    events_dir = os.path.join(tbl_dir, "wal")
+    write_event_chunks(ev, events_dir, chunk_size=500)
+
+    # reference: plain batch replay of the whole stream
+    ref = create_target(spark, os.path.join(tbl_dir, "ref"), n_buckets=8)
+    replay(spark, ev, ref, None, epoch_size=500)
+    expected = content_state(ref)
+
+    # filtered tail: pre-cut chunks skipped at the scan
+    cfg = mk_cfg(tbl_dir, events_dir)
+    tgt = create_target(spark, cfg.target_path, n_buckets=8)
+    lin = create_lineage(spark, cfg.lineage_path)
+    bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut)
+    cfg.start_after_seq = bootstrap_watermark(tgt)
+    assert cfg.start_after_seq == cut
+    run_to_completion(spark, cfg)
+    assert content_state(tgt) == expected
+    # lineage: no epoch folded a pre-cut event
+    assert (
+        lin.read()
+        .where((F.col("partition_id") == -1) & (F.col("min_seq") <= cut)
+               & ~F.col("epoch_id").startswith("bootstrap"))
+        .count()
+        == 0
+    )
+
+    # unfiltered tail: stale events fold but lose LWW to the base rows
+    base2 = os.path.join(tbl_dir, "nofilter")
+    os.makedirs(base2)
+    cfg2 = mk_cfg(base2, events_dir)
+    tgt2 = create_target(spark, cfg2.target_path, n_buckets=8)
+    lin2 = create_lineage(spark, cfg2.lineage_path)
+    bootstrap_epoch(spark, snap, tgt2, lin2, as_of_seq=cut)
+    run_to_completion(spark, cfg2)
+    assert content_state(tgt2) == expected
