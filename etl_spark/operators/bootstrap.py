@@ -157,25 +157,35 @@ def bootstrap_epoch(
             sel.append(F.lit(None).cast(f_.dataType).alias(f_.name))
 
     rel, new_files = target.write_base_files(observed.select(*sel), snap=snap0)
-    try:
-        m = obs.get
-        rows_in = int(m["rows_in"])
-        if int(m["null_keys"] or 0) > 0:
-            raise ValueError(
-                f"snapshot carries {m['null_keys']} null-key rows — "
-                f"a corrupt snapshot aborts wholesale (there is no "
-                f"per-row reject lane in a bulk load)"
-            )
-        if has_row_seq and m["max_row_seq"] is not None \
-                and int(m["max_row_seq"]) > int(as_of_seq):
-            raise ValueError(
-                f"snapshot row seq {m['max_row_seq']} exceeds the "
-                f"claimed WAL position {as_of_seq} — the cut is not "
-                f"consistent"
-            )
-    except Exception:
-        target.abort_write(rel)
-        raise
+    if not new_files:
+        # an EMPTY snapshot is a valid cut (position before the first
+        # surviving row — e.g. the stream opens with deletes). Zero-row
+        # part files are never registered, so the write job ran no
+        # row-bearing task and the Observation may never materialize
+        # (Catalyst prunes empty subtrees; obs.get would raise) — and
+        # with nothing written there is nothing to validate either.
+        rows_in, content_bytes = 0, 0
+    else:
+        try:
+            m = obs.get
+            rows_in = int(m["rows_in"])
+            content_bytes = int(m["bytes"] or 0)
+            if int(m["null_keys"] or 0) > 0:
+                raise ValueError(
+                    f"snapshot carries {m['null_keys']} null-key rows — "
+                    f"a corrupt snapshot aborts wholesale (there is no "
+                    f"per-row reject lane in a bulk load)"
+                )
+            if has_row_seq and m["max_row_seq"] is not None \
+                    and int(m["max_row_seq"]) > int(as_of_seq):
+                raise ValueError(
+                    f"snapshot row seq {m['max_row_seq']} exceeds the "
+                    f"claimed WAL position {as_of_seq} — the cut is not "
+                    f"consistent"
+                )
+        except Exception:
+            target.abort_write(rel)
+            raise
 
     def _seq_bound(f_, idx, default):
         b = (f_.stats or {}).get("last_seq")
@@ -189,8 +199,7 @@ def bootstrap_epoch(
          f_.bytes, 0)
         for f_ in new_files
     ) + [
-        (epoch_id, -1, rows_in, None, int(as_of_seq),
-         int(m["bytes"] or 0), 0)
+        (epoch_id, -1, rows_in, None, int(as_of_seq), content_bytes, 0)
     ]
     props = _epoch_props(epoch_id, rows_in, 0, int(as_of_seq), lineage_rows,
                          target=target, lineage=lineage)

@@ -269,3 +269,65 @@ def test_read_time_window_equals_unpruned_filter(spark, tbl_dir, case):
     if hi_t is not None:
         ref = ref.where(F.col("event_time") <= F.lit(hi_t))
     assert got == sorted(tuple(r) for r in ref.collect())
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.data_too_large,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+@given(
+    event_batches(),
+    st.floats(min_value=0.0, max_value=1.0),
+    st.sampled_from([1, 3, 7, 1 << 60]),
+)
+def test_bootstrap_cut_point_converges(spark, tbl_dir, rows, cut_frac, esize):
+    """For ANY cut point and ANY tail epoch sizing, snapshot-then-tail
+    equals the pandas sequential-replay oracle over the full stream —
+    including empty snapshots (cut before the first valid event),
+    empty tails (cut at the end), delete→reinsert chains straddling
+    the cut, and null-content rows (sha256 stays NULL through both
+    the bulk load and the event path)."""
+    from etl_spark import schemas
+    from etl_spark.operators.bootstrap import bootstrap_then_tail
+    from etl_spark.operators.dedup import lww_latest
+
+    _counter[0] += 1
+    ev = spark.createDataFrame(rows, EV_DDL).withColumn(
+        "event_time", F.timestamp_seconds(F.col("seq"))
+    )
+    n = len(rows)
+    cut = int(cut_frac * (n - 1))
+    valid = (
+        F.col("op").isin("insert", "update", "delete")
+        & F.col("repo").isNotNull() & F.col("path").isNotNull()
+    )
+    snap = (
+        lww_latest(ev.where(valid & (F.col("seq") <= cut)),
+                   schemas.KEY_COLS, "seq")
+        .where(F.col("op") != "delete")
+        .select("repo", "path", "commit", "lang", "content")
+    )
+    tgt = create_target(
+        spark, os.path.join(tbl_dir, f"boot{_counter[0]}"), n_buckets=4
+    )
+    stats = bootstrap_then_tail(
+        spark, snap, ev.where(valid), tgt, None,
+        as_of_seq=cut, epoch_size=esize)
+    assert all(s.invariant_ok() for s in stats)
+    got = sorted(
+        tuple(r)
+        for r in tgt.read()
+        .select("repo", "path", "commit", "content_sha256")
+        .collect()
+    )
+    exp_df = replay_pandas(ev.toPandas())
+    exp = sorted(
+        (r.repo, r.path, r.commit, r.content_sha256)
+        for r in exp_df.itertuples(index=False)
+    )
+    assert got == exp
