@@ -203,6 +203,12 @@ def bootstrap_epoch(
     ]
     props = _epoch_props(epoch_id, rows_in, 0, int(as_of_seq), lineage_rows,
                          target=target, lineage=lineage)
+    # the WAL position also lands as a PERMANENT table property: the
+    # bounded epoch ledger prunes non-window-encoded ids after
+    # epoch_retention tail epochs (the documented Delta-style
+    # contract), and a deployment restarting months later must still
+    # recover its tail start from the table alone
+    props["bootstrap_watermark"] = int(as_of_seq)
     target.commit_add_files(new_files, epoch_id=epoch_id, properties=props,
                             written_n_buckets=snap0.n_buckets)
     if lineage is not None:
@@ -220,11 +226,18 @@ def bootstrap_watermark(target: IceliteTable,
                         epoch_prefix: str = "bootstrap") -> int | None:
     """WAL position of the committed bootstrap, or None.
 
-    The resume point for the tail: the position is encoded in the
-    epoch id (``bootstrap:<seq>``), so a restarted driver recovers it
-    from the target's own epoch ledger — no side-channel state."""
+    The resume point for the tail, recovered from the target alone (no
+    side-channel state): the permanent ``bootstrap_watermark`` snapshot
+    property, which — unlike the ``bootstrap:<seq>`` epoch id it is
+    committed with — survives the bounded epoch ledger's retention
+    pruning on long-running tails. Id parsing remains as the fallback
+    for tables bootstrapped under a custom epoch id."""
+    snap = target.snapshot()
+    wm = snap.properties.get("bootstrap_watermark")
+    if wm is not None:
+        return int(wm)
     wms = []
-    for e in target.snapshot().epochs:
+    for e in snap.epochs:
         pfx, _, seq = e.partition(":")
         if pfx == epoch_prefix and seq.lstrip("-").isdigit():
             wms.append(int(seq))

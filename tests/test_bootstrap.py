@@ -175,3 +175,24 @@ def test_bootstrap_with_evolved_ledger(spark, tbl_dir, fixture_frames):
     assert {"content_encoding", "size_bytes"} <= cols
     assert tgt.read().where(F.col("content_encoding").isNotNull()).count() == 0
     assert stats.applied == stats.events_in
+
+
+def test_watermark_survives_epoch_ledger_retention(spark, tbl_dir,
+                                                   fixture_frames):
+    """The bounded epoch ledger prunes the non-window-encoded
+    bootstrap id after epoch_retention tail epochs; the permanent
+    bootstrap_watermark property must keep answering — a deployment
+    restarting months into its tail still recovers the position from
+    the table alone."""
+    events, snap, cut, expected = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    tgt._commit_append([], epoch_id=None,
+                       properties={"epoch_retention": 3})
+    bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut)
+    tail = events.where(F.col("seq") > cut)
+    replay(spark, tail, tgt, lin, epoch_size=400, epoch_prefix="tail")
+    snap_t = tgt.snapshot()
+    assert len(snap_t.epochs) <= 3  # ledger bounded, bootstrap id gone
+    assert all(not e.startswith("bootstrap:") for e in snap_t.epochs)
+    assert bootstrap_watermark(tgt) == cut
+    assert state(tgt) == expected
