@@ -81,14 +81,42 @@ def bootstrap_epoch(
     the same crash-recovery contract as ``apply_epoch``.
     """
     epoch_id = epoch_id or f"bootstrap:{int(as_of_seq)}"
-    if target.has_epoch(epoch_id):
-        props = target.snapshot().properties.get(f"epoch:{epoch_id}", {})
+    pre = target.snapshot()
+    # redelivery short-circuit: the epoch id while it lives in the
+    # bounded ledger, OR the permanent watermark property after
+    # retention pruned the (non-window-encoded) id — a crash-resume
+    # months into the tail must still converge, not die on the
+    # empty-target check below
+    wm_prop = pre.properties.get("bootstrap_watermark")
+    if target.has_epoch(epoch_id) or (
+        wm_prop is not None and int(wm_prop) == int(as_of_seq)
+    ):
+        props = pre.properties.get(f"epoch:{epoch_id}", {})
         if lineage is not None and not lineage.has_epoch(epoch_id):
             rows = [tuple(r) for r in props.get("lineage_rows", [])]
             lineage.append_rows_local(rows, epoch_id=epoch_id)
         return ApplyStats(epoch_id, 0, 0, 0, 0, None, skipped=True)
 
+    # empty-target check BEFORE any mutation: a refused bootstrap must
+    # not leave a committed schema-evolution snapshot behind
+    if pre.files or pre.epochs:
+        raise ValueError(
+            "bootstrap_epoch requires an empty target: rows already "
+            "committed would silently lose LWW against snapshot rows "
+            "stamped at the WAL position — tail with replay() instead"
+        )
+
     ledger = ledger or SchemaLedger.default()
+    if "op" in snapshot_rows.columns:
+        # a snapshot is STATE, not events: an op column means the
+        # caller exported winners without materializing them (delete
+        # tombstones would silently load as live rows — the target
+        # schema has no 'op', so the select below would just drop it)
+        raise ValueError(
+            "snapshot carries an 'op' column — a consistent snapshot "
+            "is state, not events: filter out deletes "
+            "(op != 'delete') and drop the column before bootstrapping"
+        )
     unknown = [
         c for c in snapshot_rows.columns
         if c != schemas.SEQ_COL
@@ -101,12 +129,6 @@ def bootstrap_epoch(
         target.evolve_schema(tgt_schema)
 
     snap0 = target.snapshot()
-    if snap0.files or snap0.epochs:
-        raise ValueError(
-            "bootstrap_epoch requires an empty target: rows already "
-            "committed would silently lose LWW against snapshot rows "
-            "stamped at the WAL position — tail with replay() instead"
-        )
 
     key_cols = list(snap0.key_cols)
     has_row_seq = schemas.SEQ_COL in snapshot_rows.columns
@@ -139,8 +161,15 @@ def bootstrap_epoch(
         metrics.append(F.max(schemas.SEQ_COL).alias("max_row_seq"))
     observed = snapshot_rows.observe(obs, *metrics)
 
+    # a NULL per-row version means "unversioned since before the cut" —
+    # stamp the snapshot position, exactly as if the source tracked no
+    # versions at all. Passing the NULL through instead would land a
+    # non-nullable last_seq as NULL, and pandas' na_position='last'
+    # sorts NaN after every real seq in the merge-on-read resolver, so
+    # that row would silently WIN against every later tail event.
     seq_expr = (
-        F.col(schemas.SEQ_COL).cast("long") if has_row_seq
+        F.coalesce(F.col(schemas.SEQ_COL).cast("long"),
+                   F.lit(int(as_of_seq)).cast("long")) if has_row_seq
         else F.lit(int(as_of_seq)).cast("long")
     )
     src_t = {f_.name: f_.dataType for f_ in snapshot_rows.schema.fields}

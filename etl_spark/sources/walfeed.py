@@ -292,6 +292,19 @@ def ledger_with_wal_changes(ledger: SchemaLedger,
                     f"{r['version']} ≤ ledger latest "
                     f"{prev.schema_version} with no matching entry"
                 )
+            # a REDELIVERY is the same event: same seq as the committed
+            # entry's effective_seq. A re-statement of the version at a
+            # DIFFERENT seq is a producer restating history (rows
+            # between the two seqs would decode under a version the
+            # producer did not intend) — that is drift, not redelivery.
+            if int(r["seq"]) != int(existing.effective_seq):
+                raise ValueError(
+                    f"schema-change at seq {r['seq']} re-states "
+                    f"committed v{r['version']} (effective at seq "
+                    f"{existing.effective_seq}) from a different "
+                    f"position — non-monotonic version, not a "
+                    f"redelivery"
+                )
             have = {f.name: f.dataType for f in existing.schema.fields}
             for c in (r["columns"] or []):
                 t = _WIRE_TYPES.get((c["type"] or "").lower())

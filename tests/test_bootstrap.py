@@ -196,3 +196,74 @@ def test_watermark_survives_epoch_ledger_retention(spark, tbl_dir,
     assert all(not e.startswith("bootstrap:") for e in snap_t.epochs)
     assert bootstrap_watermark(tgt) == cut
     assert state(tgt) == expected
+
+
+def test_bootstrap_rejects_op_column(spark, tbl_dir, fixture_frames):
+    """A snapshot is state, not events: an op column means delete
+    tombstones could silently load as live rows — refuse it."""
+    events, _, cut, _ = fixture_frames
+    from etl_spark import schemas
+    from etl_spark.operators.dedup import lww_latest
+
+    winners = lww_latest(
+        events.where(F.col("seq") <= cut), schemas.KEY_COLS, "seq"
+    ).select("repo", "path", "commit", "lang", "content", "op")
+    tgt, lin = fresh(spark, tbl_dir)
+    with pytest.raises(ValueError, match="'op' column"):
+        bootstrap_epoch(spark, winners, tgt, lin, as_of_seq=cut)
+    assert tgt.snapshot().files == []
+
+
+def test_bootstrap_null_row_seq_stamps_position(spark, tbl_dir,
+                                                fixture_frames):
+    """A NULL per-row version means 'unversioned' — stamped as the
+    snapshot position, never loaded as a NULL last_seq (which would
+    sort after every real seq in the resolver and win forever)."""
+    events, _, cut, expected = fixture_frames
+    snap_seq = spark.sql(gen.state_as_of_sql("spark", cut, with_seq=True))
+    # null out half the versions
+    holey = snap_seq.withColumn(
+        "seq", F.when(F.col("seq") % 2 == 0, F.col("seq")))
+    tgt, lin = fresh(spark, tbl_dir)
+    stats = bootstrap_then_tail(
+        spark, holey, events, tgt, lin, as_of_seq=cut, epoch_size=2000)
+    assert all(s.invariant_ok() for s in stats)
+    assert state(tgt) == expected
+    assert tgt.read().where(F.col("last_seq").isNull()).count() == 0
+
+
+def test_refused_bootstrap_leaves_target_untouched(spark, tbl_dir,
+                                                   fixture_frames):
+    """The empty-target refusal must not first commit a schema
+    evolution: a failed operation with a committed side effect."""
+    events, snap, cut, _ = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    apply_epoch(spark, events.where(F.col("seq") <= 100), tgt, lin, "e1")
+    v0 = tgt.current_version()
+    schema0 = tgt.snapshot().current_schema.json()
+    led = SchemaLedger.default(v2_effective_seq=0)  # would evolve
+    with pytest.raises(ValueError, match="empty target"):
+        bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut, ledger=led)
+    assert tgt.current_version() == v0
+    assert tgt.snapshot().current_schema.json() == schema0
+
+
+def test_bootstrap_rerun_after_retention_skips(spark, tbl_dir,
+                                               fixture_frames):
+    """Crash-resume months into the tail: the epoch id was pruned from
+    the bounded ledger, but the permanent watermark property still
+    short-circuits the bootstrap — a full bootstrap_then_tail re-run
+    converges instead of dying on the empty-target check."""
+    events, snap, cut, expected = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    tgt._commit_append([], epoch_id=None,
+                       properties={"epoch_retention": 3})
+    bootstrap_epoch(spark, snap, tgt, lin, as_of_seq=cut)
+    replay(spark, events.where(F.col("seq") > cut), tgt, lin,
+           epoch_size=400, epoch_prefix="tail")
+    assert all(not e.startswith("bootstrap:")
+               for e in tgt.snapshot().epochs)  # id pruned
+    stats = bootstrap_then_tail(
+        spark, snap, events, tgt, lin, as_of_seq=cut, epoch_size=400)
+    assert stats[0].skipped
+    assert state(tgt) == expected

@@ -136,15 +136,24 @@ def test_schema_change_rejects_drift(spark):
     with pytest.raises(ValueError, match="exists as"):
         ledger_with_wal_changes(
             base, wal_schema_changes(decode_wal_envelope(redefine)))
-    # a stale version re-stating columns the committed entry lacks is
-    # drift, not redelivery (identical re-statements are no-ops — see
+    # a stale version re-stated from a DIFFERENT seq is a producer
+    # restating history, not a redelivery (identical re-statements at
+    # the committed effective seq are no-ops — see
     # test_schema_change_redelivery_is_idempotent)
     stale = spark.createDataFrame(
         [(schema_change_envelope(1, "ddl", [("y", "string", True, None)],
                                  9),)], "raw string")
-    with pytest.raises(ValueError, match="conflicts with committed"):
+    with pytest.raises(ValueError, match="not a redelivery"):
         ledger_with_wal_changes(
             base, wal_schema_changes(decode_wal_envelope(stale)))
+    # same version, same effective seq, conflicting column set: the
+    # seq gate passes but the column re-statement must still raise
+    restate = spark.createDataFrame(
+        [(schema_change_envelope(1, "ddl", [("y", "string", True, None)],
+                                 0),)], "raw string")
+    with pytest.raises(ValueError, match="conflicts with committed"):
+        ledger_with_wal_changes(
+            base, wal_schema_changes(decode_wal_envelope(restate)))
     gap = spark.createDataFrame(
         [(schema_change_envelope(0, "ddl", [("y", "string", True, None)],
                                  9),)], "raw string")
