@@ -2145,6 +2145,7 @@ class IceliteTable:
         properties: dict | None,
         retries: int = 10,
         written_n_buckets: int | None = None,
+        expect_files_empty: bool = False,
     ) -> Snapshot:
         """Optimistic-concurrency APPEND commit: on a lost race
         (another writer created the next version first) re-read the
@@ -2178,6 +2179,16 @@ class IceliteTable:
                     f"is now n_buckets={snap.n_buckets} (concurrent "
                     f"split_buckets); stale bucket ids cannot be rebased — "
                     f"rewrite the files against the current layout"
+                )
+            if expect_files_empty and snap.files:
+                # bulk-load guard (bootstrap): the write was validated
+                # against an EMPTY table; rebasing onto a concurrent
+                # writer's rows would commit duplicate/conflicting base
+                # rows that read() (no-delta fast path) surfaces raw
+                raise CommitConflict(
+                    f"table gained {len(snap.files)} data files since the "
+                    f"empty-target check: a concurrent writer raced this "
+                    f"bulk load — refusing to rebase a bootstrap"
                 )
             try:
                 out = self._commit(
@@ -2641,13 +2652,18 @@ class IceliteTable:
         epoch_id: str | None = None,
         properties: dict | None = None,
         written_n_buckets: int | None = None,
+        expect_files_empty: bool = False,
     ) -> Snapshot:
         """Commit previously written files (see ``write_delta_files``).
         Optimistic-retry on concurrent-writer races; pass the
         ``written_n_buckets`` the files were hashed under so a racing
-        split_buckets aborts this commit instead of corrupting it."""
+        split_buckets aborts this commit instead of corrupting it.
+        ``expect_files_empty`` refuses to rebase onto a table that
+        gained data files since the caller's empty-target validation
+        (the bootstrap bulk-load guard)."""
         return self._commit_append(new_files, epoch_id, properties,
-                                   written_n_buckets=written_n_buckets)
+                                   written_n_buckets=written_n_buckets,
+                                   expect_files_empty=expect_files_empty)
 
     def write_base_files(
         self,

@@ -238,8 +238,19 @@ def bootstrap_epoch(
     # contract), and a deployment restarting months later must still
     # recover its tail start from the table alone
     props["bootstrap_watermark"] = int(as_of_seq)
-    target.commit_add_files(new_files, epoch_id=epoch_id, properties=props,
-                            written_n_buckets=snap0.n_buckets)
+    # expect_files_empty: a concurrent writer landing rows between the
+    # empty-target check and this commit must fail the commit (a
+    # same-position bootstrap race instead no-ops via the epoch id) —
+    # rebasing would commit duplicate base rows that the no-delta
+    # read() fast path surfaces raw
+    try:
+        target.commit_add_files(new_files, epoch_id=epoch_id,
+                                properties=props,
+                                written_n_buckets=snap0.n_buckets,
+                                expect_files_empty=True)
+    except Exception:
+        target.abort_write(rel)
+        raise
     if lineage is not None:
         lineage.append_rows_local(lineage_rows, epoch_id=epoch_id)
     applied = sum(f_.rows for f_ in new_files)

@@ -267,3 +267,25 @@ def test_bootstrap_rerun_after_retention_skips(spark, tbl_dir,
         spark, snap, events, tgt, lin, as_of_seq=cut, epoch_size=400)
     assert stats[0].skipped
     assert state(tgt) == expected
+
+
+def test_bootstrap_commit_refuses_concurrent_rows(spark, tbl_dir,
+                                                  fixture_frames):
+    """A writer landing rows between the empty-target check and the
+    bulk-load commit must fail the commit (duplicate base rows would
+    surface raw through the no-delta read() fast path); a same-position
+    bootstrap race instead no-ops via the epoch id."""
+    from etl_spark.icelite.table import CommitConflict
+
+    events, snap, cut, _ = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    prepared = snap.select(
+        "repo", "path", "commit", "lang", "content",
+        F.sha2(F.col("content"), 256).alias("content_sha256"),
+        F.lit(cut).cast("long").alias("last_seq"))
+    rel, files = tgt.write_base_files(prepared)
+    # concurrent writer lands an epoch before the bootstrap commit
+    apply_epoch(spark, events.where(F.col("seq") <= 50), tgt, lin, "racer")
+    with pytest.raises(CommitConflict, match="refusing to rebase"):
+        tgt.commit_add_files(files, epoch_id=f"bootstrap:{cut}",
+                             expect_files_empty=True)
