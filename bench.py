@@ -510,6 +510,7 @@ _PRESERVED_SECTIONS = (
     "## Compaction scaling: overhead-bound",
     "## Winner sha256 placement A/B",
     "## Incremental LSH index",
+    "## Cold-start bulk load",
 )
 
 

@@ -327,7 +327,12 @@ def cmd_rollback(args) -> int:
 def cmd_verify(args) -> int:
     """Replay-equality audit: recompute LWW final state from the full
     event log and diff it against the live table (the reference's
-    row-accounting invariant as an end-state check)."""
+    row-accounting invariant as an end-state check).
+
+    For a BOOTSTRAPPED target the full history is gone by design; pass
+    --snapshot and --as-of-seq (the bootstrap inputs) and the expected
+    state is recomputed from the snapshot (as position-stamped inserts)
+    plus only the tail events after the position."""
     from pyspark.sql import functions as F
 
     from etl_spark.icelite.table import IceliteTable
@@ -335,6 +340,18 @@ def cmd_verify(args) -> int:
 
     spark = _spark(args)
     events = spark.read.parquet(args.events)
+    if getattr(args, "snapshot", None):
+        pos = args.as_of_seq
+        if pos is None:
+            raise SystemExit("--snapshot requires --as-of-seq")
+        snap = spark.read.parquet(args.snapshot)
+        seq = (F.coalesce(F.col("seq").cast("long"), F.lit(int(pos)))
+               if "seq" in snap.columns else F.lit(int(pos)).cast("long"))
+        base = snap.select(
+            F.col("repo"), F.col("path"), F.col("content"),
+            seq.alias("seq"), F.lit("insert").alias("op"))
+        events = events.where(F.col("seq") > int(pos)).select(
+            "repo", "path", "content", "seq", "op").unionByName(base)
     # mirror apply_epoch's validity predicate: a corrupt event (bad op,
     # null key) or a schema_change marker holding a key's max seq must
     # not become the "expected" winner — the pipeline rejected it.
@@ -461,6 +478,11 @@ def main() -> int:
     p = sub.add_parser("verify")
     p.add_argument("--events", required=True)
     p.add_argument("--target", required=True)
+    p.add_argument("--snapshot", default=None,
+                   help="bootstrapped target: the snapshot parquet the "
+                        "load used (expected state = snapshot + tail)")
+    p.add_argument("--as-of-seq", type=int, default=None,
+                   help="WAL position of --snapshot")
 
     p = sub.add_parser("history")
     p.add_argument("--target", required=True)

@@ -161,3 +161,9 @@ def test_cli_bootstrap_then_stream(spark, tbl_dir, capsys):
                  .select("repo", "path", "commit", "lang",
                          "content_sha256").collect())
     assert got == exp
+    # replay-equality audit for a bootstrapped target: expected state
+    # recomputed from snapshot + tail, not the (absent) full history
+    assert cli.cmd_verify(_ns(events=wal, target=t,
+                              snapshot=snap_dir, as_of_seq=cut)) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["ok"] is True
