@@ -53,11 +53,13 @@ from etl_spark.queries.cdc import (
 )
 from etl_spark.queries.docs import (
     _CODE_SCAN_ORACLE,
+    _DEDUP_CLUSTERS_ORACLE,
     _DEDUP_EXACT_ORACLE,
     _MINHASH_LSH_ORACLE,
     _NGRAM_JACCARD_ORACLE,
     _SIMHASH_ORACLE,
     _doc_features_oracle,
+    dedup_clusters,
     dedup_exact,
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
@@ -98,7 +100,6 @@ from etl_spark.queries.scalars import (
     f_scalar_suite,
 )
 from etl_spark.queries.streams import (
-    _HIER_ROLLUP_ORACLE,
     _LEAD_DISCARD_ORACLE,
     _MONOTONE_ORACLE,
     _PERCENTILES_ORACLE,
@@ -114,7 +115,6 @@ from etl_spark.queries.streams import (
     set_ops,
     value_percentiles,
     w_change_points,
-    w_hier_rollup,
     w_json_props,
     w_lag_delta,
     w_lead_discard,
@@ -186,7 +186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w_sessionize_gap": w_sessionize_gap,
         "w_monotone_violations": w_monotone_violations,
         "w_windowed_counts": w_windowed_counts,
-        "w_hier_rollup": w_hier_rollup,
         "w_lead_discard": w_lead_discard,
         "w_topk_per_group": w_topk_per_group,
         # relational / joins
@@ -217,6 +216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_code_scan": doc_code_scan,
         "dedup_exact": dedup_exact,
         "dedup_minhash_lsh": dedup_minhash_lsh,
+        # near-dup pairs folded to duplicate clusters (distributed
+        # connected components vs a recursive-CTE oracle); took the
+        # slot of w_hier_rollup, whose partial-reaggregation coverage
+        # agg_rollup + w_windowed_counts carry (it remains a module
+        # function pinned by pytest)
+        "dedup_clusters": dedup_clusters,
         "dedup_ngram_jaccard": dedup_ngram_jaccard,
         "dedup_simhash": dedup_simhash,
         # arrays / embeddings / multimodal
@@ -248,7 +253,6 @@ def oracle_sql() -> dict[str, str]:
         "w_sessionize_gap": _SESSIONIZE_ORACLE,
         "w_monotone_violations": _MONOTONE_ORACLE.format(events=ev),
         "w_windowed_counts": _WINDOWED_COUNTS_ORACLE,
-        "w_hier_rollup": _HIER_ROLLUP_ORACLE,
         "w_lead_discard": _LEAD_DISCARD_ORACLE,
         "w_topk_per_group": _TOPK_ORACLE,
         "nation_revenue": _NATION_REVENUE_ORACLE,
@@ -274,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_code_scan": _CODE_SCAN_ORACLE,
         "dedup_exact": _DEDUP_EXACT_ORACLE,
         "dedup_minhash_lsh": _MINHASH_LSH_ORACLE,
+        "dedup_clusters": _DEDUP_CLUSTERS_ORACLE,
         "dedup_ngram_jaccard": _NGRAM_JACCARD_ORACLE,
         "dedup_simhash": _SIMHASH_ORACLE,
         "arr_ops": _ARR_OPS_ORACLE,

@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "doc_quality",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_clusters",
     "dedup_simhash",
     "ann_cosine_topk",
     "mm_decode",

@@ -1,0 +1,128 @@
+"""Connected components over near-duplicate pairs + survivor selection.
+
+The missing last stage of a near-dup pipeline: ``lsh_candidate_pairs``
+/ ``simhash_near_pairs`` emit PAIRS, but dedup acts on CLUSTERS — if
+A~B and B~C, keeping "one of each pair" independently can drop all
+three or keep two. The standard fold (RefinedWeb/SlimPajama-style
+MinHash dedup) is connected components over the pair graph, then one
+survivor per component.
+
+Algorithm: iterative min-label propagation, pure DataFrame ops —
+each round every node adopts the minimum component label among itself
+and its neighbors; fixpoint when no label changes. Round cost is one
+shuffle-join (edges × labels on dst) + one min-agg; rounds needed =
+graph diameter. Near-dup graphs are the favorable case: components
+are small and dense (a cluster of rewrites of one document), so the
+diameter is tiny and 2-4 rounds converge even at 10^8 nodes. For
+adversarial long-chain graphs the large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond")
+converges in O(log n) rounds at ~2× the per-round cost; min-label is
+the right default for the dedup workload and ``max_iter`` bounds the
+pathological case loudly instead of looping forever.
+
+Scale shape: labels live as (id, component) rows partitioned by id —
+no driver-side graph, no collect. The min-agg collapses map-side
+(partial min), so a giant component's popular label never skews the
+shuffle: reducers see one partial row per map partition. Lineage is
+truncated every round with ``localCheckpoint`` (iterative plans
+otherwise grow O(rounds) and re-execute from the source each action).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """``(id, component)`` for every node appearing in ``pairs``;
+    component = the minimum node id reachable from ``id``.
+
+    ``pairs`` is an undirected edge list (each pair listed once, either
+    orientation). Nodes not present in any pair are absent — join the
+    result back to the corpus with a left join and ``coalesce(component,
+    id)`` (what :func:`near_dedup_survivors` does) so singletons form
+    their own component."""
+    edges = (
+        pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # neighbor labels: for edge s->d, s hears d's current label
+        heard = (
+            edges.join(labels, edges["d"] == labels["id"])
+            .select(edges["s"].alias("id"), "component")
+        )
+        new_labels = (
+            labels.union(heard)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
+            .where(F.col("component") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        f"the pair graph has a path longer than max_iter (not a "
+        f"near-dup shape); raise max_iter or use a log-round algorithm"
+    )
+
+
+def near_dedup_survivors(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    keep: str | None = None,
+) -> DataFrame:
+    """Fold near-dup pairs into clusters and pick ONE survivor each.
+
+    Returns ``docs`` plus ``component`` (cluster id; singletons are
+    their own) and ``survivor`` (exactly one true row per component).
+    The survivor is the row minimizing ``(keep, id)`` — pass e.g. a
+    negated quality score to keep the best document; default keeps the
+    smallest id (deterministic, join-free tie-break).
+
+    One broadcast-or-shuffle join of the corpus against the (much
+    smaller) component map, one window-free min_by per component —
+    no per-row Python, no driver data."""
+    comp = connected_components(pairs, src=src, dst=dst)
+    with_comp = (
+        docs.join(comp.withColumnRenamed("id", id_col), id_col, "left")
+        .withColumn("component",
+                    F.coalesce(F.col("component"), F.col(id_col)))
+    )
+    rank = F.struct(
+        *( [F.col(keep)] if keep else [] ), F.col(id_col)
+    )
+    winners = (
+        with_comp.groupBy("component")
+        .agg(F.min_by(F.col(id_col), rank).alias("__keep_id"))
+    )
+    return (
+        with_comp.join(winners, "component")
+        .withColumn("survivor", F.col(id_col) == F.col("__keep_id"))
+        .drop("__keep_id")
+    )

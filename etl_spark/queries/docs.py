@@ -203,6 +203,61 @@ est AS (
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
 """
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs folded into duplicate CLUSTERS — the stage that
+    makes pair detection actionable (keep one survivor per component,
+    not "one of each pair" independently). Distributed connected
+    components by iterative min-label propagation over the LSH
+    candidate pairs (operators/components.py: per-round join+min-agg,
+    map-side-combined, lineage truncated per round; near-dup graphs
+    have tiny diameters so 2-4 rounds converge). The oracle rebuilds
+    the identical pair set in SQL and closes it transitively with a
+    recursive CTE — an independent fixpoint computation."""
+    from etl_spark.operators.components import connected_components
+
+    docs = _read(spark, sf_dir, "documents")
+    pairs = simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.25)
+    return (
+        connected_components(pairs, src="doc_a", dst="doc_b")
+        .select(F.col("id").alias("doc_id"), "component")
+    )
+
+
+_DEDUP_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE sig AS ({_MINHASH_SIG}),
+bands AS (
+  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
+         md5(string_agg(mh, '|' ORDER BY perm)) AS band_hash
+  FROM sig GROUP BY doc_id, 2
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT p.doc_a, p.doc_b,
+         round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
+  FROM cand p
+  JOIN sig sa ON sa.doc_id = p.doc_a
+  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
+  GROUP BY p.doc_a, p.doc_b
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM est WHERE est_jaccard >= 0.25
+  UNION
+  SELECT doc_b, doc_a FROM est WHERE est_jaccard >= 0.25
+),
+reach(id, r) AS (
+  SELECT s, s FROM edges
+  UNION
+  SELECT e.s, reach.r FROM edges e JOIN reach ON reach.id = e.d
+)
+SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY id
+"""
+
+
 _SIMHASH_ORACLE = r"""
 WITH toks AS (
   SELECT DISTINCT doc_id, md5(tok) AS h

@@ -1,0 +1,111 @@
+"""Connected components + near-dup survivor selection: equivalence
+with a union-find oracle on seeded random graphs, diameter stress,
+and the one-survivor-per-cluster contract over real LSH pairs."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.operators.components import (
+    connected_components,
+    near_dedup_survivors,
+)
+
+from .conftest import SF_TINY
+
+
+def _uf_oracle(edges):
+    """Single-threaded union-find: id -> min reachable id."""
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_components_match_union_find(spark, seed):
+    rng = random.Random(seed)
+    n, m = 200, 260
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+    edges = [e for e in edges if e[0] != e[1]]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        r.id: r.component
+        for r in connected_components(df).collect()
+    }
+    assert got == _uf_oracle(edges)
+
+
+def test_components_long_chain_converges(spark):
+    """Worst case for min-label propagation: one path graph, diameter
+    = n. Rounds needed scale with diameter — max_iter must cover it
+    and the result still be exact."""
+    n = 40
+    chain = [(i, i + 1) for i in range(n)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = connected_components(df, max_iter=n + 2).collect()
+    assert {r.component for r in out} == {0}
+    assert len(out) == n + 1
+    # and the loud non-convergence contract
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=3)
+
+
+def test_survivors_one_per_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}", float(i % 5)) for i in range(10)],
+        "doc_id long, text string, score double")
+    # clusters: {0,1,2}, {3,4}; 5..9 singletons
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (3, 4)], "id_a long, id_b long")
+    out = near_dedup_survivors(docs, pairs).collect()
+    assert len(out) == 10  # every doc present, annotated
+    by_comp: dict = {}
+    for r in out:
+        by_comp.setdefault(r.component, []).append(r)
+    assert len(by_comp) == 7  # 2 clusters + 5 singletons
+    for comp, rows in by_comp.items():
+        assert sum(r.survivor for r in rows) == 1
+        keeper = next(r for r in rows if r.survivor)
+        assert keeper.doc_id == min(r.doc_id for r in rows)
+    # keep= picks by quality instead of id (min score wins)
+    out2 = near_dedup_survivors(docs, pairs, keep="score").collect()
+    cluster0 = [r for r in out2 if r.component == 0]
+    keeper = next(r for r in cluster0 if r.survivor)
+    assert keeper.score == min(r.score for r in cluster0)
+
+
+def test_survivors_over_real_lsh_pairs(spark):
+    """End-to-end: LSH candidate pairs on the documents fixture fold
+    into clusters; survivor count == docs - (duplicates removed), and
+    removing non-survivors removes every near-dup pair."""
+    from etl_spark.operators import simdedup
+
+    docs = spark.read.parquet(f"{SF_TINY}/documents.parquet")
+    pairs = simdedup.lsh_candidate_pairs(docs, min_est_jaccard=0.25)
+    out = near_dedup_survivors(docs, pairs, src="doc_a", dst="doc_b")
+    n_docs = docs.count()
+    assert out.count() == n_docs
+    n_clusters = out.select("component").distinct().count()
+    assert out.where("survivor").count() == n_clusters
+    # no surviving pair: both endpoints of any candidate pair are in
+    # one component, so at most one survived
+    surv = out.where("survivor").select("doc_id")
+    both = (
+        pairs.join(surv.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+    )
+    assert both.count() == 0

@@ -120,3 +120,15 @@ def test_change_points_counts_null_transitions(spark):
            for r in change_points(ev).collect()}
     assert got[1] == (2, [2, 3])   # a→NULL and NULL→b both count
     assert got[2] == (0, [])       # NULL→NULL is not a change
+
+
+def test_hier_rollup_matches_oracle(spark):
+    """w_hier_rollup left the 50-slot driver registry (its seat went to
+    dedup_clusters; agg_rollup + w_windowed_counts carry the
+    aggregation coverage) — the partial-reaggregation equivalence
+    keeps its own oracle proof here so it cannot rot unverified."""
+    from etl_spark.queries.streams import _HIER_ROLLUP_ORACLE, w_hier_rollup
+
+    res = compare_query(spark, SF_TINY, w_hier_rollup(spark, SF_TINY),
+                        _HIER_ROLLUP_ORACLE)
+    assert res["ok"], {k: v for k, v in res.items() if k != "sample_diff"}
