@@ -53,6 +53,20 @@ from etl_spark.ledger import SchemaLedger
 from etl_spark.operators.apply import ApplyStats, _epoch_props, replay
 
 
+def snapshot_seq_expr(columns, as_of_seq: int):
+    """The last_seq stamping rule for snapshot rows — ONE definition
+    shared by the bulk load (``bootstrap_epoch``) and the
+    replay-equality audit (``cdc verify --snapshot``), so the two can
+    never drift: per-row versions when the source tracks them; a NULL
+    version or an absent column stamps the snapshot position (a NULL
+    last_seq would sort after every real seq in the merge-on-read
+    resolver and win forever)."""
+    if schemas.SEQ_COL in columns:
+        return F.coalesce(F.col(schemas.SEQ_COL).cast("long"),
+                          F.lit(int(as_of_seq)).cast("long"))
+    return F.lit(int(as_of_seq)).cast("long")
+
+
 def bootstrap_epoch(
     spark: SparkSession,
     snapshot_rows: DataFrame,
@@ -161,17 +175,7 @@ def bootstrap_epoch(
         metrics.append(F.max(schemas.SEQ_COL).alias("max_row_seq"))
     observed = snapshot_rows.observe(obs, *metrics)
 
-    # a NULL per-row version means "unversioned since before the cut" —
-    # stamp the snapshot position, exactly as if the source tracked no
-    # versions at all. Passing the NULL through instead would land a
-    # non-nullable last_seq as NULL, and pandas' na_position='last'
-    # sorts NaN after every real seq in the merge-on-read resolver, so
-    # that row would silently WIN against every later tail event.
-    seq_expr = (
-        F.coalesce(F.col(schemas.SEQ_COL).cast("long"),
-                   F.lit(int(as_of_seq)).cast("long")) if has_row_seq
-        else F.lit(int(as_of_seq)).cast("long")
-    )
+    seq_expr = snapshot_seq_expr(snapshot_rows.columns, as_of_seq)
     src_t = {f_.name: f_.dataType for f_ in snapshot_rows.schema.fields}
     sel = []
     for f_ in snap0.current_schema.fields:

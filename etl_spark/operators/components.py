@@ -23,12 +23,17 @@ pathological case loudly instead of looping forever.
 Scale shape: labels live as (id, component) rows partitioned by id —
 no driver-side graph, no collect. The min-agg collapses map-side
 (partial min), so a giant component's popular label never skews the
-shuffle: reducers see one partial row per map partition. Lineage is
-truncated every round with ``localCheckpoint`` (iterative plans
-otherwise grow O(rounds) and re-execute from the source each action).
+shuffle: reducers see one partial row per map partition. Each round's
+label set is persisted for exactly the rounds that read it and
+unpersisted when superseded; the converged result spills to a scratch
+parquet and returns as a pure lazy plan (zero session-cache
+footprint).
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -47,46 +52,87 @@ def connected_components(
     orientation). Nodes not present in any pair are absent — join the
     result back to the corpus with a left join and ``coalesce(component,
     id)`` (what :func:`near_dedup_survivors` does) so singletons form
-    their own component."""
+    their own component.
+
+    Cache discipline: every intermediate is persisted for exactly the
+    rounds that read it and unpersisted when superseded (the repo's
+    iterative-state convention); the RESULT lands in a scratch parquet
+    spill — the same durability contract as a shuffle file — and comes
+    back as a pure lazy plan, so the session cache is left EMPTY (the
+    suite's zero-persisted-RDD gate applies to this operator too).
+    ``localCheckpoint`` is deliberately avoided: its truncated-lineage
+    blocks cannot be unpersisted without losing the data, so each call
+    would leak one immortal block set per round."""
+    from etl_spark.util import scratch_dir
+
+    spark = pairs.sparkSession
+    spill_root = scratch_dir("components_")
+
+    def spill(df: DataFrame, name: str) -> DataFrame:
+        # lineage truncation without cache blocks: a scratch parquet
+        # has a shuffle file's durability and can simply be deleted,
+        # where localCheckpoint blocks can never be unpersisted without
+        # losing the (lineage-truncated) data
+        out = os.path.join(spill_root, name)
+        df.write.parquet(out)
+        return spark.read.parquet(out)
+
     edges = (
         pairs.select(F.col(src).alias("s"), F.col(dst).alias("d"))
         .union(pairs.select(F.col(dst).alias("s"), F.col(src).alias("d")))
         .where(F.col("s").isNotNull() & F.col("d").isNotNull())
         .distinct()
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    labels = (
-        edges.select(F.col("s").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("component"))
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
-        # neighbor labels: for edge s->d, s hears d's current label
-        heard = (
-            edges.join(labels, edges["d"] == labels["id"])
-            .select(edges["s"].alias("id"), "component")
+    try:
+        # every round ends in a spill: each round's plan references the
+        # previous labels TWICE (the neighbor join and the union), so
+        # an unspilled loop DOUBLES the logical plan per round and
+        # Catalyst analysis alone goes exponential — structural
+        # truncation each round is what keeps the loop linear, and a
+        # spill costs about as much as the round's own shuffle (same
+        # rows, one extra disk pass). Superseded round dirs are removed
+        # eagerly so disk stays O(|labels|), not O(rounds).
+        labels = spill(
+            edges.select(F.col("s").alias("id"))
+            .distinct()
+            .select("id", F.col("id").alias("component")),
+            "round_init",
         )
-        new_labels = (
-            labels.union(heard)
-            .groupBy("id")
-            .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
+        prev_dir: str | None = None
+        for i in range(max_iter):
+            # neighbor labels: for edge s->d, s hears d's current label
+            heard = (
+                edges.join(labels, edges["d"] == labels["id"])
+                .select(edges["s"].alias("id"), "component")
+            )
+            new_labels = spill(
+                labels.union(heard)
+                .groupBy("id")
+                .agg(F.min("component").alias("component")),
+                f"round{i}",
+            )
+            changed = (
+                new_labels.join(
+                    labels.withColumnRenamed("component", "old"), "id")
+                .where(F.col("component") != F.col("old"))
+                .limit(1)
+                .count()
+            )
+            if prev_dir is not None:
+                shutil.rmtree(prev_dir, ignore_errors=True)
+            prev_dir = os.path.join(spill_root, "round_init" if i == 0
+                                    else f"round{i - 1}")
+            labels = new_labels
+            if changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"— the pair graph has a path longer than max_iter (not a "
+            f"near-dup shape); raise max_iter or use a log-round algorithm"
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("component", "old"), "id")
-            .where(F.col("component") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iter} rounds — "
-        f"the pair graph has a path longer than max_iter (not a "
-        f"near-dup shape); raise max_iter or use a log-round algorithm"
-    )
+    finally:
+        edges.unpersist()
 
 
 def near_dedup_survivors(
@@ -102,27 +148,45 @@ def near_dedup_survivors(
     Returns ``docs`` plus ``component`` (cluster id; singletons are
     their own) and ``survivor`` (exactly one true row per component).
     The survivor is the row minimizing ``(keep, id)`` — pass e.g. a
-    negated quality score to keep the best document; default keeps the
-    smallest id (deterministic, join-free tie-break).
+    negated quality score to keep the best document (rows whose
+    ``keep`` is NULL rank LAST, never first: a corpus where scoring
+    skipped some docs must not keep exactly the unscored duplicates);
+    default keeps the smallest id (deterministic, join-free tie-break).
 
-    One broadcast-or-shuffle join of the corpus against the (much
-    smaller) component map, one window-free min_by per component —
-    no per-row Python, no driver data."""
+    Scale shape: the winners aggregation runs over PAIR PARTICIPANTS
+    only (≪ corpus — singletons need no contest), so the corpus itself
+    is never shuffled: it takes two broadcast-sized joins (component
+    map, per-component winner) and everything else is a projection.
+    No per-row Python, no driver data.
+
+    NULL ids are refused loudly (one narrow pre-scan): a NULL key can
+    neither join its component back nor name a survivor, so it would
+    otherwise vanish from the output silently."""
+    if docs.where(F.col(id_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"docs carry NULL {id_col!r} rows — a null id cannot join "
+            f"its component back and would silently vanish from the "
+            f"dedup output; filter or key them first"
+        )
     comp = connected_components(pairs, src=src, dst=dst)
-    with_comp = (
-        docs.join(comp.withColumnRenamed("id", id_col), id_col, "left")
-        .withColumn("component",
-                    F.coalesce(F.col("component"), F.col(id_col)))
-    )
+    with_comp = docs.join(
+        comp.withColumnRenamed("id", id_col), id_col, "left")
     rank = F.struct(
-        *( [F.col(keep)] if keep else [] ), F.col(id_col)
+        *([F.col(keep).isNull().cast("int"), F.col(keep)] if keep else []),
+        F.col(id_col),
     )
     winners = (
-        with_comp.groupBy("component")
+        with_comp.where(F.col("component").isNotNull())
+        .groupBy("component")
         .agg(F.min_by(F.col(id_col), rank).alias("__keep_id"))
     )
     return (
-        with_comp.join(winners, "component")
-        .withColumn("survivor", F.col(id_col) == F.col("__keep_id"))
+        with_comp.join(winners, "component", "left")
+        .withColumn(
+            "survivor",
+            F.coalesce(F.col(id_col) == F.col("__keep_id"), F.lit(True)),
+        )
+        .withColumn("component",
+                    F.coalesce(F.col("component"), F.col(id_col)))
         .drop("__keep_id")
     )

@@ -180,8 +180,10 @@ FROM ({_SHINGLES}) s, unnest(range(0, 16)) AS p(perm)
 GROUP BY doc_id, perm
 """
 
-_MINHASH_LSH_ORACLE = f"""
-WITH sig AS ({_MINHASH_SIG}),
+# the candidate-pair CTE chain shared by the pairs oracle and the
+# clusters oracle — ONE definition so a banding/threshold change can
+# never leave the two verifying different pair sets
+_LSH_PAIR_CTES = f"""sig AS ({_MINHASH_SIG}),
 bands AS (
   SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
          md5(string_agg(mh, '|' ORDER BY perm)) AS band_hash
@@ -199,7 +201,10 @@ est AS (
   JOIN sig sa ON sa.doc_id = p.doc_a
   JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
   GROUP BY p.doc_a, p.doc_b
-)
+)"""
+
+_MINHASH_LSH_ORACLE = f"""
+WITH {_LSH_PAIR_CTES}
 SELECT doc_a, doc_b, est_jaccard FROM est WHERE est_jaccard >= 0.25
 """
 
@@ -224,25 +229,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DEDUP_CLUSTERS_ORACLE = f"""
-WITH RECURSIVE sig AS ({_MINHASH_SIG}),
-bands AS (
-  SELECT doc_id, CAST(perm // 4 AS INTEGER) AS band,
-         md5(string_agg(mh, '|' ORDER BY perm)) AS band_hash
-  FROM sig GROUP BY doc_id, 2
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
-  WHERE a.doc_id < b.doc_id
-),
-est AS (
-  SELECT p.doc_a, p.doc_b,
-         round(avg(CASE WHEN sa.mh = sb.mh THEN 1.0 ELSE 0.0 END), 6) AS est_jaccard
-  FROM cand p
-  JOIN sig sa ON sa.doc_id = p.doc_a
-  JOIN sig sb ON sb.doc_id = p.doc_b AND sb.perm = sa.perm
-  GROUP BY p.doc_a, p.doc_b
-),
+WITH RECURSIVE {_LSH_PAIR_CTES},
 edges AS (
   SELECT doc_a AS s, doc_b AS d FROM est WHERE est_jaccard >= 0.25
   UNION

@@ -341,15 +341,16 @@ def cmd_verify(args) -> int:
     spark = _spark(args)
     events = spark.read.parquet(args.events)
     if getattr(args, "snapshot", None):
+        from etl_spark.operators.bootstrap import snapshot_seq_expr
+
         pos = args.as_of_seq
         if pos is None:
             raise SystemExit("--snapshot requires --as-of-seq")
         snap = spark.read.parquet(args.snapshot)
-        seq = (F.coalesce(F.col("seq").cast("long"), F.lit(int(pos)))
-               if "seq" in snap.columns else F.lit(int(pos)).cast("long"))
         base = snap.select(
             F.col("repo"), F.col("path"), F.col("content"),
-            seq.alias("seq"), F.lit("insert").alias("op"))
+            snapshot_seq_expr(snap.columns, pos).alias("seq"),
+            F.lit("insert").alias("op"))
         events = events.where(F.col("seq") > int(pos)).select(
             "repo", "path", "content", "seq", "op").unionByName(base)
     # mirror apply_epoch's validity predicate: a corrupt event (bad op,

@@ -109,3 +109,51 @@ def test_survivors_over_real_lsh_pairs(spark):
         .join(surv.withColumnRenamed("doc_id", "doc_b"), "doc_b")
     )
     assert both.count() == 0
+
+
+def test_null_keep_score_ranks_last(spark):
+    """A NULL quality score must never WIN survivor selection: a
+    corpus where scoring skipped some docs must not keep exactly the
+    unscored duplicates (NULL sorts first in a bare struct-min)."""
+    docs = spark.createDataFrame(
+        [(0, 5.0), (1, None), (2, 1.0)], "doc_id long, score double")
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    out = near_dedup_survivors(docs, pairs, keep="score").collect()
+    keeper = next(r for r in out if r.survivor)
+    assert keeper.doc_id == 2 and keeper.score == 1.0
+    # all-NULL cluster still elects exactly one survivor (min id)
+    docs2 = spark.createDataFrame(
+        [(0, None), (1, None)], "doc_id long, score double")
+    out2 = near_dedup_survivors(
+        docs2, spark.createDataFrame([(0, 1)], "id_a long, id_b long"),
+        keep="score").collect()
+    assert sum(r.survivor for r in out2) == 1
+    assert next(r for r in out2 if r.survivor).doc_id == 0
+
+
+def test_null_doc_id_refused_loudly(spark):
+    """A NULL id can neither join its component back nor name a
+    survivor — silently vanishing from the dedup output is the failure
+    mode this refuses."""
+    docs = spark.createDataFrame(
+        [(0, "a"), (None, "x")], "doc_id long, text string")
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="NULL 'doc_id'"):
+        near_dedup_survivors(docs, pairs)
+
+
+def test_components_leave_nothing_cached(spark):
+    """Iterative state is persisted per round and unpersisted when
+    superseded; the result returns as a pure lazy plan over a scratch
+    spill — the session cache must be EMPTY afterwards (the same
+    zero-persisted-RDD gate the LSH plans honor)."""
+    chain = [(i, i + 1) for i in range(20)]
+    df = spark.createDataFrame(chain, "id_a long, id_b long")
+    out = connected_components(df, max_iter=25)
+    assert out.count() == 21  # usable after internal caches released
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+    # the non-convergence abort path releases its caches too
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df, max_iter=3)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
