@@ -219,9 +219,13 @@ def bench_queries() -> dict:
         t0 = time.time()
         bootstrap_epoch(spark, boot_snap, tgtb, None, as_of_seq=n_boot)
         boot_secs.append(time.time() - t0)
-    timings["cdc_bootstrap_2M"] = round(min(boot_secs), 3)
+    # recorded OUTSIDE `timings` (same rule as the LSH bench below):
+    # anything new folded into the suite total would silently inflate
+    # total_sec against every prior round's JSON — exactly the
+    # cross-round drift BENCH/BASELINE.md adjudicates
+    boot_sec = round(min(boot_secs), 3)
     rep_log["cdc_bootstrap_2M"] = [round(x, 3) for x in boot_secs]
-    boot_rows_per_sec = round(n_boot / timings["cdc_bootstrap_2M"], 1)
+    boot_rows_per_sec = round(n_boot / boot_sec, 1)
     shutil.rmtree(tmpb, ignore_errors=True)
 
     # incremental LSH index maintenance (icelite/lshindex.py): the
@@ -300,6 +304,7 @@ def bench_queries() -> dict:
         "synthetic_events_per_sec": syn_events_per_sec,
         "changelog_rows": n_changes,
         "bootstrap_rows": n_boot,
+        "bootstrap_sec": boot_sec,
         "bootstrap_rows_per_sec": boot_rows_per_sec,
         # incremental-vs-batch near-dup maintenance (see comment above)
         "lsh_index": {

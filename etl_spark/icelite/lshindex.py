@@ -258,8 +258,14 @@ class LshIndexView:
         from pyspark.sql import Window
 
         v = self.source.current_version()
+        # pin the read to v: an unpinned read() resolves at call time,
+        # so a CDC commit landing between current_version() and the
+        # scan would bake v+1's docs into an index stamped last_seq=v —
+        # the next refresh re-folds (v, v+1] and n_total double-counts
+        # those docs forever (members dedup via array_union; the count
+        # cannot)
         b = self._band_rows(
-            self.source.read().select(self.id_col, self.text_col))
+            self.source.read(version=v).select(self.id_col, self.text_col))
         w = Window.partitionBy("band", "band_hash").orderBy("doc_id")
         new = (
             b.withColumn("__rn", F.row_number().over(w))

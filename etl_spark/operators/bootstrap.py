@@ -166,10 +166,14 @@ def bootstrap_epoch(
     null_key = F.lit(False)
     for k in key_cols:
         null_key = null_key | F.col(k).isNull()
+    has_content = "content" in snapshot_rows.columns
     metrics = [
         F.count(F.lit(1)).alias("rows_in"),
         F.sum(F.when(null_key, 1).otherwise(0)).cast("long").alias("null_keys"),
-        F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes"),
+        # content is one of the "whatever subset" columns the contract
+        # allows the source to omit — it null-fills like any other
+        F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes")
+        if has_content else F.max(F.lit(0).cast("long")).alias("bytes"),
     ]
     if has_row_seq:
         metrics.append(F.max(schemas.SEQ_COL).alias("max_row_seq"))
@@ -180,7 +184,9 @@ def bootstrap_epoch(
     sel = []
     for f_ in snap0.current_schema.fields:
         if f_.name == "content_sha256":
-            sel.append(F.sha2(F.col("content"), 256).alias("content_sha256"))
+            sel.append(
+                (F.sha2(F.col("content"), 256) if has_content
+                 else F.lit(None).cast("string")).alias("content_sha256"))
         elif f_.name == "last_seq":
             sel.append(seq_expr.alias("last_seq"))
         elif f_.name in src_t:

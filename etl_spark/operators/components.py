@@ -99,7 +99,6 @@ def connected_components(
             .select("id", F.col("id").alias("component")),
             "round_init",
         )
-        prev_dir: str | None = None
         for i in range(max_iter):
             # neighbor labels: for edge s->d, s hears d's current label
             heard = (
@@ -119,10 +118,14 @@ def connected_components(
                 .limit(1)
                 .count()
             )
-            if prev_dir is not None:
-                shutil.rmtree(prev_dir, ignore_errors=True)
-            prev_dir = os.path.join(spill_root, "round_init" if i == 0
-                                    else f"round{i - 1}")
+            # the count() above is the last read of the superseded
+            # round — delete it NOW, so on return only the result's own
+            # spill remains (a service calling this repeatedly must not
+            # accumulate a stale |labels| parquet per invocation)
+            shutil.rmtree(
+                os.path.join(spill_root,
+                             "round_init" if i == 0 else f"round{i - 1}"),
+                ignore_errors=True)
             labels = new_labels
             if changed == 0:
                 return labels

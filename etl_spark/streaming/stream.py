@@ -37,6 +37,7 @@ from etl_spark import schemas
 from etl_spark.icelite.table import IceliteTable
 from etl_spark.ledger import SchemaLedger
 from etl_spark.operators.apply import apply_epoch
+from etl_spark.util import scratch_dir
 
 
 @dataclass
@@ -72,19 +73,24 @@ class TailerConfig:
         return schemas.events_schema(self.schema_version)
 
 
-def write_event_chunks(
-    events: DataFrame, out_dir: str, chunk_size: int, seq_col: str = "seq"
+def _write_chunks(
+    events: DataFrame, out_dir: str, chunk_size: int, seq_col: str,
+    fmt: str, out_ext: str, project=None,
 ) -> int:
-    """Write a bounded event stream as ordered parquet chunk files —
-    the sandbox's WAL segments. One file per seq range, zero-padded
-    names so listing order == log order. Returns the chunk count.
+    """The one chunk-writer core behind both segment formats — the
+    chunk arithmetic, the single-job ``partitionBy`` shape, and the
+    rename convention the tailer's listing order depends on live HERE
+    so the parquet and JSONL writers can never drift.
 
     ONE Spark job regardless of chunk count: rows hash-repartition on
     their chunk ordinal and ``partitionBy`` writes every chunk file in
-    that single pass — the previous per-chunk filter loop re-executed
-    the full upstream plan O(n_chunks) times (2000 sequential jobs for
-    1M events at chunk_size=500). Seq ranges with no events produce no
-    file (the tailer lists whatever exists; names stay ordered)."""
+    that single pass — a per-chunk filter loop re-executes the full
+    upstream plan O(n_chunks) times (2000 sequential jobs for 1M
+    events at chunk_size=500). Seq ranges with no events produce no
+    file (the tailer lists whatever exists; names stay ordered).
+    ``project`` maps the chunk-stamped frame to the columns the sink
+    format wants (text sinks take exactly one string column)."""
+    part_ext = {"parquet": ".parquet", "text": ".txt"}[fmt]
     if chunk_size <= 0:
         # chunk_size=0 used to loop forever (lo += 0)
         raise ValueError(f"chunk_size must be positive, got {chunk_size}")
@@ -95,16 +101,18 @@ def write_event_chunks(
     if bounds["lo"] is None:
         return 0
     base = int(bounds["lo"])
+    df = events.withColumn(
+        "__chunk", ((F.col(seq_col) - F.lit(base)) / chunk_size).cast("long")
+    )
+    if project is not None:
+        df = project(df)
     tmp = os.path.join(out_dir, f"_tmp_{base}")
     (
-        events.withColumn(
-            "__chunk",
-            ((F.col(seq_col) - F.lit(base)) / chunk_size).cast("long"),
-        )
-        .repartition("__chunk")  # one task owns a chunk ⇒ one file each
+        df.repartition("__chunk")  # one task owns a chunk ⇒ one file each
         .write.mode("overwrite")
         .partitionBy("__chunk")
-        .parquet(tmp)
+        .format(fmt)
+        .save(tmp)
     )
     n = 0
     for d in sorted(os.listdir(tmp)):
@@ -112,15 +120,25 @@ def write_event_chunks(
             continue
         k = int(d.split("=", 1)[1])
         part = [f for f in os.listdir(os.path.join(tmp, d))
-                if f.endswith(".parquet")][0]
+                if f.endswith(part_ext)][0]
         os.rename(
             os.path.join(tmp, d, part),
             os.path.join(out_dir,
-                         f"chunk_{base + k * chunk_size:015d}.parquet"),
+                         f"chunk_{base + k * chunk_size:015d}{out_ext}"),
         )
         n += 1
     shutil.rmtree(tmp)
     return n
+
+
+def write_event_chunks(
+    events: DataFrame, out_dir: str, chunk_size: int, seq_col: str = "seq"
+) -> int:
+    """Write a bounded event stream as ordered parquet chunk files —
+    the sandbox's WAL segments. One file per seq range, zero-padded
+    names so listing order == log order. Returns the chunk count."""
+    return _write_chunks(events, out_dir, chunk_size, seq_col,
+                         fmt="parquet", out_ext=".parquet")
 
 
 def write_wal_chunks(
@@ -131,41 +149,11 @@ def write_wal_chunks(
     shape, same ordered names), for the ``envelope=True`` tailer."""
     from etl_spark.sources.walfeed import render_wal_envelope
 
-    if chunk_size <= 0:
-        raise ValueError(f"chunk_size must be positive, got {chunk_size}")
-    os.makedirs(out_dir, exist_ok=True)
-    bounds = events.agg(
-        F.min(seq_col).alias("lo"), F.max(seq_col).alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is None:
-        return 0
-    base = int(bounds["lo"])
-    lines = render_wal_envelope(events, keep=(seq_col,)).withColumn(
-        "__chunk", ((F.col(seq_col) - F.lit(base)) / chunk_size).cast("long")
+    return _write_chunks(
+        render_wal_envelope(events, keep=(seq_col,)), out_dir, chunk_size,
+        seq_col, fmt="text", out_ext=".jsonl",
+        project=lambda df: df.select(F.col("raw").alias("value"), "__chunk"),
     )
-    tmp = os.path.join(out_dir, f"_tmp_{base}")
-    (
-        lines.select(F.col("raw").alias("value"), "__chunk")
-        .repartition("__chunk")
-        .write.mode("overwrite")
-        .partitionBy("__chunk")
-        .text(tmp)
-    )
-    n = 0
-    for d in sorted(os.listdir(tmp)):
-        if not d.startswith("__chunk="):
-            continue
-        k = int(d.split("=", 1)[1])
-        part = [f for f in os.listdir(os.path.join(tmp, d))
-                if f.endswith(".txt")][0]
-        os.rename(
-            os.path.join(tmp, d, part),
-            os.path.join(out_dir,
-                         f"chunk_{base + k * chunk_size:015d}.jsonl"),
-        )
-        n += 1
-    shutil.rmtree(tmp)
-    return n
 
 
 def _wal_ledger_path(cfg: TailerConfig) -> str:
@@ -200,10 +188,18 @@ def _save_wal_ledger(cfg: TailerConfig, ledger: SchemaLedger) -> None:
 
 
 def _decode_wal_batch(cfg: TailerConfig, state: dict, batch_df: DataFrame,
-                      epoch_id: str) -> DataFrame:
+                      epoch_id: str) -> tuple[DataFrame, str]:
     """Envelope micro-batch → canonical event frame: decode, dead-letter
     corrupt lines, fold schema-change events (two-pass decode only on
-    the metadata-rate batches that carry one), persist the ledger."""
+    the metadata-rate batches that carry one), persist the ledger.
+
+    Returns ``(events, spill_dir)``: the frame is a LAZY read over a
+    per-batch scratch-parquet spill (apply_epoch re-reads its input
+    several times, and ``dec`` is unpersisted before return), and the
+    caller deletes ``spill_dir`` once the epoch commits —
+    ``localCheckpoint`` here would leak one un-unpersistable block set
+    per micro-batch into executor storage for the lifetime of a
+    long-running tail."""
     from etl_spark.operators.apply import EpochQualityError
     from etl_spark.sources import walfeed
 
@@ -243,9 +239,12 @@ def _decode_wal_batch(cfg: TailerConfig, state: dict, batch_df: DataFrame,
         else:
             events = walfeed.wal_events(dec, ledger=led)
         state["ledger"] = led
-        # materialize before unpersist (apply_epoch re-reads its input
-        # several times; events is a projection over dec)
-        return events.localCheckpoint(eager=True)
+        spill_root = state.get("spill_root")
+        if spill_root is None:
+            spill_root = state["spill_root"] = scratch_dir("waltail_")
+        out = os.path.join(spill_root, f"batch_{epoch_id.replace(':', '_')}")
+        events.write.parquet(out)
+        return batch_df.sparkSession.read.parquet(out), out
     finally:
         dec.unpersist()
 
@@ -256,26 +255,37 @@ def _foreach_batch(cfg: TailerConfig):
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         epoch_id = f"{cfg.epoch_prefix}:{batch_id}"
+        spill_dir: str | None = None
         if cfg.envelope:
-            batch_df = _decode_wal_batch(cfg, state, batch_df, epoch_id)
-        if cfg.start_after_seq is not None:
-            batch_df = batch_df.where(
-                F.col(schemas.SEQ_COL) > int(cfg.start_after_seq))
-        target = IceliteTable.load(spark, cfg.target_path)
-        lineage = (
-            IceliteTable.load(spark, cfg.lineage_path) if cfg.lineage_path else None
-        )
-        apply_epoch(
-            spark,
-            batch_df,
-            target,
-            lineage,
-            epoch_id=epoch_id,
-            ledger=(state.get("ledger") or cfg.ledger) if cfg.envelope
-            else cfg.ledger,
-            max_reject_frac=cfg.max_reject_frac,
-            quarantine=cfg.quarantine,
-        )
+            batch_df, spill_dir = _decode_wal_batch(
+                cfg, state, batch_df, epoch_id)
+        try:
+            if cfg.start_after_seq is not None:
+                batch_df = batch_df.where(
+                    F.col(schemas.SEQ_COL) > int(cfg.start_after_seq))
+            target = IceliteTable.load(spark, cfg.target_path)
+            lineage = (
+                IceliteTable.load(spark, cfg.lineage_path)
+                if cfg.lineage_path else None
+            )
+            apply_epoch(
+                spark,
+                batch_df,
+                target,
+                lineage,
+                epoch_id=epoch_id,
+                ledger=(state.get("ledger") or cfg.ledger) if cfg.envelope
+                else cfg.ledger,
+                max_reject_frac=cfg.max_reject_frac,
+                quarantine=cfg.quarantine,
+            )
+        finally:
+            # the epoch either committed (spill consumed) or raised
+            # (the stream restarts and the batch re-decodes) — either
+            # way the per-batch spill is dead; deleting it here keeps a
+            # long-running tail's disk at O(one batch), not O(stream)
+            if spill_dir is not None:
+                shutil.rmtree(spill_dir, ignore_errors=True)
 
     return handle
 

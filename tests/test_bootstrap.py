@@ -289,3 +289,20 @@ def test_bootstrap_commit_refuses_concurrent_rows(spark, tbl_dir,
     with pytest.raises(CommitConflict, match="refusing to rebase"):
         tgt.commit_add_files(files, epoch_id=f"bootstrap:{cut}",
                              expect_files_empty=True)
+
+
+def test_bootstrap_without_content_column(spark, tbl_dir, fixture_frames):
+    """The contract says the snapshot carries 'whatever subset of the
+    ledger schema the source exposes' — a metadata-only snapshot (no
+    content) must null-fill content/content_sha256 like any other
+    absent column, not crash resolving the byte-count metric or the
+    sha256 projection."""
+    _, snap, cut, _ = fixture_frames
+    tgt, lin = fresh(spark, tbl_dir)
+    thin = snap.select("repo", "path", "commit", "lang")
+    stats = bootstrap_epoch(spark, thin, tgt, lin, as_of_seq=cut)
+    assert stats.applied == thin.count() > 0
+    out = tgt.read()
+    assert out.where(F.col("content").isNotNull()).count() == 0
+    assert out.where(F.col("content_sha256").isNotNull()).count() == 0
+    assert out.where(F.col("last_seq") != cut).count() == 0

@@ -360,3 +360,44 @@ def test_property_random_epochs_fold_to_batch(spark, tmp_path_factory):
             shutil.rmtree(d, ignore_errors=True)
 
     run()
+
+
+def test_rebuild_pins_source_version_against_concurrent_commit(
+        spark, tbl_dir, monkeypatch):
+    """rebuild() stamps last_seq = current_version() and must READ that
+    same version: an unpinned read would bake a concurrently-landed
+    commit's docs into an index stamped one version earlier, so the
+    next refresh re-folds that commit and n_total double-counts its
+    docs forever (members dedup via array_union; the count cannot)."""
+    src = make_source(spark, tbl_dir)
+    view = make_view(spark, tbl_dir, src)
+    src.merge_lww(rows(spark, [
+        (i, _text(i, i % 2), i + 1) for i in range(4)
+    ]).withColumn("op", F.lit("insert")))
+    v1 = src.current_version()
+
+    real = src.current_version
+
+    def race_once():
+        v = real()
+        if not getattr(race_once, "landed", False):
+            race_once.landed = True
+            # a CDC commit lands between current_version() and the scan
+            src.merge_lww(rows(spark, [(10, _text(10, 0), 100)])
+                          .withColumn("op", F.lit("insert")))
+        return v
+
+    monkeypatch.setattr(src, "current_version", race_once)
+    out = view.rebuild()
+    monkeypatch.undo()
+    assert out["version"] == v1
+    # the rebuilt index holds exactly v1's corpus — doc 10 not baked in
+    members = {m for r in view.index.read().collect() for m in r.members}
+    assert 10 not in members and members == {0, 1, 2, 3}
+    # the next refresh folds the raced commit exactly once: index ==
+    # batch over the current state AND counts reconcile (no overflow at
+    # the default valve, so n_total == len(members) everywhere)
+    assert view.refresh() is not None
+    assert index_pairs(view) == batch_pairs(spark, src)
+    assert all(r.n_total == len(r.members)
+               for r in view.index.read().collect())

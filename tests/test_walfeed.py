@@ -305,6 +305,12 @@ def test_wal_tailer_end_to_end_with_restart(spark, tbl_dir):
     assert out.where(F.col("content_encoding") == "utf-8").count() == 4
     assert out.where(F.col("size_bytes") > 0).count() == 4
 
+    # a long-running tail must not accumulate storage: each batch's
+    # decoded events live in a scratch-parquet spill deleted after the
+    # epoch (a per-batch localCheckpoint here would leave one immortal
+    # block set per micro-batch in executor storage)
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+
 
 def test_fuzz_envelope_decoder_never_crashes(spark):
     """Same envelope-fuzz contract as the binary wire decoders
