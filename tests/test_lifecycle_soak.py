@@ -60,8 +60,53 @@ def _model_live(model, cols):
     return live
 
 
+def _random_merge(spark, rng, handle, model, cols, seq_hi):
+    """One random merge frame applied to ``handle`` AND the model.
+    Stale and tied seqs deliberately included (they must lose); the
+    frame carries a random column subset (absent columns null-fill on
+    a winning row). Returns the advanced seq counter."""
+    picked = rng.sample(KEYS, rng.randint(1, 4))
+    subset = [c for c in cols if rng.random() < 0.7]
+    rows = []
+    for k in picked:
+        row_op = rng.choice(["insert", "update", "delete"])
+        cur_seq = model.get(k, (0, None))[0]
+        r = rng.random()
+        if r < 0.15 and cur_seq:
+            seq = cur_seq  # tie: matched rows must LOSE
+        elif r < 0.35 and seq_hi:
+            seq = rng.randint(1, seq_hi)  # possibly stale
+        else:
+            seq_hi += rng.randint(1, 3)
+            seq = seq_hi
+        vals = {c: rng.randint(0, 99) for c in subset}
+        rows.append((k, row_op, seq, vals))
+    frame = spark.createDataFrame(
+        [(k, o, s, *[v.get(c) for c in subset]) for k, o, s, v in rows],
+        T.StructType(
+            [T.StructField("k", T.StringType(), False),
+             T.StructField("op", T.StringType(), False),
+             T.StructField("last_seq", T.LongType(), False)]
+            + [T.StructField(c, T.LongType(), True) for c in subset]),
+    )
+    handle.merge_lww(frame)
+    for k, row_op, seq, vals in rows:
+        cur = model.get(k)
+        if cur is not None and seq <= cur[0]:
+            continue  # matched, not newer: loses (ties included)
+        if row_op == "delete":
+            # winning delete tombstones AT ITS SEQ — even for a key
+            # never seen (guards late lower-seq inserts)
+            model[k] = (seq, None)
+        else:
+            model[k] = (seq, {c: vals.get(c) for c in cols})
+    return seq_hi
+
+
 @pytest.mark.parametrize("seed", [11, 23])
 def test_lifecycle_random_walk_matches_model(spark, tbl_dir, seed):
+    from etl_spark.icelite.table import CommitConflict
+
     rng = random.Random(seed)
     cols = ["v"]
     t = IceliteTable.create(
@@ -71,6 +116,12 @@ def test_lifecycle_random_walk_matches_model(spark, tbl_dir, seed):
     model: dict[str, tuple[int, dict | None]] = {}
     seq_hi = 0
     n_evolved = 0
+    n_branches = 0
+    # WAP episode carried ACROSS steps so main-table ops interleave
+    # with a staged branch: (name, fork_version, fork-time cols,
+    # branch model copy) — the branch keeps the schema it forked with
+    # even if main evolves meanwhile (publish would then conflict)
+    open_branch: tuple[str, int, list, dict] | None = None
     # version -> (cols, model copy) at commit time; insertion order ==
     # commit order, mirroring the expire policy's oldest-first walk
     history: dict[int, tuple[list, dict]] = {}
@@ -83,49 +134,12 @@ def test_lifecycle_random_walk_matches_model(spark, tbl_dir, seed):
 
     for step in range(35):
         op = rng.choices(
-            ["merge", "compact", "evolve", "rollback", "tag", "expire"],
-            weights=[50, 15, 10, 12, 6, 7])[0]
+            ["merge", "compact", "evolve", "rollback", "tag", "expire",
+             "branch"],
+            weights=[42, 13, 9, 11, 5, 6, 14])[0]
 
         if op == "merge":
-            picked = rng.sample(KEYS, rng.randint(1, 4))
-            # the whole frame shares one column subset (one schema per
-            # DataFrame); absent data columns null-fill on a winning row
-            subset = [c for c in cols if rng.random() < 0.7]
-            rows = []
-            for k in picked:
-                row_op = rng.choice(["insert", "update", "delete"])
-                cur_seq = model.get(k, (0, None))[0]
-                r = rng.random()
-                if r < 0.15 and cur_seq:
-                    seq = cur_seq  # tie: matched rows must LOSE
-                elif r < 0.35 and seq_hi:
-                    seq = rng.randint(1, seq_hi)  # possibly stale
-                else:
-                    seq_hi += rng.randint(1, 3)
-                    seq = seq_hi
-                vals = {c: rng.randint(0, 99) for c in subset}
-                rows.append((k, row_op, seq, vals))
-            frame = spark.createDataFrame(
-                [(k, o, s, *[v.get(c) for c in subset])
-                 for k, o, s, v in rows],
-                T.StructType(
-                    [T.StructField("k", T.StringType(), False),
-                     T.StructField("op", T.StringType(), False),
-                     T.StructField("last_seq", T.LongType(), False)]
-                    + [T.StructField(c, T.LongType(), True)
-                       for c in subset]),
-            )
-            t.merge_lww(frame)
-            for k, row_op, seq, vals in rows:
-                cur = model.get(k)
-                if cur is not None and seq <= cur[0]:
-                    continue  # matched, not newer: loses (ties included)
-                if row_op == "delete":
-                    # winning delete tombstones AT ITS SEQ — even for a
-                    # key never seen (guards late lower-seq inserts)
-                    model[k] = (seq, None)
-                else:
-                    model[k] = (seq, {c: vals.get(c) for c in cols})
+            seq_hi = _random_merge(spark, rng, t, model, cols, seq_hi)
             record()
 
         elif op == "compact":
@@ -165,6 +179,39 @@ def test_lifecycle_random_walk_matches_model(spark, tbl_dir, seed):
             t.expire_snapshots(keep_last=3)
             for v in doomed:
                 del history[v]
+
+        elif op == "branch":
+            if open_branch is None:
+                n_branches += 1
+                name = f"wap{n_branches}"
+                t.create_branch(name)
+                open_branch = (name, t.current_version(), list(cols),
+                               copy.deepcopy(model))
+            else:
+                name, fork_v, b_cols, b_model = open_branch
+                sub = rng.choice(["stage", "publish", "drop"])
+                if sub == "stage":
+                    # stage onto the branch: main's read must NOT move
+                    seq_hi = _random_merge(
+                        spark, rng, t.branch(name), b_model, b_cols,
+                        seq_hi)
+                elif sub == "publish":
+                    if t.current_version() != fork_v:
+                        # main moved since the fork (any main-op commit
+                        # counts) — the fast-forward guard must refuse,
+                        # never silently merge divergent file sets
+                        with pytest.raises(CommitConflict,
+                                           match="advanced past"):
+                            t.publish_branch(name)
+                    else:
+                        t.publish_branch(name)
+                        cols, model = b_cols, b_model
+                        record()
+                    t.drop_branch(name)
+                    open_branch = None
+                else:
+                    t.drop_branch(name)
+                    open_branch = None
 
         # hard check every step: current read == model
         assert _read_state(t, cols) == _model_live(model, cols), \
