@@ -91,7 +91,10 @@ class SchemaLedger:
         return self.by_version[version].schema
 
     def target_schema(self) -> T.StructType:
-        return schemas.target_schema(self.latest.schema_version)
+        # derived from THIS entry's event schema, never from the
+        # version number: entries folded from in-stream schema changes
+        # carry columns the canned fixture tables know nothing about
+        return schemas.target_schema_for(self.latest.schema)
 
     def normalize(self, df: DataFrame) -> DataFrame:
         """Cast a (possibly mixed-version) event frame onto the latest
@@ -160,7 +163,9 @@ class SchemaLedger:
             version = self.latest.schema_version
         docs = dict(self.merged_descriptions(version))
         docs.update(schemas.TARGET_DESCRIPTIONS)
-        return _with_docs(schemas.target_schema(version), docs)
+        return _with_docs(
+            schemas.target_schema_for(self.by_version[version].schema),
+            docs)
 
     def to_json(self) -> str:
         """Full serialization, descriptions included — the persisted

@@ -146,3 +146,40 @@ def target_schema(version: int) -> T.StructType:
     if version == 2:
         return TARGET_V2
     raise KeyError(f"unknown target schema version {version}")
+
+
+def target_schema_for(event_schema: T.StructType) -> T.StructType:
+    """Derive the TARGET table schema STRUCTURALLY from an event
+    schema: drop the event-only columns (``seq``, ``op``), make the
+    key columns required, and insert the target-only columns
+    (``content_sha256``, ``last_seq``) after ``content``.
+
+    This — not a version-number lookup — is what the ledger must use:
+    in-stream schema changes fold arbitrary columns into ledger
+    entries, and mapping their version NUMBER through the canned v1/v2
+    fixture tables would evolve the target to the WRONG schema (the
+    fixture's columns instead of the event's — silent loss of every
+    newly-added column's values) and crash outright at v3. For the
+    canned entries the derivation reproduces TARGET_V1/TARGET_V2
+    field-for-field (pinned by test)."""
+    fields: list[T.StructField] = []
+    extra = [
+        T.StructField("content_sha256", T.StringType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ]
+    placed = False
+    for f in event_schema.fields:
+        if f.name in (SEQ_COL, "op"):
+            continue
+        # keys and last_seq are the only required target columns: a
+        # required event column (schema_version) relaxes — deletes and
+        # later evolution null-fill, and evolve_schema refuses
+        # non-nullable adds
+        fields.append(T.StructField(f.name, f.dataType,
+                                    f.name not in KEY_COLS))
+        if f.name == "content":
+            fields.extend(extra)
+            placed = True
+    if not placed:
+        fields.extend(extra)
+    return T.StructType(fields)

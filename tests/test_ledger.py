@@ -103,3 +103,42 @@ def test_descriptions_reach_live_table_read_schema(spark, tbl_dir):
     t.evolve_schema(led2.described_target_schema())
     sch2 = t.read().schema
     assert "v2 addition" in sch2["size_bytes"].metadata["comment"]
+
+
+def test_target_schema_derives_from_entry_not_version_number(spark):
+    """The target schema must come from the ledger ENTRY's own event
+    schema. Mapping the version NUMBER through the canned fixture
+    tables evolved the target to the fixture's columns whenever an
+    in-stream schema change added anything else (silent loss of every
+    new column's values) and raised KeyError outright at v3."""
+    from etl_spark import schemas
+    from etl_spark.sources.walfeed import (
+        decode_wal_envelope,
+        ledger_with_wal_changes,
+        schema_change_envelope,
+        wal_schema_changes,
+    )
+
+    # the derivation reproduces the canned fixtures field-for-field
+    assert schemas.target_schema_for(schemas.EVENTS_V1).json() \
+        == schemas.TARGET_V1.json()
+    assert schemas.target_schema_for(schemas.EVENTS_V2).json() \
+        == schemas.TARGET_V2.json()
+
+    # a fold whose v2 columns DIFFER from the canned v2, then a v3
+    lines = [
+        schema_change_envelope(2, "ADD COLUMNS",
+                               [("x2", "string", True, "doc x2")], seq=5),
+        schema_change_envelope(3, "ADD COLUMNS",
+                               [("x3", "long", True, None)], seq=9),
+    ]
+    dec = decode_wal_envelope(
+        spark.createDataFrame([(l,) for l in lines], "raw string"))
+    led = ledger_with_wal_changes(SchemaLedger.default(),
+                                  wal_schema_changes(dec))
+    names = [f.name for f in led.target_schema().fields]
+    assert "x2" in names and "x3" in names
+    assert "content_encoding" not in names and "size_bytes" not in names
+    desc = led.described_target_schema()
+    assert [f.name for f in desc.fields] == names
+    assert desc["x2"].metadata["comment"] == "doc x2"

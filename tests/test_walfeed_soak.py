@@ -1,0 +1,153 @@
+"""Seeded random soak of the WAL-envelope streaming front door.
+
+The targeted walfeed tests pin each mechanism once; this walk drives
+the whole pipe — random envelope chunks (upserts, deletes, corrupt
+lines, in-stream schema changes) drained by a FRESH tailer closure
+every round (each drain is a process restart: the checkpoint and the
+persisted ledger are all that survive) — and checks after every round
+that the target equals an independent Python LWW fold of every event
+emitted so far, that every corrupt line landed in quarantine, and
+that the persisted ledger reached the producer's version.
+
+What this exercises that the unit tests cannot: schema changes landing
+in the same chunk as rows that use them, ACROSS restarts; columns
+null-filling on rows stored before their change; exactly-once batch
+ids continuing over restart boundaries; quarantine accumulation over
+many epochs."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.icelite.table import IceliteTable
+from etl_spark.ledger import SchemaLedger
+from etl_spark.operators.apply import create_lineage, create_target
+from etl_spark.sources.walfeed import (
+    render_wal_envelope,
+    schema_change_envelope,
+)
+from etl_spark.streaming.stream import TailerConfig, run_to_completion
+
+PATHS = [f"p{i}" for i in range(6)]
+
+
+def _sha(content):
+    if content is None:
+        return None
+    return hashlib.sha256(content.encode()).hexdigest()
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_wal_tailer_random_crash_restart_soak(spark, tbl_dir, seed):
+    rng = random.Random(seed)
+    wal = os.path.join(tbl_dir, "wal")
+    q = os.path.join(tbl_dir, "quar")
+    os.makedirs(wal)
+    create_target(spark, os.path.join(tbl_dir, "t"), n_buckets=4)
+    create_lineage(spark, os.path.join(tbl_dir, "l"))
+
+    def cfg():  # fresh config+closure each drain ≡ process restart
+        return TailerConfig(
+            events_dir=wal, target_path=os.path.join(tbl_dir, "t"),
+            lineage_path=os.path.join(tbl_dir, "l"),
+            checkpoint_dir=os.path.join(tbl_dir, "ckpt"),
+            envelope=True, quarantine=q, max_reject_frac=1.0,
+        )
+
+    seq = 0
+    version = 1
+    extras: list[str] = []  # columns added by in-stream schema changes
+    model: dict[tuple, tuple[int, dict | None]] = {}
+    n_corrupt = 0
+
+    for rnd in range(5):
+        lines = []
+        first_seq = seq + 1
+        # occasionally a schema change, FIRST in the chunk so data rows
+        # in the same batch may already use the new column (the
+        # two-pass same-batch decode path), across a restart boundary
+        if rng.random() < 0.5 and version < 4:
+            version += 1
+            col = f"x{version}"
+            seq += 1
+            lines.append(schema_change_envelope(
+                version, "ADD COLUMNS", [(col, "string", True, None)],
+                seq=seq))
+            extras.append(col)
+        n_rows = rng.randint(3, 7)
+        rows = []
+        for _ in range(n_rows):
+            path = rng.choice(PATHS)
+            op = rng.choice(["insert", "update", "delete"])
+            seq += 1
+            if op == "delete":
+                vals = {c: None for c in extras}
+                row = ("r", path, None, None, None)
+            else:
+                vals = {c: (f"{c}v{seq}" if rng.random() < 0.7 else None)
+                        for c in extras}
+                row = ("r", path, f"c{seq}", "py", f"body {seq}")
+            rows.append((seq, op, *row, version, None,
+                         *[vals[c] for c in extras]))
+            k = ("r", path)
+            cur = model.get(k)
+            if cur is None or seq > cur[0]:
+                model[k] = (seq, None if op == "delete" else {
+                    "commit": row[2], "lang": row[3], "content": row[4],
+                    **vals})
+        frame = spark.createDataFrame(
+            rows,
+            "seq long, op string, repo string, path string, "
+            "commit string, lang string, content string, "
+            "schema_version int, event_time timestamp"
+            + "".join(f", {c} string" for c in extras))
+        lines += [r["raw"] for r in render_wal_envelope(frame).collect()]
+        for _ in range(rng.randint(0, 2)):
+            pos = rng.randint(0, len(lines))
+            lines.insert(pos, "{corrupt line " + str(rng.random()))
+            n_corrupt += 1
+        with open(os.path.join(wal, f"chunk_{first_seq:015d}.jsonl"),
+                  "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+
+        run_to_completion(spark, cfg(), timeout_s=300)
+
+        tgt = IceliteTable.load(spark, os.path.join(tbl_dir, "t"))
+        got = {}
+        for r in tgt.read().collect():
+            got[(r["repo"], r["path"])] = {
+                "commit": r["commit"], "lang": r["lang"],
+                "content": r["content"],
+                "content_sha256": r["content_sha256"],
+                "last_seq": r["last_seq"],
+                **{c: r[c] if c in r.__fields__ else None
+                   for c in extras},
+            }
+        want = {}
+        for k, (s, row) in model.items():
+            if row is None:
+                continue
+            want[k] = {
+                "commit": row["commit"], "lang": row["lang"],
+                "content": row["content"],
+                "content_sha256": _sha(row["content"]), "last_seq": s,
+                **{c: row.get(c) for c in extras},
+            }
+        assert got == want, f"seed={seed} round={rnd}"
+
+    # every corrupt line quarantined exactly once, raw retained
+    if n_corrupt:
+        dead = spark.read.parquet(f"{q}/*wal*")
+        assert dead.count() == n_corrupt
+        assert dead.where(F.col("value").contains("corrupt line")) \
+            .count() == n_corrupt
+    # the persisted ledger reached the producer's version (restarts
+    # decode with it — silent column loss is the failure this pins)
+    with open(os.path.join(tbl_dir, "ckpt", "wal_ledger.json")) as fh:
+        assert SchemaLedger.from_json(fh.read()).latest.schema_version \
+            == version
