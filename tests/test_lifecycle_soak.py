@@ -233,3 +233,72 @@ def test_lifecycle_random_walk_matches_model(spark, tbl_dir, seed):
     # at least one non-merge op ran and the table still compacts clean
     t.compact()
     assert _read_state(t, cols) == _model_live(model, cols)
+
+
+@pytest.mark.parametrize("seed", [13, 47])
+def test_rollup_random_epochs_match_full_recompute(spark, tbl_dir, seed):
+    """Random op epochs (inserts, group-MOVING updates, deletes, NULL
+    groups and NULL measures) against RollupView, with refreshes that
+    skip epochs (multi-epoch folds) and compactions of both the source
+    and the rollup injected mid-walk: after every refresh the view must
+    equal a full groupBy recompute of the source."""
+    from etl_spark.icelite.rollup import RollupView
+
+    rng = random.Random(seed)
+    sch = T.StructType([
+        T.StructField("k", T.StringType(), False),
+        T.StructField("g", T.StringType(), True),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    up = T.StructType(sch.fields
+                      + [T.StructField("op", T.StringType(), False)])
+    src = IceliteTable.create(spark, os.path.join(tbl_dir, f"rs{seed}"),
+                              sch, key_cols=("k",), n_buckets=4)
+    view = RollupView.create(
+        spark, src, os.path.join(tbl_dir, f"ragg{seed}"),
+        os.path.join(tbl_dir, f"rcur{seed}.json"),
+        group_cols=["g"], sum_cols=["v"], n_buckets=4)
+
+    groups = ["py", "go", "rs", None]
+    live: set[str] = set()
+    seq = 0
+    for rnd in range(10):
+        rows = []
+        touched = set()
+        for _ in range(rng.randint(1, 5)):
+            op = rng.choice(["insert", "update", "delete"])
+            if op == "delete" and not (live - touched):
+                op = "insert"
+            if op == "insert":
+                k = f"k{rng.randint(0, 30)}"
+                if k in live or k in touched:
+                    op = "update"
+            else:
+                k = rng.choice(sorted((live - touched) or {"k0"}))
+            if k in touched:
+                continue  # one row per key per epoch (pre-deduped feed)
+            touched.add(k)
+            seq += 1
+            if op == "delete":
+                rows.append((k, None, None, seq, "delete"))
+                live.discard(k)
+            else:
+                rows.append((k, rng.choice(groups),
+                             rng.choice([None, rng.randint(0, 9)]),
+                             seq, op))
+                live.add(k)
+        src.append_delta(spark.createDataFrame(rows, up))
+        if rng.random() < 0.25:
+            src.compact(chunk_bytes=rng.choice([1, 1 << 30]))
+        if rng.random() < 0.6 or rnd == 9:  # skipped => multi-epoch fold
+            view.refresh()
+            if rng.random() < 0.3:
+                view.rollup.compact()
+            got = sorted(((r["g"], r["n"], r["sum_v"])
+                          for r in view.read().collect()), key=repr)
+            exp = sorted((tuple(r) for r in src.read().groupBy("g").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.coalesce("v", F.lit(0))).alias("sum_v"),
+            ).collect()), key=repr)
+            assert got == exp, f"seed={seed} round={rnd}"
