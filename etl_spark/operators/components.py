@@ -35,7 +35,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -100,27 +100,35 @@ def connected_components(
             "round_init",
         )
         for i in range(max_iter):
-            # neighbor labels: for edge s->d, s hears d's current label
+            # neighbor labels: for edge s->d, s hears d's current label.
+            # The old label rides the union tagged h=0, so the SAME
+            # groupBy that picks the new min also carries the old one —
+            # the convergence check becomes an observe() metric on the
+            # spill write (one job, one shuffle per round) instead of a
+            # separate join+count job re-scanning both label sets.
             heard = (
                 edges.join(labels, edges["d"] == labels["id"])
-                .select(edges["s"].alias("id"), "component")
+                .select(edges["s"].alias("id"), "component",
+                        F.lit(1).alias("h"))
             )
-            new_labels = spill(
-                labels.union(heard)
+            obs = Observation()
+            agg = (
+                labels.select("id", "component", F.lit(0).alias("h"))
+                .union(heard)
                 .groupBy("id")
-                .agg(F.min("component").alias("component")),
-                f"round{i}",
+                .agg(F.min("component").alias("component"),
+                     # every id has an h=0 row (heard ids ⊆ edge
+                     # sources == label ids), so old is never null
+                     F.min(F.when(F.col("h") == 0, F.col("component")))
+                     .alias("old"))
+                .observe(obs, F.sum((F.col("component") != F.col("old"))
+                                    .cast("long")).alias("changed"))
             )
-            changed = (
-                new_labels.join(
-                    labels.withColumnRenamed("component", "old"), "id")
-                .where(F.col("component") != F.col("old"))
-                .limit(1)
-                .count()
-            )
-            # the count() above is the last read of the superseded
-            # round — delete it NOW, so on return only the result's own
-            # spill remains (a service calling this repeatedly must not
+            new_labels = spill(agg.select("id", "component"), f"round{i}")
+            changed = int(obs.get["changed"] or 0)
+            # the spill write was the last read of the superseded round
+            # — delete it NOW, so on return only the result's own spill
+            # remains (a service calling this repeatedly must not
             # accumulate a stale |labels| parquet per invocation)
             shutil.rmtree(
                 os.path.join(spill_root,
