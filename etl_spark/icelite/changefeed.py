@@ -96,19 +96,27 @@ class ChangeFeedCursor:
 
         Returns ``(changes_df, target_version)``; pass the version to
         ``advance`` after the batch is durably processed. Does NOT
-        move the cursor itself (at-least-once)."""
+        move the cursor itself (at-least-once).
+
+        Driver-side snapshot resolution (here and inside
+        ``changes_between``'s planning) maps expiry to
+        ``CursorExpired``. An expire landing AFTER the plan is built
+        but before/while the consumer runs the job can still surface
+        as a task-level read failure on a deleted data file — that
+        residual window is inherent to lazy execution; retention must
+        outlast the consumer's processing lag (the same contract as
+        Delta/Iceberg CDF retention)."""
         pos = self.position()
         current = self.table.current_version()
         if current is None or current <= pos:
             return None
         try:
-            self.table.snapshot(pos)
+            return self.table.changes_between(pos, current), current
         except FileNotFoundError:
             raise CursorExpired(
                 f"cursor at v{pos} but that snapshot was expired from "
                 f"{self.table.path}; resync from a full read()"
             ) from None
-        return self.table.changes_between(pos, current), current
 
     def fast_forward_from(self, dst: IceliteTable, prefix: str) -> None:
         """Re-sync the cursor from the DESTINATION's committed consumer
@@ -137,16 +145,43 @@ class ChangeFeedCursor:
 
     def advance(self, version: int) -> None:
         """Atomically commit the cursor to ``version``. Refuses to move
-        backwards (a stale worker must not rewind a newer consumer)."""
-        pos = self.position()
-        if version < pos:
-            raise ValueError(f"cursor at v{pos}; refusing rewind to v{version}")
-        tmp = f"{self.cursor_path}.tmp.{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump({"version": version, "table": self.table.path}, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self.cursor_path)  # atomic on POSIX
+        backwards (a stale worker must not rewind a newer consumer).
+
+        The check and the replace are serialized under an exclusive
+        ``flock`` on a sidecar lock file: a bare check-then-replace
+        lets the exact race the guard documents through — worker B
+        reads v5, worker A lands v7, B's replace rewinds the file to
+        v6 and the next poll re-delivers A's window. Where the
+        filesystem doesn't support flock the old best-effort behavior
+        remains (single-consumer deployments are unaffected either
+        way)."""
+        lock_fd = None
+        try:
+            try:
+                import fcntl
+
+                lock_fd = os.open(f"{self.cursor_path}.lock",
+                                  os.O_CREAT | os.O_RDWR, 0o644)
+                fcntl.flock(lock_fd, fcntl.LOCK_EX)
+            except OSError:
+                if lock_fd is not None:
+                    os.close(lock_fd)
+                lock_fd = None  # flock unsupported: best-effort
+            pos = self.position()
+            if version < pos:
+                raise ValueError(
+                    f"cursor at v{pos}; refusing rewind to v{version}")
+            if version == pos and os.path.exists(self.cursor_path):
+                return  # no-op re-advance: nothing to write
+            tmp = f"{self.cursor_path}.tmp.{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump({"version": version, "table": self.table.path}, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.cursor_path)  # atomic on POSIX
+        finally:
+            if lock_fd is not None:
+                os.close(lock_fd)  # closing releases the flock
 
     def replicate(self, dst: IceliteTable) -> dict | None:
         """One replication step: poll the source's change feed, apply

@@ -54,6 +54,8 @@ current by the change feed.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -298,18 +300,12 @@ class LshIndexView:
         multi-band collisions). No signature ride-along here — the
         verify stage (``ngram_jaccard_pairs``) scores candidates
         against source text, the documented two-stage shape."""
+        from etl_spark.operators.simdedup import enumerate_sorted_pairs
+
         idx = self.index.read().where(F.size("members") >= 2)
-        pair = F.explode(
-            F.flatten(
-                F.expr(
-                    "transform(members, (x, i) -> "
-                    "transform(slice(members, i + 2, size(members)), y -> "
-                    "struct(x AS doc_a, y AS doc_b)))"
-                )
-            )
-        )
         return (
-            idx.select(pair.alias("p")).select("p.*")
+            enumerate_sorted_pairs(
+                idx, "members", "struct(x AS doc_a, y AS doc_b)")
             .groupBy("doc_a", "doc_b").agg(F.lit(1).alias("__one"))
             .drop("__one")
         )
@@ -322,7 +318,16 @@ class LshIndexView:
         buckets (``read_matching``: bucket pruning + key blooms), and a
         broadcast semi-join selects the rows — never a corpus scan.
         Self-matches (a probe doc already indexed) are dropped."""
-        b = self._band_rows(docs)
+        from etl_spark.util import scratch_dir
+
+        # spill the probe sketch once: read_matching COLLECTS the
+        # probed (band, band_hash) keys (an action that materializes
+        # the whole shingle→minhash pipeline) and the final join would
+        # otherwise re-execute the identical sketch lineage from
+        # scratch — 2x the O(batch × n_perms) serving cost
+        out = os.path.join(scratch_dir("lshprobe_"), "bands")
+        self._band_rows(docs).write.parquet(out)
+        b = docs.sparkSession.read.parquet(out)
         hits = self.index.read_matching(
             b.select("band", "band_hash"),
             columns=["band", "band_hash", "members"])

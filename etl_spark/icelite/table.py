@@ -1158,7 +1158,8 @@ class IceliteTable:
         ]
         return max(versions) if versions else None
 
-    def snapshot(self, version: int | None = None) -> Snapshot:
+    def snapshot(self, version: int | None = None,
+                 _torn_depth: int = 0) -> Snapshot:
         v = self.current_version() if version is None else version
         if v is None:
             raise NoSuchTable(self.path)
@@ -1216,10 +1217,15 @@ class IceliteTable:
                     # expire_snapshots, vacuum_orphans) already handles
                     raise FileNotFoundError(self._version_file(v)) from e
                 # not reclaimed: another reclaimer won the race, or a
-                # valid commit re-claimed the name — re-resolve once
-                # against whatever owns it now (a still-torn still-aged
-                # file would have been reclaimed, so this terminates)
-                return self.snapshot(version)
+                # valid commit re-claimed the name — re-resolve against
+                # whatever owns it now. BOUNDED: on a filesystem that
+                # refuses the reclaim rename every time (read-only
+                # consumer mount, EROFS/EACCES), this state never
+                # changes and unbounded re-resolution would die with
+                # RecursionError instead of a diagnosable error
+                if _torn_depth < 3:
+                    return self.snapshot(version,
+                                         _torn_depth=_torn_depth + 1)
             raise CorruptSnapshot(
                 f"unparsable snapshot manifest {self._version_file(v)!r}: "
                 f"{e} (torn write from a crashed committer? files newer "
@@ -2146,6 +2152,7 @@ class IceliteTable:
         retries: int = 10,
         written_n_buckets: int | None = None,
         expect_files_empty: bool = False,
+        written_schemas: list | None = None,
     ) -> Snapshot:
         """Optimistic-concurrency APPEND commit: on a lost race
         (another writer created the next version first) re-read the
@@ -2156,6 +2163,15 @@ class IceliteTable:
         same role against its sink). Rewrite commits (merge_lww,
         compact) do NOT rebase — a conflict there means the files they
         read were replaced, so they abort for the caller to re-run.
+
+        ``written_schemas``: the schema LIST the files' ``schema_id``s
+        were stamped against. "Append-only" holds between evolves, but
+        a concurrent ``rollback`` TRUNCATES the list (and a re-evolve
+        can regrow it differently) — rebasing then commits files whose
+        schema_id points at a missing or different schema entry:
+        IndexError on every later read at best, silent wrong-schema
+        decode at worst. Same contract as ``compact``'s own
+        schema-divergence guard, applied to the rebase path.
 
         ``written_n_buckets``: the bucket modulus the files were hashed
         under at write time. Appends do NOT commute with a concurrent
@@ -2189,6 +2205,16 @@ class IceliteTable:
                     f"table gained {len(snap.files)} data files since the "
                     f"empty-target check: a concurrent writer raced this "
                     f"bulk load — refusing to rebase a bootstrap"
+                )
+            if written_schemas is not None and \
+                    snap.schemas[:len(written_schemas)] != written_schemas:
+                raise CommitConflict(
+                    f"schema list diverged under this append (concurrent "
+                    f"rollback or conflicting evolve): files were stamped "
+                    f"against {len(written_schemas)} schema entries the "
+                    f"table no longer carries as a prefix — stale schema "
+                    f"ids cannot be rebased; rewrite against the current "
+                    f"schema"
                 )
             try:
                 out = self._commit(
@@ -2259,6 +2285,7 @@ class IceliteTable:
         return self._commit_append(
             new_files, epoch_id, properties,
             written_n_buckets=snap.n_buckets if snap.key_cols else None,
+            written_schemas=snap.schemas,
         )
 
     def append_rows_local(
@@ -2310,7 +2337,8 @@ class IceliteTable:
         fp = os.path.join(out_dir, "part-00000.parquet")
         pq.write_table(table, fp, compression="snappy")
         new_files = _collect_datafiles(self.data_path, rel, len(snap.schemas) - 1)
-        return self._commit_append(new_files, epoch_id, properties)
+        return self._commit_append(new_files, epoch_id, properties,
+                                   written_schemas=snap.schemas)
 
     def overwrite(
         self,
@@ -2653,6 +2681,7 @@ class IceliteTable:
         properties: dict | None = None,
         written_n_buckets: int | None = None,
         expect_files_empty: bool = False,
+        written_schemas: list | None = None,
     ) -> Snapshot:
         """Commit previously written files (see ``write_delta_files``).
         Optimistic-retry on concurrent-writer races; pass the
@@ -2660,10 +2689,13 @@ class IceliteTable:
         split_buckets aborts this commit instead of corrupting it.
         ``expect_files_empty`` refuses to rebase onto a table that
         gained data files since the caller's empty-target validation
-        (the bootstrap bulk-load guard)."""
+        (the bootstrap bulk-load guard); ``written_schemas`` the schema
+        list the files' schema_ids were stamped against (a concurrent
+        rollback truncates it — see ``_commit_append``)."""
         return self._commit_append(new_files, epoch_id, properties,
                                    written_n_buckets=written_n_buckets,
-                                   expect_files_empty=expect_files_empty)
+                                   expect_files_empty=expect_files_empty,
+                                   written_schemas=written_schemas)
 
     def write_base_files(
         self,
@@ -2717,11 +2749,16 @@ class IceliteTable:
         epoch_id: str | None = None,
         properties: dict | None = None,
         written_n_buckets: int | None = None,
+        written_schemas: list | None = None,
     ) -> Snapshot:
         """Commit kernel-written delta files from their collected stats
         rows (bucket, rel_path, rows, bytes, ...) — no footer reads, no
         directory scans: the write tasks already measured their own
-        output."""
+        output. ``written_schemas``: the schema list the kernel wrote
+        under — the files' schema_id must point at the WRITE-time
+        schema (stamping the commit-time list would mislabel the bytes
+        if an evolve landed in between; a rollback in between aborts
+        via the rebase guard)."""
         snap = self.snapshot()
         if epoch_id is not None and epoch_committed(snap, epoch_id):
             return snap
@@ -2735,7 +2772,8 @@ class IceliteTable:
                 bucket=int(r["bucket"]),
                 rows=int(r["rows"]),
                 bytes=int(r["bytes"]),
-                schema_id=len(snap.schemas) - 1,
+                schema_id=(len(written_schemas) if written_schemas
+                           is not None else len(snap.schemas)) - 1,
                 kind="delta",
                 bloom=_sidecar(r["rel_path"]),
             )
@@ -2755,7 +2793,8 @@ class IceliteTable:
                 if os.path.relpath(p, self.data_path) not in keep:
                     os.unlink(p)
         return self._commit_append(new_files, epoch_id, properties,
-                                   written_n_buckets=written_n_buckets)
+                                   written_n_buckets=written_n_buckets,
+                                   written_schemas=written_schemas)
 
     def expire_snapshots(self, keep_last: int = 5) -> dict:
         """Table maintenance: drop all but the newest ``keep_last``
@@ -2777,20 +2816,45 @@ class IceliteTable:
                   if v not in tagged]
         if not expire:
             return {"expired_snapshots": 0, "deleted_files": 0}
+        files_of = {v: {f_.path for f_ in self.snapshot(v).files}
+                    for v in versions}
+        # Phase 1: take every doomed manifest OFF its name BEFORE any
+        # deletion. create_tag resolves snapshot(version) through the
+        # name, so a tag racing this expire from here on fails loudly
+        # ("unknown version") instead of pinning a snapshot whose
+        # files are about to be deleted — the name rename is the
+        # linearization point between tagging and expiry. (Crash here
+        # = manifests gone, data still on disk: plain vacuum debris.)
+        moved: dict[int, str] = {}
+        for v in expire:
+            aside = f"{self._version_file(v)}.expiring.{os.getpid()}"
+            os.rename(self._version_file(v), aside)
+            moved[v] = aside
+        # Phase 2: a tag may have landed between the tag scan above
+        # and its version's rename — those snapshots are PINNED now:
+        # restore them and keep their files ("tagged snapshots survive
+        # expire_snapshots" must hold against the race, not just the
+        # happy path).
+        late = set(self.list_tags().values()) & set(moved)
+        for v in sorted(late):
+            os.rename(moved.pop(v), self._version_file(v))
+        expire = [v for v in expire if v not in late]
+        if not expire:
+            self._snap_cache.clear()
+            return {"expired_snapshots": 0, "deleted_files": 0}
         keep = [v for v in versions if v not in expire]
-        referenced = _with_sidecars({
-            f_.path for v in keep for f_ in self.snapshot(v).files
-        } | self._branch_referenced_files())
-        doomed = _with_sidecars({
-            f_.path for v in expire for f_ in self.snapshot(v).files
-        }) - referenced
+        referenced = _with_sidecars(
+            {p for v in keep for p in files_of[v]}
+            | self._branch_referenced_files())
+        doomed = _with_sidecars(
+            {p for v in expire for p in files_of[v]}) - referenced
         for rel in doomed:
             p = os.path.join(self.data_path, rel)
             if os.path.exists(p):
                 os.unlink(p)
-        for v in expire:
-            os.unlink(self._version_file(v))
-        # the walk above re-cached the just-expired versions — drop them
+        for aside in moved.values():
+            os.unlink(aside)
+        # the snapshot walk above re-cached the expired versions — drop
         self._snap_cache.clear()
         return {"expired_snapshots": len(expire), "deleted_files": len(doomed)}
 

@@ -461,7 +461,8 @@ def apply_epoch(
                              lineage_rows, target=target, lineage=lineage)
         target.commit_staged_delta(rel, stats_rows, epoch_id=epoch_id,
                                    properties=props,
-                                   written_n_buckets=snap0.n_buckets)
+                                   written_n_buckets=snap0.n_buckets,
+                                   written_schemas=snap0.schemas)
         applied = sum(int(r["rows"]) for r in stats_rows)
         if (
             target.delta_stats()["max_delta_files_per_bucket"]
@@ -523,7 +524,8 @@ def apply_epoch(
         props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
                              lineage_rows, target=target, lineage=lineage)
         target.commit_add_files(new_files, epoch_id=epoch_id, properties=props,
-                                written_n_buckets=snap0.n_buckets)
+                                written_n_buckets=snap0.n_buckets,
+                                written_schemas=snap0.schemas)
         applied = sum(f.rows for f in new_files)
         if (
             target.delta_stats()["max_delta_files_per_bucket"]
@@ -585,7 +587,8 @@ def apply_epoch(
                                  lineage_rows, target=target, lineage=lineage)
             target.commit_add_files(new_files, epoch_id=epoch_id,
                                     properties=props,
-                                    written_n_buckets=snap_w.n_buckets)
+                                    written_n_buckets=snap_w.n_buckets,
+                                    written_schemas=snap_w.schemas)
             applied = sum(f.rows for f in new_files)
             if (
                 target.delta_stats()["max_delta_files_per_bucket"]

@@ -257,6 +257,7 @@ def bootstrap_epoch(
         target.commit_add_files(new_files, epoch_id=epoch_id,
                                 properties=props,
                                 written_n_buckets=snap0.n_buckets,
+                                written_schemas=snap0.schemas,
                                 expect_files_empty=True)
     except Exception:
         target.abort_write(rel)

@@ -65,16 +65,29 @@ def _bucket_pairs(rows: DataFrame, group_cols, collect_expr,
         .agg(F.sort_array(F.collect_list(collect_expr)).alias("ms"))
         .where(F.size("ms") >= 2)
     )
+    return enumerate_sorted_pairs(members, "ms", pair_struct_sql)
+
+
+def enumerate_sorted_pairs(members_df: DataFrame, ms_col: str,
+                           pair_struct_sql: str) -> DataFrame:
+    """Emit each unordered pair of a SORTED member array exactly once
+    (x at 0-based position i pairs with every LATER member — the
+    1-based ``slice(.., i + 2, ..)`` start, clamping to empty at the
+    end, so doc_a < doc_b). The ONE enumeration every consumer of
+    pre-collected member arrays shares — ``_bucket_pairs`` above and
+    the incremental LSH index's ``candidate_pairs`` — so the
+    exactly-once-per-bucket invariant cannot drift between the batch
+    and incremental paths."""
     pair = F.explode(
         F.flatten(
             F.expr(
-                "transform(ms, (x, i) -> "
-                "transform(slice(ms, i + 2, size(ms)), y -> "
+                f"transform({ms_col}, (x, i) -> "
+                f"transform(slice({ms_col}, i + 2, size({ms_col})), y -> "
                 f"{pair_struct_sql}))"
             )
         )
     )
-    return members.select(pair.alias("p")).select("p.*")
+    return members_df.select(pair.alias("p")).select("p.*")
 
 
 def shingles(docs: DataFrame, n: int = 5,

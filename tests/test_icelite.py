@@ -1334,3 +1334,91 @@ def test_cursor_file_bound_to_table(spark, tbl_dir):
     cb = ChangeFeedCursor(b, os.path.join(tbl_dir, "cur.json"))
     with pytest.raises(ValueError, match="belongs to table"):
         cb.poll()
+
+
+def test_append_commit_aborts_across_racing_rollback(spark, tbl_dir):
+    """"Schema ids stay valid because the schema list is append-only"
+    holds between evolves — but a concurrent ROLLBACK truncates the
+    list. Rebasing then commits files whose schema_id points past (or,
+    after a re-evolve, AT A DIFFERENT) schema entry: IndexError on
+    every later read at best, silent wrong-schema decode at worst. The
+    commit must abort with CommitConflict instead (same contract as
+    the racing-split guard above)."""
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    v_pre = t.current_version()
+    wide = T.StructType(
+        SCHEMA.fields + [T.StructField("extra", T.StringType(), True)])
+    t.evolve_schema(wide)
+    snap_w = t.snapshot()
+    wide_up = T.StructType(
+        wide.fields + [T.StructField("op", T.StringType(), False)])
+    rel, files = t.write_delta_files(spark.createDataFrame(
+        [("r2", "b", 2, 2, "x", "insert")], wide_up), snap=snap_w)
+    t.rollback(v_pre)  # racing operator truncates the schema list
+    with pytest.raises(CommitConflict, match="schema list diverged"):
+        t.commit_add_files(files, epoch_id="e2",
+                           written_n_buckets=snap_w.n_buckets,
+                           written_schemas=snap_w.schemas)
+    t.abort_write(rel)
+    assert not t.has_epoch("e2")
+    # every read still resolves (nothing mis-stamped was committed)
+    assert {r["repo"] for r in t.read().collect()} == {"r1"}
+
+
+def test_expire_restores_version_tagged_mid_expire(spark, tbl_dir,
+                                                   monkeypatch):
+    """create_tag's contract — "tagged snapshots and their files
+    survive expire_snapshots" — must hold against a tag landing AFTER
+    expire scanned the tag set: phase 2 re-reads the tags and restores
+    any doomed version that got pinned in between."""
+    t = make(spark, tbl_dir)
+    for i in range(6):
+        t.append_delta(_updf(spark, [(f"r{i}", "p", i + 1, i + 1,
+                                      "insert")]))
+    victim = t._retained_versions()[1]  # v1: one committed row
+    t.create_tag("audit", version=victim)
+
+    real = t.list_tags
+    calls = {"n": 0}
+
+    def racy():
+        # the phase-1 scan runs BEFORE the tag lands (simulated by
+        # hiding it); phase 2 sees it on disk
+        calls["n"] += 1
+        return {} if calls["n"] == 1 else real()
+
+    monkeypatch.setattr(t, "list_tags", racy)
+    out = t.expire_snapshots(keep_last=2)
+    monkeypatch.undo()
+    assert calls["n"] >= 2  # phase 2 actually re-read the tags
+    # the tagged snapshot survived: manifest back on its name, files
+    # intact, tag read works
+    assert t.read(tag="audit").count() == 1
+    assert victim in t._retained_versions()
+    # untagged old versions were still expired
+    assert out["expired_snapshots"] > 0
+    with pytest.raises(FileNotFoundError):
+        t.snapshot(victim + 1)
+
+
+def test_snapshot_torn_manifest_unreclaimable_raises_not_recurses(
+        spark, tbl_dir, monkeypatch):
+    """A reader that cannot reclaim an aged torn manifest (read-only
+    consumer mount: the rename is refused every time) must get a
+    diagnosable CorruptSnapshot, not die by unbounded re-resolution."""
+    import time as _time
+
+    from etl_spark.icelite.table import CorruptSnapshot
+
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    v_torn = t.current_version() + 1
+    torn = t._version_file(v_torn)
+    with open(torn, "w") as fh:
+        fh.write("{half a manifest")
+    old = _time.time() - 3600
+    os.utime(torn, (old, old))
+    monkeypatch.setattr(t, "_reclaim_torn", lambda v, st: False)
+    with pytest.raises(CorruptSnapshot):
+        t.snapshot(v_torn)
