@@ -306,6 +306,18 @@ def _with_sidecars(paths: set[str]) -> set[str]:
     return paths | {p + ".bloom" for p in paths}
 
 
+def list_manifest_versions(meta_path: str) -> list[int]:
+    """Sorted manifest versions present under ``meta_path`` — the ONE
+    v{N}.json naming rule, shared by the table handle and the
+    streaming CDF source (a second copy of the listing idiom would
+    silently diverge on any naming/torn-file change)."""
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(meta_path)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
 def bucket_expr(key_cols: Sequence[str], n_buckets: int):
     """Deterministic key→bucket hash, stable across sessions/JVMs.
 
@@ -1151,12 +1163,8 @@ class IceliteTable:
     def current_version(self) -> int | None:
         if not os.path.isdir(self.meta_path):
             return None
-        versions = [
-            int(f[1:-5])
-            for f in os.listdir(self.meta_path)
-            if f.startswith("v") and f.endswith(".json")
-        ]
-        return max(versions) if versions else None
+        versions = list_manifest_versions(self.meta_path)
+        return versions[-1] if versions else None
 
     def snapshot(self, version: int | None = None,
                  _torn_depth: int = 0) -> Snapshot:
@@ -1928,11 +1936,7 @@ class IceliteTable:
     # property tombstoning).
 
     def _retained_versions(self) -> list[int]:
-        return sorted(
-            int(f[1:-5])
-            for f in os.listdir(self.meta_path)
-            if f.startswith("v") and f.endswith(".json")
-        )
+        return list_manifest_versions(self.meta_path)
 
     def history(self) -> DataFrame:
         """One row per retained snapshot: commit time, the operation

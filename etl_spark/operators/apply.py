@@ -29,6 +29,7 @@ events, which carry no data), ``rejected`` = validation failures.
 from __future__ import annotations
 
 import os
+import time
 from dataclasses import dataclass
 
 from pyspark.accumulators import AccumulatorParam
@@ -81,7 +82,17 @@ class ApplyStats:
     commit_retries: int = 0
 
     def invariant_ok(self) -> bool:
-        return self.events_in == self.applied + self.deduped + self.rejected
+        # deduped is DERIVED (events_in - rejected - applied), so the
+        # sum identity alone is tautological — the live signal is the
+        # component ranges: a double-counted winner (applied too high)
+        # or metric drift drives deduped negative, an over-counted
+        # reject pushes applied+rejected past events_in
+        return (
+            self.events_in == self.applied + self.deduped + self.rejected
+            and self.deduped >= 0
+            and self.applied >= 0
+            and self.rejected >= 0
+        )
 
 
 def create_target(
@@ -208,7 +219,13 @@ def read_quarantine(spark: SparkSession, qroot: str,
         )
         return spark.createDataFrame([], empty)
     return (
-        spark.read.option("recursiveFileLookup", "true").parquet(qroot)
+        # mergeSchema: one quarantine root legitimately holds MIXED
+        # shapes — WAL-corrupt lines (seq, op, value) beside full-event
+        # rejects, v1 epochs beside v2. Without it the schema pins to
+        # whichever file is sampled first and the other shape's columns
+        # silently vanish from triage; merged, absent columns null-fill
+        spark.read.option("recursiveFileLookup", "true")
+        .option("mergeSchema", "true").parquet(qroot)
     )
 
 
@@ -757,6 +774,9 @@ def replay(
     epoch_prefix: str = "replay",
     merge_mode: str = "delta",
     quarantine: str | None = None,
+    epoch_size_fn=None,
+    on_epoch=None,
+    clock=time.monotonic,
 ) -> list[ApplyStats]:
     """Batch replay of a bounded stream in seq-ordered epochs.
 
@@ -767,7 +787,18 @@ def replay(
     one driven by :func:`~etl_spark.streaming.ratelimit.adaptive_replay`
     with a different (non-replayable) window trajectory — so resume
     never re-folds applied events or duplicates lineage rows.
+
+    ``epoch_size_fn``/``on_epoch`` are the adaptive-admission hooks:
+    ``epoch_size_fn()`` supplies the NEXT window's width (overriding
+    ``epoch_size``) and ``on_epoch(stats, wall_sec)`` observes each
+    applied epoch. This is the ONE replay loop — ``adaptive_replay``
+    drives it through these hooks rather than copying the
+    bounds/resume/chunk logic (two loops had already drifted on the
+    quarantine parameter).
     """
+    if epoch_size_fn is None and epoch_size <= 0:
+        # epoch_size=0 loops forever (hi = lo + 0 never advances)
+        raise ValueError(f"epoch_size must be positive, got {epoch_size}")
     bounds = events.agg(
         F.min(schemas.SEQ_COL).alias("lo"), F.max(schemas.SEQ_COL).alias("hi")
     ).collect()[0]
@@ -781,16 +812,21 @@ def replay(
         if prior_hi is not None and prior_hi > lo:
             lo = prior_hi  # already applied — resume past it, no job
             continue
-        hi = lo + epoch_size
+        size = epoch_size if epoch_size_fn is None else int(epoch_size_fn())
+        if size <= 0:
+            raise ValueError(f"epoch size must stay positive, got {size}")
+        hi = lo + size
         chunk = events.where(
             (F.col(schemas.SEQ_COL) >= lo) & (F.col(schemas.SEQ_COL) < hi)
         )
-        stats.append(
-            apply_epoch(
-                spark, chunk, target, lineage,
-                epoch_id=f"{epoch_prefix}:{lo}:{hi}", ledger=ledger,
-                merge_mode=merge_mode, quarantine=quarantine,
-            )
+        t0 = clock()
+        st = apply_epoch(
+            spark, chunk, target, lineage,
+            epoch_id=f"{epoch_prefix}:{lo}:{hi}", ledger=ledger,
+            merge_mode=merge_mode, quarantine=quarantine,
         )
+        stats.append(st)
+        if on_epoch is not None:
+            on_epoch(st, clock() - t0)
         lo = hi
     return stats

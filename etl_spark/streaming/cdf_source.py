@@ -47,6 +47,7 @@ from etl_spark.icelite.table import (
     Snapshot,
     _arrow_type,
     diff_file_flags,
+    list_manifest_versions,
 )
 
 _ADD = ("insert", "update_postimage")
@@ -56,8 +57,7 @@ def _versions(path: str) -> list[int]:
     meta = os.path.join(path, META_DIR)
     if not os.path.isdir(meta):
         raise FileNotFoundError(f"no icelite table at {path}")
-    return sorted(int(f[1:-5]) for f in os.listdir(meta)
-                  if f.startswith("v") and f.endswith(".json"))
+    return list_manifest_versions(meta)
 
 def _snapshot(path: str, v: int) -> Snapshot:
     with open(os.path.join(path, META_DIR, f"v{v}.json")) as f:
@@ -136,13 +136,27 @@ class _CdfStreamReader(DataSourceStreamReader):
             return []
         snap_old, snap_new = _snapshot(self.path, v1), _snapshot(self.path, v2)
         keys = list(snap_new.key_cols)
+        data_path = os.path.join(self.path, "data")
         # same planning step as changes_between — shared helper so the
         # bucket-pruning rules cannot drift between batch and streaming
+        flagged = list(diff_file_flags(snap_old, snap_new).values())
+        if snap_old.n_buckets != snap_new.n_buckets:
+            # a split/re-bucket makes bucket ids INCOMPARABLE between
+            # the sides: per-bucket kernels would see a moved key's old
+            # row in one partition and its new row in another, and
+            # fabricate a delete (null _commit_seq) plus an insert for
+            # an UNCHANGED key — the batch twin resolves per KEY for
+            # exactly this case. One partition holding both sides keeps
+            # "maintenance never fabricates changes" at one-task
+            # parallelism; a re-bucket is rare, operator-driven
+            # maintenance.
+            files = [(f.path, f.kind, fo, fn) for f, fo, fn in flagged]
+            return ([_BucketDiff(0, files, keys, self.data_schema_json,
+                                 data_path)] if files else [])
         by_bucket: dict[int, list] = {}
-        for f, fo, fn in diff_file_flags(snap_old, snap_new).values():
+        for f, fo, fn in flagged:
             by_bucket.setdefault(f.bucket, []).append(
                 (f.path, f.kind, fo, fn))
-        data_path = os.path.join(self.path, "data")
         return [
             _BucketDiff(b, files, keys, self.data_schema_json, data_path)
             for b, files in sorted(by_bucket.items())

@@ -44,14 +44,10 @@ import time
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from etl_spark import schemas
 from etl_spark.icelite.table import IceliteTable
 from etl_spark.ledger import SchemaLedger
-from etl_spark.operators.apply import (
-    ApplyStats, apply_epoch, committed_windows,
-)
+from etl_spark.operators.apply import ApplyStats, replay
 
 
 @dataclass
@@ -158,6 +154,7 @@ def adaptive_replay(
     ledger: SchemaLedger | None = None,
     epoch_prefix: str = "replay",
     merge_mode: str = "delta",
+    quarantine: str | None = None,
     clock=time.monotonic,
     sleep=time.sleep,
 ) -> list[ApplyStats]:
@@ -177,47 +174,27 @@ def adaptive_replay(
     controller state itself is NOT durable — a restart re-learns the
     cap for the remaining windows only. ``clock`` and ``sleep`` are
     injectable for deterministic tests.
-    """
-    bounds = events.agg(
-        F.min(schemas.SEQ_COL).alias("lo"), F.max(schemas.SEQ_COL).alias("hi")
-    ).collect()[0]
-    if bounds["lo"] is None:
-        return []
-    # committed windows from prior runs: lo -> hi (epochs commit in
-    # order, so coverage is contiguous from the stream's first lo).
-    # Shared with apply.replay so a table partially loaded by EITHER
-    # driver — plain replay writes the same prefix:lo:hi id format —
-    # resumes past applied windows instead of re-folding them.
-    committed = committed_windows(target, epoch_prefix, lineage)
-    stats: list[ApplyStats] = []
-    lo = bounds["lo"]
-    while lo <= bounds["hi"]:
-        prior_hi = committed.get(lo)
-        if prior_hi is not None and prior_hi > lo:
-            lo = prior_hi  # already applied — resume past it, no job
-            continue
-        hi = lo + controller.cap
-        chunk = events.where(
-            (F.col(schemas.SEQ_COL) >= lo) & (F.col(schemas.SEQ_COL) < hi)
-        )
-        t0 = clock()
-        st = apply_epoch(
-            spark, chunk, target, lineage,
-            epoch_id=f"{epoch_prefix}:{lo}:{hi}", ledger=ledger,
-            merge_mode=merge_mode,
-        )
-        wall = clock() - t0
-        stats.append(st)
-        fb = EpochFeedback(
+
+    Delegates to :func:`~etl_spark.operators.apply.replay` — ONE loop
+    owns the bounds/resume/chunk logic (two copies had already drifted
+    on the ``quarantine`` parameter: adaptive backfills silently
+    dropped the rejects plain replay dead-letters)."""
+    def _after(st: ApplyStats, wall: float) -> None:
+        controller.record(EpochFeedback(
             events=st.events_in,
             wall_sec=wall,
             commit_retries=st.commit_retries,
-            rejected_frac=(st.rejected / st.events_in) if st.events_in else 0.0,
-        )
-        controller.record(fb)
+            rejected_frac=(st.rejected / st.events_in)
+            if st.events_in else 0.0,
+        ))
         if budget is not None and st.events_in:
             delay = budget.throttle_sec(st.events_in, clock())
             if delay > 0:
                 sleep(delay)
-        lo = hi
-    return stats
+
+    return replay(
+        spark, events, target, lineage, epoch_size=1, ledger=ledger,
+        epoch_prefix=epoch_prefix, merge_mode=merge_mode,
+        quarantine=quarantine,
+        epoch_size_fn=lambda: controller.cap, on_epoch=_after, clock=clock,
+    )

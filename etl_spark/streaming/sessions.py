@@ -75,7 +75,14 @@ def sessionize_stream(
     cannot be re-opened, so a late event that would have BRIDGED two
     previously-closed runs starts a new session instead. Runs older
     than the open session close only when the batch shows a newer run,
-    identical to the oracle whenever late data does not bridge."""
+    identical to the oracle whenever late data does not bridge.
+
+    NULL values fold as 0 (matching the oracle's null-skipping
+    ``F.sum`` on any session with at least one non-null value); the
+    one residual divergence is an ALL-null session, where the oracle
+    reports NULL and the stream reports 0.0 — distinguishing them
+    would widen the checkpointed state schema for a case with no
+    information content."""
     gap_us = gap_seconds * 1_000_000
 
     def fn(
@@ -100,13 +107,17 @@ def sessionize_stream(
         runs: list[list] = []  # [start_us, end_us, n, total]
         for ts, value in zip(rows["ts"], rows["value"]):
             t = _us(ts)
+            # a NULL value arrives as NaN: fold it as 0 — the batch
+            # oracle's F.sum('value') SKIPS nulls, and one NaN would
+            # otherwise poison the whole session's running total
+            v = float(value) if pd.notna(value) else 0.0
             if runs and t - runs[-1][1] <= gap_us:
                 r = runs[-1]
                 r[1] = max(r[1], t)
                 r[2] += 1
-                r[3] += float(value)
+                r[3] += v
             else:
-                runs.append([t, t, 1, float(value)])
+                runs.append([t, t, 1, v])
         # 2. merge the open state in: late rows may extend it backwards
         #    or bridge runs the batch alone would have split
         if state.exists:

@@ -249,7 +249,7 @@ def _decode_wal_batch(cfg: TailerConfig, state: dict, batch_df: DataFrame,
         dec.unpersist()
 
 
-def _foreach_batch(cfg: TailerConfig):
+def _foreach_batch(cfg: TailerConfig, stats_sink: list | None = None):
     state: dict = {}
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -268,7 +268,7 @@ def _foreach_batch(cfg: TailerConfig):
                 IceliteTable.load(spark, cfg.lineage_path)
                 if cfg.lineage_path else None
             )
-            apply_epoch(
+            st = apply_epoch(
                 spark,
                 batch_df,
                 target,
@@ -279,6 +279,12 @@ def _foreach_batch(cfg: TailerConfig):
                 max_reject_frac=cfg.max_reject_frac,
                 quarantine=cfg.quarantine,
             )
+            if stats_sink is not None:
+                # foreachBatch runs driver-side, so the list is shared
+                # memory — the adaptive drain reads REAL per-epoch
+                # stats (commit retries, rejects) from here instead of
+                # synthesizing feedback with those signals zeroed
+                stats_sink.append(st)
         finally:
             # the epoch either committed (spill consumed) or raised
             # (the stream restarts and the batch re-decodes) — either
@@ -295,6 +301,7 @@ def start_tailer(
     cfg: TailerConfig,
     available_now: bool = True,
     processing_interval: str | None = None,
+    stats_sink: list | None = None,
 ):
     """Start the change-log tailer. ``available_now=True`` drains all
     currently-visible chunks then stops (resumable batch); a
@@ -315,7 +322,7 @@ def start_tailer(
             .parquet(cfg.events_dir)
         )
     writer = (
-        reader.writeStream.foreachBatch(_foreach_batch(cfg))
+        reader.writeStream.foreachBatch(_foreach_batch(cfg, stats_sink))
         .option("checkpointLocation", cfg.checkpoint_dir)
         .outputMode("update")
     )
@@ -326,9 +333,10 @@ def start_tailer(
     return writer.start()
 
 
-def run_to_completion(spark: SparkSession, cfg: TailerConfig, timeout_s: int = 600) -> None:
+def run_to_completion(spark: SparkSession, cfg: TailerConfig, timeout_s: int = 600,
+                      stats_sink: list | None = None) -> None:
     """Drain all available chunks and wait for the commit barrier."""
-    q = start_tailer(spark, cfg, available_now=True)
+    q = start_tailer(spark, cfg, available_now=True, stats_sink=stats_sink)
     q.awaitTermination(timeout_s)
     if q.isActive:
         q.stop()
@@ -369,7 +377,9 @@ def drain_adaptive(
                                    "max_files_per_trigger": files_cap})
         before = _progress_batches(cfg.checkpoint_dir)
         t0 = clock()
-        run_to_completion(spark, pass_cfg, timeout_s=timeout_s)
+        pass_stats: list = []
+        run_to_completion(spark, pass_cfg, timeout_s=timeout_s,
+                          stats_sink=pass_stats)
         wall = clock() - t0
         after = _progress_batches(cfg.checkpoint_dir)
         rounds += 1
@@ -378,11 +388,22 @@ def drain_adaptive(
         from etl_spark.streaming.ratelimit import EpochFeedback
 
         # one availableNow pass may run several triggers; feed back the
-        # mean per-trigger wall so the SLO stays a per-epoch bound
+        # mean per-trigger wall so the SLO stays a per-epoch bound.
+        # events/retries/rejects come from the REAL ApplyStats the
+        # foreachBatch handle recorded — synthesizing them (events =
+        # cap × batches, retries/rejects = 0) left two of the three
+        # documented breach signals permanently unfirable in the
+        # streaming path: a pass losing commit races to a live writer
+        # (the backfill-stampede case) never registered a breach
         n_batches = max(1, after - before)
+        events = sum(s.events_in for s in pass_stats)
         controller.record(EpochFeedback(
-            events=files_cap * events_per_file * n_batches,
+            events=events or files_cap * events_per_file * n_batches,
             wall_sec=wall / n_batches,
+            commit_retries=max((s.commit_retries for s in pass_stats),
+                               default=0),
+            rejected_frac=(sum(s.rejected for s in pass_stats) / events)
+            if events else 0.0,
         ))
     return rounds
 

@@ -276,3 +276,42 @@ def test_cdf_stream_midstream_widening_raises_contract_error(spark, tbl_dir):
     with pytest.raises(RuntimeError, match="pinned type.*evolved|widened"):
         for part in parts:
             list(reader.read(part))
+
+
+def test_cdf_across_split_buckets_fabricates_nothing(spark, tbl_dir):
+    """A mid-stream split_buckets makes bucket ids incomparable between
+    the offsets' snapshots: per-bucket kernels would see a moved key's
+    old row in one partition and its new row in another and fabricate
+    a delete+insert for an UNCHANGED key. The planner must resolve
+    per key across the split ("maintenance never fabricates changes",
+    same contract as changes_between) while still reporting the real
+    changes committed around it."""
+    t = IceliteTable.create(spark, os.path.join(tbl_dir, "t"), SCHEMA,
+                            key_cols=("repo", "path"), n_buckets=2)
+    t.append_delta(_updf(spark, [
+        (f"r{i}", "a", i, i + 1, "insert") for i in range(8)
+    ]))
+    v1 = t.current_version()
+    sink = os.path.join(tbl_dir, "sink")
+    ckpt = os.path.join(tbl_dir, "ckpt")
+    # drain up to v1 so the next batch straddles exactly the split
+    _run_stream(spark, t.path, ckpt, sink)
+    from collections import Counter
+
+    first = Counter((r["repo"], r["_change_type"]) for r in
+                    spark.read.parquet(sink).collect())
+
+    t.split_buckets(factor=2)  # maintenance: every key re-buckets
+    t.append_delta(_updf(spark, [("r0", "a", 100, 50, "update"),
+                                 ("r1", "a", None, 51, "delete")]))
+    _run_stream(spark, t.path, ckpt, sink)
+
+    got = Counter((r["repo"], r["_change_type"]) for r in
+                  spark.read.parquet(sink).collect())
+    got.subtract(first)
+    want = Counter((r["repo"], r["_change_type"]) for r in
+                   t.changes_between(v1, t.current_version()).collect())
+    assert got == want, f"stream batch != changes_between: {got} vs {want}"
+    # specifically: no unchanged key appears at all
+    changed = {k[0] for k, n in got.items() if n}
+    assert changed == {"r0", "r1"}, f"fabricated changes: {sorted(changed)}"

@@ -147,3 +147,32 @@ def test_read_quarantine_empty_schema_follows_ledger(spark, tbl_dir):
     ]
     assert dead1.schema.fields[-2].name == "reject_reason"
     assert dead1.count() == 0
+
+
+def test_read_quarantine_merges_mixed_schemas(spark, tbl_dir):
+    """One quarantine root legitimately holds MIXED shapes — the WAL
+    tailer's corrupt-line files (seq, op, value) beside full-event
+    rejects. Without mergeSchema the read pins to whichever file is
+    sampled first and the other shape's columns silently vanish from
+    triage; merged, both shapes surface with absent columns
+    null-filled."""
+    q = os.path.join(tbl_dir, "q")
+    # a full-event reject file (what _write_quarantine produces)
+    spark.createDataFrame(
+        [(1, "insert", "r1", None, "null key", "e1")],
+        "seq long, op string, repo string, path string, "
+        "reject_reason string, quarantined_epoch string",
+    ).write.parquet(os.path.join(q, "e1"))
+    # a WAL-corrupt-line file (what the envelope tailer dead-letters)
+    spark.createDataFrame(
+        [(None, None, "{corrupt line")],
+        "seq long, op string, value string",
+    ).write.parquet(os.path.join(q, "e2:wal"))
+
+    dead = read_quarantine(spark, q)
+    cols = set(dead.columns)
+    assert {"reject_reason", "quarantined_epoch", "value",
+            "repo"} <= cols
+    assert dead.count() == 2
+    assert dead.where(dead.value.contains("corrupt")).count() == 1
+    assert dead.where(dead.reject_reason == "null key").count() == 1

@@ -122,7 +122,7 @@ def test_adaptive_replay_backs_off_and_matches_plain_replay(
         return st
 
     monkeypatch.setattr(
-        "etl_spark.streaming.ratelimit.apply_epoch", clocked_apply
+        "etl_spark.operators.apply.apply_epoch", clocked_apply
     )
     stats = adaptive_replay(
         spark, ev, t_ad, l_ad, controller=c,
@@ -253,13 +253,13 @@ def test_adaptive_replay_resume_is_window_exact(spark, tbl_dir, monkeypatch):
             raise RuntimeError("simulated crash after commit")
         return st
 
-    monkeypatch.setattr("etl_spark.streaming.ratelimit.apply_epoch", crashy)
+    monkeypatch.setattr("etl_spark.operators.apply.apply_epoch", crashy)
     # run 1: small cap -> narrow windows; crash after epoch 3 commits
     with pytest.raises(RuntimeError):
         adaptive_replay(
             spark, ev, t, l_,
             controller=ctl(cap=300, min_cap=100, max_cap=1200, slo_sec=1e9))
-    monkeypatch.setattr("etl_spark.streaming.ratelimit.apply_epoch",
+    monkeypatch.setattr("etl_spark.operators.apply.apply_epoch",
                         orig_apply)
 
     # run 2: fresh controller with a WIDER cap than any committed
