@@ -218,15 +218,58 @@ def read_quarantine(spark: SparkSession, qroot: str,
             ]
         )
         return spark.createDataFrame([], empty)
-    return (
-        # mergeSchema: one quarantine root legitimately holds MIXED
-        # shapes — WAL-corrupt lines (seq, op, value) beside full-event
-        # rejects, v1 epochs beside v2. Without it the schema pins to
-        # whichever file is sampled first and the other shape's columns
-        # silently vanish from triage; merged, absent columns null-fill
-        spark.read.option("recursiveFileLookup", "true")
-        .option("mergeSchema", "true").parquet(qroot)
-    )
+    try:
+        return (
+            # mergeSchema: one quarantine root legitimately holds MIXED
+            # shapes — WAL-corrupt lines (seq, op, value) beside
+            # full-event rejects, v1 epochs beside v2. Without it the
+            # schema pins to whichever file is sampled first and the
+            # other shape's columns silently vanish from triage;
+            # merged, absent columns null-fill
+            spark.read.option("recursiveFileLookup", "true")
+            .option("mergeSchema", "true").parquet(qroot)
+        )
+    except Exception:
+        # mergeSchema reconciles ADDED columns but refuses a WIDENED
+        # type — after a ledger int→long migration, rejects written
+        # before and after the widen coexist under one root and the
+        # merged read throws, locking operators out of triage. Fall
+        # back: read each epoch dir, widen numerics (the ledger's own
+        # widen vocabulary), cast any other mismatch to string, union.
+        dirs = sorted({
+            os.path.dirname(p)
+            for p in _glob.iglob(os.path.join(qroot, "**", "*.parquet"),
+                                 recursive=True)
+        })
+        frames = [spark.read.parquet(d) for d in dirs]
+        order = ["integer", "long", "float", "double"]
+
+        def widen(a: T.DataType, b: T.DataType) -> T.DataType:
+            if a == b:
+                return a
+            ta, tb = a.typeName(), b.typeName()
+            if ta in order and tb in order:
+                return a if order.index(ta) >= order.index(tb) else b
+            return T.StringType()
+
+        types: dict[str, T.DataType] = {}
+        for fdf in frames:
+            for f_ in fdf.schema.fields:
+                types[f_.name] = widen(types.get(f_.name, f_.dataType),
+                                       f_.dataType)
+        cols = list(types)
+        aligned = []
+        for fdf in frames:
+            have = set(fdf.columns)
+            aligned.append(fdf.select(*[
+                (F.col(c).cast(types[c]) if c in have
+                 else F.lit(None).cast(types[c])).alias(c)
+                for c in cols
+            ]))
+        out = aligned[0]
+        for fdf in aligned[1:]:
+            out = out.unionByName(fdf)
+        return out
 
 
 def apply_epoch(

@@ -540,6 +540,7 @@ def f_binary_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _read(spark, sf_dir, "events")
     decoded = archive.decode_records(archive.pack_records(ev))
+    decoded = decoded.where(~F.col("corrupted"))
     return decoded.select(
         "event_id", "user_id", F.round("value", 6).alias("value")
     )

@@ -161,9 +161,10 @@ RECORD_SCHEMA = T.StructType(
 
 DECODED_SCHEMA = T.StructType(
     [
-        T.StructField("event_id", T.LongType(), False),
-        T.StructField("user_id", T.LongType(), False),
-        T.StructField("value", T.DoubleType(), False),
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("corrupted", T.BooleanType(), False),
     ]
 )
 
@@ -196,23 +197,55 @@ def decode_records(df: DataFrame, rec_col: str = "rec") -> DataFrame:
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blob = b"".join(bytes(b) for b in pdf[rec_col])
-            arr = np.frombuffer(blob, dtype=_REC_DTYPE)
-            yield pd.DataFrame(
+            # per-CELL length validation before the reinterpret: one
+            # wrong-length cell in a naive whole-batch concat either
+            # frame-shifts every later record (silent garbage rows) or
+            # fails the frombuffer for the whole task — a malformed
+            # record is a corrupted=true ROW (C6 taxonomy), never a
+            # crash and never an offset poison
+            good: list[bytes] = []
+            n_bad = 0
+            for b in pdf[rec_col]:
+                if b is None:
+                    n_bad += 1
+                    continue
+                bb = bytes(b)
+                if not bb or len(bb) % REC_SIZE:
+                    n_bad += 1
+                    continue
+                good.append(bb)
+            arr = np.frombuffer(b"".join(good), dtype=_REC_DTYPE)
+            out = pd.DataFrame(
                 {
                     "event_id": arr["event_id"],
                     "user_id": arr["user_id"],
                     "value": arr["value"],
                 }
             )
+            out["corrupted"] = False
+            if n_bad:
+                out = pd.concat(
+                    [out, pd.DataFrame({
+                        "event_id": [None] * n_bad,
+                        "user_id": [None] * n_bad,
+                        "value": [None] * n_bad,
+                        "corrupted": [True] * n_bad,
+                    })], ignore_index=True)
+            yield out
 
     return df.mapInPandas(decode, DECODED_SCHEMA)
 
 
 def member_stats(members: DataFrame) -> DataFrame:
-    """Per-archive accounting over scanned members (A1 shape)."""
+    """Per-archive accounting over scanned members (A1 shape).
+    ``scan_tar``'s corrupt-archive flag rows (member_name NULL) count
+    as ``n_corrupt``, not as members — otherwise an unopenable archive
+    reports n_members=1 and is indistinguishable from a real
+    one-member archive."""
+    is_member = F.col("member_name").isNotNull()
     return members.groupBy("archive_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.sum("size").alias("total_bytes"),
+        F.sum(is_member.cast("long")).alias("n_members"),
+        F.sum((~is_member).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(is_member, F.col("size"))).alias("total_bytes"),
         F.min("member_name").alias("first_member"),
     )

@@ -56,6 +56,10 @@ def is_parsable(name_col: str = "member_name") -> Column:
 
 
 def _decode_stream(name: str, blob) -> list[tuple]:
+    if blob is None:
+        # scan_tar's corrupt-archive / non-UTF-8 surface: decode
+        # corruption, never a task crash (len(None) raised TypeError)
+        return [(name, None, None, None, None, True)]
     if isinstance(blob, (bytes, bytearray)):
         blob = bytes(blob)
         if blob[:2] == b"\x1f\x8b":  # transparent gunzip (storage.go:77-118)

@@ -83,7 +83,10 @@ def parse_meta_text(name: str, raw: bytes | str) -> dict:
     if sd:
         try:
             out["summary_data"] = [int(x) for x in json.loads(f"[{sd}]")]
-        except ValueError as e:
+        except (ValueError, TypeError) as e:
+            # TypeError: an already-bracketed line ("[0, 1808]")
+            # parses to a nested list and int([...]) must surface as
+            # file corruption, not a task crash
             raise ValueError("bad Summary data") from e
     return out
 
@@ -100,7 +103,10 @@ def parse_meta(
                 try:
                     rec = parse_meta_text(name, blob)
                     rec["corrupted"] = False
-                except (ValueError, KeyError):
+                except (ValueError, KeyError, TypeError, AttributeError):
+                    # TypeError/AttributeError: a NULL content cell
+                    # (scan_tar's corrupt-archive surface) is decode
+                    # corruption, never a task crash
                     rec = {**empty, "test_name": name, "corrupted": True}
                 rows.append(tuple(rec[c] for c in cols))
             yield pd.DataFrame(rows, columns=cols)

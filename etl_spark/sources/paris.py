@@ -270,7 +270,10 @@ def parse_paris(
                 try:
                     rec = parse_pt_text(name, blob)
                     rec["corrupted"] = False
-                except (PTError, ValueError):
+                except (PTError, ValueError, TypeError, AttributeError):
+                    # TypeError/AttributeError: a NULL content cell
+                    # (scan_tar's corrupt-archive / non-UTF-8 surface)
+                    # is decode corruption, never a task crash
                     rec = {**empty, "test_name": name, "corrupted": True}
                 rows.append(tuple(rec[c] for c in cols))
             yield pd.DataFrame(rows, columns=cols)

@@ -217,6 +217,16 @@ def parse_sidestream(
         for pdf in batches:
             rows: list[tuple] = []
             for name, content in zip(pdf[name_col], pdf[content_col]):
+                if content is None:
+                    # scan_tar's corrupt-archive / non-UTF-8 surface:
+                    # a NULL cell is decode corruption, never a task
+                    # crash (content.split would raise AttributeError
+                    # past every catch tuple)
+                    rows.append((name, extract_log_time(name)
+                                 if name else None,
+                                 None, None, None, None, None, None,
+                                 None, None, None, None, True))
+                    continue
                 if isinstance(content, (bytes, bytearray)):
                     content = bytes(content).decode("utf-8", errors="replace")
                 rows.extend(_parse_file(name, content))

@@ -257,14 +257,18 @@ def parse_snaplogs(
         for pdf in batches:
             rows: list[tuple] = []
             for name, blob in zip(pdf[name_col], pdf[content_col]):
-                raw = bytes(blob) if not isinstance(blob, bytes) else blob
                 try:
+                    # conversion INSIDE the envelope: a NULL cell
+                    # (scan_tar's corrupt-archive surface) or a str
+                    # cell raises TypeError, which is decode
+                    # corruption, never a task crash
+                    raw = bytes(blob) if not isinstance(blob, bytes) else blob
                     slog = parse_snaplog(raw)
                     slog.validate()
                     n = slog.snap_count
                     idx = sorted(set(range(0, n, every)) | ({n - 1} if n else set()))
                     ints, strs = decode_snapshots(slog, idx)
-                except (SnaplogError, ValueError, IndexError):
+                except (SnaplogError, ValueError, IndexError, TypeError):
                     rows.append((name, None, None, None, None, None, None,
                                  None, None, None, True))
                     continue

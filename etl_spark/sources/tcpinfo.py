@@ -196,7 +196,10 @@ def parse_tcpinfo(
                 try:
                     rec = parse_tcpinfo_file(name, bytes(blob))
                     rec["corrupted"] = False
-                except (TcpinfoError, ValueError, KeyError):
+                except (TcpinfoError, ValueError, KeyError, TypeError):
+                    # TypeError: bytes(None) — scan_tar surfaces every
+                    # .jsonl.zst member (binary, non-UTF-8) with a
+                    # NULL content cell when the archive is corrupt
                     rec = {**empty, "test_name": name, "corrupted": True}
                 rows.append(tuple(rec[c] for c in cols))
             yield pd.DataFrame(rows, columns=cols)

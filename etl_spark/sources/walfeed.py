@@ -123,7 +123,24 @@ def render_wal_envelope(events: DataFrame, connector: str = "walfeed",
     NULL), upserts in ``after`` — ``to_json`` omits the absent side.
     Pure JVM (struct build + ``to_json``). ``keep`` names extra
     metadata columns to carry alongside ``raw`` (e.g. a chunk ordinal
-    for the WAL writer) — they never enter the envelope image."""
+    for the WAL writer) — they never enter the envelope image.
+
+    REFUSES frames carrying ``op='schema_change'`` rows: a canonical
+    event row has no migration payload, so the rendered ``sc``
+    envelope would carry ``schema_change: null`` — which the decoder
+    (correctly) flags corrupt, quarantining the event and leaving the
+    consumer's ledger stale while later data rows silently drop the
+    new columns. Producers emit schema changes on the wire via
+    :func:`schema_change_envelope` (which carries the migration
+    delta), never through this renderer."""
+    if "op" in events.columns and events.where(
+            F.col("op") == "schema_change").limit(1).count() > 0:
+        raise ValueError(
+            "render_wal_envelope cannot render op='schema_change' rows "
+            "— a canonical event carries no migration payload, and the "
+            "sc envelope would decode as corrupt; emit the change via "
+            "schema_change_envelope(...) and filter these rows out"
+        )
     img_cols = [f.name for f in events.schema.fields
                 if f.name not in _META_COLS and f.name not in keep]
     img = F.struct(*[F.col(c) for c in img_cols])

@@ -50,7 +50,9 @@ def test_binary_records_bit_exact(spark):
         "event_id long, user_id long, value double",
     )
     decoded = archive.decode_records(archive.pack_records(ev))
-    got = sorted(tuple(r) for r in decoded.collect())
+    assert decoded.where("corrupted").count() == 0
+    got = sorted(tuple(r) for r in
+                 decoded.select("event_id", "user_id", "value").collect())
     exp = sorted(tuple(r) for r in ev.collect())
     assert got == exp  # float64 wire round-trip is bit-exact
 
@@ -104,3 +106,39 @@ def test_scan_tar_truncated_mid_member_not_fatal(spark):
     assert by[(2, "a.txt")].content == "x" * 600  # survived the cut
     assert by[(2, None)].content is None        # cut inside b.txt's data
     assert by[(3, "b.txt")].size == 2400        # intact blob unaffected
+
+
+def test_decode_records_flags_malformed_cells_without_frameshift(spark):
+    """One wrong-length record cell must become a corrupted=true row —
+    a whole-batch concat either frame-shifted every later record
+    (silent garbage) or killed the task on the frombuffer. Valid cells
+    around it must decode exactly."""
+    from etl_spark.sources.archive import REC_SIZE, decode_records, pack_records
+
+    ev = spark.createDataFrame(
+        [(1, 10, 1.5), (2, 20, 2.5)],
+        "event_id long, user_id long, value double")
+    packed = [r["rec"] for r in pack_records(ev).collect()]
+    rows = [(packed[0],), (packed[0][:REC_SIZE - 1],), (None,),
+            (packed[1] + b"x",), (packed[1],)]
+    df = spark.createDataFrame(rows, "rec binary")
+    out = decode_records(df).collect()
+    good = sorted((r["event_id"], r["user_id"], r["value"])
+                  for r in out if not r["corrupted"])
+    assert good == [(1, 10, 1.5), (2, 20, 2.5)]  # no frame shift
+    assert sum(r["corrupted"] for r in out) == 3
+
+
+def test_member_stats_counts_corrupt_flag_rows_separately(spark):
+    """A corrupt-archive flag row (member_name NULL) must not make an
+    unopenable archive indistinguishable from a one-member archive."""
+    from etl_spark.sources.archive import member_stats
+
+    members = spark.createDataFrame(
+        [("a1", "f1", 10), ("a1", "f2", 20), ("a2", None, 0)],
+        "archive_id string, member_name string, size long")
+    out = {r["archive_id"]: r for r in member_stats(members).collect()}
+    assert out["a1"]["n_members"] == 2 and out["a1"]["n_corrupt"] == 0
+    assert out["a1"]["total_bytes"] == 30
+    assert out["a2"]["n_members"] == 0 and out["a2"]["n_corrupt"] == 1
+    assert out["a2"]["total_bytes"] is None

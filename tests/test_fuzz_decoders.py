@@ -125,3 +125,38 @@ def test_fuzz_disco(spark):
     out = _run(spark, disco.parse_disco, "x-switch.json",
                _mutants(base, 5), binary=True)
     assert any(not r["decode_error"] for r in out)
+
+
+def test_null_content_never_crashes_any_decoder(spark):
+    """scan_tar legitimately emits content=NULL (corrupt archive flag
+    rows; non-UTF-8 members on the text surface). Every decoder must
+    surface a NULL cell as a corrupted row — len(None)/None.split/
+    bytes(None) escaping a catch tuple kills the whole job, exactly
+    the failure mode this suite forbids. The fuzz corpus above never
+    includes NULL, so it is pinned here for all six."""
+    from etl_spark.sources import ndt_meta
+
+    cases = [
+        (lambda d: snaplog.parse_snaplogs(d, every=500),
+         "x.snaplog", True),
+        (sidestream.parse_sidestream,
+         "20170203T00:00:00Z_ALL0.web100", False),
+        (paris.parse_paris,
+         "20170320T23:53:10Z-1.2.3.4-1-5.6.7.8-2.paris", False),
+        (tcpinfo.parse_tcpinfo,
+         "20190516T013026.744845Z-tcpinfo.jsonl.zst", True),
+        (disco.parse_disco, "switch.json", False),
+        (ndt_meta.parse_meta, "x:5.meta", False),
+    ]
+    for parse, name, binary in cases:
+        t = "binary" if binary else "string"
+        df = spark.createDataFrame(
+            [(name, None)], f"member_name string, content {t}")
+        out = parse(df).collect()
+        # parsers that route by filename may emit zero rows for an
+        # unroutable member; any emitted row must be flagged corrupt
+        # (disco's flag column is decode_error)
+        for r in out:
+            flag = ("corrupted" if "corrupted" in r.__fields__
+                    else "decode_error")
+            assert r[flag], (name, r)

@@ -176,3 +176,38 @@ def test_read_quarantine_merges_mixed_schemas(spark, tbl_dir):
     assert dead.count() == 2
     assert dead.where(dead.value.contains("corrupt")).count() == 1
     assert dead.where(dead.reject_reason == "null key").count() == 1
+
+
+def test_read_quarantine_survives_widened_column_type(spark, tbl_dir):
+    """parquet mergeSchema refuses a WIDENED type (int vs long) — after
+    a ledger widen migration, pre- and post-widen rejects coexist under
+    one root and the merged read threw, locking operators out of
+    triage. The fallback unions per-epoch reads with numeric
+    widening."""
+    from pyspark.sql import types as T
+
+    q = os.path.join(tbl_dir, "q")
+    spark.createDataFrame(
+        [(1, "insert", 7, "pre-widen", "e1")],
+        T.StructType([
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("size_bytes", T.IntegerType(), True),
+            T.StructField("reject_reason", T.StringType(), True),
+            T.StructField("quarantined_epoch", T.StringType(), True),
+        ])).write.parquet(os.path.join(q, "e1"))
+    spark.createDataFrame(
+        [(2, "insert", 9_000_000_000, "post-widen", "e2")],
+        T.StructType([
+            T.StructField("seq", T.LongType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("size_bytes", T.LongType(), True),
+            T.StructField("reject_reason", T.StringType(), True),
+            T.StructField("quarantined_epoch", T.StringType(), True),
+        ])).write.parquet(os.path.join(q, "e2"))
+
+    dead = read_quarantine(spark, q)
+    assert dead.count() == 2
+    assert dead.schema["size_bytes"].dataType.typeName() == "long"
+    vals = sorted(r["size_bytes"] for r in dead.collect())
+    assert vals == [7, 9_000_000_000]

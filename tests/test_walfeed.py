@@ -363,3 +363,15 @@ def test_decode_plan_is_jvm_only(spark):
     plan = explain_str(dec)
     assert "EvalPython" not in plan  # no Python in the decode path
     assert count_exchanges(dec) == 0  # pure projection: zero shuffles
+
+
+def test_render_refuses_schema_change_rows(spark):
+    """A canonical event row carries no migration payload, so a
+    rendered sc envelope would decode as corrupt — quarantining the
+    event, leaving the consumer's ledger stale, and silently dropping
+    the new columns from later rows. Refusal must be loud."""
+    import pytest
+
+    ev = _v1_rows(spark, [1]).withColumn("op", F.lit("schema_change"))
+    with pytest.raises(ValueError, match="schema_change_envelope"):
+        render_wal_envelope(ev).collect()
