@@ -53,7 +53,7 @@ import os
 import shutil
 import time
 import uuid
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace
 from typing import Any, Iterable, Sequence
 
 import pyarrow.parquet as pq
@@ -68,6 +68,30 @@ META_DIR = "meta"
 # distinct-bucket collect (bounded by n_buckets) instead
 _PROBE_CAP = 100_000
 DATA_DIR = "data"
+
+# immutable manifest SEGMENTS live under <table>/meta/manifests/ —
+# shared by the main chain and every branch chain (segment paths in a
+# version file are relative to this dir). Iceberg's manifest-file
+# analog: a commit reuses the parent's segments for unchanged files
+# and writes ONE new segment for the files it adds, so per-epoch
+# commit metadata is O(epoch files + n_segments), not O(table files).
+MANIFESTS_DIR = "manifests"
+
+# commit-time bound on a snapshot's segment-list length (overridable
+# per table via the "manifest_max_segments" property). When reuse
+# would exceed it, the SMALLEST reused segments are folded into the
+# commit's new segment — a log-structured merge that keeps per-commit
+# rewrite amortized (big segments are only rewritten when they are the
+# smallest left, i.e. rarely) while capping snapshot-assembly reads.
+DEFAULT_MAX_SEGMENTS = 64
+
+# the epoch-id ledger gets the same treatment as the file list: ids
+# older than the moving tail freeze into immutable ``ep-*.json``
+# chunks (this many ids each; "epoch_chunk_size" property overrides)
+# that commits re-reference instead of rewriting — at the default
+# 100k-id retention the ledger is ~2 MB, which would otherwise be the
+# last O(big) component serialized into EVERY version file.
+DEFAULT_EPOCH_CHUNK = 4096
 
 
 class CommitConflict(Exception):
@@ -203,6 +227,18 @@ class Snapshot:
     # manifests written before these fields existed
     ts: float = 0.0
     operation: str = ""
+    # TRANSIENT (never serialized): the manifest segments this snapshot
+    # was assembled from, as (segment rel-path, [member file paths]) in
+    # assembly order — what lets the NEXT commit reuse unchanged
+    # segments instead of rewriting the full file list. None on
+    # snapshots built in memory or parsed from a legacy inline
+    # ``files`` manifest (those segment fully on their next commit).
+    seg_index: list | None = field(default=None, repr=False, compare=False)
+    # TRANSIENT twin for the epoch ledger: (chunk rel-path, [ids]) of
+    # the frozen epoch-id chunks this snapshot's ``epochs`` list was
+    # assembled from (the un-frozen tail is ``epochs[len(chunked):]``)
+    epoch_chunk_index: list | None = field(default=None, repr=False,
+                                           compare=False)
 
     @property
     def current_schema(self) -> T.StructType:
@@ -211,18 +247,27 @@ class Snapshot:
     def schema_at(self, schema_id: int) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.schemas[schema_id]))
 
-    def to_json(self) -> dict:
-        return {
+    def to_json(self, include_files: bool = True,
+                include_epochs: bool = True) -> dict:
+        """``include_files=False`` / ``include_epochs=False`` are the
+        segmented-manifest writer's path: serializing 280k file entries
+        (or a 100k-id epoch ledger) only to replace them with segment/
+        chunk refs would put the O(table state) cost this format
+        removes right back into every commit."""
+        d = {
             "version": self.version,
             "schemas": self.schemas,
             "n_buckets": self.n_buckets,
             "key_cols": self.key_cols,
-            "files": [f.to_json() for f in self.files],
             "properties": self.properties,
-            "epochs": self.epochs,
             "ts": self.ts,
             "operation": self.operation,
         }
+        if include_epochs:
+            d["epochs"] = self.epochs
+        if include_files:
+            d["files"] = [f.to_json() for f in self.files]
+        return d
 
     @staticmethod
     def from_json(d: dict) -> "Snapshot":
@@ -231,7 +276,11 @@ class Snapshot:
             schemas=d["schemas"],
             n_buckets=d["n_buckets"],
             key_cols=d["key_cols"],
-            files=[DataFile.from_json(f) for f in d["files"]],
+            # segmented manifests carry no inline "files" — the table
+            # handle assembles the list from the referenced segments
+            # right after this parse (snapshot()); a standalone
+            # from_json of a segmented payload yields files=[]
+            files=[DataFile.from_json(f) for f in d.get("files", [])],
             properties=d.get("properties", {}),
             epochs=d.get("epochs", []),
             ts=d.get("ts", 0.0),
@@ -316,6 +365,81 @@ def list_manifest_versions(meta_path: str) -> list[int]:
         for f in os.listdir(meta_path)
         if f.startswith("v") and f.endswith(".json")
     )
+
+
+def _read_segment_file(seg_dir: str, rel: str) -> list["DataFile"]:
+    """Parse one immutable manifest segment. Failures surface as
+    CorruptSnapshot, NEVER as JSONDecodeError: ``snapshot()`` treats a
+    JSONDecodeError as a torn VERSION file and may reclaim it — a
+    segment parse error escaping with that type would delete a valid
+    commit. A missing referenced segment is the same class (external
+    deletion / a maintenance bug), not FileNotFoundError, which callers
+    interpret as "version expired"."""
+    p = os.path.join(seg_dir, rel)
+    try:
+        with open(p) as f:
+            d = json.load(f)
+    except FileNotFoundError:
+        raise CorruptSnapshot(
+            f"manifest segment {p!r} is referenced by a live version "
+            f"file but missing on disk"
+        ) from None
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise CorruptSnapshot(f"unparsable manifest segment {p!r}: {e}") from e
+    return [DataFile.from_json(x) for x in d["files"]]
+
+
+def _read_epoch_chunk(seg_dir: str, rel: str) -> list[str]:
+    """Parse one immutable epoch-ledger chunk; same error taxonomy as
+    ``_read_segment_file`` (CorruptSnapshot, never JSONDecodeError)."""
+    p = os.path.join(seg_dir, rel)
+    try:
+        with open(p) as f:
+            return json.load(f)["epochs"]
+    except FileNotFoundError:
+        raise CorruptSnapshot(
+            f"epoch chunk {p!r} is referenced by a live version file "
+            f"but missing on disk"
+        ) from None
+    except (json.JSONDecodeError, UnicodeDecodeError) as e:
+        raise CorruptSnapshot(f"unparsable epoch chunk {p!r}: {e}") from e
+
+
+def assemble_snapshot(d: dict, table_path: str, seg_loader=None,
+                      chunk_loader=None) -> "Snapshot":
+    """Version-file dict → Snapshot with ``files`` assembled from its
+    manifest segments and ``epochs`` from its ledger chunks + tail (or
+    both taken inline from a legacy manifest). Module-level so
+    consumers that deliberately avoid the table handle (the streaming
+    CDF source — driver-side, no SparkSession plumbing) resolve
+    segmented manifests identically. The loaders let the handle inject
+    its memos; defaults are uncached reads."""
+    snap = Snapshot.from_json(d)
+    seg_dir = os.path.join(table_path, META_DIR, MANIFESTS_DIR)
+    segs = d.get("segments")
+    if segs is not None:
+        load = seg_loader or _read_segment_file
+        files: list[DataFile] = []
+        seg_index: list[tuple[str, list[str]]] = []
+        for ref in segs:
+            members = load(seg_dir, ref["path"])
+            files.extend(members)
+            seg_index.append((ref["path"], [m.path for m in members]))
+        snap.files = files
+        snap.seg_index = seg_index
+    chunks = d.get("epoch_chunks")
+    if chunks is not None:
+        cload = chunk_loader or _read_epoch_chunk
+        epochs: list[str] = []
+        chunk_index: list[tuple[str, list[str]]] = []
+        for ref in chunks:
+            ids = cload(seg_dir, ref["path"])
+            epochs.extend(ids)
+            chunk_index.append((ref["path"], ids))
+        epochs.extend(d.get("epochs_tail", []))
+        snap.epochs = epochs
+        snap.epoch_chunk_index = chunk_index
+    return snap
 
 
 def bucket_expr(key_cols: Sequence[str], n_buckets: int):
@@ -1111,6 +1235,15 @@ class IceliteTable:
         # another handle/process and drop+recreate version reuse both
         # invalidate. FIFO-evicted at 32 entries.
         self._snap_cache: dict[int, tuple] = {}
+        # manifest-segment memo (rel path → [DataFile]). Segments are
+        # IMMUTABLE once placed (uuid-named, never rewritten), so no
+        # stat guard is needed: a hit can only serve the bytes that
+        # were committed under that name. Shared DataFile objects are
+        # never mutated post-load (read-only by contract). FIFO at 256
+        # — segments are shared across versions, so this is what makes
+        # history()/version_as_of/expire walks O(new segments), not
+        # O(versions × files).
+        self._seg_cache: dict[str, list] = {}
 
     # -- catalog ------------------------------------------------------------
 
@@ -1136,7 +1269,7 @@ class IceliteTable:
             ts=time.time(),
             operation="create",
         )
-        _atomic_write_json(t._version_file(0), snap.to_json())
+        t._write_snapshot_file(snap, base=None)
         return t
 
     @staticmethod
@@ -1159,6 +1292,34 @@ class IceliteTable:
 
     def _version_file(self, v: int) -> str:
         return os.path.join(self.meta_path, f"v{v}.json")
+
+    def _seg_dir(self) -> str:
+        # anchored at the TABLE path, not meta_path: branch handles
+        # (meta_path = meta/branch-<name>) share the main chain's
+        # segments, so forking/publishing a branch reuses them wholesale
+        return os.path.join(self.path, META_DIR, MANIFESTS_DIR)
+
+    def _load_segment(self, seg_dir: str, rel: str) -> list:
+        hit = self._seg_cache.get(rel)
+        if hit is not None:
+            return hit
+        members = _read_segment_file(seg_dir, rel)
+        if len(self._seg_cache) >= 256:
+            self._seg_cache.pop(next(iter(self._seg_cache)), None)
+        self._seg_cache[rel] = members
+        return members
+
+    def _load_chunk(self, seg_dir: str, rel: str) -> list:
+        # epoch-ledger chunks share the segment memo (rel names are
+        # disjoint: ep-* vs seg-*) and the same immutability contract
+        hit = self._seg_cache.get(rel)
+        if hit is not None:
+            return hit
+        ids = _read_epoch_chunk(seg_dir, rel)
+        if len(self._seg_cache) >= 256:
+            self._seg_cache.pop(next(iter(self._seg_cache)), None)
+        self._seg_cache[rel] = ids
+        return ids
 
     def current_version(self) -> int | None:
         if not os.path.isdir(self.meta_path):
@@ -1198,7 +1359,14 @@ class IceliteTable:
             st = None
         try:
             with open(self._version_file(v)) as f:
-                snap = Snapshot.from_json(json.load(f))
+                # segment parse failures inside assemble_snapshot are
+                # CorruptSnapshot (never JSONDecodeError), so the torn-
+                # version reclaim below can only fire for the version
+                # file's own bytes — it must never delete a valid
+                # commit because one of its segments failed to parse
+                snap = assemble_snapshot(json.load(f), self.path,
+                                         seg_loader=self._load_segment,
+                                         chunk_loader=self._load_chunk)
         except (json.JSONDecodeError, UnicodeDecodeError) as e:
             # torn version file: _place_exclusive's no-hardlink O_EXCL
             # fallback has a crash window between claiming the name and
@@ -2095,15 +2263,118 @@ class IceliteTable:
                     ts=time.time(),
                     operation="rollback",
                 )
-                _atomic_write_json(
-                    self._version_file(new.version), new.to_json()
-                )
+                # base=old: a rollback re-references the old snapshot's
+                # segments wholesale — O(1) metadata, no file-list copy
+                self._write_snapshot_file(new, base=old)
                 return new
             except CommitConflict:
                 continue
         raise CommitConflict(f"rollback lost 10 races on {self.path}")
 
     # -- commits ------------------------------------------------------------
+
+    def _write_snapshot_file(self, snap: Snapshot, base: Snapshot | None,
+                             path: str | None = None) -> None:
+        """Serialize ``snap`` as a SEGMENTED version file: reuse every
+        parent segment whose members all survive into the new file set,
+        write the remainder as ONE new immutable segment, and store
+        only segment references in the version file (Iceberg's
+        manifest-list shape). This is what keeps per-epoch commit
+        metadata O(epoch files + n_segments) instead of O(table files)
+        — at the 280k-file / 60 MB-manifest design point, an append
+        rewrites ~2 KB of refs plus its own file entries, not 60 MB.
+
+        Segment-list growth is bounded at ``manifest_max_segments``
+        (table property, default 64) by folding the SMALLEST reused
+        segments into the commit's new segment — log-structured
+        merging, so large segments are rewritten rarely and snapshot
+        assembly stays O(bounded segment count) reads.
+
+        Crash safety: segments are placed (tmp + fsync + exclusive
+        rename) BEFORE the version file claims its name, so a reader
+        can never resolve a version whose segments are not durable; a
+        crash or lost commit race leaves only an unreferenced segment,
+        which vacuum_orphans reclaims after its age grace. On success,
+        ``snap.seg_index`` is populated in place so the NEXT commit on
+        this in-memory snapshot reuses these segments without a
+        re-read."""
+        payload = snap.to_json(include_files=False, include_epochs=False)
+        new_paths = {f_.path for f_ in snap.files}
+        reused: list[tuple[str, list[str]]] = []
+        covered: set[str] = set()
+        if base is not None and base.seg_index:
+            for seg_path, members in base.seg_index:
+                ms = set(members)
+                if members and ms <= new_paths and not (ms & covered):
+                    reused.append((seg_path, members))
+                    covered |= ms
+        max_segs = max(1, int(snap.properties.get(
+            "manifest_max_segments", DEFAULT_MAX_SEGMENTS)))
+        overflow = len(reused) + 1 - max_segs
+        if overflow > 0:
+            # fold the smallest into the new segment; keep the rest in
+            # their original order (assembly order is stable)
+            drop = set(sorted(range(len(reused)),
+                              key=lambda i: len(reused[i][1]))[:overflow])
+            for i in sorted(drop, reverse=True):
+                covered -= set(reused[i][1])
+                reused.pop(i)
+        rest = [f_ for f_ in snap.files if f_.path not in covered]
+        seg_refs = [{"path": p, "n_files": len(m)} for p, m in reused]
+        seg_index = list(reused)
+        if rest:
+            os.makedirs(self._seg_dir(), exist_ok=True)
+            name = f"seg-{uuid.uuid4().hex}.json"
+            _atomic_write_json(
+                os.path.join(self._seg_dir(), name),
+                {"files": [f_.to_json() for f_ in rest]},
+            )
+            seg_refs.append({"path": name, "n_files": len(rest)})
+            seg_index.append((name, [f_.path for f_ in rest]))
+            if len(self._seg_cache) < 256:
+                self._seg_cache[name] = rest
+        payload["segments"] = seg_refs
+
+        # the epoch ledger gets the same treatment: ids older than the
+        # moving tail live in immutable frozen chunks a commit
+        # re-references. The ledger is append-at-the-back and (on
+        # retention) pruned-from-the-front, so a base chunk is
+        # reusable iff its ids appear verbatim at the assembly cursor;
+        # a fully-pruned leading chunk is skipped, and the first
+        # PARTIALLY-pruned chunk ends reuse (its survivors and
+        # everything after re-chunk — once per retention event).
+        eps = snap.epochs
+        chunks: list[tuple[str, list[str]]] = []
+        i = 0
+        for cpath, ids in (base.epoch_chunk_index or []) if base else []:
+            n = len(ids)
+            if eps[i:i + n] == ids:
+                chunks.append((cpath, ids))
+                i += n
+            elif i == 0:
+                continue  # leading chunk fell off the retention window
+            else:
+                break
+        tail = eps[i:]
+        chunk_size = max(1, int(snap.properties.get(
+            "epoch_chunk_size", DEFAULT_EPOCH_CHUNK)))
+        while len(tail) > chunk_size:
+            ids, tail = tail[:chunk_size], tail[chunk_size:]
+            cname = f"ep-{uuid.uuid4().hex}.json"
+            os.makedirs(self._seg_dir(), exist_ok=True)
+            _atomic_write_json(os.path.join(self._seg_dir(), cname),
+                               {"epochs": ids})
+            chunks.append((cname, ids))
+            if len(self._seg_cache) < 256:
+                self._seg_cache[cname] = ids
+        payload["epoch_chunks"] = [
+            {"path": p, "n": len(ids)} for p, ids in chunks
+        ]
+        payload["epochs_tail"] = tail
+
+        _atomic_write_json(path or self._version_file(snap.version), payload)
+        snap.seg_index = seg_index
+        snap.epoch_chunk_index = chunks
 
     def _commit(
         self,
@@ -2145,7 +2416,7 @@ class IceliteTable:
             ts=time.time(),
             operation=operation,
         )
-        _atomic_write_json(self._version_file(new.version), new.to_json())
+        self._write_snapshot_file(new, base=base)
         return new
 
     def _commit_append(
@@ -2822,6 +3093,11 @@ class IceliteTable:
             return {"expired_snapshots": 0, "deleted_files": 0}
         files_of = {v: {f_.path for f_ in self.snapshot(v).files}
                     for v in versions}
+        segs_of = {
+            v: ({p for p, _m in (self.snapshot(v).seg_index or [])}
+                | {p for p, _i in (self.snapshot(v).epoch_chunk_index or [])})
+            for v in versions
+        }
         # Phase 1: take every doomed manifest OFF its name BEFORE any
         # deletion. create_tag resolves snapshot(version) through the
         # name, so a tag racing this expire from here on fails loudly
@@ -2847,20 +3123,32 @@ class IceliteTable:
             self._snap_cache.clear()
             return {"expired_snapshots": 0, "deleted_files": 0}
         keep = [v for v in versions if v not in expire]
+        br_files, br_segs = self._branch_referenced()
         referenced = _with_sidecars(
-            {p for v in keep for p in files_of[v]}
-            | self._branch_referenced_files())
+            {p for v in keep for p in files_of[v]} | br_files)
         doomed = _with_sidecars(
             {p for v in expire for p in files_of[v]}) - referenced
         for rel in doomed:
             p = os.path.join(self.data_path, rel)
             if os.path.exists(p):
                 os.unlink(p)
+        # manifest segments referenced ONLY by expired versions go too
+        # (they are what holds the expired file LISTS; the data files
+        # above are what holds the bytes)
+        live_segs = {p for v in keep for p in segs_of[v]} | br_segs
+        doomed_segs = {p for v in expire for p in segs_of[v]} - live_segs
+        for rel in doomed_segs:
+            try:
+                os.unlink(os.path.join(self._seg_dir(), rel))
+            except FileNotFoundError:
+                pass
+            self._seg_cache.pop(rel, None)
         for aside in moved.values():
             os.unlink(aside)
         # the snapshot walk above re-cached the expired versions — drop
         self._snap_cache.clear()
-        return {"expired_snapshots": len(expire), "deleted_files": len(doomed)}
+        return {"expired_snapshots": len(expire), "deleted_files": len(doomed),
+                "deleted_segments": len(doomed_segs)}
 
     def vacuum_orphans(self, older_than_s: float = 0.0) -> dict:
         """Delete data files on disk referenced by NO retained snapshot
@@ -2879,12 +3167,41 @@ class IceliteTable:
         if self.branch_name is not None:
             raise ValueError("run maintenance on the main table handle")
         versions = self._retained_versions()
+        br_files, br_segs = self._branch_referenced()
+        live_segs = {
+            p for v in versions
+            for p, _m in (self.snapshot(v).seg_index or [])
+        } | {
+            p for v in versions
+            for p, _i in (self.snapshot(v).epoch_chunk_index or [])
+        } | br_segs
         referenced = _with_sidecars(
             {f_.path for v in versions for f_ in self.snapshot(v).files}
-            | self._branch_referenced_files()
+            | br_files
         )
         cutoff = time.time() - older_than_s
         deleted = 0
+        # manifest segments referenced by NO retained version (crashed
+        # committers, lost commit races — each lost optimistic-commit
+        # attempt leaves its freshly written segment behind). Same
+        # in-flight hazard as data files: a commit places its segment
+        # BEFORE the version file, so the age grace is what makes this
+        # safe to run beside live writers.
+        deleted_segs = 0
+        seg_dir = self._seg_dir()
+        if os.path.isdir(seg_dir):
+            for fn in os.listdir(seg_dir):
+                if fn in live_segs:
+                    continue
+                fp = os.path.join(seg_dir, fn)
+                try:
+                    if older_than_s > 0 and os.path.getmtime(fp) > cutoff:
+                        continue
+                    os.unlink(fp)
+                except FileNotFoundError:
+                    continue
+                self._seg_cache.pop(fn, None)
+                deleted_segs += 1
         for root, _dirs, files in os.walk(self.data_path, topdown=False):
             for fn in files:
                 fp = os.path.join(root, fn)
@@ -2902,7 +3219,7 @@ class IceliteTable:
                     os.rmdir(root)
             except OSError:
                 pass  # vanished or refilled concurrently
-        return {"deleted_files": deleted}
+        return {"deleted_files": deleted, "deleted_segments": deleted_segs}
 
     # -- branches: write-audit-publish (Iceberg WAP analog) ------------------
     #
@@ -2924,15 +3241,21 @@ class IceliteTable:
             os.path.join(self.path, META_DIR), f"branch-{name}"
         )
 
-    def _branch_referenced_files(self) -> set[str]:
-        """Data files referenced by any live branch's snapshots."""
-        refs: set[str] = set()
+    def _branch_referenced(self) -> tuple[set[str], set[str]]:
+        """(data files, manifest segments) referenced by any live
+        branch's snapshots — both must survive maintenance while the
+        branch lives."""
+        files: set[str] = set()
+        segs: set[str] = set()
         for name in self.list_branches():
             b = self.branch(name)
             for f in os.listdir(b.meta_path):
                 if f.startswith("v") and f.endswith(".json"):
-                    refs |= {f_.path for f_ in b.snapshot(int(f[1:-5])).files}
-        return refs
+                    s = b.snapshot(int(f[1:-5]))
+                    files |= {f_.path for f_ in s.files}
+                    segs |= {p for p, _m in (s.seg_index or [])}
+                    segs |= {p for p, _i in (s.epoch_chunk_index or [])}
+        return files, segs
 
     def list_branches(self) -> list[str]:
         meta = os.path.join(self.path, META_DIR)
@@ -3039,8 +3362,15 @@ class IceliteTable:
             os.path.join(tmp, "fork.json"),
             {"name": name, "fork_version": snap.version},
         )
-        _atomic_write_json(
-            os.path.join(tmp, f"v{snap.version}.json"), snap.to_json()
+        # stage a COPY: _write_snapshot_file populates seg_index on its
+        # argument, and for a legacy inline-manifest snapshot that
+        # would point the (possibly memo-cached) MAIN snapshot object
+        # at a segment only the branch references — after drop_branch +
+        # vacuum, a later main commit reusing that index would
+        # reference a deleted segment
+        staged = replace(snap)
+        self._write_snapshot_file(
+            staged, base=snap, path=os.path.join(tmp, f"v{snap.version}.json")
         )
         try:
             os.rename(tmp, bdir)
@@ -3106,7 +3436,7 @@ class IceliteTable:
             ts=time.time(),
             operation="publish-branch",
         )
-        _atomic_write_json(self._version_file(new.version), new.to_json())
+        self._write_snapshot_file(new, base=head)
         return new
 
     def drop_branch(self, name: str) -> None:

@@ -46,6 +46,7 @@ from etl_spark.icelite.table import (
     META_DIR,
     Snapshot,
     _arrow_type,
+    assemble_snapshot,
     diff_file_flags,
     list_manifest_versions,
 )
@@ -60,8 +61,11 @@ def _versions(path: str) -> list[int]:
     return list_manifest_versions(meta)
 
 def _snapshot(path: str, v: int) -> Snapshot:
+    # assemble_snapshot, not bare from_json: segmented version files
+    # carry no inline "files" — a bare parse would silently diff EMPTY
+    # file sets and the stream would deliver nothing
     with open(os.path.join(path, META_DIR, f"v{v}.json")) as f:
-        return Snapshot.from_json(json.load(f))
+        return assemble_snapshot(json.load(f), path)
 
 
 class _BucketDiff(InputPartition):

@@ -74,7 +74,7 @@ def test_drop_branch_discards_and_vacuum_reclaims(spark, tbl_dir):
     t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
     b = t.create_branch("discard")
     b.append_delta(_updf(spark, [("rX", "x", 9, 9, "insert")]))
-    staged = t._branch_referenced_files() - {
+    staged = t._branch_referenced()[0] - {
         f_.path for f_ in t.snapshot().files
     }
     assert staged  # the branch really has branch-only data files

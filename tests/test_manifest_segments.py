@@ -1,0 +1,258 @@
+"""Segmented manifests (Iceberg's manifest-list shape, table.py).
+
+A version file stores segment REFERENCES; immutable segment files under
+meta/manifests/ hold the DataFile entries. The contract under test:
+
+- an append commit reuses every parent segment and writes ONE new
+  segment — per-epoch commit metadata is O(epoch files + n_segments),
+  not O(table files) (at the 280k-file design point: ~KBs per commit,
+  not a 60 MB manifest rewrite);
+- the segment list is bounded by the ``manifest_max_segments`` property
+  (smallest segments fold into the commit's new segment — LSM-style);
+- expire_snapshots deletes segments referenced only by expired
+  versions; vacuum_orphans reclaims unreferenced segments with the same
+  age-grace contract as data files;
+- legacy inline-``files`` manifests still read, and the next commit on
+  top of one upgrades it to segments;
+- a corrupt SEGMENT surfaces as CorruptSnapshot and must never trigger
+  the torn-VERSION-file reclaim (which deletes the claim).
+"""
+
+import json
+import os
+import time
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_spark.icelite.table import (
+    META_DIR,
+    MANIFESTS_DIR,
+    CorruptSnapshot,
+    IceliteTable,
+    Snapshot,
+    _atomic_write_json,
+)
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+        T.StructField("last_seq", T.LongType(), True),
+    ]
+)
+
+
+def make(spark, path, **kw):
+    return IceliteTable.create(
+        spark, path, SCHEMA, key_cols=["repo", "path"], n_buckets=4, **kw
+    )
+
+
+def df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def seg_dir(t):
+    return os.path.join(t.path, META_DIR, MANIFESTS_DIR)
+
+
+def version_json(t, v):
+    with open(t._version_file(v)) as f:
+        return json.load(f)
+
+
+def test_append_reuses_parent_segments_and_stays_small(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    for i in range(6):
+        t.append(df(spark, [(f"r{i}", "a", "x" * 50, i)]))
+    sizes = []
+    for v in range(1, 7):
+        d = version_json(t, v)
+        assert "files" not in d  # segmented, never inline
+        sizes.append(len(json.dumps(d["segments"])))
+    # every commit reuses the parent's refs verbatim as a prefix
+    for v in range(2, 7):
+        parent = [r["path"] for r in version_json(t, v - 1)["segments"]]
+        child = [r["path"] for r in version_json(t, v)["segments"]]
+        assert child[: len(parent)] == parent
+        assert len(child) == len(parent) + 1  # exactly one new segment
+    # ref-list bytes grow O(n_segments), not O(total files): each epoch
+    # adds one fixed-size ref (~85 B), while its file ENTRIES (~200+ B
+    # each, several per epoch with stats) live in the segment files
+    per_epoch_ref = (sizes[-1] - sizes[0]) / 5
+    assert per_epoch_ref < 120, sizes
+    assert t.read().count() == 6
+
+
+def test_max_segments_property_bounds_ref_list(spark, tbl_dir):
+    t = make(spark, tbl_dir,
+             properties={"manifest_max_segments": 3})
+    for i in range(10):
+        t.append(df(spark, [(f"r{i}", "a", "x", i)]))
+        assert len(version_json(t, t.current_version())["segments"]) <= 3
+    # folding must lose nothing at any version
+    assert t.read().count() == 10
+    for v in range(1, 11):
+        assert t.read(version=v).count() == v
+
+
+def test_expire_deletes_segments_of_expired_versions_only(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    up = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType(), False)])
+    for i in range(6):
+        t.append_delta(
+            spark.createDataFrame([(f"r{i}", "a", "x", i, "insert")], up)
+        )
+    # a pure append chain shares every segment with the head — only a
+    # REWRITE (compaction replaces the per-epoch delta files) leaves
+    # segments referenced exclusively by pre-rewrite versions
+    t.compact()
+    t.append(df(spark, [("r9", "z", "x", 9)]))
+    before = set(os.listdir(seg_dir(t)))
+    res = t.expire_snapshots(keep_last=2)
+    assert res["deleted_segments"] > 0
+    after = set(os.listdir(seg_dir(t)))
+    assert after < before
+    # every retained version still assembles (from a FRESH handle —
+    # no memo)
+    t2 = IceliteTable.load(spark, t.path)
+    for v in t2._retained_versions():
+        assert t2.read(version=v).count() > 0
+    # kept versions share segments with expired ones (the reuse chain):
+    # those shared segments must have survived
+    live = {
+        p for v in t2._retained_versions()
+        for p, _m in (t2.snapshot(v).seg_index or [])
+    }
+    assert live <= after
+
+
+def test_vacuum_reclaims_orphan_segments_with_age_grace(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", "x", 1)]))
+    stray = os.path.join(seg_dir(t), "seg-deadbeef.json")
+    _atomic_write_json(stray, {"files": []})
+    # young + grace window: an unreferenced segment could be a commit
+    # in flight (segments are placed BEFORE the version file) — kept
+    assert t.vacuum_orphans(older_than_s=3600)["deleted_segments"] == 0
+    assert os.path.exists(stray)
+    # aged: provably abandoned — reclaimed
+    os.utime(stray, (time.time() - 7200, time.time() - 7200))
+    assert t.vacuum_orphans(older_than_s=3600)["deleted_segments"] == 1
+    assert not os.path.exists(stray)
+    # live segments untouched
+    assert t.read().count() == 1
+
+
+def test_legacy_inline_manifest_reads_and_upgrades(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", "x", 1)]))
+    snap = t.snapshot()
+    # hand-write the next version as a LEGACY inline manifest (what a
+    # pre-segmentation writer produced): same files, version+1
+    legacy = Snapshot(
+        version=snap.version + 1,
+        schemas=snap.schemas,
+        n_buckets=snap.n_buckets,
+        key_cols=snap.key_cols,
+        files=snap.files,
+        properties=snap.properties,
+        epochs=snap.epochs,
+        ts=time.time(),
+        operation="legacy-append",
+    )
+    _atomic_write_json(t._version_file(legacy.version), legacy.to_json())
+    t2 = IceliteTable.load(spark, t.path)
+    assert t2.read().count() == 1
+    assert t2.snapshot().seg_index is None  # inline: no segments
+    # the next commit on top of the legacy head re-segments everything
+    t2.append(df(spark, [("r2", "b", "y", 2)]))
+    head = version_json(t2, t2.current_version())
+    assert "files" not in head and head["segments"]
+    assert t2.read().count() == 2
+
+
+def test_corrupt_segment_is_corrupt_snapshot_never_reclaimed(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", "x", 1)]))
+    v = t.current_version()
+    ref = version_json(t, v)["segments"][0]["path"]
+    seg_path = os.path.join(seg_dir(t), ref)
+    with open(seg_path, "w") as f:
+        f.write("{not json")
+    # age BOTH files past the torn grace: if the segment parse error
+    # leaked as JSONDecodeError, snapshot() would treat the VERSION
+    # file as a torn claim and delete a valid commit
+    old = time.time() - 3600
+    os.utime(seg_path, (old, old))
+    os.utime(t._version_file(v), (old, old))
+    t2 = IceliteTable.load(spark, t.path)
+    with pytest.raises(CorruptSnapshot, match="segment"):
+        t2.snapshot(v)
+    assert os.path.exists(t._version_file(v))  # never reclaimed
+    # a missing referenced segment is the same class
+    os.unlink(seg_path)
+    with pytest.raises(CorruptSnapshot, match="missing"):
+        t2.snapshot(v)
+    assert os.path.exists(t._version_file(v))
+
+
+def test_rollback_and_publish_write_no_new_segments(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", "x", 1)]))
+    t.append(df(spark, [("r2", "b", "y", 2)]))
+    n_before = len(os.listdir(seg_dir(t)))
+    t.rollback(1)  # pure re-reference: O(1) metadata
+    assert len(os.listdir(seg_dir(t))) == n_before
+    assert t.read().count() == 1
+    b = t.create_branch("wap")  # full reuse at fork
+    assert len(os.listdir(seg_dir(t))) == n_before
+    b.append(df(spark, [("r3", "c", "z", 3)]))  # one staged segment
+    n_staged = len(os.listdir(seg_dir(t)))
+    assert n_staged == n_before + 1
+    t.publish_branch("wap")  # fast-forward re-references the head
+    assert len(os.listdir(seg_dir(t))) == n_staged
+    assert t.read().count() == 2
+
+def test_epoch_ledger_chunks_freeze_and_reuse(spark, tbl_dir):
+    t = make(spark, tbl_dir, properties={"epoch_chunk_size": 3})
+    ids = [f"e:{i}:{i + 1}" for i in range(10)]
+    for i, eid in enumerate(ids):
+        t.append(df(spark, [(f"r{i}", "a", "x", i)]), epoch_id=eid)
+    d = version_json(t, t.current_version())
+    assert "epochs" not in d  # ledger never inlined
+    assert len(d["epochs_tail"]) <= 3
+    assert sum(c["n"] for c in d["epoch_chunks"]) + len(d["epochs_tail"]) == 10
+    # chunks are REUSED refs: the parent's chunk list is a prefix
+    parent = version_json(t, t.current_version() - 1)
+    assert [c["path"] for c in d["epoch_chunks"]][: len(parent["epoch_chunks"])] \
+        == [c["path"] for c in parent["epoch_chunks"]]
+    # a fresh handle assembles the full ledger and idempotency holds
+    t2 = IceliteTable.load(spark, t.path)
+    assert t2.committed_epochs() == ids
+    for eid in ids:
+        assert t2.has_epoch(eid)
+    assert not t2.has_epoch("e:99:100")
+    # redelivery short-circuits on a chunked id (no new version)
+    v = t2.current_version()
+    t2.append(df(spark, [("dup", "x", "y", 0)]), epoch_id=ids[0])
+    assert t2.current_version() == v
+
+
+def test_epoch_retention_prunes_across_chunks(spark, tbl_dir):
+    t = make(spark, tbl_dir, properties={
+        "epoch_chunk_size": 3, "epoch_retention": 4})
+    ids = [f"w:{i}:{i + 1}" for i in range(12)]
+    for i, eid in enumerate(ids):
+        t.append(df(spark, [(f"r{i}", "a", "x", i)]), epoch_id=eid)
+    t2 = IceliteTable.load(spark, t.path)
+    snap = t2.snapshot()
+    assert len(snap.epochs) <= 4
+    assert snap.epochs == ids[-len(snap.epochs):]  # newest survive verbatim
+    # pruned window-encoded ids still answer as committed (interval fold)
+    for eid in ids:
+        assert t2.has_epoch(eid), eid
+    assert not t2.has_epoch("w:50:51")
+    assert t2.read().count() == 12

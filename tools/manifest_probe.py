@@ -1,0 +1,118 @@
+"""Measure commit metadata write amplification: segmented manifests
+vs the legacy inline file list.
+
+Pure-metadata microbench (no Spark, no data IO): drive
+``_write_snapshot_file`` through an epoch-append chain with synthetic
+DataFile entries shaped like real winnow output (per-file stats dict,
+bloom sidecar ref), and compare bytes written per commit against what
+an inline ``files`` manifest would have written (len of the full
+serialized snapshot — exactly what the pre-r5 writer fsync'd per
+commit).
+
+Usage: python tools/manifest_probe.py [n_epochs] [files_per_epoch]
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, ".")
+
+from etl_spark.icelite.table import (  # noqa: E402
+    DataFile,
+    IceliteTable,
+    MANIFESTS_DIR,
+    META_DIR,
+    Snapshot,
+)
+
+
+def synthetic_files(epoch: int, n: int) -> list[DataFile]:
+    return [
+        DataFile(
+            path=f"bucket={i % 64}/part-e{epoch:05d}-{i:04d}.parquet",
+            bucket=i % 64,
+            rows=100_000 + i,
+            bytes=48_000_000 + i,
+            schema_id=0,
+            kind="delta",
+            stats={
+                "last_seq": [epoch * 1_000_000, (epoch + 1) * 1_000_000 - 1],
+                "event_time": [
+                    "2024-03-11T00:00:00.000000",
+                    "2024-03-11T23:59:59.999999",
+                ],
+            },
+            bloom=f"bucket={i % 64}/part-e{epoch:05d}-{i:04d}.parquet.bloom",
+        )
+        for i in range(n)
+    ]
+
+
+def main() -> None:
+    n_epochs = int(sys.argv[1]) if len(sys.argv) > 1 else 200
+    per_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    root = tempfile.mkdtemp(prefix="manifest_probe_")
+    try:
+        t = IceliteTable.__new__(IceliteTable)
+        t.spark = None
+        t.path = os.path.join(root, "t")
+        t.meta_path = os.path.join(t.path, META_DIR)
+        t.data_path = os.path.join(t.path, "data")
+        t.branch_name = None
+        t._snap_cache = {}
+        t._seg_cache = {}
+        os.makedirs(t.meta_path)
+
+        snap = Snapshot(version=0, schemas=["{}"], n_buckets=64,
+                        key_cols=["repo", "path"], files=[])
+        t._write_snapshot_file(snap, base=None)
+        base = snap
+
+        seg_bytes = ver_bytes = inline_bytes = 0
+        files: list[DataFile] = []
+        for e in range(1, n_epochs + 1):
+            files = files + synthetic_files(e, per_epoch)
+            new = Snapshot(version=e, schemas=["{}"], n_buckets=64,
+                           key_cols=["repo", "path"], files=files,
+                           epochs=[f"ep:{i}:{i+1}" for i in range(e)])
+            before = {
+                f: os.path.getsize(os.path.join(t._seg_dir(), f))
+                for f in os.listdir(t._seg_dir())
+            } if os.path.isdir(t._seg_dir()) else {}
+            t._write_snapshot_file(new, base=base)
+            after = {
+                f: os.path.getsize(os.path.join(t._seg_dir(), f))
+                for f in os.listdir(t._seg_dir())
+            }
+            seg_bytes += sum(sz for f, sz in after.items() if f not in before)
+            ver_bytes += os.path.getsize(t._version_file(e))
+            inline_bytes += len(json.dumps(new.to_json()))
+            base = new
+
+        n_files = n_epochs * per_epoch
+        segmented = seg_bytes + ver_bytes
+        last_inline = len(json.dumps(base.to_json()))
+        with open(t._version_file(n_epochs)) as f:
+            last_refs = len(json.load(f)["segments"])
+        print(json.dumps({
+            "epochs": n_epochs,
+            "files_final": n_files,
+            "segments_final": last_refs,
+            "inline_total_mb": round(inline_bytes / 1e6, 2),
+            "segmented_total_mb": round(segmented / 1e6, 2),
+            "amplification_x": round(inline_bytes / segmented, 1),
+            "last_commit_inline_kb": round(last_inline / 1e3, 1),
+            "last_commit_segmented_kb": round(
+                (os.path.getsize(t._version_file(n_epochs))
+                 + sum(sz for f, sz in after.items() if f not in before))
+                / 1e3, 1),
+        }))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
