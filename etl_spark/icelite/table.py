@@ -367,42 +367,47 @@ def list_manifest_versions(meta_path: str) -> list[int]:
     )
 
 
-def _read_segment_file(seg_dir: str, rel: str) -> list["DataFile"]:
-    """Parse one immutable manifest segment. Failures surface as
-    CorruptSnapshot, NEVER as JSONDecodeError: ``snapshot()`` treats a
-    JSONDecodeError as a torn VERSION file and may reclaim it — a
-    segment parse error escaping with that type would delete a valid
-    commit. A missing referenced segment is the same class (external
-    deletion / a maintenance bug), not FileNotFoundError, which callers
-    interpret as "version expired"."""
+def _read_manifest_object(seg_dir: str, rel: str, parse, what: str):
+    """Shared read envelope for immutable manifest objects (file
+    segments and epoch-ledger chunks). EVERY failure — missing file,
+    torn bytes, or valid JSON of the wrong SHAPE (missing key, non-list
+    payload, malformed entry) — surfaces as CorruptSnapshot, NEVER as
+    JSONDecodeError/KeyError/TypeError: ``snapshot()`` treats a
+    JSONDecodeError as a torn VERSION file and may reclaim it (a
+    segment error escaping with that type would delete a valid
+    commit), and callers like history()/version_as_of handle
+    FileNotFoundError as "version expired", which a missing referenced
+    object is not."""
     p = os.path.join(seg_dir, rel)
     try:
         with open(p) as f:
-            d = json.load(f)
+            return parse(json.load(f))
     except FileNotFoundError:
         raise CorruptSnapshot(
-            f"manifest segment {p!r} is referenced by a live version "
-            f"file but missing on disk"
+            f"{what} {p!r} is referenced by a live version file but "
+            f"missing on disk"
         ) from None
-    except (json.JSONDecodeError, UnicodeDecodeError) as e:
-        raise CorruptSnapshot(f"unparsable manifest segment {p!r}: {e}") from e
-    return [DataFile.from_json(x) for x in d["files"]]
+    except (json.JSONDecodeError, UnicodeDecodeError, KeyError,
+            TypeError, AttributeError) as e:
+        raise CorruptSnapshot(f"unreadable {what} {p!r}: {e!r}") from e
+
+
+def _read_segment_file(seg_dir: str, rel: str) -> list["DataFile"]:
+    if not rel.startswith("seg-"):
+        raise CorruptSnapshot(f"segment ref {rel!r} is not a seg-*.json object")
+    return _read_manifest_object(
+        seg_dir, rel,
+        lambda d: [DataFile.from_json(x) for x in d["files"]],
+        "manifest segment",
+    )
 
 
 def _read_epoch_chunk(seg_dir: str, rel: str) -> list[str]:
-    """Parse one immutable epoch-ledger chunk; same error taxonomy as
-    ``_read_segment_file`` (CorruptSnapshot, never JSONDecodeError)."""
-    p = os.path.join(seg_dir, rel)
-    try:
-        with open(p) as f:
-            return json.load(f)["epochs"]
-    except FileNotFoundError:
-        raise CorruptSnapshot(
-            f"epoch chunk {p!r} is referenced by a live version file "
-            f"but missing on disk"
-        ) from None
-    except (json.JSONDecodeError, UnicodeDecodeError) as e:
-        raise CorruptSnapshot(f"unparsable epoch chunk {p!r}: {e}") from e
+    if not rel.startswith("ep-"):
+        raise CorruptSnapshot(f"epoch-chunk ref {rel!r} is not an ep-*.json object")
+    return _read_manifest_object(
+        seg_dir, rel, lambda d: list(d["epochs"]), "epoch chunk"
+    )
 
 
 def assemble_snapshot(d: dict, table_path: str, seg_loader=None,
@@ -417,6 +422,14 @@ def assemble_snapshot(d: dict, table_path: str, seg_loader=None,
     snap = Snapshot.from_json(d)
     seg_dir = os.path.join(table_path, META_DIR, MANIFESTS_DIR)
     segs = d.get("segments")
+    if segs is None and "files" not in d:
+        # valid JSON of the wrong shape (neither inline nor segmented):
+        # from_json would silently yield files=[], and a change feed
+        # built on an empty file set fabricates a delete for every key
+        raise CorruptSnapshot(
+            f"version file for v{d.get('version')} carries neither "
+            f"'files' nor 'segments' — wrong-shape manifest"
+        )
     if segs is not None:
         load = seg_loader or _read_segment_file
         files: list[DataFile] = []
@@ -1299,26 +1312,42 @@ class IceliteTable:
         # segments, so forking/publishing a branch reuses them wholesale
         return os.path.join(self.path, META_DIR, MANIFESTS_DIR)
 
+    def _cache_manifest_object(self, rel: str, obj: list) -> None:
+        # evict-then-insert (FIFO): the newest object is the one the
+        # next snapshot()/history() will ask for — a full cache must
+        # not pin old entries while skipping fresh ones
+        if len(self._seg_cache) >= 256:
+            self._seg_cache.pop(next(iter(self._seg_cache)), None)
+        self._seg_cache[rel] = obj
+
     def _load_segment(self, seg_dir: str, rel: str) -> list:
+        # the shared memo is keyed by rel name; the prefix check makes
+        # the seg-/ep- namespace split STRUCTURAL — a corrupt version
+        # file cross-referencing an epoch chunk as a segment must
+        # surface as corruption, not serve id strings as DataFiles
+        if not rel.startswith("seg-"):
+            raise CorruptSnapshot(
+                f"segment ref {rel!r} is not a seg-*.json object"
+            )
         hit = self._seg_cache.get(rel)
         if hit is not None:
             return hit
         members = _read_segment_file(seg_dir, rel)
-        if len(self._seg_cache) >= 256:
-            self._seg_cache.pop(next(iter(self._seg_cache)), None)
-        self._seg_cache[rel] = members
+        self._cache_manifest_object(rel, members)
         return members
 
     def _load_chunk(self, seg_dir: str, rel: str) -> list:
         # epoch-ledger chunks share the segment memo (rel names are
         # disjoint: ep-* vs seg-*) and the same immutability contract
+        if not rel.startswith("ep-"):
+            raise CorruptSnapshot(
+                f"epoch-chunk ref {rel!r} is not an ep-*.json object"
+            )
         hit = self._seg_cache.get(rel)
         if hit is not None:
             return hit
         ids = _read_epoch_chunk(seg_dir, rel)
-        if len(self._seg_cache) >= 256:
-            self._seg_cache.pop(next(iter(self._seg_cache)), None)
-        self._seg_cache[rel] = ids
+        self._cache_manifest_object(rel, ids)
         return ids
 
     def current_version(self) -> int | None:
@@ -2310,7 +2339,13 @@ class IceliteTable:
                     covered |= ms
         max_segs = max(1, int(snap.properties.get(
             "manifest_max_segments", DEFAULT_MAX_SEGMENTS)))
-        overflow = len(reused) + 1 - max_segs
+        rest = [f_ for f_ in snap.files if f_.path not in covered]
+        # the +1 slot is for the NEW segment — reserved only when one
+        # is actually needed: a pure re-reference commit (rollback,
+        # branch fork, publish) at the segment cap must stay O(1)
+        # metadata, not fold-and-rewrite a duplicate of its smallest
+        # segment
+        overflow = len(reused) + (1 if rest else 0) - max_segs
         if overflow > 0:
             # fold the smallest into the new segment; keep the rest in
             # their original order (assembly order is stable)
@@ -2319,7 +2354,7 @@ class IceliteTable:
             for i in sorted(drop, reverse=True):
                 covered -= set(reused[i][1])
                 reused.pop(i)
-        rest = [f_ for f_ in snap.files if f_.path not in covered]
+            rest = [f_ for f_ in snap.files if f_.path not in covered]
         seg_refs = [{"path": p, "n_files": len(m)} for p, m in reused]
         seg_index = list(reused)
         if rest:
@@ -2331,8 +2366,7 @@ class IceliteTable:
             )
             seg_refs.append({"path": name, "n_files": len(rest)})
             seg_index.append((name, [f_.path for f_ in rest]))
-            if len(self._seg_cache) < 256:
-                self._seg_cache[name] = rest
+            self._cache_manifest_object(name, rest)
         payload["segments"] = seg_refs
 
         # the epoch ledger gets the same treatment: ids older than the
@@ -2365,8 +2399,7 @@ class IceliteTable:
             _atomic_write_json(os.path.join(self._seg_dir(), cname),
                                {"epochs": ids})
             chunks.append((cname, ids))
-            if len(self._seg_cache) < 256:
-                self._seg_cache[cname] = ids
+            self._cache_manifest_object(cname, ids)
         payload["epoch_chunks"] = [
             {"path": p, "n": len(ids)} for p, ids in chunks
         ]
@@ -2400,11 +2433,39 @@ class IceliteTable:
         # streaming sink would otherwise rewrite an ever-growing list
         # into every manifest. Window-encoded ids fold into interval
         # summaries first, so resume and idempotency survive pruning.
+        #
+        # Retention is a FLOOR (keep at least N) and the prune is
+        # QUANTIZED to the base's frozen chunk boundaries: dropping one
+        # id per commit would shift the ledger front every commit, so
+        # no frozen chunk would ever match at the reuse cursor again
+        # and _write_snapshot_file would re-chunk the ENTIRE ledger on
+        # EVERY steady-state commit — the exact O(retention) cost
+        # chunking exists to remove. Whole-chunk pruning fires once per
+        # chunk_size commits instead; the ledger length is bounded by
+        # retention + chunk_size + tail. When nothing whole-chunk can
+        # be dropped (no chunks frozen yet, or a legacy inline ledger),
+        # fall back to the exact prune and eat one re-chunk event.
         retention = int(props.get("epoch_retention",
                                   DEFAULT_EPOCH_RETENTION))
         if retention > 0 and len(epochs) > retention:
-            pruned, epochs = epochs[:-retention], epochs[-retention:]
-            _fold_pruned_epochs(pruned, props)
+            excess = len(epochs) - retention
+            boundary = 0
+            for _p, ids in (base.epoch_chunk_index or []):
+                if boundary + len(ids) <= excess:
+                    boundary += len(ids)
+                else:
+                    break
+            if boundary == 0 and not base.epoch_chunk_index:
+                # no frozen chunks (legacy ledger, or chunk_size >
+                # retention so nothing ever freezes): exact prune.
+                # When chunks DO exist but none is wholly past the
+                # horizon, DEFER instead — pruning mid-chunk would
+                # misalign the reuse cursor and re-chunk the whole
+                # ledger this commit and every commit after
+                boundary = excess
+            if boundary:
+                pruned, epochs = epochs[:boundary], epochs[boundary:]
+                _fold_pruned_epochs(pruned, props)
         new = Snapshot(
             version=base.version + 1,
             schemas=schemas,

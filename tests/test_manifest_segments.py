@@ -249,10 +249,87 @@ def test_epoch_retention_prunes_across_chunks(spark, tbl_dir):
         t.append(df(spark, [(f"r{i}", "a", "x", i)]), epoch_id=eid)
     t2 = IceliteTable.load(spark, t.path)
     snap = t2.snapshot()
-    assert len(snap.epochs) <= 4
+    # retention is a FLOOR, quantized to chunk boundaries: the ledger
+    # holds [retention, retention + chunk_size] ids (per-commit exact
+    # pruning would shift the front every commit and force a full
+    # re-chunk per commit — the O(retention) cost chunking removes)
+    assert 4 <= len(snap.epochs) <= 4 + 3
     assert snap.epochs == ids[-len(snap.epochs):]  # newest survive verbatim
     # pruned window-encoded ids still answer as committed (interval fold)
     for eid in ids:
         assert t2.has_epoch(eid), eid
     assert not t2.has_epoch("w:50:51")
     assert t2.read().count() == 12
+
+def test_steady_state_retention_keeps_chunk_reuse(spark, tbl_dir):
+    """Past the retention horizon, commits must keep REUSING frozen
+    chunks — a per-commit front-prune would misalign every chunk and
+    re-chunk the entire ledger on every commit (O(retention) metadata
+    per commit, the exact cost chunking exists to remove)."""
+    t = make(spark, tbl_dir, properties={
+        "epoch_chunk_size": 3, "epoch_retention": 5})
+    ids = [f"s:{i}:{i + 1}" for i in range(20)]
+    for i, eid in enumerate(ids):
+        t.append(df(spark, [(f"r{i}", "a", "x", i)]), epoch_id=eid)
+    # ~1 chunk freezes per 3 commits; a full re-chunk per commit would
+    # leave ~20 × 2-3 chunk files behind
+    n_chunks = sum(1 for f in os.listdir(seg_dir(t)) if f.startswith("ep-"))
+    assert n_chunks <= 9, n_chunks
+    # consecutive steady-state commits share their chunk refs: the
+    # child's chunk list extends or front-prunes the parent's by WHOLE
+    # chunks, never reshuffles it
+    for v in range(12, t.current_version() + 1):
+        parent = [c["path"] for c in version_json(t, v - 1)["epoch_chunks"]]
+        child = [c["path"] for c in version_json(t, v)["epoch_chunks"]]
+        drop = len(parent) - len(child) + (1 if len(child) > len(parent) else 0)
+        assert child[: len(parent) - max(drop, 0)] == parent[max(drop, 0):] \
+            or child[:len(parent)] == parent, (v, parent, child)
+    # the ledger floor holds and every id (live or pruned) answers
+    snap = IceliteTable.load(spark, t.path).snapshot()
+    assert 5 <= len(snap.epochs) <= 5 + 3
+    for eid in ids:
+        assert t.has_epoch(eid), eid
+
+
+def test_rollback_at_segment_cap_writes_nothing(spark, tbl_dir):
+    t = make(spark, tbl_dir, properties={"manifest_max_segments": 2})
+    for i in range(5):
+        t.append(df(spark, [(f"r{i}", "a", "x", i)]))
+    n_before = len(os.listdir(seg_dir(t)))
+    t.rollback(3)  # pure re-reference at the cap: no fold, no rewrite
+    assert len(os.listdir(seg_dir(t))) == n_before
+    assert t.read().count() == 3
+
+
+def test_wrong_shape_objects_are_corrupt_snapshot(spark, tbl_dir):
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", "x", 1)]))
+    v = t.current_version()
+    ref = version_json(t, v)["segments"][0]["path"]
+    # valid JSON, wrong shape: no "files" key
+    with open(os.path.join(seg_dir(t), ref), "w") as f:
+        json.dump({"not_files": []}, f)
+    t2 = IceliteTable.load(spark, t.path)
+    with pytest.raises(CorruptSnapshot, match="unreadable"):
+        t2.snapshot(v)
+    # a version file with NEITHER files nor segments is wrong-shape,
+    # not an empty table (an empty file set would fabricate deletes
+    # for every key in any diff built on it)
+    d = version_json(t, 0)
+    d.pop("segments", None)
+    d.pop("files", None)
+    os.unlink(t._version_file(0))
+    _atomic_write_json(t._version_file(0), d)
+    t3 = IceliteTable.load(spark, t.path)
+    with pytest.raises(CorruptSnapshot, match="wrong-shape"):
+        t3.snapshot(0)
+    # cross-namespace refs refuse instead of serving the wrong type
+    # (segments assemble first, so keep them empty to reach the chunks)
+    d2 = version_json(t, v)
+    d2["segments"] = []
+    d2["epoch_chunks"] = [{"path": ref, "n": 1}]
+    os.unlink(t._version_file(v))
+    _atomic_write_json(t._version_file(v), d2)
+    t4 = IceliteTable.load(spark, t.path)
+    with pytest.raises(CorruptSnapshot, match="ep-"):
+        t4.snapshot(v)
