@@ -1,0 +1,146 @@
+"""Randomized soak of the segmented-manifest machinery under TIGHT
+bounds (manifest_max_segments=3, epoch_chunk_size=2, epoch_retention=6)
+so every folding/pruning path fires constantly: segment LSM folds on
+most commits, ledger chunks freeze every other epoch, whole-chunk
+retention prunes fire repeatedly, and rollback/expire/vacuum interleave
+with all of it.
+
+Checked against an independent Python model every step:
+- read() == LWW fold of every delivered event;
+- has_epoch() answers True for every id the CURRENT ledger lineage
+  committed (verbatim or via the pruned-window interval fold) and
+  False for ids forgotten by rollback — the exactly-once surface;
+- redelivering any committed id is a version no-op;
+- version files stay within the segment bound and the ledger stays
+  within retention + chunk_size.
+"""
+
+import json
+import os
+import random
+
+import pytest
+from pyspark.sql import types as T
+
+from etl_spark.icelite.table import IceliteTable
+
+KEYS = [f"k{i}" for i in range(8)]
+
+SCHEMA = T.StructType([
+    T.StructField("k", T.StringType(), False),
+    T.StructField("v", T.LongType(), True),
+    T.StructField("last_seq", T.LongType(), False),
+])
+
+UP = T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType(), False)])
+
+
+def _read_state(t):
+    return {r["k"]: (r["last_seq"], r["v"]) for r in t.read().collect()}
+
+
+def _model_live(model):
+    return {k: (seq, val) for k, (seq, val) in model.items()
+            if val is not None}
+
+
+@pytest.mark.parametrize("seed", [5, 17])
+def test_manifest_random_walk(spark, tbl_dir, seed):
+    rng = random.Random(seed)
+    t = IceliteTable.create(
+        spark, os.path.join(tbl_dir, f"ms{seed}"), SCHEMA,
+        key_cols=("k",), n_buckets=4,
+        properties={"manifest_max_segments": 3, "epoch_chunk_size": 2,
+                    "epoch_retention": 6},
+    )
+    model: dict[str, tuple[int, int | None]] = {}
+    ledger: list[str] = []
+    seq = 0
+    # version -> (model copy, ledger copy); mirrors rollback semantics
+    history = {t.current_version(): (dict(model), list(ledger))}
+
+    def deliver(eid, rows):
+        t.append_delta(spark.createDataFrame(rows, UP), epoch_id=eid)
+
+    for step in range(40):
+        op = rng.choices(
+            ["epoch", "redeliver", "compact", "rollback", "expire",
+             "vacuum"],
+            weights=[50, 10, 12, 10, 9, 9])[0]
+
+        if op == "epoch":
+            lo = seq
+            rows = []
+            for k in rng.sample(KEYS, rng.randint(1, 3)):
+                seq += 1
+                row_op = rng.choice(["insert", "update", "delete"])
+                val = rng.randint(0, 99)
+                rows.append((k, None if row_op == "delete" else val,
+                             seq, row_op))
+            eid = f"ms:{lo}:{seq}"
+            deliver(eid, rows)
+            for k, val, s, row_op in rows:
+                cur = model.get(k)
+                if cur is None or s > cur[0]:
+                    model[k] = (s, None if row_op == "delete" else val)
+            ledger.append(eid)
+            history[t.current_version()] = (dict(model), list(ledger))
+
+        elif op == "redeliver":
+            if not ledger:
+                continue
+            v = t.current_version()
+            # redeliver a committed id with GARBAGE rows: the ledger
+            # (verbatim or interval-folded) must no-op it
+            eid = rng.choice(ledger)
+            deliver(eid, [("k0", 12345, 10 ** 9, "insert")])
+            assert t.current_version() == v, (step, eid)
+
+        elif op == "compact":
+            t.compact(chunk_bytes=rng.choice([1, 1 << 30]))
+            history[t.current_version()] = (dict(model), list(ledger))
+
+        elif op == "rollback":
+            live = [v for v in history if v != t.current_version()]
+            if not live:
+                continue
+            target = rng.choice(live)
+            t.rollback(target)
+            model, ledger = (dict(history[target][0]),
+                             list(history[target][1]))
+            history[t.current_version()] = (dict(model), list(ledger))
+
+        elif op == "expire":
+            t.expire_snapshots(keep_last=3)
+            for v in [v for v in sorted(history)[:-3]
+                      if v not in set(t.list_tags().values())]:
+                history.pop(v, None)
+
+        elif op == "vacuum":
+            # no in-flight writer in this walk, so age 0 is safe; live
+            # segments/chunks of every retained version must survive
+            t.vacuum_orphans()
+
+        # hard checks every step
+        assert _read_state(t) == _model_live(model), \
+            f"seed={seed} step={step} op={op}"
+        for eid in ledger:
+            assert t.has_epoch(eid), f"seed={seed} step={step} {eid}"
+        assert not t.has_epoch(f"ms:{10**8}:{10**8 + 1}")
+        snap = t.snapshot()
+        # ledger bound: retention floor + one chunk of deferral
+        assert len(snap.epochs) <= 6 + 2, (step, len(snap.epochs))
+        with open(t._version_file(snap.version)) as f:
+            d = json.load(f)
+        assert len(d["segments"]) <= 3, (step, d["segments"])
+        assert len(d.get("epochs_tail", [])) <= 2
+        # every retained version still assembles after maintenance
+        if step % 7 == 6:
+            for v in t._retained_versions():
+                t.snapshot(v)
+
+    # end-state: fresh handle (no memos) agrees on rows AND ledger
+    t2 = IceliteTable.load(spark, t.path)
+    assert _read_state(t2) == _model_live(model)
+    for eid in ledger:
+        assert t2.has_epoch(eid)
