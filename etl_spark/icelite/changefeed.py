@@ -163,7 +163,10 @@ class ChangeFeedCursor:
                 lock_fd = os.open(f"{self.cursor_path}.lock",
                                   os.O_CREAT | os.O_RDWR, 0o644)
                 fcntl.flock(lock_fd, fcntl.LOCK_EX)
-            except OSError:
+            except (OSError, ImportError):
+                # ImportError: no fcntl module at all (non-posix) —
+                # the same documented best-effort degradation as a
+                # filesystem that refuses flock, not a crash
                 if lock_fd is not None:
                     os.close(lock_fd)
                 lock_fd = None  # flock unsupported: best-effort

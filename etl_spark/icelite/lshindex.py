@@ -55,6 +55,7 @@ current by the change feed.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -324,8 +325,20 @@ class LshIndexView:
         # probed (band, band_hash) keys (an action that materializes
         # the whole shingle→minhash pipeline) and the final join would
         # otherwise re-execute the identical sketch lineage from
-        # scratch — 2x the O(batch × n_perms) serving cost
-        out = os.path.join(scratch_dir("lshprobe_"), "bands")
+        # scratch — 2x the O(batch × n_perms) serving cost.
+        # Storage stays O(ONE probe batch): the PREVIOUS call's spill
+        # is deleted eagerly (same superseded-round reclaim as
+        # connected_components) — a long-lived serving process calling
+        # this per incoming batch must not accumulate a parquet per
+        # call until interpreter exit. Contract: the frame returned by
+        # the previous candidates_for call is dead once the next call
+        # starts.
+        prev = getattr(self, "_probe_spill", None)
+        if prev is not None:
+            shutil.rmtree(prev, ignore_errors=True)
+        spill = scratch_dir("lshprobe_")
+        self._probe_spill = spill
+        out = os.path.join(spill, "bands")
         self._band_rows(docs).write.parquet(out)
         b = docs.sparkSession.read.parquet(out)
         hits = self.index.read_matching(

@@ -242,14 +242,23 @@ def read_quarantine(spark: SparkSession, qroot: str,
                                  recursive=True)
         })
         frames = [spark.read.parquet(d) for d in dirs]
-        order = ["integer", "long", "float", "double"]
-
         def widen(a: T.DataType, b: T.DataType) -> T.DataType:
             if a == b:
                 return a
             ta, tb = a.typeName(), b.typeName()
-            if ta in order and tb in order:
-                return a if order.index(ta) >= order.index(tb) else b
+            ints, floats = ("integer", "long"), ("float", "double")
+            if ta in ints and tb in ints:
+                return T.LongType()
+            if ta in floats and tb in floats:
+                return T.DoubleType()
+            if {ta, tb} <= {*ints, *floats}:
+                # MIXED int/float never resolves to a 32-bit float: a
+                # linear rank would pick FloatType for long-vs-float
+                # and silently corrupt 64-bit seq/size values above
+                # 2^24 in the triage frame. double holds every int32
+                # exactly and every int64 the ledger's own widen
+                # vocabulary accepts as lossless-enough for triage
+                return T.DoubleType()
             return T.StringType()
 
         types: dict[str, T.DataType] = {}

@@ -133,22 +133,27 @@ def render_wal_envelope(events: DataFrame, connector: str = "walfeed",
     new columns. Producers emit schema changes on the wire via
     :func:`schema_change_envelope` (which carries the migration
     delta), never through this renderer."""
-    if "op" in events.columns and events.where(
-            F.col("op") == "schema_change").limit(1).count() > 0:
-        raise ValueError(
-            "render_wal_envelope cannot render op='schema_change' rows "
-            "— a canonical event carries no migration payload, and the "
-            "sc envelope would decode as corrupt; emit the change via "
-            "schema_change_envelope(...) and filter these rows out"
-        )
     img_cols = [f.name for f in events.schema.fields
                 if f.name not in _META_COLS and f.name not in keep]
     img = F.struct(*[F.col(c) for c in img_cols])
     op = F.col("op")
+    # the refusal lives IN the render plan (raise_error on the branch)
+    # instead of a pre-scan: `where(op=='schema_change').limit(1)
+    # .count()` re-executed the entire upstream derivation once per
+    # render call just to prove the normal case clean — doubling every
+    # WAL-segment write. The in-plan error fires only on an offending
+    # row, costs nothing otherwise, and also catches UNKNOWN op codes
+    # that previously rendered as a silent NULL op envelope
     code = F.when(op == "insert", F.lit("c")) \
         .when(op == "update", F.lit("u")) \
         .when(op == "delete", F.lit("d")) \
-        .when(op == "schema_change", F.lit("sc"))
+        .otherwise(F.raise_error(F.concat(
+            F.lit("render_wal_envelope cannot render op='"), op,
+            F.lit("' rows — a canonical event carries no migration "
+                  "payload, and the sc envelope would decode as "
+                  "corrupt; emit schema changes via "
+                  "schema_change_envelope(...) and filter these rows "
+                  "out"))))
     ts_us = F.unix_micros(F.col("event_time").cast("timestamp"))
     payload = F.struct(
         F.when(op == "delete", img).alias("before"),

@@ -154,13 +154,20 @@ def test_candidates_for_probes_without_indexing(spark, tbl_dir):
     assert not {m for (q, m) in got if q == 101}
     assert view.index.current_version() == v_before
 
-    # probing a doc that IS indexed drops the self-match
+    # probing a doc that IS indexed drops the self-match; the previous
+    # probe's sketch spill is reclaimed eagerly (a serving process
+    # calling this per batch must hold O(one batch) scratch, not
+    # O(calls) until interpreter exit)
+    first_spill = view._probe_spill
+    assert os.path.isdir(first_spill)
     probe2 = spark.createDataFrame([(0, _text(0, 0))],
                                    "doc_id long, text string")
     got2 = {(r.query_id, r.match_id)
             for r in view.candidates_for(probe2).collect()}
     assert (0, 0) not in got2
     assert {m for (q, m) in got2} >= {2, 4, 6}
+    assert not os.path.exists(first_spill)
+    assert os.path.isdir(view._probe_spill)
 
 
 def test_redelivery_after_crash_before_advance(spark, tbl_dir):

@@ -211,3 +211,33 @@ def test_read_quarantine_survives_widened_column_type(spark, tbl_dir):
     assert dead.schema["size_bytes"].dataType.typeName() == "long"
     vals = sorted(r["size_bytes"] for r in dead.collect())
     assert vals == [7, 9_000_000_000]
+
+
+def test_read_quarantine_long_vs_float_widens_to_double(spark, tbl_dir):
+    """Mixed int/float shapes must never resolve to a 32-bit float: a
+    linear rank picked FloatType for long-vs-float and silently
+    corrupted 64-bit seq/size values above 2^24 in the triage frame."""
+    from pyspark.sql import types as T
+
+    q = os.path.join(tbl_dir, "qlf")
+    spark.createDataFrame(
+        [(9_000_000_123, "insert", "a", "e1")],
+        T.StructType([
+            T.StructField("size_bytes", T.LongType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("reject_reason", T.StringType(), True),
+            T.StructField("quarantined_epoch", T.StringType(), True),
+        ])).write.parquet(os.path.join(q, "e1"))
+    spark.createDataFrame(
+        [(1.5, "insert", "b", "e2")],
+        T.StructType([
+            T.StructField("size_bytes", T.FloatType(), True),
+            T.StructField("op", T.StringType(), True),
+            T.StructField("reject_reason", T.StringType(), True),
+            T.StructField("quarantined_epoch", T.StringType(), True),
+        ])).write.parquet(os.path.join(q, "e2"))
+
+    dead = read_quarantine(spark, q)
+    assert dead.schema["size_bytes"].dataType.typeName() == "double"
+    vals = sorted(r["size_bytes"] for r in dead.collect())
+    assert vals == [1.5, 9_000_000_123.0]  # the long survives exactly

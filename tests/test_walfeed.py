@@ -373,5 +373,12 @@ def test_render_refuses_schema_change_rows(spark):
     import pytest
 
     ev = _v1_rows(spark, [1]).withColumn("op", F.lit("schema_change"))
-    with pytest.raises(ValueError, match="schema_change_envelope"):
+    # refusal is IN the render plan (raise_error on the op branch), so
+    # it surfaces as Spark's captured runtime error at execution — the
+    # pre-scan ValueError re-executed the whole upstream per render
+    with pytest.raises(Exception, match="schema_change_envelope"):
         render_wal_envelope(ev).collect()
+    # unknown op codes refuse too (previously a silent NULL op)
+    bad = _v1_rows(spark, [1]).withColumn("op", F.lit("upsert"))
+    with pytest.raises(Exception, match="cannot render op="):
+        render_wal_envelope(bad).collect()
