@@ -1,0 +1,124 @@
+"""Hypothesis property over the segmented-manifest WRITER/ASSEMBLER
+pair as pure metadata (no Spark, no data IO — the same handle surgery
+as tools/manifest_probe.py), so hundreds of random commit chains run
+in seconds.
+
+Property: for ANY sequence of commits — appends, compaction-style
+rewrites, rollbacks, epoch appends under tiny chunk/retention bounds —
+re-assembling every version from disk with a FRESH handle yields
+exactly the recorded (file set, epoch ledger) of that version, every
+id the lineage ever committed still answers ``epoch_committed``
+(verbatim or via the pruned-window interval fold), and the structural
+bounds hold (segment count ≤ max, tail ≤ chunk size, ledger ≤
+retention + chunk)."""
+
+import json
+import os
+
+from hypothesis import given, settings, strategies as st
+
+from etl_spark.icelite.table import (
+    DataFile,
+    IceliteTable,
+    META_DIR,
+    Snapshot,
+    epoch_committed,
+)
+
+
+def _bare_table(root, create=False):
+    t = IceliteTable.__new__(IceliteTable)
+    t.spark = None
+    t.path = os.path.join(root, "t")
+    t.meta_path = os.path.join(t.path, META_DIR)
+    t.data_path = os.path.join(t.path, "data")
+    t.branch_name = None
+    t._snap_cache = {}
+    t._seg_cache = {}
+    if create:
+        os.makedirs(t.meta_path)
+    return t
+
+
+def _df(i):
+    return DataFile(path=f"bucket={i % 4}/f{i:05d}.parquet", bucket=i % 4,
+                    rows=10 + i, bytes=1000 + i, schema_id=0, kind="delta")
+
+
+OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("append"), st.integers(1, 4)),
+        st.tuples(st.just("rewrite"), st.integers(0, 3)),
+        st.tuples(st.just("rollback"), st.integers(0, 10 ** 6)),
+    ),
+    min_size=1, max_size=25,
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(ops=OPS, max_segs=st.integers(1, 4), chunk=st.integers(1, 3),
+       retention=st.integers(2, 6))
+def test_random_commit_chains_round_trip(tmp_path_factory, ops, max_segs,
+                                         chunk, retention):
+    root = str(tmp_path_factory.mktemp("mprop"))
+    t = _bare_table(root, create=True)
+    props = {"manifest_max_segments": max_segs, "epoch_chunk_size": chunk,
+             "epoch_retention": retention}
+    snap = Snapshot(version=0, schemas=["{}"], n_buckets=4,
+                    key_cols=["k"], files=[], properties=props)
+    t._write_snapshot_file(snap, base=None)
+    base = snap
+    next_file = 0
+    next_seq = 0
+    # version -> (frozenset of file paths, ledger tuple, lineage-all
+    # ids ever committed on this version's chain)
+    model = {0: (frozenset(), (), ())}
+    lineage_all = ()
+
+    for kind, arg in ops:
+        cur_files = list(base.files)
+        if kind == "append":
+            newf = [_df(next_file + j) for j in range(arg)]
+            next_file += arg
+            lo = next_seq
+            next_seq += 1
+            eid = f"p:{lo}:{next_seq}"
+            new = t._commit(base, cur_files + newf, base.schemas, eid,
+                            None, operation="append")
+            lineage_all = lineage_all + (eid,)
+        elif kind == "rewrite":
+            # compaction-style: drop a pseudo-random subset, add one
+            keep = [f_ for i, f_ in enumerate(cur_files)
+                    if (i * 2654435761 + arg) % 3 != 0]
+            newf = [_df(next_file)]
+            next_file += 1
+            new = t._commit(base, keep + newf, base.schemas, None,
+                            None, operation="compact")
+        else:  # rollback: revert file set + ledger to an earlier state
+            live = sorted(model)
+            target = live[arg % len(live)]
+            new = t.rollback(target)  # the REAL path (pure metadata)
+            lineage_all = model[target][2]
+        model[new.version] = (
+            frozenset(f_.path for f_ in new.files), tuple(new.epochs),
+            lineage_all)
+        base = new
+
+    # every version re-assembles exactly, from a FRESH handle (no memos)
+    t2 = _bare_table(root)
+    for v, (paths, eps, _all) in model.items():
+        s = t2.snapshot(v)
+        assert frozenset(f_.path for f_ in s.files) == paths, v
+        assert tuple(s.epochs) == eps, v
+        with open(t2._version_file(v)) as f:
+            d = json.load(f)
+        assert len(d["segments"]) <= max_segs, (v, d["segments"])
+        assert len(d.get("epochs_tail", [])) <= chunk
+        assert len(s.epochs) <= retention + chunk
+    # exactly-once surface: EVERY id the head's lineage ever committed
+    # answers (verbatim ledger or pruned-window interval fold), and a
+    # never-committed window does not
+    head = t2.snapshot(base.version)
+    for eid in model[base.version][2]:
+        assert epoch_committed(head, eid), eid
+    assert not epoch_committed(head, f"p:{10 ** 7}:{10 ** 7 + 1}")
