@@ -118,7 +118,8 @@ class ChangeFeedCursor:
                 f"{self.table.path}; resync from a full read()"
             ) from None
 
-    def fast_forward_from(self, dst: IceliteTable, prefix: str) -> None:
+    def fast_forward_from(self, dst: IceliteTable, prefix: str,
+                          legacy_prefix: str | None = None) -> None:
         """Re-sync the cursor from the DESTINATION's committed consumer
         epochs (``<prefix><version>``). This must run before every poll
         of an apply-then-advance consumer: if the process died after
@@ -128,18 +129,35 @@ class ChangeFeedCursor:
         epoch ledger alone cannot recognize the redelivery and the
         already-applied window would be applied twice. The destination's
         own ledger records exactly which source version was last
-        consumed; trusting it closes the window."""
-        done = []
-        for e in dst.committed_epochs():
-            if not e.startswith(prefix):
-                continue
-            try:
-                done.append(int(e[len(prefix):]))
-            except ValueError:
-                # a foreign id merely sharing the prefix (e.g. a
-                # window-encoded 'prefix:lo:hi' from a replay run):
-                # not ours — must not wedge every subsequent poll
-                continue
+        consumed; trusting it closes the window.
+
+        ``legacy_prefix``: consulted ONLY when no ``prefix`` id exists —
+        pre-digest deployments committed bare ``<base><version>`` ids,
+        which the digest-carrying prefix cannot see, so the first poll
+        after an upgrade would re-apply the last replicated batch
+        (duplicating every row on a keyless destination). A ledger
+        holding only bare ids was necessarily written by a
+        single-source consumer (the digest exists because bare ids
+        were unsound for multi-source), so trusting it is safe; once
+        one digest-prefixed epoch lands, legacy ids are ignored."""
+        def _versions_under(p: str) -> list[int]:
+            out = []
+            for e in dst.committed_epochs():
+                if not e.startswith(p):
+                    continue
+                try:
+                    out.append(int(e[len(p):]))
+                except ValueError:
+                    # a foreign id merely sharing the prefix (e.g. a
+                    # window-encoded 'prefix:lo:hi' from a replay run,
+                    # or a digest id under the bare legacy prefix):
+                    # not ours — must not wedge every subsequent poll
+                    continue
+            return out
+
+        done = _versions_under(prefix)
+        if not done and legacy_prefix:
+            done = _versions_under(legacy_prefix)
         if done and max(done) > self.position():
             self.advance(max(done))
 
@@ -208,7 +226,7 @@ class ChangeFeedCursor:
         Scale: the apply is ``append_delta`` (merge-on-read) — cost per
         step is O(changed keys), never a base rewrite."""
         pfx = self.source_prefix("cdf:")
-        self.fast_forward_from(dst, pfx)
+        self.fast_forward_from(dst, pfx, legacy_prefix="cdf:")
         out = self.poll()
         if out is None:
             return None

@@ -96,7 +96,8 @@ class RollupView:
         the already-folded window would double-count (positive
         double-counts never trip the n<0 gate)."""
         pfx = self.cursor.source_prefix("ivm:")
-        self.cursor.fast_forward_from(self.rollup, pfx)
+        self.cursor.fast_forward_from(self.rollup, pfx,
+                                      legacy_prefix="ivm:")
         out = self.cursor.poll()
         if out is None:
             return None

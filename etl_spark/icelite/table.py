@@ -1477,12 +1477,24 @@ class IceliteTable:
             parses = False
         if parses:
             # we moved a VALID commit that won the name after our
-            # parse failure — put it back (exclusive, atomic). If yet
-            # another claim landed meanwhile, leave that one be.
+            # parse failure — put it back. _place_exclusive, not bare
+            # os.link: torn files only ARISE on filesystems where
+            # os.link fails (the O_EXCL-fallback write path), so a
+            # link-only restore would silently no-op on exactly those
+            # mounts and the unlink below would destroy the only copy
+            # of an acknowledged commit. On any restore failure the
+            # moved bytes are PRESERVED under the .torn. name (never
+            # listed as a version — list_manifest_versions requires
+            # the .json suffix) instead of destroyed.
             try:
-                os.link(trash, vf)
-            except OSError:
-                pass
+                _place_exclusive(trash, vf)
+            except (OSError, FileExistsError):
+                # FileExistsError: yet another claim owns the name —
+                # ours is a divergent acknowledged commit; keep its
+                # bytes for the operator. Other OSError: exotic FS
+                # refusal — same preservation.
+                self._snap_cache.pop(v, None)
+                return False
         try:
             os.unlink(trash)
         except OSError:
@@ -1667,18 +1679,28 @@ class IceliteTable:
     def read_incremental(self, from_version: int, to_version: int | None = None) -> DataFrame:
         """Rows in files added between two snapshots.
 
-        When the incremental set contains delta-kind files (a keyed MoR
-        table), the result carries the ``__op`` provenance column:
-        reading those files with the plain schema would surface delete
-        tombstones as ordinary live rows (phantom inserts for deleted
-        keys). For resolved row-level change semantics on keyed tables
-        use ``changes_between`` instead."""
+        On a KEYED table the result ALWAYS carries the ``__op``
+        provenance column (``base`` for compaction/bootstrap output,
+        the event op for delta rows): delta tombstones read with the
+        plain schema would surface deletes as ordinary live rows
+        (phantom inserts), and making the column conditional on
+        whether the particular range HAPPENED to contain delta files
+        made the output schema data-dependent — the same call site
+        would union fine across one range and throw AnalysisException
+        across the next. Keyless tables (no deltas possible) never
+        carry it. For resolved row-level change semantics on keyed
+        tables use ``changes_between`` instead."""
         snap = self.snapshot(to_version)
+        with_op = bool(snap.key_cols)
         old = {f_.path for f_ in self.snapshot(from_version).files}
         new_files = [f_ for f_ in snap.files if f_.path not in old]
         if not new_files:
-            return self.spark.createDataFrame([], snap.current_schema)
-        if any(f_.kind == "delta" for f_ in new_files):
+            schema = snap.current_schema
+            if with_op:
+                schema = T.StructType(schema.fields + [
+                    T.StructField("__op", T.StringType(), True)])
+            return self.spark.createDataFrame([], schema)
+        if with_op:
             return self._read_file_group(
                 snap, new_files, snap.current_schema, with_op=True
             )

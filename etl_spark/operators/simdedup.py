@@ -229,6 +229,22 @@ def lsh_candidate_pairs(
 _HEX = "0123456789abcdef"
 
 
+def bucket_overflow_counts(banded: DataFrame, group_cols,
+                           max_bucket: int) -> DataFrame:
+    """(group_cols..., members) for every bucket exceeding
+    ``max_bucket`` — the shared tail of every ``*_bucket_overflow``
+    diagnostic. Factored out (together with the banding helpers the
+    pair generators themselves call) so a diagnostic can never
+    silently measure a DIFFERENT banding than its generator enumerates
+    — e.g. a future widening of the simhash sketch to 8 bands changes
+    ``_simhash_banded`` once and both consumers follow."""
+    return (
+        banded.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("members"))
+        .where(F.col("members") > max_bucket)
+    )
+
+
 def band_bucket_overflow(
     docs: DataFrame,
     n: int = 5,
@@ -245,10 +261,19 @@ def band_bucket_overflow(
     the banded rows, far cheaper than the pair enumeration itself."""
     sig = minhash_signatures(docs, n, n_perms)
     bands = lsh_bands(sig, band_size, n_perms)
-    return (
-        bands.groupBy("band", "band_hash")
-        .agg(F.count(F.lit(1)).alias("members"))
-        .where(F.col("members") > max_bucket)
+    return bucket_overflow_counts(bands, ("band", "band_hash"), max_bucket)
+
+
+def _simhash_banded(sh: DataFrame) -> DataFrame:
+    """Byte-banded sketch rows — THE banding ``simhash_near_pairs``
+    enumerates within; ``simhash_bucket_overflow`` measures the same
+    frame by construction."""
+    return sh.select(
+        "doc_id", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx"),
+    ).withColumn(
+        "byte_val",
+        F.expr("shiftright(simhash, CAST(byte_idx * 8 AS INT)) & 255"),
     )
 
 
@@ -260,20 +285,9 @@ def simhash_bucket_overflow(docs: DataFrame,
     adversary, silently degrading the pigeonhole exactness guarantee
     (see simhash_near_pairs docstring). Non-empty result = raise
     max_bucket or widen the sketch before claiming exact recall."""
-    sh = simhash(docs)
-    banded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx"),
-        "simhash",
-    ).withColumn(
-        "byte_val",
-        F.expr("shiftright(simhash, CAST(byte_idx * 8 AS INT)) & 255"),
-    )
-    return (
-        banded.groupBy("byte_idx", "byte_val")
-        .agg(F.count(F.lit(1)).alias("members"))
-        .where(F.col("members") > max_bucket)
-    )
+    return bucket_overflow_counts(
+        _simhash_banded(simhash(docs)), ("byte_idx", "byte_val"),
+        max_bucket)
 
 
 def simhash(docs: DataFrame, bits: int = 32,
@@ -347,14 +361,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3,
     approximate recall for members past the cap. At that corpus size
     raise ``max_bucket`` (cost is k^2/2 pairs per bucket) or widen the
     sketch to 64 bits / 8 bands before relying on exactness."""
-    sh = simhash(docs)
-    byte = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("byte_idx")
-    banded = sh.select(
-        "doc_id", "simhash", byte
-    ).withColumn(
-        "byte_val",
-        F.expr("shiftright(simhash, CAST(byte_idx * 8 AS INT)) & 255"),
-    )
+    banded = _simhash_banded(simhash(docs))
     return (
         _bucket_pairs(
             banded, ("byte_idx", "byte_val"),
@@ -498,12 +505,8 @@ def winnow_bucket_overflow(docs: DataFrame, k: int = 5, w: int = 4,
     stop-gram buckets lost cross-member pairs past the cap; raise
     ``max_bucket`` or drop the offending fingerprints (an IDF-style
     stoplist) before relying on full recall."""
-    return (
-        winnow_fingerprints(docs, k, w)
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("members"))
-        .where(F.col("members") > max_bucket)
-    )
+    return bucket_overflow_counts(
+        winnow_fingerprints(docs, k, w), ("fp",), max_bucket)
 
 
 def ngram_jaccard_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5) -> DataFrame:

@@ -245,13 +245,11 @@ def embedding_bucket_overflow(
     (table, bucket, members) for every bucket exceeding the
     ``embedding_near_dup_pairs`` valve. Empty result = the cap never
     engaged and no candidate pair was lost."""
+    from etl_spark.operators.simdedup import bucket_overflow_counts
+
     e = _with_buckets(embeddings, id_col, vec_col, dim, n_planes,
                       n_tables, "id", "vec")
-    return (
-        e.groupBy("table", "bucket")
-        .agg(F.count(F.lit(1)).alias("members"))
-        .where(F.col("members") > max_bucket)
-    )
+    return bucket_overflow_counts(e, ("table", "bucket"), max_bucket)
 
 
 # -- IVF (inverted-file) index ---------------------------------------------

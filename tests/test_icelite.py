@@ -1422,3 +1422,103 @@ def test_snapshot_torn_manifest_unreclaimable_raises_not_recurses(
     monkeypatch.setattr(t, "_reclaim_torn", lambda v, st: False)
     with pytest.raises(CorruptSnapshot):
         t.snapshot(v_torn)
+
+
+def test_read_incremental_schema_is_stable_per_table_kind(spark, tbl_dir):
+    """The __op provenance column is a function of the TABLE (keyed vs
+    keyless), never of which file kinds a particular range happened to
+    contain — a consumer unioning consecutive ranges must never hit a
+    data-dependent AnalysisException."""
+    t = make(spark, tbl_dir)  # keyed
+    t.append(df(spark, [("r1", "a", 1, 1)]))           # base-kind files
+    t.append_delta(_updf(spark, [("r2", "b", 2, 2, "insert")]))  # delta
+    empty = t.read_incremental(2, 2)
+    base_only = t.read_incremental(0, 1)
+    delta_rng = t.read_incremental(1, 2)
+    assert empty.columns == base_only.columns == delta_rng.columns
+    assert "__op" in base_only.columns
+    assert [r["__op"] for r in base_only.collect()] == ["base"]
+    # consecutive ranges union cleanly — the failure mode under test
+    assert base_only.unionByName(delta_rng).unionByName(empty).count() == 2
+
+    # keyless: no deltas possible, no provenance column, also stable
+    from pyspark.sql import types as T
+    kl = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "kl"),
+        T.StructType([T.StructField("x", T.LongType(), True)]))
+    kl.append(spark.createDataFrame([(1,)], "x long"))
+    assert kl.read_incremental(0).columns == ["x"]
+    assert kl.read_incremental(1, 1).columns == ["x"]
+
+
+def test_reclaim_restore_survives_missing_hard_links(spark, tbl_dir,
+                                                     monkeypatch):
+    """_reclaim_torn's mistaken-move restore must not depend on
+    os.link: torn files only ARISE on mounts where link fails (the
+    O_EXCL-fallback write path), so a link-only restore silently
+    no-ops there and the cleanup unlink destroys the only copy of an
+    acknowledged commit."""
+    import errno as _errno
+
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", 1, 1)]))
+    v = t.current_version()
+    st = os.stat(t._version_file(v))
+
+    def no_link(src, dst, *a, **kw):
+        raise OSError(_errno.ENOTSUP, "hard links unsupported")
+
+    monkeypatch.setattr(os, "link", no_link)
+    # simulate the stale-read race: reclaim called on a file that is
+    # actually VALID (parse failed on stale bytes, identity matched)
+    assert t._reclaim_torn(v, st) is False
+    # the commit survived, byte-readable, via the O_EXCL fallback
+    assert t.read(version=v).count() == 1
+
+    # and when even the fallback placement fails, the bytes are
+    # PRESERVED under the .torn. name rather than destroyed
+    import etl_spark.icelite.table as tbl
+
+    st = os.stat(t._version_file(v))
+
+    def no_place(tmp, path):
+        raise OSError(_errno.EROFS, "read-only")
+
+    monkeypatch.setattr(tbl, "_place_exclusive", no_place)
+    assert t._reclaim_torn(v, st) is False
+    leftovers = [f for f in os.listdir(t.meta_path)
+                 if f.startswith(f"v{v}.json.torn.")]
+    assert leftovers, "moved commit bytes must be preserved"
+    with open(os.path.join(t.meta_path, leftovers[0])) as f:
+        json.load(f)  # still the valid manifest
+
+
+def test_fast_forward_honors_legacy_bare_epoch_ids(spark, tbl_dir):
+    """A destination written by a pre-digest deployment carries bare
+    ``cdf:<v>`` consumer epochs; the digest-prefix fast-forward must
+    still see them once (else the first post-upgrade poll re-applies
+    the last replicated batch — duplicate rows on a keyless replica).
+    Once a digest-prefixed epoch exists, legacy ids are ignored."""
+    from etl_spark.icelite.changefeed import ChangeFeedCursor
+
+    t = make(spark, tbl_dir)
+    t.append_delta(_updf(spark, [("r1", "a", 1, 1, "insert")]))
+    dst = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "dst"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=4)
+    # legacy deployment committed v2 under the bare prefix
+    snap = dst.snapshot()
+    dst._commit(snap, snap.files, snap.schemas, "cdf:2", None)
+    cur = ChangeFeedCursor(t, os.path.join(tbl_dir, "cur.json"))
+    pfx = cur.source_prefix("cdf:")
+    cur.fast_forward_from(dst, pfx, legacy_prefix="cdf:")
+    assert cur.position() == 2
+    # a digest id lands: it wins and the (stale, foreign) bare id is
+    # no longer consulted
+    snap = dst.snapshot()
+    dst._commit(snap, snap.files, snap.schemas, f"{pfx}3", None)
+    snap = dst.snapshot()
+    dst._commit(snap, snap.files, snap.schemas, "cdf:9", None)
+    cur2 = ChangeFeedCursor(t, os.path.join(tbl_dir, "cur2.json"))
+    cur2.fast_forward_from(dst, pfx, legacy_prefix="cdf:")
+    assert cur2.position() == 3
