@@ -328,6 +328,10 @@ def bench_queries() -> dict:
         pr = subprocess.run(
             [sys.executable, probe, "100", "64"], capture_output=True,
             text=True, timeout=300, check=True,
+            # the probe resolves the package via sys.path.insert(".")
+            # — anchor the child's cwd to the repo root so running
+            # bench.py from elsewhere still records the measurement
+            cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         out["manifest_meta"] = json.loads(pr.stdout.strip().splitlines()[-1])
     except Exception as e:  # diagnostic, never fails the bench

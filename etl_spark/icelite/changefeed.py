@@ -131,15 +131,21 @@ class ChangeFeedCursor:
         own ledger records exactly which source version was last
         consumed; trusting it closes the window.
 
-        ``legacy_prefix``: consulted ONLY when no ``prefix`` id exists —
-        pre-digest deployments committed bare ``<base><version>`` ids,
+        ``legacy_prefix``: consulted ONLY while the ledger is still
+        pre-digest — no ``<legacy_prefix>s…:`` id from ANY source
+        exists — and this source has no digest id of its own.
+        Pre-digest deployments committed bare ``<base><version>`` ids,
         which the digest-carrying prefix cannot see, so the first poll
         after an upgrade would re-apply the last replicated batch
         (duplicating every row on a keyless destination). A ledger
-        holding only bare ids was necessarily written by a
+        holding ONLY bare ids was necessarily written by a
         single-source consumer (the digest exists because bare ids
-        were unsound for multi-source), so trusting it is safe; once
-        one digest-prefixed epoch lands, legacy ids are ignored."""
+        were unsound for multi-source), so trusting it is safe then —
+        but the moment any digest id exists the deployment is
+        post-upgrade and a bare id may belong to a DIFFERENT source:
+        trusting it would fast-forward a newly attached source past
+        its own unreplicated versions (permanent missing rows), so the
+        ledger-wide gate, not a per-source one, decides."""
         def _versions_under(p: str) -> list[int]:
             out = []
             for e in dst.committed_epochs():
@@ -157,7 +163,14 @@ class ChangeFeedCursor:
 
         done = _versions_under(prefix)
         if not done and legacy_prefix:
-            done = _versions_under(legacy_prefix)
+            # digest ids are `<base>s<hex>:<v>`; a bare id's suffix is
+            # an integer, so the "s" probe cannot false-positive
+            digest_era = any(
+                e.startswith(legacy_prefix + "s")
+                for e in dst.committed_epochs()
+            )
+            if not digest_era:
+                done = _versions_under(legacy_prefix)
         if done and max(done) > self.position():
             self.advance(max(done))
 

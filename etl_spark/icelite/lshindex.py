@@ -318,7 +318,14 @@ class LshIndexView:
         sketched (O(batch)), the index is opened only at the probed
         buckets (``read_matching``: bucket pruning + key blooms), and a
         broadcast semi-join selects the rows — never a corpus scan.
-        Self-matches (a probe doc already indexed) are dropped."""
+        Self-matches (a probe doc already indexed) are dropped.
+
+        LIFETIME CONTRACT: the returned frame is lazy over a probe
+        spill that the NEXT ``candidates_for`` call on this view
+        reclaims — consume (collect/write) each result before probing
+        again, or persist it first. The eager reclaim is what keeps a
+        long-lived serving loop at O(one batch) scratch instead of one
+        parquet per call until interpreter exit."""
         from etl_spark.util import scratch_dir
 
         # spill the probe sketch once: read_matching COLLECTS the

@@ -251,14 +251,13 @@ def read_quarantine(spark: SparkSession, qroot: str,
                 return T.LongType()
             if ta in floats and tb in floats:
                 return T.DoubleType()
-            if {ta, tb} <= {*ints, *floats}:
-                # MIXED int/float never resolves to a 32-bit float: a
-                # linear rank would pick FloatType for long-vs-float
-                # and silently corrupt 64-bit seq/size values above
-                # 2^24 in the triage frame. double holds every int32
-                # exactly and every int64 the ledger's own widen
-                # vocabulary accepts as lossless-enough for triage
-                return T.DoubleType()
+            # MIXED int/float family falls through to string like
+            # every other mismatch: no float type holds every int64
+            # (float32 corrupts above 2^24, float64 above 2^53 —
+            # nanosecond-derived seqs and hash ids live there), and
+            # the ledger's own widen vocabulary refuses long→double
+            # for the same reason. String preserves the exact digits,
+            # which is what triage is for.
             return T.StringType()
 
         types: dict[str, T.DataType] = {}

@@ -148,7 +148,10 @@ def render_wal_envelope(events: DataFrame, connector: str = "walfeed",
         .when(op == "update", F.lit("u")) \
         .when(op == "delete", F.lit("d")) \
         .otherwise(F.raise_error(F.concat(
-            F.lit("render_wal_envelope cannot render op='"), op,
+            F.lit("render_wal_envelope cannot render op='"),
+            # coalesce: a NULL op would null-propagate through concat
+            # and raise a MESSAGE-LESS error, losing the diagnostic
+            F.coalesce(op, F.lit("NULL")),
             F.lit("' rows — a canonical event carries no migration "
                   "payload, and the sc envelope would decode as "
                   "corrupt; emit schema changes via "

@@ -1522,3 +1522,14 @@ def test_fast_forward_honors_legacy_bare_epoch_ids(spark, tbl_dir):
     cur2 = ChangeFeedCursor(t, os.path.join(tbl_dir, "cur2.json"))
     cur2.fast_forward_from(dst, pfx, legacy_prefix="cdf:")
     assert cur2.position() == 3
+    # a NEWLY ATTACHED source (different digest, no ids of its own) in
+    # a post-upgrade ledger must NOT trust bare ids — they belong to
+    # another source, and fast-forwarding would permanently skip this
+    # source's unreplicated versions
+    t_b = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "srcB"), SCHEMA,
+        key_cols=("repo", "path"), n_buckets=4)
+    cur_b = ChangeFeedCursor(t_b, os.path.join(tbl_dir, "curB.json"))
+    cur_b.fast_forward_from(dst, cur_b.source_prefix("cdf:"),
+                            legacy_prefix="cdf:")
+    assert cur_b.position() == 0

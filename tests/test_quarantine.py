@@ -213,15 +213,18 @@ def test_read_quarantine_survives_widened_column_type(spark, tbl_dir):
     assert vals == [7, 9_000_000_000]
 
 
-def test_read_quarantine_long_vs_float_widens_to_double(spark, tbl_dir):
-    """Mixed int/float shapes must never resolve to a 32-bit float: a
-    linear rank picked FloatType for long-vs-float and silently
-    corrupted 64-bit seq/size values above 2^24 in the triage frame."""
+def test_read_quarantine_long_vs_float_preserves_exact_digits(spark, tbl_dir):
+    """Mixed int/float shapes must never resolve to ANY float type: a
+    linear rank picked FloatType for long-vs-float (corrupt above
+    2^24), and double merely moves the cliff to 2^53 — where
+    nanosecond seqs and hash ids live. The mixed case falls through
+    to string like every other mismatch: exact digits, which is what
+    triage is for."""
     from pyspark.sql import types as T
 
     q = os.path.join(tbl_dir, "qlf")
     spark.createDataFrame(
-        [(9_000_000_123, "insert", "a", "e1")],
+        [(9007199254740993, "insert", "a", "e1")],  # 2^53 + 1
         T.StructType([
             T.StructField("size_bytes", T.LongType(), True),
             T.StructField("op", T.StringType(), True),
@@ -238,6 +241,7 @@ def test_read_quarantine_long_vs_float_widens_to_double(spark, tbl_dir):
         ])).write.parquet(os.path.join(q, "e2"))
 
     dead = read_quarantine(spark, q)
-    assert dead.schema["size_bytes"].dataType.typeName() == "double"
+    assert dead.schema["size_bytes"].dataType.typeName() == "string"
     vals = sorted(r["size_bytes"] for r in dead.collect())
-    assert vals == [1.5, 9_000_000_123.0]  # the long survives exactly
+    # the long survives digit-exact — double would read back ...992
+    assert vals == ["1.5", "9007199254740993"]
