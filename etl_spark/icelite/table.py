@@ -116,6 +116,28 @@ class NoSuchTable(Exception):
     pass
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync the DIRECTORY holding a just-placed file: the file's own
+    fsync makes its bytes durable, but the directory ENTRY (the name)
+    is separate metadata — without this, a power loss after a commit
+    returns can drop meta/v{N}.json from the directory and the table
+    silently resolves to v{N-1} while the caller already recorded the
+    epoch as committed (exactly-once breaks on the replay decision).
+    Best-effort: some filesystems refuse O_RDONLY dir fsync (EINVAL/
+    EACCES) — there the pre-existing process-crash durability level
+    remains."""
+    try:
+        fd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+    except OSError:
+        return
+    try:
+        os.fsync(fd)
+    except OSError:
+        pass
+    finally:
+        os.close(fd)
+
+
 def _place_exclusive(tmp: str, path: str) -> None:
     """Publish ``tmp`` at ``path`` with exactly-one-winner semantics:
     hard-link (atomic, torn-file-proof), falling back to O_EXCL create
@@ -124,9 +146,11 @@ def _place_exclusive(tmp: str, path: str) -> None:
     window (no tmp staging) is wider there, mitigated by unlinking the
     claimed path if the copy fails so the name never wedges. Raises
     FileExistsError when a concurrent creator won. The caller removes
-    ``tmp``."""
+    ``tmp``. The winning placement fsyncs the parent directory — see
+    ``_fsync_dir``."""
     try:
         os.link(tmp, path)
+        _fsync_dir(path)
         return
     except FileExistsError:
         raise
@@ -147,6 +171,7 @@ def _place_exclusive(tmp: str, path: str) -> None:
             os.fsync(fd)
         finally:
             os.close(fd)
+        _fsync_dir(path)
     except BaseException:
         # a failed write (ENOSPC, EIO on fsync) has already claimed the
         # final path — remove the torn file before surfacing
@@ -333,8 +358,18 @@ def epoch_committed(snap: "Snapshot", epoch_id: str) -> bool:
     """Idempotency check: the epoch id is in the verbatim ledger, OR
     its encoded window is covered by a pruned-epochs interval summary
     (retention folded it). The single predicate every commit path and
-    redelivery short-circuit must use."""
-    if epoch_id in snap.epochs:
+    redelivery short-circuit must use.
+
+    Membership is memoized as a frozenset per Snapshot (lazily, keyed
+    on ledger length): at the 100k-id retention a bare ``in list`` is
+    a 100k-string linear scan run at least twice per commit attempt
+    plus once per has_epoch — O(1) after the first call."""
+    es = getattr(snap, "_eset", None)
+    if es is None or getattr(snap, "_eset_n", -1) != len(snap.epochs):
+        es = frozenset(snap.epochs)
+        snap._eset = es
+        snap._eset_n = len(snap.epochs)
+    if epoch_id in es:
         return True
     parts = epoch_id.rsplit(":", 2)
     if len(parts) == 3:
@@ -899,12 +934,11 @@ def _backoff_sleep(attempt: int, base: float = 0.05, cap: float = 2.0) -> None:
     lockstep; spacing retries out makes the expected commit time linear
     in writer count instead of quadratic."""
     import random
-    import time as _time
 
     if attempt <= 0:
         return
     delay = min(cap, base * (2 ** (attempt - 1)))
-    _time.sleep(delay * (0.5 + random.random() / 2))
+    time.sleep(delay * (0.5 + random.random() / 2))
 
 
 def _compact_kernel(data_root: str, out_root: str, schema_jsons: list[str],
@@ -2072,7 +2106,14 @@ class IceliteTable:
         if not snap.key_cols:
             raise ValueError("read_matching requires a keyed table")
         key_cols = list(snap.key_cols)
-        kdf = keys_df.select(*key_cols).dropDuplicates(key_cols)
+        # cast probe keys to the TABLE's key types before hashing:
+        # xxhash64 is type-sensitive (int 5 and long 5 hash
+        # differently), so a caller frame with narrower key types
+        # would probe the wrong buckets and silently miss stored rows
+        ktypes = {f_.name: f_.dataType for f_ in snap.current_schema.fields}
+        kdf = keys_df.select(
+            *[F.col(c).cast(ktypes[c]).alias(c) for c in key_cols]
+        ).dropDuplicates(key_cols)
         # one tiny JVM job yields xxhash64 per key — the bucket (pmod)
         # AND the bloom probe hash come from the same collect. The
         # per-key collect is capped: past _PROBE_CAP keys, fall back to
@@ -2236,6 +2277,12 @@ class IceliteTable:
             raise ValueError("tags live on the main table handle")
         if not name or not all(c.isalnum() or c in "_-." for c in name):
             raise ValueError(f"invalid tag name: {name!r}")
+        if ".tmp." in name:
+            # list_tags() skips ".tmp."-bearing filenames as in-flight
+            # staging debris — a tag named through that filter would be
+            # readable but INVISIBLE to expire_snapshots, which would
+            # then delete the "pinned" snapshot out from under it
+            raise ValueError(f"tag name may not contain '.tmp.': {name!r}")
         snap = self.snapshot(version)
         # same tmp + fsync + exclusive-place sequence as every commit:
         # a crash mid-write can never leave a torn tag-<name>.json that
@@ -2672,17 +2719,11 @@ class IceliteTable:
         if epoch_id is not None and epoch_committed(snap, epoch_id):
             return snap
         schema = snap.current_schema
-        _PA = {
-            "string": pa.string(), "long": pa.int64(), "integer": pa.int32(),
-            "double": pa.float64(), "boolean": pa.bool_(),
-            "timestamp": pa.timestamp("us", tz="UTC"),
-        }
-        fields = []
-        for f_ in schema.fields:
-            tn = f_.dataType.typeName()
-            if tn not in _PA:
-                raise ValueError(f"append_rows_local: unsupported type {tn}")
-            fields.append(pa.field(f_.name, _PA[tn]))
+        # _arrow_type is the module's ONE Spark→arrow map (identical
+        # scalar mappings, plus float/short/byte/binary/date/ntz and
+        # nested types a private local map artificially refused)
+        fields = [pa.field(f_.name, _arrow_type(f_.dataType))
+                  for f_ in schema.fields]
         arrow_schema = pa.schema(fields)
         cols = list(zip(*rows)) if rows else [[] for _ in fields]
         table = pa.table(
@@ -2708,8 +2749,13 @@ class IceliteTable:
         if epoch_id is not None and epoch_committed(snap, epoch_id):
             return snap
         schema = snap.current_schema
+        # snap= pins the bucket layout to the snapshot this commit
+        # targets: an unpinned write re-resolves current() and a
+        # concurrent split_buckets would bucket the whole rewrite
+        # under the NEW modulus before the commit loses its race
         new_files = self._write_datafiles(_cast_to(df, schema), schema, len(snap.schemas) - 1,
-                                          bucketed=bool(snap.key_cols))
+                                          bucketed=bool(snap.key_cols),
+                                          snap=snap)
         return self._commit(snap, new_files, snap.schemas, epoch_id, properties,
                             operation="overwrite")
 
@@ -2777,6 +2823,22 @@ class IceliteTable:
             if f_.name not in new_fields:
                 raise ValueError(f"schema evolution cannot drop column {f_.name}")
             old_t, new_t = f_.dataType, new_fields[f_.name].dataType
+            if f_.name in snap.key_cols and old_t != new_t:
+                # KEY columns may not change type at all, widening
+                # included: bucket routing hashes the key with
+                # xxhash64, which is TYPE-sensitive (int 5 and long 5
+                # hash differently), so post-evolve writes would land
+                # the same logical key in a different bucket than its
+                # stored rows — read_matching/read_keys would miss the
+                # newer row, and per-bucket tombstone dropping could
+                # resurrect deleted keys. (Iceberg restricts
+                # identity-partition source columns the same way.)
+                raise ValueError(
+                    f"cannot change the type of key column {f_.name} "
+                    f"({old_t} -> {new_t}): xxhash64 bucket routing is "
+                    f"type-sensitive, so the same key would hash to a "
+                    f"different bucket than its stored rows"
+                )
             if not ok(old_t, new_t):
                 raise ValueError(
                     f"incompatible type change for {f_.name}: {old_t} -> {new_t}"
@@ -2849,6 +2911,19 @@ class IceliteTable:
         key_cols = snap.key_cols
         data_cols = [f_.name for f_ in schema.fields]
 
+        # cast key columns to the TABLE's types BEFORE bucket hashing:
+        # xxhash64 is type-sensitive, so a producer frame carrying a
+        # narrower key type (the pre-evolution-shape case the adapt
+        # below supports for DATA columns) would compute the wrong
+        # touched-bucket set — the update NOT-MATCHes, a second base
+        # row for the key lands in the right bucket, and read()'s
+        # no-delta fast path surfaces the duplicate raw
+        ktypes = {f_.name: f_.dataType for f_ in schema.fields}
+        in_types = {f2.name: f2.dataType for f2 in updates.schema.fields}
+        mism = {k: F.col(k).cast(ktypes[k]) for k in key_cols
+                if in_types.get(k) != ktypes[k]}
+        if mism:
+            updates = updates.withColumns(mism)
         upd = updates.withColumn("__bucket", bucket_expr(key_cols, snap.n_buckets))
         # touched-bucket pruning: ≤ n_buckets ints on the driver
         touched = sorted(
@@ -2920,7 +2995,7 @@ class IceliteTable:
             live = merged.where(F.col("__fop") != "delete").select(*data_cols)
             new_files = self._write_datafiles(
                 live, schema, len(snap.schemas) - 1, bucketed=True,
-                buckets_hint=len(touched)
+                buckets_hint=len(touched), snap=snap,
             )
             # winning deletes become/remain TOMBSTONES (delta-kind
             # rows, exactly what compact() retains): physically
@@ -3370,8 +3445,6 @@ class IceliteTable:
         # into place; neither is ever touched
         meta = os.path.join(self.path, META_DIR)
         if os.path.isdir(meta):
-            import shutil as _sh
-
             cutoff = time.time() - 3600
             for d in os.listdir(meta):
                 if not (d.startswith("branch-") and ".tmp." in d):
@@ -3382,7 +3455,7 @@ class IceliteTable:
                             and not os.path.isfile(
                                 os.path.join(full, "fork.json"))
                             and os.stat(full).st_mtime < cutoff):
-                        _sh.rmtree(full, ignore_errors=True)
+                        shutil.rmtree(full, ignore_errors=True)
                 except OSError:
                     pass
         bdir = self._branch_dir(name)
@@ -3431,8 +3504,6 @@ class IceliteTable:
                             f"preserved as branch {rec!r}"
                         ) from None
                     raise FileExistsError(f"branch exists: {name!r}")
-                import shutil
-
                 shutil.rmtree(aside, ignore_errors=True)
         # stage the fully-formed dir under a temp name, then rename into
         # place: a crash can only leave a .tmp. dir (ignored by
@@ -3458,8 +3529,6 @@ class IceliteTable:
         try:
             os.rename(tmp, bdir)
         except OSError:
-            import shutil
-
             shutil.rmtree(tmp, ignore_errors=True)
             raise FileExistsError(f"branch exists: {name!r}") from None
         return self.branch(name)

@@ -1533,3 +1533,98 @@ def test_fast_forward_honors_legacy_bare_epoch_ids(spark, tbl_dir):
     cur_b.fast_forward_from(dst, cur_b.source_prefix("cdf:"),
                             legacy_prefix="cdf:")
     assert cur_b.position() == 0
+
+
+NUMKEY = T.StructType([
+    T.StructField("id", T.LongType(), False),
+    T.StructField("v", T.IntegerType(), True),
+    T.StructField("last_seq", T.LongType(), False),
+])
+
+
+def _numtbl(spark, tbl_dir, name="nk"):
+    return IceliteTable.create(
+        spark, os.path.join(tbl_dir, name), NUMKEY, key_cols=("id",),
+        n_buckets=8)
+
+
+def test_evolve_rejects_key_column_type_change(spark, tbl_dir):
+    """xxhash64 is TYPE-sensitive: widening a key column re-routes the
+    same logical key to a different bucket than its stored rows, so
+    bucket-pruned reads miss newer rows and per-bucket tombstone drops
+    can resurrect deleted keys. Key columns must not change type."""
+    t = _numtbl(spark, tbl_dir)
+    wide = T.StructType([
+        T.StructField("id", T.LongType(), False),
+        T.StructField("v", T.LongType(), True),  # data col widens fine
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    t.evolve_schema(wide)
+    narrow_key = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+    ])
+    with pytest.raises(ValueError, match="key column"):
+        t.evolve_schema(narrow_key)
+    # widening the key is refused too — same hash re-routing
+    t2 = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "nk32"),
+        T.StructType([
+            T.StructField("id", T.IntegerType(), False),
+            T.StructField("v", T.LongType(), True),
+            T.StructField("last_seq", T.LongType(), False),
+        ]), key_cols=("id",), n_buckets=8)
+    with pytest.raises(ValueError, match="key column"):
+        t2.evolve_schema(NUMKEY)
+
+
+def test_merge_and_probe_cast_narrow_key_types_to_table(spark, tbl_dir):
+    """A producer frame carrying a NARROWER key type must hash the key
+    exactly as the table does: pre-fix, xxhash64(int 5) != xxhash64(
+    long 5) computed the wrong touched-bucket set — the update
+    NOT-MATCHed, a duplicate base row landed in the right bucket, and
+    read() surfaced both rows raw."""
+    t = _numtbl(spark, tbl_dir)
+    up = T.StructType(NUMKEY.fields + [T.StructField("op", T.StringType(), False)])
+    t.merge_lww(spark.createDataFrame([(5, 10, 1, "insert")], up))
+    # narrower key type on the update frame (int32 id)
+    up32 = T.StructType([
+        T.StructField("id", T.IntegerType(), False),
+        T.StructField("v", T.LongType(), True),
+        T.StructField("last_seq", T.LongType(), False),
+        T.StructField("op", T.StringType(), False),
+    ])
+    t.merge_lww(spark.createDataFrame([(5, 99, 2, "update")], up32))
+    rows = t.read().collect()
+    assert [(r["id"], r["v"], r["last_seq"]) for r in rows] == [(5, 99, 2)]
+    # point lookup with a narrower-typed probe frame finds the row
+    probe = spark.createDataFrame([(5,)], "id int")
+    got = t.read_matching(probe).collect()
+    assert [(r["id"], r["v"]) for r in got] == [(5, 99)]
+
+
+def test_create_tag_rejects_tmp_infix(spark, tbl_dir):
+    """list_tags skips '.tmp.'-bearing filenames as staging debris; a
+    tag named through that filter would be readable but invisible to
+    expire_snapshots — which would delete the 'pinned' snapshot."""
+    t = make(spark, tbl_dir)
+    t.append(df(spark, [("r1", "a", 1, 1)]))
+    with pytest.raises(ValueError, match="tmp"):
+        t.create_tag("v1.tmp.backup")
+
+
+def test_append_rows_local_supports_full_scalar_vocabulary(spark, tbl_dir):
+    """append_rows_local shares _arrow_type — float/date columns no
+    longer refuse the fast driver-side path."""
+    import datetime as _dt
+
+    sch = T.StructType([
+        T.StructField("name", T.StringType(), True),
+        T.StructField("score", T.FloatType(), True),
+        T.StructField("day", T.DateType(), True),
+    ])
+    t = IceliteTable.create(spark, os.path.join(tbl_dir, "arl"), sch)
+    t.append_rows_local([("a", 1.5, _dt.date(2024, 3, 11))])
+    r = t.read().collect()[0]
+    assert (r["name"], r["score"], r["day"]) == ("a", 1.5, _dt.date(2024, 3, 11))
