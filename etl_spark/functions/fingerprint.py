@@ -97,21 +97,32 @@ def dedup_fingerprint_kernel(
         keys_ok = pd.Series(True, index=pdf.index)
         for k in keys:
             keys_ok &= pdf[k].notna()
+        kept = pdf[pdf["op"].isin(APPLY_OPS) & keys_ok]
+        win = None
+        if not kept.empty:
+            idx = kept.groupby(keys, sort=False)["seq"].idxmax()
+            win = kept.loc[idx].copy()
         if stats_acc is not None and len(pdf):
+            # WINNER payload utf-8 bytes, matching the winnow path's
+            # octet_length over winners — pre-filter char counts made
+            # the lineage 'bytes' column mode-dependent (all input
+            # rows vs winners) and under-reported non-ASCII payloads
+            wbytes = 0
+            if win is not None:
+                wbytes = int(
+                    win["content"].dropna().str.encode("utf-8")
+                    .map(len).sum())
             stats_acc.add([(
                 int(pdf[group_col].iloc[0]),
                 int(len(pdf)),
                 int((~(valid & keys_ok)).sum()),
                 int(pdf["seq"].min()),
                 int(pdf["seq"].max()),
-                int(pdf["content"].str.len().fillna(0).sum()),
+                wbytes,
             )])
-        pdf = pdf[pdf["op"].isin(APPLY_OPS) & keys_ok]
         out_names = ["bucket"] + cols + ["__op"]
-        if pdf.empty:
+        if win is None:
             return pd.DataFrame({c: pd.Series(dtype="object") for c in out_names})
-        idx = pdf.groupby(keys, sort=False)["seq"].idxmax()
-        win = pdf.loc[idx].copy()
         win["content_sha256"] = _sha256_series(win["content"])
         win["last_seq"] = win["seq"]
         win["__op"] = win["op"]

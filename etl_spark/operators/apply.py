@@ -280,6 +280,77 @@ def read_quarantine(spark: SparkSession, qroot: str,
         return out
 
 
+def _complete_epoch_backfill(events: DataFrame | None, target: IceliteTable,
+                             lineage: IceliteTable | None,
+                             quarantine: str | None, epoch_id: str,
+                             props: dict) -> None:
+    """Finish the second half of a committed-but-interrupted epoch:
+    the lineage append and the quarantine write, both reconstructible
+    from the epoch's crash-recovery props (no event re-scan for the
+    lineage; the quarantine rewrite needs the epoch's events and is
+    skipped when ``events`` is None). Shared by apply_epoch's
+    redelivery branch AND replay's resume path — the resume skip
+    previously bypassed this entirely, so a crash between the target
+    commit and the lineage append during BATCH replay permanently lost
+    the epoch's lineage rows (and carried its props in every future
+    manifest forever)."""
+    if (
+        quarantine is not None
+        and events is not None
+        and int(props.get("rejected") or 0) > 0
+        and not os.path.exists(os.path.join(
+            _quarantine_dir(quarantine, epoch_id), "_SUCCESS"))
+    ):
+        # _SUCCESS (Spark's own completion marker), not the dir:
+        # a crash mid-write leaves a partial dir, which must not
+        # suppress the backfill (overwrite is idempotent anyway)
+        _write_quarantine(events, quarantine, epoch_id)
+    if lineage is not None and not lineage.has_epoch(epoch_id):
+        rows = [tuple(r) for r in props.get("lineage_rows", [])]
+        lineage.append_rows_local(rows, epoch_id=epoch_id)
+
+
+def _quality_gate(epoch_id: str, events_in: int, rejected: int,
+                  max_reject_frac: float) -> None:
+    """The ONE >gate% reject check all three dedup modes share — the
+    replay docstring's own lesson ('two loops had already drifted')
+    applied to the gate itself."""
+    if events_in > 0 and rejected / events_in > max_reject_frac:
+        raise EpochQualityError(
+            f"epoch {epoch_id}: {rejected}/{events_in} rejected "
+            f"(> {max_reject_frac:.0%} gate)"
+        )
+
+
+def _maybe_compact(target: IceliteTable, compact_max_delta_files: int) -> None:
+    """Shared post-commit compaction trigger (file-count policy)."""
+    if (
+        target.delta_stats()["max_delta_files_per_bucket"]
+        >= compact_max_delta_files
+    ):
+        target.compact()
+
+
+def _commit_or_abort(target: IceliteTable, rel: str | None, commit_fn,
+                     epoch_id: str):
+    """Run a commit callable; on ANY failure, sweep the staged files
+    unless the epoch actually landed (a conflict/refusal means NOT
+    committed — see _commit_append — so the staged dir would otherwise
+    leak until vacuum; each retry stages a fresh full-epoch-sized dir,
+    so a flapping commit fills the disk). The has_epoch guard makes
+    the sweep safe even against an exception raised after a durable
+    commit: referenced files are never aborted."""
+    try:
+        return commit_fn()
+    except BaseException:
+        if rel is not None and not target.has_epoch(epoch_id):
+            try:
+                target.abort_write(rel)
+            except OSError:
+                pass
+        raise
+
+
 def apply_epoch(
     spark: SparkSession,
     events: DataFrame,
@@ -342,21 +413,27 @@ def apply_epoch(
         # quarantine write can have been lost — so props-present is the
         # only case needing the backfill check.
         props = target.snapshot().properties.get(f"epoch:{epoch_id}", {})
-        if (
-            quarantine is not None
-            and int(props.get("rejected") or 0) > 0
-            and not os.path.exists(os.path.join(
-                _quarantine_dir(quarantine, epoch_id), "_SUCCESS"))
-        ):
-            # _SUCCESS (Spark's own completion marker), not the dir:
-            # a crash mid-write leaves a partial dir, which must not
-            # suppress the backfill (overwrite is idempotent anyway)
-            _write_quarantine(events, quarantine, epoch_id)
-        if lineage is not None and not lineage.has_epoch(epoch_id):
-            rows = [tuple(r) for r in props.get("lineage_rows", [])]
-            lineage.append_rows_local(rows, epoch_id=epoch_id)
+        _complete_epoch_backfill(events, target, lineage, quarantine,
+                                 epoch_id, props)
         return ApplyStats(epoch_id, 0, 0, 0, 0, None, skipped=True)
 
+    if dedup_mode not in ("winnow", "fused", "maxby"):
+        # a typo'd mode previously fell through to the maxby fallback
+        # silently — a different plan with different lineage shapes,
+        # invisible until someone noticed the throughput change
+        raise ValueError(f"unknown dedup_mode {dedup_mode!r}")
+    if tuple(target.snapshot().key_cols) != tuple(schemas.KEY_COLS):
+        # the winnow winner filter / fused grouping key off
+        # snap.key_cols while the reject predicate and the pandas
+        # kernels are specialized to the canonical (repo, path) key —
+        # a custom-keyed target would double-count rows (rejected AND
+        # applied) and trip the RowStats invariant only after the
+        # commit was durable. Custom-keyed tables use merge_lww.
+        raise ValueError(
+            f"apply_epoch requires the canonical key {schemas.KEY_COLS}; "
+            f"this table is keyed on {tuple(target.snapshot().key_cols)} "
+            f"— use merge_lww/append_delta for custom-keyed tables"
+        )
     ledger = ledger or SchemaLedger.default()
 
     # 1. ledger check + target schema evolution (before the write plan
@@ -438,7 +515,10 @@ def apply_epoch(
             build, on=schemas.SEQ_COL, how="left_semi"
         ).observe(
             obs_w,
-            F.sum(F.coalesce(F.length("content").cast("long"), F.lit(0))).alias("bytes"),
+            # octet_length, not length: the lineage column is "winner
+            # payload BYTES" — char counts under-report non-ASCII
+            F.sum(F.coalesce(F.octet_length("content").cast("long"),
+                             F.lit(0))).alias("bytes"),
         )
         sel = []
         for f_ in snap0.current_schema.fields:
@@ -508,12 +588,11 @@ def apply_epoch(
         events_in = int(m["events_in"])
         rejected = int(m["rejected"] or 0)
         high_watermark = m["max_seq"]
-        if events_in > 0 and rejected / events_in > max_reject_frac:
+        try:
+            _quality_gate(epoch_id, events_in, rejected, max_reject_frac)
+        except EpochQualityError:
             target.abort_write(rel)
-            raise EpochQualityError(
-                f"epoch {epoch_id}: {rejected}/{events_in} rejected "
-                f"(> {max_reject_frac:.0%} gate)"
-            )
+            raise
         # per-bucket lineage (storage-partition granularity: applied
         # rows, seq range, file bytes) + one partition_id=-1 totals row
         # (input events, rejects, content bytes, watermark).
@@ -527,16 +606,12 @@ def apply_epoch(
         ]
         props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
                              lineage_rows, target=target, lineage=lineage)
-        target.commit_staged_delta(rel, stats_rows, epoch_id=epoch_id,
-                                   properties=props,
-                                   written_n_buckets=snap0.n_buckets,
-                                   written_schemas=snap0.schemas)
+        _commit_or_abort(target, rel, lambda: target.commit_staged_delta(
+            rel, stats_rows, epoch_id=epoch_id, properties=props,
+            written_n_buckets=snap0.n_buckets,
+            written_schemas=snap0.schemas), epoch_id)
         applied = sum(int(r["rows"]) for r in stats_rows)
-        if (
-            target.delta_stats()["max_delta_files_per_bucket"]
-            >= compact_max_delta_files
-        ):
-            target.compact()
+        _maybe_compact(target, compact_max_delta_files)
     elif merge_mode == "delta" and dedup_mode == "fused":
         snap0 = target.snapshot()
         out_schema = T.StructType(
@@ -583,23 +658,19 @@ def apply_epoch(
         high_watermark = max(
             (t[4] for t in by_group.values()), default=None
         )
-        if events_in > 0 and rejected / events_in > max_reject_frac:
+        try:
+            _quality_gate(epoch_id, events_in, rejected, max_reject_frac)
+        except EpochQualityError:
             target.abort_write(rel)
-            raise EpochQualityError(
-                f"epoch {epoch_id}: {rejected}/{events_in} rejected "
-                f"(> {max_reject_frac:.0%} gate)"
-            )
+            raise
         props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
                              lineage_rows, target=target, lineage=lineage)
-        target.commit_add_files(new_files, epoch_id=epoch_id, properties=props,
-                                written_n_buckets=snap0.n_buckets,
-                                written_schemas=snap0.schemas)
+        _commit_or_abort(target, rel, lambda: target.commit_add_files(
+            new_files, epoch_id=epoch_id, properties=props,
+            written_n_buckets=snap0.n_buckets,
+            written_schemas=snap0.schemas), epoch_id)
         applied = sum(f.rows for f in new_files)
-        if (
-            target.delta_stats()["max_delta_files_per_bucket"]
-            >= compact_max_delta_files
-        ):
-            target.compact()
+        _maybe_compact(target, compact_max_delta_files)
     else:
         # maxby / cow paths: exactly-once observe() metrics on the raw
         # events (the JVM predicate mirrors the pandas kernel —
@@ -632,11 +703,7 @@ def apply_epoch(
             m = obs.get
             events_in = int(m["events_in"])
             rejected = int(m["rejected"] or 0)
-            if events_in > 0 and rejected / events_in > max_reject_frac:
-                raise EpochQualityError(
-                    f"epoch {epoch_id}: {rejected}/{events_in} rejected "
-                    f"(> {max_reject_frac:.0%} gate)"
-                )
+            _quality_gate(epoch_id, events_in, rejected, max_reject_frac)
             return events_in, rejected, m["max_seq"]
 
         if merge_mode == "delta":
@@ -653,16 +720,12 @@ def apply_epoch(
             ]
             props = _epoch_props(epoch_id, events_in, rejected, high_watermark,
                                  lineage_rows, target=target, lineage=lineage)
-            target.commit_add_files(new_files, epoch_id=epoch_id,
-                                    properties=props,
-                                    written_n_buckets=snap_w.n_buckets,
-                                    written_schemas=snap_w.schemas)
+            _commit_or_abort(target, rel, lambda: target.commit_add_files(
+                new_files, epoch_id=epoch_id, properties=props,
+                written_n_buckets=snap_w.n_buckets,
+                written_schemas=snap_w.schemas), epoch_id)
             applied = sum(f.rows for f in new_files)
-            if (
-                target.delta_stats()["max_delta_files_per_bucket"]
-                >= compact_max_delta_files
-            ):
-                target.compact()
+            _maybe_compact(target, compact_max_delta_files)
         elif merge_mode == "cow":
             updates.persist()
             try:
@@ -856,6 +919,30 @@ def replay(
     if bounds["lo"] is None:
         return []
     committed = committed_windows(target, epoch_prefix, lineage)
+    # resume-time crash recovery: the skip below never calls
+    # apply_epoch for already-committed windows, so it would bypass
+    # the redelivery backfill — a crash between the target commit and
+    # the lineage append would permanently lose that epoch's lineage
+    # rows (and its recovery props would ride every future manifest).
+    # Live epoch:<id> props mark exactly the epochs needing the finish;
+    # the quarantine rewrite reconstructs the event chunk from the
+    # window encoded in the id.
+    for k, props in list(target.snapshot().properties.items()):
+        if not k.startswith(f"epoch:{epoch_prefix}:") or props is None:
+            continue
+        eid = k[len("epoch:"):]
+        chunk = None
+        parts = eid.rsplit(":", 2)
+        if len(parts) == 3:
+            try:
+                w_lo, w_hi = int(parts[1]), int(parts[2])
+                chunk = events.where(
+                    (F.col(schemas.SEQ_COL) >= w_lo)
+                    & (F.col(schemas.SEQ_COL) < w_hi))
+            except ValueError:
+                pass
+        _complete_epoch_backfill(chunk, target, lineage, quarantine,
+                                 eid, props)
     stats = []
     lo = bounds["lo"]
     while lo <= bounds["hi"]:

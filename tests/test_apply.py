@@ -473,3 +473,61 @@ def test_epoch_ledger_retention_bounds_manifest(spark, tbl_dir):
     assert tot == 1200
     # non-window ids expire with the horizon once pruned
     assert not tgt.has_epoch("adhoc-batch-1")
+
+
+def test_resume_backfills_lineage_lost_between_commits(spark, tbl_dir):
+    """Crash BETWEEN the target commit and the lineage append, then
+    resume via replay(): the resume skip never calls apply_epoch for
+    committed windows, so it must complete the missing lineage append
+    itself from the epoch's recovery props — pre-fix the lineage rows
+    were permanently lost and the dead epoch's props rode every future
+    manifest."""
+    ev = gen.synthetic_events(spark, 1000, n_repos=20, seed=29)
+    tgt, lin = fresh(spark, tbl_dir)
+    # epoch 1 commits the TARGET but "crashes" before the lineage
+    # append (simulated by applying with lineage=None — same durable
+    # state: epoch in target ledger, recovery props live, no lineage)
+    half = ev.where(F.col("seq") < 500)
+    apply_epoch(spark, half, tgt, None, epoch_id="rb:0:500")
+    assert tgt.has_epoch("rb:0:500") and not lin.has_epoch("rb:0:500")
+    assert f"epoch:rb:0:500" in tgt.snapshot().properties
+    # resume the full replay WITH the lineage table: the committed
+    # window is skipped (no Spark job) but its lineage must backfill
+    stats = replay(spark, ev, tgt, lin, epoch_size=500, epoch_prefix="rb")
+    assert [s.epoch_id for s in stats] == ["rb:500:1000"]
+    assert lin.has_epoch("rb:0:500")
+    eps = {r["epoch_id"] for r in lin.read().select("epoch_id").collect()}
+    assert eps == {"rb:0:500", "rb:500:1000"}
+    # the oneshot run agrees on lineage totals row-for-row
+    t2, l2 = fresh(spark, os.path.join(tbl_dir, "oneshot"))
+    replay(spark, ev, t2, l2, epoch_size=500, epoch_prefix="rb")
+    a = sorted(tuple(r) for r in lin.read().collect())
+    b = sorted(tuple(r) for r in l2.read().collect())
+    assert a == b
+
+
+def test_unknown_dedup_mode_raises(spark, tbl_dir):
+    ev = gen.synthetic_events(spark, 100, n_repos=5, seed=31)
+    tgt, lin = fresh(spark, tbl_dir)
+    with pytest.raises(ValueError, match="dedup_mode"):
+        apply_epoch(spark, ev, tgt, lin, epoch_id="x", dedup_mode="winow")
+
+
+def test_apply_epoch_refuses_custom_keyed_target(spark, tbl_dir):
+    """The winnow/fused kernels are specialized to the canonical
+    (repo, path) key; a custom-keyed table silently double-counted
+    null-path rows (rejected AND applied) and tripped the RowStats
+    invariant only after the commit was durable."""
+    from pyspark.sql import types as T
+    from etl_spark.icelite.table import IceliteTable
+
+    ev = gen.synthetic_events(spark, 100, n_repos=5, seed=37)
+    custom = IceliteTable.create(
+        spark, os.path.join(tbl_dir, "custom"),
+        T.StructType([
+            T.StructField("repo", T.StringType(), False),
+            T.StructField("content", T.StringType(), True),
+            T.StructField("last_seq", T.LongType(), False),
+        ]), key_cols=("repo",), n_buckets=4)
+    with pytest.raises(ValueError, match="canonical key"):
+        apply_epoch(spark, ev, custom, None, epoch_id="x")
