@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark import schemas
-from etl_spark.icelite.table import IceliteTable
+from etl_spark.icelite.table import IceliteTable, _fsync_dir
 from etl_spark.ledger import SchemaLedger
 from etl_spark.operators.apply import apply_epoch
 from etl_spark.util import scratch_dir
@@ -100,6 +100,14 @@ def _write_chunks(
     ).collect()[0]
     if bounds["lo"] is None:
         return 0
+    n_null = events.where(F.col(seq_col).isNull()).limit(1).count()
+    if n_null:
+        # a NULL seq belongs to no chunk: partitionBy would emit a
+        # __HIVE_DEFAULT_PARTITION__ dir and the rename loop below
+        # would crash AFTER some chunks moved into place (partial
+        # publish, leaked _tmp dir, the row silently unowned)
+        raise ValueError(f"{seq_col} contains NULLs; every event must "
+                         f"carry a sequence number")
     base = int(bounds["lo"])
     df = events.withColumn(
         "__chunk", ((F.col(seq_col) - F.lit(base)) / chunk_size).cast("long")
@@ -121,11 +129,23 @@ def _write_chunks(
         k = int(d.split("=", 1)[1])
         part = [f for f in os.listdir(os.path.join(tmp, d))
                 if f.endswith(part_ext)][0]
-        os.rename(
-            os.path.join(tmp, d, part),
-            os.path.join(out_dir,
-                         f"chunk_{base + k * chunk_size:015d}{out_ext}"),
-        )
+        dst = os.path.join(out_dir,
+                           f"chunk_{base + k * chunk_size:015d}{out_ext}")
+        if os.path.exists(dst):
+            # NEVER clobber a published chunk: the streaming file
+            # source dedups by path and will not re-read a replaced
+            # file, so a producer resuming mid-chunk would silently
+            # lose every event the old file did not carry. Loud
+            # refusal; the producer must resume at a chunk boundary
+            # (the committed-window resume protocol already does).
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise FileExistsError(
+                f"chunk {dst!r} already exists — refusing to replace a "
+                f"published WAL segment (a tailer that consumed it "
+                f"would never re-read the new bytes); resume chunk "
+                f"writes at an unpublished seq boundary"
+            )
+        os.rename(os.path.join(tmp, d, part), dst)
         n += 1
     shutil.rmtree(tmp)
     return n
@@ -185,6 +205,11 @@ def _save_wal_ledger(cfg: TailerConfig, ledger: SchemaLedger) -> None:
         fh.flush()
         os.fsync(fh.fileno())
     os.replace(tmp, p)
+    # same durability bar as every icelite commit (_fsync_dir): the
+    # rename's directory entry must survive power loss, or the epoch
+    # commits durably while the ledger rolls back — the batch is never
+    # redelivered and from_json silently drops post-evolution columns
+    _fsync_dir(p)
 
 
 def _decode_wal_batch(cfg: TailerConfig, state: dict, batch_df: DataFrame,
@@ -211,6 +236,7 @@ def _decode_wal_batch(cfg: TailerConfig, state: dict, batch_df: DataFrame,
         t = dec.agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("corrupt").cast("long")).alias("bad"),
+            F.sum(F.col("tombstone").cast("long")).alias("tomb"),
             F.sum(((F.col("op") == "schema_change") & ~F.col("corrupt"))
                   .cast("long")).alias("sc"),
         ).collect()[0]
@@ -221,9 +247,14 @@ def _decode_wal_batch(cfg: TailerConfig, state: dict, batch_df: DataFrame,
                 walfeed.wal_corrupt(dec, raw_col="value").write.mode(
                     "overwrite"
                 ).parquet(_quarantine_dir(cfg.quarantine, f"{epoch_id}:wal"))
-            if t["bad"] / max(t["n"], 1) > cfg.max_reject_frac:
+            # denominator = REAL records (non-tombstone lines): Kafka
+            # tombstones are healthy traffic, and counting them would
+            # dilute a 100%-corrupt data stream below the gate
+            # whenever delete traffic dominates the batch
+            n_real = int(t["n"]) - int(t["tomb"] or 0)
+            if t["bad"] / max(n_real, 1) > cfg.max_reject_frac:
                 raise EpochQualityError(
-                    f"epoch {epoch_id}: {t['bad']}/{t['n']} corrupt WAL "
+                    f"epoch {epoch_id}: {t['bad']}/{n_real} corrupt WAL "
                     f"envelopes exceeds max_reject_frac="
                     f"{cfg.max_reject_frac}"
                 )
@@ -372,18 +403,35 @@ def drain_adaptive(
     clock = clock or _time.monotonic
     rounds = 0
     while rounds < max_rounds:
+        from dataclasses import replace as _dc_replace
+
         files_cap = max(1, controller.cap // max(1, events_per_file))
-        pass_cfg = TailerConfig(**{**cfg.__dict__,
-                                   "max_files_per_trigger": files_cap})
+        pass_cfg = _dc_replace(cfg, max_files_per_trigger=files_cap)
         before = _progress_batches(cfg.checkpoint_dir)
         t0 = clock()
         pass_stats: list = []
-        run_to_completion(spark, pass_cfg, timeout_s=timeout_s,
-                          stats_sink=pass_stats)
+        timed_out = False
+        try:
+            run_to_completion(spark, pass_cfg, timeout_s=timeout_s,
+                              stats_sink=pass_stats)
+        except TimeoutError:
+            # the ONE scenario the controller exists for — a pass too
+            # slow — must shrink the cap, not kill the drain: the
+            # checkpoint keeps every batch that DID commit, so the
+            # next pass resumes exactly where this one stopped. Only
+            # when the cap is already at its floor is the timeout
+            # unrecoverable by backoff.
+            timed_out = True
         wall = clock() - t0
         after = _progress_batches(cfg.checkpoint_dir)
         rounds += 1
-        if after == before:
+        if timed_out and files_cap <= 1:
+            raise TimeoutError(
+                f"drain pass exceeded {timeout_s}s at the minimum "
+                f"file cap (1) — downstream cannot keep up with even "
+                f"one chunk per pass"
+            )
+        if not timed_out and after == before:
             break  # nothing new was available — fully drained
         from etl_spark.streaming.ratelimit import EpochFeedback
 
@@ -398,13 +446,25 @@ def drain_adaptive(
         n_batches = max(1, after - before)
         events = sum(s.events_in for s in pass_stats)
         controller.record(EpochFeedback(
+            # a timed-out pass reports its FULL wall as one epoch —
+            # guaranteed past the SLO, so the AIMD cut fires and the
+            # next pass runs smaller
             events=events or files_cap * events_per_file * n_batches,
-            wall_sec=wall / n_batches,
+            wall_sec=wall if timed_out else wall / n_batches,
             commit_retries=max((s.commit_retries for s in pass_stats),
                                default=0),
             rejected_frac=(sum(s.rejected for s in pass_stats) / events)
             if events else 0.0,
         ))
+    else:
+        # loop fell off max_rounds without the drained break: the WAL
+        # still holds unapplied chunks — silent truncation would be
+        # indistinguishable from a complete drain
+        raise RuntimeError(
+            f"drain_adaptive exhausted max_rounds={max_rounds} with the "
+            f"WAL still undrained (cap pinned low against a large "
+            f"backlog?) — raise max_rounds or investigate the pushback"
+        )
     return rounds
 
 

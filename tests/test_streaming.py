@@ -219,3 +219,48 @@ def test_stream_tail_after_bootstrap(spark, tbl_dir):
     bootstrap_epoch(spark, snap, tgt2, lin2, as_of_seq=cut)
     run_to_completion(spark, cfg2)
     assert content_state(tgt2) == expected
+
+
+def test_chunk_writer_refuses_clobber_and_null_seq(spark, tbl_dir):
+    import pytest
+    from pyspark.sql import functions as F
+    """A published WAL segment must never be silently replaced: the
+    streaming file source dedups by PATH and would never re-read the
+    new bytes — every event the old file lacked would be lost with no
+    error. NULL seqs refuse upfront (they belong to no chunk and used
+    to crash the rename loop mid-publish)."""
+    ev = gen.synthetic_events(spark, 600, n_repos=10, seed=41)
+    events_dir = os.path.join(tbl_dir, "wal")
+    write_event_chunks(ev.where("seq < 500"), events_dir, chunk_size=500)
+    # a producer resuming MID-chunk would overwrite chunk_...min:
+    with pytest.raises(FileExistsError, match="refusing to replace"):
+        write_event_chunks(ev, events_dir, chunk_size=500)
+    # null seq: loud refusal before any file moves
+    bad = ev.limit(5).withColumn(
+        "seq", F.when(F.col("seq") % 2 == 0, F.col("seq")))
+    with pytest.raises(ValueError, match="NULL"):
+        write_event_chunks(bad, os.path.join(tbl_dir, "wal2"),
+                           chunk_size=500)
+
+
+def test_wal_gate_denominator_excludes_tombstones(spark, tbl_dir):
+    import pytest
+    """Kafka tombstones are healthy traffic: counting them in the
+    corrupt-fraction denominator let a 100%-corrupt data stream ride
+    under the gate whenever delete traffic dominated the batch."""
+    from etl_spark.streaming.stream import TailerConfig, _decode_wal_batch
+    from etl_spark.operators.apply import EpochQualityError
+
+    cfg = TailerConfig(
+        events_dir=os.path.join(tbl_dir, "ev"),
+        target_path=os.path.join(tbl_dir, "t"),
+        lineage_path=os.path.join(tbl_dir, "l"),
+        checkpoint_dir=os.path.join(tbl_dir, "ck"),
+        envelope=True,
+    )
+    # 20 tombstones + 1 corrupt data line: 1/21 = 0.048 slid under the
+    # 0.10 gate pre-fix; vs real records it is 1/1 = 100% corrupt
+    lines = [("",)] * 20 + [("{not json",)]
+    batch = spark.createDataFrame(lines, "value string")
+    with pytest.raises(EpochQualityError, match="corrupt WAL"):
+        _decode_wal_batch(cfg, {}, batch, "gate:test")
