@@ -82,6 +82,42 @@ _WIRE_TYPES = {
 }
 
 
+def _version_for_seq_expr(ledger: SchemaLedger, seq: Column) -> Column:
+    """JVM expression form of ``ledger.version_for_seq``: the version
+    whose effective_seq window contains ``seq``. The fallback when a
+    producer's source block omits ``schema_version`` — stamping the
+    OLDEST version unconditionally mislabeled every post-evolution row
+    from such producers (real Debezium sources carry no such field)."""
+    expr = F.lit(ledger.entries[0].schema_version)
+    for e in ledger.entries[1:]:
+        expr = F.when(
+            seq >= F.lit(int(e.effective_seq)), F.lit(e.schema_version)
+        ).otherwise(expr)
+    return expr
+
+
+def _resolve_wire_type(seq, c) -> T.DataType:
+    """The ONE wire-type lookup both fold branches share — a vocabulary
+    change must not be applied twice."""
+    t = _WIRE_TYPES.get((c["type"] or "").lower())
+    if t is None:
+        raise ValueError(
+            f"schema-change at seq {seq}: unknown wire type "
+            f"{c['type']!r} for column {c['name']!r}"
+        )
+    return t
+
+
+# column names a schema change may never add: decoder-internal flags
+# and engine-internal __ markers — a ledger carrying one would make
+# every subsequent decode fail on an ambiguous reference, and the
+# tailer persists the folded ledger BEFORE re-decoding (permanent
+# wedge requiring manual surgery). The decoder flags such sc events
+# corrupt; this is the defense for direct API callers.
+_RESERVED_WIRE_NAMES = frozenset(
+    {"corrupt", "tombstone", "schema_change", "raw", "value"})
+
+
 def row_image_schema(event_schema: T.StructType) -> T.StructType:
     """The before/after image: the event schema's payload columns
     (everything the envelope itself does not carry)."""
@@ -227,13 +263,38 @@ def decode_wal_envelope(raw_df: DataFrame, raw_col: str = "raw",
         F.timestamp_micros(p["source"]["ts_us"]),
         F.timestamp_millis(p["ts_ms"]),
     )
+    # an sc envelope is corrupt unless its payload can actually FOLD:
+    # a null version / null column name or type crashed
+    # ledger_with_wal_changes with a raw TypeError on every redelivery
+    # (permanent tailer wedge, never dead-lettered), and a column
+    # named like a decoder-internal flag (corrupt/tombstone/...)
+    # would persist a poisoned ledger whose re-decode fails with an
+    # ambiguous reference FOREVER (the ledger is saved before the
+    # re-decode). Reserved names are rejected here so the event
+    # dead-letters and the stream proceeds.
+    sc = p["schema_change"]
+    _reserved = F.array(*[
+        F.lit(x) for x in ("corrupt", "tombstone", "schema_change",
+                           "raw", "value")
+    ])
+    sc_bad = (
+        sc.isNull()
+        | sc["version"].isNull()
+        | sc["columns"].isNull()
+        | F.exists(
+            sc["columns"],
+            lambda c: c["name"].isNull() | c["type"].isNull()
+            | F.array_contains(_reserved, c["name"])
+            | c["name"].startswith("__"),
+        )
+    )
     corrupt = ~tomb & (
         p.isNull()
         | canon.isNull()
         | seq.isNull()
         | (canon.isin("insert", "update") & img.isNull())
         | ((canon == "delete") & img.isNull())
-        | ((canon == "schema_change") & p["schema_change"].isNull())
+        | ((canon == "schema_change") & F.coalesce(sc_bad, F.lit(True)))
     )
     img_cols = [
         img[f.name].alias(f.name)
@@ -243,9 +304,8 @@ def decode_wal_envelope(raw_df: DataFrame, raw_col: str = "raw",
         seq.cast("long").alias("seq"),
         canon.alias("op"),
         *img_cols,
-        F.coalesce(p["source"]["schema_version"],
-                   F.lit(ledger.entries[0].schema_version))
-        .cast("int").alias("schema_version"),
+        F.coalesce(p["source"]["schema_version"], _version_for_seq_expr(
+            ledger, seq)).cast("int").alias("schema_version"),
         event_time.alias("event_time"),
         F.coalesce(corrupt, F.lit(True)).alias("corrupt"),
         tomb.alias("tombstone"),
@@ -260,8 +320,17 @@ def wal_events(decoded: DataFrame,
     ledger's latest column order — what apply_epoch consumes. Corrupt
     rows, tombstones and schema-change messages are filtered (route
     corrupt rows to quarantine via ``wal_corrupt`` upstream)."""
-    ledger = ledger or SchemaLedger.default()
-    cols = [f.name for f in ledger.latest.schema.fields]
+    if ledger is not None:
+        cols = [f.name for f in ledger.latest.schema.fields]
+    else:
+        # derive from the DECODED frame: everything before the
+        # ``corrupt`` flag is the event payload by construction of
+        # decode_wal_envelope's select order. A defaulted
+        # SchemaLedger.default() here silently projected away every
+        # post-evolution column when the caller decoded with an
+        # evolved ledger but forgot the kwarg — the module's own
+        # "silent column loss" failure mode
+        cols = decoded.columns[: decoded.columns.index("corrupt")]
     return decoded.where(
         ~F.col("corrupt") & ~F.col("tombstone")
         & (F.col("op") != "schema_change")
@@ -302,7 +371,7 @@ def ledger_with_wal_changes(ledger: SchemaLedger,
     entries = list(ledger.entries)
     for r in rows:
         prev = entries[-1]
-        if r["version"] <= prev.schema_version:
+        if r["version"] is not None and r["version"] <= prev.schema_version:
             # at-least-once redelivery: the tailer persists the folded
             # ledger BEFORE the epoch commit, so a crash between the
             # two replays this event against a ledger that already
@@ -332,8 +401,8 @@ def ledger_with_wal_changes(ledger: SchemaLedger,
                 )
             have = {f.name: f.dataType for f in existing.schema.fields}
             for c in (r["columns"] or []):
-                t = _WIRE_TYPES.get((c["type"] or "").lower())
-                if t is None or have.get(c["name"]) != t:
+                t = _resolve_wire_type(r["seq"], c)
+                if have.get(c["name"]) != t:
                     raise ValueError(
                         f"schema-change redelivery at seq {r['seq']} "
                         f"conflicts with committed v{r['version']}: "
@@ -342,17 +411,26 @@ def ledger_with_wal_changes(ledger: SchemaLedger,
                         f" in the ledger, event says {c['type']!r}"
                     )
             continue
+        if r["version"] is None:
+            raise ValueError(
+                f"schema-change at seq {r['seq']} carries no version — "
+                f"unfoldable (the decoder flags these corrupt; direct "
+                f"callers must not feed them here)"
+            )
         fields = list(prev.schema.fields)
         have = {f.name: f.dataType for f in fields}
         docs = {}
         migration = []
         for c in (r["columns"] or []):
-            t = _WIRE_TYPES.get((c["type"] or "").lower())
-            if t is None:
+            if (c["name"] is None or c["name"] in _RESERVED_WIRE_NAMES
+                    or c["name"].startswith("__")):
                 raise ValueError(
-                    f"schema-change at seq {r['seq']}: unknown wire type "
-                    f"{c['type']!r} for column {c['name']!r}"
+                    f"schema-change at seq {r['seq']}: column name "
+                    f"{c['name']!r} is null or reserved (decoder-"
+                    f"internal/engine-internal) — folding it would "
+                    f"poison every subsequent decode"
                 )
+            t = _resolve_wire_type(r["seq"], c)
             if c["name"] in have:
                 if have[c["name"]] != t:
                     raise ValueError(

@@ -382,3 +382,73 @@ def test_render_refuses_schema_change_rows(spark):
     bad = _v1_rows(spark, [1]).withColumn("op", F.lit("upsert"))
     with pytest.raises(Exception, match="cannot render op="):
         render_wal_envelope(bad).collect()
+
+
+def test_malformed_schema_change_is_corrupt_not_a_wedge(spark):
+    """An sc envelope whose payload cannot FOLD (null version, null
+    column name/type, reserved column name) must dead-letter as
+    corrupt — pre-fix it passed decode clean and crashed
+    ledger_with_wal_changes with a raw TypeError on every redelivery
+    (permanent tailer wedge), or worse persisted a ledger whose
+    re-decode fails on an ambiguous reference forever."""
+    bad_lines = [
+        # null version
+        '{"payload":{"op":"sc","source":{"lsn":5},'
+        '"schema_change":{"ddl":"x","columns":[]}}}',
+        # null column name
+        '{"payload":{"op":"sc","source":{"lsn":6},"schema_change":'
+        '{"version":9,"columns":[{"type":"string"}]}}}',
+        # reserved decoder-internal name
+        '{"payload":{"op":"sc","source":{"lsn":7},"schema_change":'
+        '{"version":9,"columns":[{"name":"corrupt","type":"boolean"}]}}}',
+        # engine-internal __ marker
+        '{"payload":{"op":"sc","source":{"lsn":8},"schema_change":'
+        '{"version":9,"columns":[{"name":"__op","type":"string"}]}}}',
+    ]
+    dec = decode_wal_envelope(
+        spark.createDataFrame([(x,) for x in bad_lines], "value string"),
+        raw_col="value")
+    rows = dec.select("seq", "corrupt").collect()
+    assert all(r["corrupt"] for r in rows), rows
+    # and the stream proceeds: no schema change reaches the fold
+    assert wal_schema_changes(dec).count() == 0
+    # direct API callers get a classified ValueError, never TypeError
+    import pytest
+    base = SchemaLedger.default()
+    fake = spark.createDataFrame(
+        [(5, 9, None, [("corrupt", "boolean", None, None)])],
+        "seq long, version int, ddl string, columns array<struct<"
+        "name string, type string, nullable boolean, doc string>>")
+    with pytest.raises(ValueError, match="reserved"):
+        ledger_with_wal_changes(base, fake)
+
+
+def test_wal_events_derives_columns_from_decoded_frame(spark):
+    """wal_events() without the ledger kwarg must keep every column the
+    frame was DECODED with — the defaulted v1 ledger silently projected
+    away post-evolution columns."""
+    led = SchemaLedger.default(v2_effective_seq=0)
+    ev = _v2_rows(spark, [3])
+    dec = decode_wal_envelope(render_wal_envelope(ev), ledger=led)
+    out = wal_events(dec)  # NO ledger kwarg — the forgotten-arg case
+    assert "content_encoding" in out.columns and "size_bytes" in out.columns
+    assert out.count() == ev.count()
+
+
+def test_missing_schema_version_falls_back_by_seq(spark):
+    """A producer whose source block omits schema_version (real
+    Debezium sources) must stamp version_for_seq(seq), not the oldest
+    version unconditionally."""
+    led = SchemaLedger.default(v2_effective_seq=100)
+    lines = [
+        '{"payload":{"op":"c","source":{"lsn":50},"after":'
+        '{"repo":"r","path":"p","content":"x"}}}',
+        '{"payload":{"op":"c","source":{"lsn":150},"after":'
+        '{"repo":"r","path":"q","content":"y"}}}',
+    ]
+    dec = decode_wal_envelope(
+        spark.createDataFrame([(x,) for x in lines], "value string"),
+        raw_col="value", ledger=led)
+    got = {r["seq"]: r["schema_version"] for r in
+           dec.select("seq", "schema_version").collect()}
+    assert got == {50: 1, 150: 2}, got
